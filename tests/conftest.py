@@ -10,8 +10,8 @@ Set TPU_QE_TEST_PLATFORM=tpu to run the suite against real hardware instead.
 
 import os
 
-if os.environ.get("TPU_QE_TEST_PLATFORM", "cpu") == "cpu":
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_platform = os.environ.get("TPU_QE_TEST_PLATFORM", "cpu")
+if _platform == "cpu":
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
@@ -19,5 +19,10 @@ if os.environ.get("TPU_QE_TEST_PLATFORM", "cpu") == "cpu":
         ).strip()
 
 import jax  # noqa: E402
+
+if _platform == "cpu":
+    # Must go through jax.config (not just the env var): this container's
+    # site hook registers the TPU PJRT plugin at interpreter start.
+    jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_enable_x64", True)
