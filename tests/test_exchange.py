@@ -1,0 +1,75 @@
+"""Distributed sort tests on the fake 8-device CPU mesh (SURVEY.md §4)."""
+
+import jax
+import numpy as np
+import pytest
+
+from tpu_qe.exchange import distributed_sort_numpy, make_mesh
+
+
+def _mesh(n):
+    if len(jax.devices()) < n:
+        pytest.skip(f"needs {n} devices")
+    return make_mesh(n)
+
+
+class TestDistributedSort:
+    @pytest.mark.parametrize("n_dev", [2, 4, 8])
+    def test_uniform_keys_bit_exact(self, n_dev):
+        mesh = _mesh(n_dev)
+        rng = np.random.default_rng(n_dev)
+        keys = rng.integers(0, 1 << 64, size=1 << 13, dtype=np.uint64)
+        payload = np.arange(len(keys), dtype=np.uint32)
+        k, p = distributed_sort_numpy(keys, payload, mesh)
+        order = np.argsort(keys, kind="stable")
+        np.testing.assert_array_equal(k, keys[order])
+        np.testing.assert_array_equal(p, order.astype(np.uint32))
+
+    def test_zipf_skewed_keys(self, n_dev=8):
+        # heavy-tailed duplicates: splitter sampling must still balance
+        mesh = _mesh(n_dev)
+        rng = np.random.default_rng(42)
+        ranks = rng.zipf(1.3, size=1 << 13).astype(np.uint64)
+        keys = (ranks * np.uint64(0x9E3779B97F4A7C15)) & np.uint64((1 << 64) - 1)
+        payload = np.arange(len(keys), dtype=np.uint32)
+        k, p = distributed_sort_numpy(keys, payload, mesh,
+                                      capacity_factor=4.0)
+        order = np.argsort(keys, kind="stable")
+        np.testing.assert_array_equal(k, keys[order])
+        np.testing.assert_array_equal(p, order.astype(np.uint32))
+
+    def test_all_equal_keys(self, n_dev=4):
+        # worst-case skew: every key identical -> all route to one device;
+        # capacity_factor >= D must make it lossless and stable.
+        mesh = _mesh(n_dev)
+        keys = np.full(1 << 10, 12345, dtype=np.uint64)
+        payload = np.arange(len(keys), dtype=np.uint32)
+        k, p = distributed_sort_numpy(keys, payload, mesh,
+                                      capacity_factor=float(n_dev))
+        np.testing.assert_array_equal(k, keys)
+        np.testing.assert_array_equal(p, payload)
+
+    def test_max_key_values_not_confused_with_padding(self, n_dev=4):
+        mesh = _mesh(n_dev)
+        rng = np.random.default_rng(1)
+        keys = rng.integers(0, 1 << 64, size=1 << 10, dtype=np.uint64)
+        keys[::5] = np.uint64(0xFFFFFFFFFFFFFFFF)  # real all-ones keys
+        payload = np.arange(len(keys), dtype=np.uint32)
+        k, p = distributed_sort_numpy(keys, payload, mesh,
+                                      capacity_factor=4.0)
+        order = np.argsort(keys, kind="stable")
+        np.testing.assert_array_equal(k, keys[order])
+        np.testing.assert_array_equal(p, order.astype(np.uint32))
+
+    def test_overflow_detected(self, n_dev=4):
+        mesh = _mesh(n_dev)
+        keys = np.zeros(1 << 10, dtype=np.uint64)  # all to device 0
+        with pytest.raises(RuntimeError, match="capacity"):
+            distributed_sort_numpy(keys, None, mesh, capacity_factor=1.0)
+
+    def test_keys_only(self, n_dev=8):
+        mesh = _mesh(n_dev)
+        rng = np.random.default_rng(3)
+        keys = rng.integers(0, 1 << 64, size=1 << 12, dtype=np.uint64)
+        k = distributed_sort_numpy(keys, None, mesh)
+        np.testing.assert_array_equal(k, np.sort(keys))

@@ -1,0 +1,220 @@
+"""Distributed sort over a TPU device mesh (shard_map + collectives).
+
+The reference is single-device — its only "transport" is one wgpu queue
+submit (/root/reference/src/main.rs:727) and its cross-workgroup
+communication is storage buffers between dispatches. This module is the
+multi-chip generalization mandated by the build plan (SURVEY.md §2c):
+a keyed shuffle over ICI built from jax collectives under shard_map.
+
+Algorithm — splitter-based sample sort (skew-robust):
+
+1.  every device draws a fixed oversample of its local keys; an all_gather +
+    tiny sort yields global splitters at the D-quantiles, so heavily skewed
+    (e.g. Zipf) key distributions still produce balanced destinations —
+    this replaces routing on raw high digits;
+2.  keys are routed to ``dest = #(splitters < key)``, locally partitioned by
+    destination (a stable local sort), and sliced into a (D, capacity)
+    padded exchange buffer (static shapes — the TPU-native stand-in for a
+    ragged all_to_all), with per-pair counts;
+3.  one ``jax.lax.all_to_all`` over the mesh axis moves buffer + counts;
+4.  each device stably sorts what it received; pad sentinels carry an
+    invalid flag sorted after every real key (a real all-ones key is still
+    ordered correctly).
+
+Within-device sorted runs concatenated in mesh order form the globally
+sorted sequence; stability holds because routing preserves source order,
+all_to_all concatenates in source-rank order, and local sorts are stable.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from tpu_qe.bits import U64
+
+AXIS = "x"
+_ONES = jnp.uint32(0xFFFFFFFF)
+
+
+def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    """1-D device mesh over the sort axis."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (AXIS,))
+
+
+class DistSortResult(NamedTuple):
+    """Padded per-device sorted runs.
+
+    ``lo/hi/payloads`` are (D * capacity,) per device (sharded global shape
+    (D, D * capacity) flattened); ``valid`` (per device) counts the real
+    elements at the front of each device's run.
+    """
+
+    key: U64
+    payloads: tuple
+    valid: jnp.ndarray
+
+
+def _cmp_gt(lo_a, hi_a, lo_b, hi_b):
+    """u64 pair comparison a > b."""
+    return (hi_a > hi_b) | ((hi_a == hi_b) & (lo_a > lo_b))
+
+
+def _local_shard_sort(lo, hi, flag, payloads):
+    """Stable sort by (key, invalid-flag): sentinels after equal real keys."""
+    res = jax.lax.sort([hi, lo, flag] + list(payloads), num_keys=3,
+                       is_stable=True)
+    return res[1], res[0], res[2], list(res[3:])
+
+
+def _dsort_shard(lo, hi, *payloads, n_dev: int, samples_per_dev: int,
+                 capacity: int):
+    """Per-shard body (runs under shard_map; axis name AXIS)."""
+    n_local = lo.shape[0]
+    my = jax.lax.axis_index(AXIS)
+
+    # --- 1. splitters from a strided oversample of every device
+    stride = max(n_local // samples_per_dev, 1)
+    idx = (jnp.arange(samples_per_dev) * stride) % n_local
+    s_lo, s_hi = lo[idx], hi[idx]
+    g_lo = jax.lax.all_gather(s_lo, AXIS).reshape(-1)
+    g_hi = jax.lax.all_gather(s_hi, AXIS).reshape(-1)
+    g_hi, g_lo = jax.lax.sort([g_hi, g_lo], num_keys=2, is_stable=False)
+    total = n_dev * samples_per_dev
+    sp_idx = (jnp.arange(1, n_dev) * total) // n_dev
+    sp_lo, sp_hi = g_lo[sp_idx], g_hi[sp_idx]  # (D-1,) splitter keys
+
+    # --- 2. route: dest = number of splitters strictly below the key
+    gt = _cmp_gt(lo[None, :], hi[None, :], sp_lo[:, None], sp_hi[:, None])
+    dest = jnp.sum(gt.astype(jnp.uint32), axis=0)  # (n_local,) in [0, D)
+
+    # stable partition by destination + original keys/payloads as values
+    parts = jax.lax.sort(
+        [dest, lo, hi] + list(payloads), num_keys=1, is_stable=True)
+    dest_s, lo_s, hi_s = parts[0], parts[1], parts[2]
+    pay_s = list(parts[3:])
+
+    counts = jnp.sum(
+        (dest_s[:, None] == jnp.arange(n_dev, dtype=jnp.uint32)[None, :])
+        .astype(jnp.uint32), axis=0)  # (D,)
+    offsets = jnp.cumsum(counts) - counts
+
+    # --- slice per-destination runs into the padded (D, capacity) buffer
+    def pack(col, fill):
+        colp = jnp.concatenate(
+            [col, jnp.full((capacity,), fill, dtype=col.dtype)])
+
+        def one(d):
+            run = jax.lax.dynamic_slice(colp, (offsets[d],), (capacity,))
+            in_run = jnp.arange(capacity, dtype=jnp.uint32) < counts[d]
+            return jnp.where(in_run, run, fill)
+
+        return jax.vmap(one)(jnp.arange(n_dev))  # (D, capacity)
+
+    send_lo = pack(lo_s, _ONES)
+    send_hi = pack(hi_s, _ONES)
+    send_pay = [pack(p, jnp.uint32(0)) for p in pay_s]
+    send_flag = pack(jnp.zeros(n_local, dtype=jnp.uint32), jnp.uint32(1))
+
+    # --- 3. exchange over ICI
+    a2a = functools.partial(jax.lax.all_to_all, axis_name=AXIS, split_axis=0,
+                            concat_axis=0, tiled=False)
+    recv_lo = a2a(send_lo).reshape(-1)
+    recv_hi = a2a(send_hi).reshape(-1)
+    recv_flag = a2a(send_flag).reshape(-1)
+    recv_pay = [a2a(p).reshape(-1) for p in send_pay]
+    recv_counts = jax.lax.all_to_all(
+        counts.reshape(n_dev, 1), AXIS, 0, 0).reshape(-1)
+
+    # overflow detection: a (src,dst) run larger than capacity was truncated
+    overflow = jax.lax.pmax(jnp.max(counts), AXIS) > jnp.uint32(capacity)
+
+    # --- 4. local stable sort of received data (sentinels flagged last)
+    out_lo, out_hi, _, out_pay = _local_shard_sort(
+        recv_lo, recv_hi, recv_flag, recv_pay)
+    valid = jnp.sum(recv_counts).reshape(1)
+    del my
+    return (out_lo, out_hi, *out_pay, valid,
+            overflow.astype(jnp.uint32).reshape(1))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("mesh", "samples_per_dev", "capacity_factor"))
+def distributed_sort(key: U64, *payloads: jnp.ndarray, mesh: Mesh,
+                     samples_per_dev: int = 128,
+                     capacity_factor: float = 2.0):
+    """Sort u64 keys (+u32 payloads) sharded over a 1-D mesh.
+
+    Args:
+      key: U64 with global shape (n,), n divisible by mesh size.
+      mesh: 1-D mesh from make_mesh().
+    Returns:
+      (DistSortResult, overflow_flag). Device d's run holds the d-th quantile
+      of the global key order: its first ``valid[d]`` elements, sorted;
+      concatenated in mesh order they form the full sorted sequence.
+      overflow_flag (u32) is nonzero if a send bucket exceeded capacity
+      (raise capacity_factor; counts stay exact so overflow is detectable).
+    """
+    n_dev = mesh.shape[AXIS]
+    n = key.lo.shape[0]
+    assert n % n_dev == 0, (n, n_dev)
+    n_local = n // n_dev
+    capacity = int(np.ceil(capacity_factor * n_local / n_dev))
+    capacity = max(capacity, 16)
+
+    spec = P(AXIS)
+    out_specs = tuple([spec] * (2 + len(payloads))) + (spec, spec)
+    fn = shard_map(
+        functools.partial(_dsort_shard, n_dev=n_dev,
+                          samples_per_dev=samples_per_dev, capacity=capacity),
+        mesh=mesh,
+        in_specs=tuple([spec] * (2 + len(payloads))),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    res = fn(key.lo, key.hi, *payloads)
+    out_lo, out_hi = res[0], res[1]
+    out_pay = tuple(res[2:-2])
+    valid, overflow = res[-2], res[-1]
+    return DistSortResult(U64(out_lo, out_hi), out_pay, valid), overflow
+
+
+def distributed_sort_numpy(keys: np.ndarray, payload: np.ndarray | None,
+                           mesh: Mesh, **kw):
+    """Host-side wrapper: shard, sort, gather, compact (for tests/benches)."""
+    n_dev = mesh.shape[AXIS]
+    key = U64.from_numpy(keys)
+    sharding = NamedSharding(mesh, P(AXIS))
+    key = U64(jax.device_put(key.lo, sharding), jax.device_put(key.hi, sharding))
+    payloads = ()
+    if payload is not None:
+        payloads = (jax.device_put(jnp.asarray(payload), sharding),)
+    res, overflow = distributed_sort(key, *payloads, mesh=mesh, **kw)
+    if int(np.asarray(overflow).max()):
+        raise RuntimeError("exchange capacity overflow; raise capacity_factor")
+    lo = np.asarray(res.key.lo).reshape(n_dev, -1)
+    hi = np.asarray(res.key.hi).reshape(n_dev, -1)
+    valid = np.asarray(res.valid).reshape(n_dev)
+    out_keys = []
+    out_pay = []
+    for d in range(n_dev):
+        v = int(valid[d])
+        out_keys.append(lo[d, :v].astype(np.uint64)
+                        | (hi[d, :v].astype(np.uint64) << np.uint64(32)))
+        if payload is not None:
+            p = np.asarray(res.payloads[0]).reshape(n_dev, -1)
+            out_pay.append(p[d, :v])
+    keys_out = np.concatenate(out_keys)
+    if payload is None:
+        return keys_out
+    return keys_out, np.concatenate(out_pay)
