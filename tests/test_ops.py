@@ -1,0 +1,192 @@
+"""Query operator tests: filter/compact, group aggregate, joins."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_qe.bits import U64
+from tpu_qe.ops import compact, group_aggregate, join_fk, join_sorted
+from tpu_qe.ops.join import searchsorted_u64
+from tpu_qe.table import Table
+
+
+def _u64(rng, n, hi=1 << 64):
+    return rng.integers(0, hi, size=n, dtype=np.uint64)
+
+
+class TestTable:
+    def test_roundtrip_and_pytree(self):
+        import jax
+        rng = np.random.default_rng(0)
+        t = Table.from_numpy({
+            "k": _u64(rng, 100),
+            "v": rng.random(100).astype(np.float32),
+            "i": np.arange(100, dtype=np.uint32),
+        })
+        assert t.num_rows == 100
+        back = t.to_numpy()
+        assert back["k"].dtype == np.uint64
+        leaves = jax.tree_util.tree_leaves(t)
+        assert len(leaves) == 4  # u64 -> 2 leaves
+        t2 = jax.jit(lambda x: x)(t)
+        np.testing.assert_array_equal(t2.to_numpy()["k"], back["k"])
+
+    def test_take(self):
+        rng = np.random.default_rng(1)
+        t = Table.from_numpy({"k": _u64(rng, 50),
+                              "v": np.arange(50, dtype=np.uint32)})
+        idx = jnp.asarray([5, 3, 3, 49])
+        sub = t.take(idx)
+        np.testing.assert_array_equal(sub.to_numpy()["v"], [5, 3, 3, 49])
+
+    def test_ragged_rejected(self):
+        with pytest.raises(ValueError, match="ragged"):
+            Table({"a": jnp.zeros(3, jnp.uint32), "b": jnp.zeros(4, jnp.uint32)})
+
+
+class TestCompact:
+    def test_stable_selection(self):
+        rng = np.random.default_rng(2)
+        n = 1000
+        t = Table.from_numpy({"k": _u64(rng, n),
+                              "i": np.arange(n, dtype=np.uint32)})
+        mask = jnp.asarray(rng.random(n) < 0.3)
+        out, count = compact(t, mask)
+        m = np.asarray(mask)
+        c = int(count)
+        assert c == m.sum()
+        np.testing.assert_array_equal(
+            np.asarray(out["i"])[:c], np.arange(n)[m])
+        np.testing.assert_array_equal(
+            out["k"].to_numpy()[:c], t["k"].to_numpy()[m])
+        # rejected rows stable too
+        np.testing.assert_array_equal(
+            np.asarray(out["i"])[c:], np.arange(n)[~m])
+
+    @pytest.mark.parametrize("frac", [0.0, 1.0])
+    def test_all_or_nothing(self, frac):
+        t = Table.from_numpy({"i": np.arange(64, dtype=np.uint32)})
+        mask = jnp.asarray(np.full(64, frac == 1.0))
+        out, count = compact(t, mask)
+        assert int(count) == (64 if frac == 1.0 else 0)
+        np.testing.assert_array_equal(np.asarray(out["i"]),
+                                      np.arange(64, dtype=np.uint32))
+
+
+class TestGroupAggregate:
+    def _reference(self, keys, vals):
+        order = np.argsort(keys, kind="stable")
+        k, v = keys[order], vals[order]
+        uk, starts = np.unique(k, return_index=True)
+        ends = np.append(starts[1:], len(k))
+        return uk, starts, ends, v
+
+    def test_count_sum_min_max_u32(self):
+        rng = np.random.default_rng(3)
+        n = 4096
+        keys = _u64(rng, n, hi=50)  # ~50 groups, many duplicates
+        vals = rng.integers(0, 1000, size=n).astype(np.uint32)
+        res = group_aggregate(U64.from_numpy(keys), jnp.asarray(vals),
+                              aggs=("count", "sum", "min", "max"))
+        g = int(res.num_groups)
+        uk, starts, ends, v = self._reference(keys, vals)
+        assert g == len(uk)
+        np.testing.assert_array_equal(res.key.to_numpy()[:g], uk)
+        np.testing.assert_array_equal(
+            np.asarray(res.aggs["count"])[:g], ends - starts)
+        want_sum = np.asarray(
+            [v[s:e].sum(dtype=np.uint32) for s, e in zip(starts, ends)],
+            dtype=np.uint32)
+        np.testing.assert_array_equal(np.asarray(res.aggs["sum"])[:g], want_sum)
+        np.testing.assert_array_equal(
+            np.asarray(res.aggs["min"])[:g],
+            [v[s:e].min() for s, e in zip(starts, ends)])
+        np.testing.assert_array_equal(
+            np.asarray(res.aggs["max"])[:g],
+            [v[s:e].max() for s, e in zip(starts, ends)])
+
+    def test_float_min_max_with_negatives(self):
+        rng = np.random.default_rng(4)
+        n = 2048
+        keys = _u64(rng, n, hi=20)
+        vals = (rng.random(n).astype(np.float32) - 0.5) * 100
+        res = group_aggregate(U64.from_numpy(keys), jnp.asarray(vals),
+                              aggs=("min", "max"))
+        g = int(res.num_groups)
+        uk, starts, ends, v = self._reference(keys, vals)
+        np.testing.assert_array_equal(
+            np.asarray(res.aggs["min"])[:g],
+            [v[s:e].min() for s, e in zip(starts, ends)])
+        np.testing.assert_array_equal(
+            np.asarray(res.aggs["max"])[:g],
+            [v[s:e].max() for s, e in zip(starts, ends)])
+
+    def test_count_only(self):
+        keys = np.array([5, 5, 5, 1, 1, 9], dtype=np.uint64)
+        res = group_aggregate(U64.from_numpy(keys))
+        g = int(res.num_groups)
+        assert g == 3
+        np.testing.assert_array_equal(res.key.to_numpy()[:g], [1, 5, 9])
+        np.testing.assert_array_equal(np.asarray(res.aggs["count"])[:g],
+                                      [2, 3, 1])
+
+    def test_all_unique_and_all_same(self):
+        keys = np.arange(256, dtype=np.uint64)
+        res = group_aggregate(U64.from_numpy(keys))
+        assert int(res.num_groups) == 256
+        keys = np.zeros(256, dtype=np.uint64)
+        res = group_aggregate(U64.from_numpy(keys))
+        assert int(res.num_groups) == 1
+        assert int(np.asarray(res.aggs["count"])[0]) == 256
+
+
+class TestSearchSortedU64:
+    def test_against_numpy(self):
+        rng = np.random.default_rng(5)
+        s = np.sort(_u64(rng, 1000))
+        q = np.concatenate([_u64(rng, 500), s[::7]])  # misses + exact hits
+        got_l = np.asarray(searchsorted_u64(
+            U64.from_numpy(s), U64.from_numpy(q), side="left"))
+        got_r = np.asarray(searchsorted_u64(
+            U64.from_numpy(s), U64.from_numpy(q), side="right"))
+        np.testing.assert_array_equal(got_l, np.searchsorted(s, q, "left"))
+        np.testing.assert_array_equal(got_r, np.searchsorted(s, q, "right"))
+
+
+class TestJoin:
+    def test_fk_join(self):
+        rng = np.random.default_rng(6)
+        m = 500
+        rkeys = np.unique(_u64(rng, m))  # unique right keys
+        right = Table.from_numpy({
+            "key": rkeys,
+            "rval": np.arange(len(rkeys), dtype=np.uint32) * 10,
+        })
+        # left: half hits, half misses
+        hit = rkeys[rng.integers(0, len(rkeys), size=300)]
+        miss = _u64(rng, 300)
+        lkeys = np.concatenate([hit, miss])
+        left = Table.from_numpy({
+            "key": lkeys,
+            "lval": np.arange(len(lkeys), dtype=np.uint32),
+        })
+        res = join_fk(left, right, key="key")
+        matched = np.asarray(res.matched)
+        out = res.table.to_numpy()
+        pos = {k: i for i, k in enumerate(rkeys)}
+        for i, k in enumerate(lkeys):
+            if k in pos:
+                assert matched[i]
+                assert out["rval"][i] == pos[k] * 10
+            else:
+                assert not matched[i] or k in pos
+
+    def test_join_sorted_ranges(self):
+        rng = np.random.default_rng(7)
+        r = np.sort(_u64(rng, 2000, hi=100))  # duplicates
+        l = _u64(rng, 300, hi=100)
+        idx = join_sorted(U64.from_numpy(l), U64.from_numpy(r))
+        np.testing.assert_array_equal(np.asarray(idx.start),
+                                      np.searchsorted(r, l, "left"))
+        np.testing.assert_array_equal(np.asarray(idx.end),
+                                      np.searchsorted(r, l, "right"))

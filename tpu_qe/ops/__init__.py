@@ -1,0 +1,3 @@
+from tpu_qe.ops.filter import compact, filter_table  # noqa: F401
+from tpu_qe.ops.aggregate import group_aggregate  # noqa: F401
+from tpu_qe.ops.join import join_fk, join_sorted  # noqa: F401

@@ -1,0 +1,135 @@
+"""Sort-based GROUP BY aggregation (hash-aggregate equivalent).
+
+On GPUs a hash aggregate scatters into a hash table with atomics; a TPU has
+neither scatters nor atomics worth using, but it has a world-class sorter —
+so GROUP BY is sort-based: sort rows by group key, find group boundaries,
+and reduce each run. All reductions are formulated scatter-free:
+
+- count / sum: difference of an inclusive running sum at group-end rows
+  (integer sums use wraparound arithmetic, so the difference is exact
+  mod 2^32; float sums document the running-sum rounding);
+- min / max: first/last row of each run after sorting by (key, value-bits)
+  with the standard order-preserving float bit transform.
+
+Group-end rows are compacted with the engine's stable 1-bit partition
+(tpu_qe.ops.filter.compact) — the same primitive as a radix split.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from tpu_qe.bits import U64
+from tpu_qe.ops.filter import compact
+from tpu_qe.table import Table
+
+_VALID_AGGS = ("count", "sum", "min", "max")
+
+
+class GroupResult(NamedTuple):
+    """Padded GROUP BY result: first `num_groups` rows are valid."""
+
+    key: U64                 # unique group keys, ascending
+    aggs: dict               # agg name -> array (padded like key)
+    num_groups: jnp.ndarray  # scalar
+
+
+def _float_sortable_bits(x: jnp.ndarray) -> jnp.ndarray:
+    """Map f32 to u32 so unsigned order == numeric order (IEEE trick)."""
+    b = x.view(jnp.uint32) if x.dtype == jnp.float32 else x
+    if x.dtype != jnp.float32:
+        return b
+    sign = b >> 31
+    return jnp.where(sign == 1, ~b, b | jnp.uint32(0x80000000))
+
+
+def _shift_right_one(x: jnp.ndarray, fill) -> jnp.ndarray:
+    return jnp.concatenate([jnp.full((1,), fill, dtype=x.dtype), x[:-1]])
+
+
+@functools.partial(jax.jit, static_argnames=("aggs",))
+def group_aggregate(key: U64, value: jnp.ndarray | None = None,
+                    aggs: Sequence[str] = ("count",)) -> GroupResult:
+    """GROUP BY `key` computing `aggs` over `value`.
+
+    Args:
+      key: (n,) u64 group keys (e.g. morton cell ids).
+      value: (n,) uint32 or float32 column (required unless aggs==("count",)).
+      aggs: subset of {"count", "sum", "min", "max"}.
+    Returns:
+      GroupResult with padded outputs (valid rows: [0, num_groups)).
+    """
+    aggs = tuple(aggs)
+    for a in aggs:
+        if a not in _VALID_AGGS:
+            raise ValueError(f"unknown agg {a!r}")
+    need_value = any(a != "count" for a in aggs)
+    if need_value and value is None:
+        raise ValueError("value column required for sum/min/max")
+    n = key.lo.shape[0]
+
+    # sort rows by (key, value-bits): min = first of run, max = last of run,
+    # and sums/counts are order-independent within a run.
+    operands = [key.hi, key.lo]
+    num_keys = 2
+    if value is not None:
+        operands.append(_float_sortable_bits(value))
+        num_keys = 3
+        res = jax.lax.sort(operands, num_keys=num_keys, is_stable=False)
+        shi, slo, sval_bits = res[0], res[1], res[2]
+        sval = sval_bits  # preserved below via positions, not bits
+    else:
+        res = jax.lax.sort(operands, num_keys=num_keys, is_stable=False)
+        shi, slo = res[0], res[1]
+        sval = None
+    # recover actual sorted values (inverse of _float_sortable_bits)
+    if value is not None and value.dtype == jnp.float32:
+        b = sval
+        was_positive = (b >> 31) == 1
+        sval = jnp.where(was_positive, b ^ jnp.uint32(0x80000000), ~b).view(
+            jnp.float32)
+
+    prev_lo = _shift_right_one(slo, 0)
+    prev_hi = _shift_right_one(shi, 0)
+    idx = jnp.arange(n, dtype=jnp.uint32)
+    is_new = (idx == 0) | (slo != prev_lo) | (shi != prev_hi)
+    nxt = jnp.concatenate([is_new[1:], jnp.ones((1,), dtype=bool)])
+    is_end = nxt  # last row of each group
+
+    # running sums in sorted order
+    pos1 = idx + 1  # inclusive row count
+    cols = {"klo": slo, "khi": shi, "pos": pos1}
+    if "sum" in aggs:
+        if sval.dtype == jnp.float32:
+            cols["csum"] = jnp.cumsum(sval, dtype=jnp.float32)
+        else:
+            cols["csum"] = jnp.cumsum(sval.astype(jnp.uint32),
+                                      dtype=jnp.uint32)
+    if "min" in aggs:
+        cols["first_val"] = sval  # valid at group-start rows
+        # propagate: value at the START of this row's group == min; grab it
+        # by compacting group-START rows separately below.
+    if "max" in aggs:
+        cols["last_val"] = sval  # valid at group-end rows
+
+    end_tab, num_groups = compact(Table(cols), is_end)
+    klo, khi = end_tab["klo"], end_tab["khi"]
+    pos_end = end_tab["pos"]
+    prev_pos = _shift_right_one(pos_end, 0)
+    out: dict[str, jnp.ndarray] = {}
+    if "count" in aggs:
+        out["count"] = pos_end - prev_pos
+    if "sum" in aggs:
+        ce = end_tab["csum"]
+        out["sum"] = ce - _shift_right_one(ce, jnp.zeros((), ce.dtype))
+    if "max" in aggs:
+        out["max"] = end_tab["last_val"]
+    if "min" in aggs:
+        start_tab, _ = compact(Table({"first_val": cols["first_val"]}),
+                               is_new)
+        out["min"] = start_tab["first_val"]
+    return GroupResult(U64(klo, khi), out, num_groups)

@@ -1,0 +1,137 @@
+"""Joins on u64 keys over columnar tables.
+
+GPU engines radix-partition both sides and probe per-partition hash tables;
+the TPU-native formulation is sort + vectorized binary search: the engine's
+radix sort IS the partitioner, and probing is a data-independent log2(m)
+gather loop (no hash tables, no collisions, fully vectorized).
+
+Implemented:
+- ``join_fk``: foreign-key (right-unique) equi-join — every left row matches
+  at most one right row; static output shapes with a match mask.
+- ``join_sorted``: joins two pre-sorted key columns, returning for each left
+  row the [start, end) range of matches in the right table (the "join
+  index"); materialization of one-to-many results is left to the caller
+  (dynamic sizes are not TPU-native; ranges are).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tpu_qe.bits import U64
+from tpu_qe.table import Table
+
+
+def searchsorted_u64(sorted_key: U64, query: U64, side: str = "left"):
+    """Vectorized binary search over a sorted u64-pair array.
+
+    Returns insertion positions (int32), shape of query.
+    """
+    s_lo, s_hi = sorted_key
+    q_lo, q_hi = query
+    m = s_lo.shape[0]
+    steps = max(m - 1, 1).bit_length()
+    lo_b = jnp.zeros(q_lo.shape, dtype=jnp.int32)
+    hi_b = jnp.full(q_lo.shape, m, dtype=jnp.int32)
+
+    def probe_less(mid):
+        p_lo = jnp.take(s_lo, mid)
+        p_hi = jnp.take(s_hi, mid)
+        if side == "left":
+            # advance while s[mid] < q
+            return (p_hi < q_hi) | ((p_hi == q_hi) & (p_lo < q_lo))
+        # side == "right": advance while s[mid] <= q
+        return (p_hi < q_hi) | ((p_hi == q_hi) & (p_lo <= q_lo))
+
+    def body(_, carry):
+        lo_b, hi_b = carry
+        mid = (lo_b + hi_b) // 2
+        go_right = probe_less(mid)
+        return (jnp.where(go_right, mid + 1, lo_b),
+                jnp.where(go_right, hi_b, mid))
+
+    lo_b, hi_b = jax.lax.fori_loop(0, steps, body, (lo_b, hi_b))
+    return lo_b
+
+
+class FkJoinResult(NamedTuple):
+    """Foreign-key join output: left rows + gathered right columns."""
+
+    table: Table          # left columns + right columns (right_ prefix-free)
+    matched: jnp.ndarray  # bool mask: left row had a right match
+
+
+@jax.jit
+def _join_fk_impl(left: Table, right_sorted: Table, lkey: U64, rkey: U64):
+    pos = searchsorted_u64(rkey, lkey)
+    m = rkey.lo.shape[0]
+    pos_c = jnp.minimum(pos, m - 1)
+    hit_lo = jnp.take(rkey.lo, pos_c)
+    hit_hi = jnp.take(rkey.hi, pos_c)
+    matched = (pos < m) & (hit_lo == lkey.lo) & (hit_hi == lkey.hi)
+    gathered = right_sorted.take(pos_c)
+    cols = {}
+    for name in left:
+        cols[name] = left[name]
+    for name in gathered:
+        out_name = name if name not in cols else f"right_{name}"
+        cols[out_name] = gathered[name]
+    return Table(cols), matched
+
+
+def join_fk(left: Table, right: Table, key: str = "key") -> FkJoinResult:
+    """Equi-join where right[key] values are unique (foreign-key join).
+
+    Sorts the right table by key (the radix-partition step), then probes
+    with a vectorized binary search. Right rows are gathered per left row;
+    unmatched left rows get arbitrary gathered values and matched=False.
+    """
+    from tpu_qe.sort import sort_u64
+
+    rkey = right[key]
+    assert isinstance(rkey, U64), "join key must be u64"
+    # sort right table by key: payloads are every other right column
+    names = [n for n in right if n != key]
+    payloads = []
+    kinds = []
+    for n in names:
+        c = right[n]
+        if isinstance(c, U64):
+            payloads += [c.lo, c.hi]
+            kinds.append("u64")
+        else:
+            payloads.append(c)
+            kinds.append("one")
+    skey, spay = sort_u64(rkey, *payloads)
+    cols = {key: skey}
+    i = 0
+    for n, kind in zip(names, kinds):
+        if kind == "u64":
+            cols[n] = U64(spay[i], spay[i + 1])
+            i += 2
+        else:
+            cols[n] = spay[i]
+            i += 1
+    right_sorted = Table(cols)
+    lkey = left[key]
+    out, matched = _join_fk_impl(left.drop(key), right_sorted.drop(key),
+                                 lkey, skey)
+    return FkJoinResult(out.with_column(key, lkey), matched)
+
+
+class SortedJoinIndex(NamedTuple):
+    """Join index for one-to-many joins of sorted tables."""
+
+    start: jnp.ndarray  # (n_left,) first matching right row
+    end: jnp.ndarray    # (n_left,) one past last matching right row
+
+
+@jax.jit
+def join_sorted(left_key: U64, right_key_sorted: U64) -> SortedJoinIndex:
+    """Match ranges of each left key within a sorted right key column."""
+    start = searchsorted_u64(right_key_sorted, left_key, side="left")
+    end = searchsorted_u64(right_key_sorted, left_key, side="right")
+    return SortedJoinIndex(start, end)

@@ -1,0 +1,116 @@
+"""Columnar HBM-resident tables.
+
+The reference's "tables" are structure-of-array GPU buffers (vertices,
+triangle indices, morton codes — /root/reference/src/types.rs:1-45); this is
+the generalized columnar container the query operators work over. A Table is
+a pytree, so it passes through jit/shard_map/vmap transparently.
+
+Column types: uint32 / int32 / float32 arrays, or U64 (a (lo, hi) uint32
+pair) for 64-bit keys such as morton codes.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_qe.bits import U64
+
+Column = jnp.ndarray | U64
+
+
+@jax.tree_util.register_pytree_node_class
+class Table:
+    """Immutable named-column table."""
+
+    def __init__(self, columns: Mapping[str, Column]):
+        self._cols = dict(columns)
+        lens = {self._len(c) for c in self._cols.values()}
+        if len(lens) > 1:
+            raise ValueError(f"ragged columns: { {k: self._len(v) for k, v in self._cols.items()} }")
+
+    @staticmethod
+    def _len(c: Column) -> int:
+        return c.lo.shape[0] if isinstance(c, U64) else c.shape[0]
+
+    # -- pytree protocol ----------------------------------------------------
+    def tree_flatten(self):
+        names = sorted(self._cols)
+        return tuple(self._cols[n] for n in names), tuple(names)
+
+    @classmethod
+    def tree_unflatten(cls, names, cols):
+        return cls(dict(zip(names, cols)))
+
+    # -- basic access ---------------------------------------------------------
+    @property
+    def num_rows(self) -> int:
+        return self._len(next(iter(self._cols.values()))) if self._cols else 0
+
+    @property
+    def column_names(self) -> list[str]:
+        return sorted(self._cols)
+
+    def __getitem__(self, name: str) -> Column:
+        return self._cols[name]
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._cols
+
+    def __iter__(self) -> Iterator[str]:
+        return iter(sorted(self._cols))
+
+    def select(self, *names: str) -> "Table":
+        return Table({n: self._cols[n] for n in names})
+
+    def with_column(self, name: str, col: Column) -> "Table":
+        cols = dict(self._cols)
+        cols[name] = col
+        return Table(cols)
+
+    def drop(self, *names: str) -> "Table":
+        return Table({k: v for k, v in self._cols.items() if k not in names})
+
+    # -- conversion -----------------------------------------------------------
+    @staticmethod
+    def from_numpy(columns: Mapping[str, np.ndarray]) -> "Table":
+        cols: dict[str, Column] = {}
+        for k, v in columns.items():
+            v = np.asarray(v)
+            if v.dtype == np.uint64:
+                cols[k] = U64.from_numpy(v)
+            elif v.dtype in (np.uint32, np.int32, np.float32):
+                cols[k] = jnp.asarray(v)
+            else:
+                raise TypeError(f"column {k}: unsupported dtype {v.dtype}")
+        return Table(cols)
+
+    def to_numpy(self) -> dict[str, np.ndarray]:
+        out = {}
+        for k, v in self._cols.items():
+            out[k] = v.to_numpy() if isinstance(v, U64) else np.asarray(v)
+        return out
+
+    def take(self, idx: jnp.ndarray) -> "Table":
+        """Row gather (jit-safe)."""
+        def g(c):
+            if isinstance(c, U64):
+                return U64(jnp.take(c.lo, idx), jnp.take(c.hi, idx))
+            return jnp.take(c, idx)
+        return Table({k: g(v) for k, v in self._cols.items()})
+
+    def head(self, n: int) -> "Table":
+        def h(c):
+            if isinstance(c, U64):
+                return U64(c.lo[:n], c.hi[:n])
+            return c[:n]
+        return Table({k: h(v) for k, v in self._cols.items()})
+
+    def __repr__(self) -> str:
+        parts = ", ".join(
+            f"{k}: {'u64' if isinstance(v, U64) else v.dtype}"
+            for k, v in sorted(self._cols.items()))
+        return f"Table[{self.num_rows} rows]({parts})"
