@@ -1,1 +1,5 @@
-from tpu_qe.sort.driver import sort_u64, sort_u64_numpy  # noqa: F401
+from tpu_qe.sort.driver import (  # noqa: F401
+    BEST_BACKEND,
+    sort_u64,
+    sort_u64_numpy,
+)
