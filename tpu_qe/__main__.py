@@ -1,0 +1,162 @@
+"""CLI entry point: `python -m tpu_qe <subcommand>`.
+
+The TPU-native replacement for the reference's fn main()
+(/root/reference/src/main.rs:1035-1040), which cfg-dispatches between a
+windowed profiling run and a headless verify run. Here run modes are proper
+subcommands instead of compile-time cfg flags:
+
+  verify   headless verify run: scene -> morton -> 8-pass sort on TPU,
+           sortedness + all-zeros checks, bit-exact C++ oracle comparison
+           (the reference's radix_sort_readback path, main.rs:690-1033, with
+           its disabled CPU oracle turned into a live check)
+  dump     golden-file dump of morton codes + triangle indices
+           (the morton_code_readback path, main.rs:735-770)
+  bench    headline benchmark (see bench.py at the repo root)
+  info     device + configuration report
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+log = logging.getLogger("tpu_qe")
+
+
+def _cmd_verify(args) -> int:
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpu_qe import morton, native
+    from tpu_qe.bits import U64, is_sorted_u64, masked_key
+    from tpu_qe.config import EngineConfig, SceneConfig, SortConfig
+    from tpu_qe.sort import sort_u64
+    from tpu_qe.utils.profiling import marker, trace_session
+
+    cfg = EngineConfig(
+        sort=SortConfig(backend=args.backend),
+        scene=SceneConfig(num_vertices=args.vertices,
+                          num_triangles=args.triangles, seed=args.seed),
+        trace_dir=args.trace_dir,
+    )
+    sc = cfg.scene
+    log.info("verify run: %d vertices, %d triangles, seed %d, backend %s",
+             sc.num_vertices, sc.num_triangles, sc.seed, cfg.sort.backend)
+
+    verts, tris, smin, smax = native.scene_generate(
+        sc.num_vertices, sc.num_triangles, sc.seed)
+    params = morton.MortonParams.for_scene(smin, smax)
+
+    with trace_session(cfg.trace_dir):
+        with marker("compute morton code"):
+            code = morton.encode(jnp.asarray(verts),
+                                 jnp.asarray(tris.astype(np.int32)), params)
+        idx = jnp.arange(sc.num_triangles, dtype=jnp.uint32)
+        with marker("radix sort"):
+            skey, (sidx,) = sort_u64(code, idx, backend=cfg.sort.backend,
+                                     key_bits=cfg.sort.key_bits)
+        mlo, mhi = masked_key(skey.lo, skey.hi, cfg.sort.key_bits)
+        ok_sorted = bool(is_sorted_u64(mlo, mhi))
+
+    keys_np = U64(skey.lo, skey.hi).to_numpy()
+    idx_np = np.asarray(sidx)
+
+    # All-zeros detector (reference main.rs:852-864).
+    num_zero = int(np.count_nonzero(keys_np == 0))
+    all_zeros = num_zero == sc.num_triangles
+
+    # Live C++ oracle (the reference's disabled if-false oracle,
+    # main.rs:923-1028, enabled): bit-exact sorted (code, index) stream.
+    oracle_codes, oracle_idx = native.pipeline_oracle(
+        sc.num_vertices, sc.num_triangles, sc.seed)
+    keys_exact = bool(np.array_equal(keys_np, oracle_codes))
+    idx_exact = bool(np.array_equal(idx_np, oracle_idx))
+
+    if ok_sorted and not all_zeros:
+        log.info("Sorted !!!!!!!!!")         # verdict parity: main.rs:857
+    else:
+        bad = int(np.count_nonzero(np.diff(keys_np.astype(np.int64)) < 0))
+        log.error("Not sorted!!! %d", bad)   # verdict parity: main.rs:861
+    log.info("oracle keys bit-exact: %s, payload order exact: %s",
+             keys_exact, idx_exact)
+
+    ok = ok_sorted and not all_zeros and keys_exact and idx_exact
+    print("VERIFY PASS" if ok else "VERIFY FAIL")
+    return 0 if ok else 1
+
+
+def _cmd_dump(args) -> int:
+    import numpy as np
+
+    from tpu_qe import native
+    from tpu_qe.utils.dump import dump_indices, dump_morton_codes
+
+    verts, tris, smin, smax = native.scene_generate(
+        args.vertices, args.triangles, args.seed)
+    gen = native.MortonGen(smin, smax)
+    codes = gen.encode(verts, tris)
+    p1 = dump_morton_codes(codes, args.codes_path)
+    p2 = dump_indices(tris, args.indices_path)
+    print(f"wrote {p1}\nwrote {p2}")
+    return 0
+
+
+def _cmd_bench(args) -> int:
+    sys.argv = ["bench.py"] + (args.rest or [])
+    import bench
+    bench.main()
+    return 0
+
+
+def _cmd_info(args) -> int:
+    import jax
+
+    from tpu_qe.bench.sol import device_kind, hbm_peak_bytes_per_s
+    from tpu_qe.config import EngineConfig
+
+    cfg = EngineConfig.from_env()
+    print(f"devices: {jax.devices()}")
+    print(f"device_kind: {device_kind()}")
+    print(f"hbm_peak: {hbm_peak_bytes_per_s() / 1e9:.0f} GB/s")
+    print(f"config: {cfg}")
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="tpu_qe")
+    parser.add_argument("-v", "--verbose", action="store_true")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    pv = sub.add_parser("verify", help="headless verify run (TPU vs oracle)")
+    pv.add_argument("--vertices", type=int, default=1000)
+    pv.add_argument("--triangles", type=int, default=3000)
+    pv.add_argument("--seed", type=int, default=7)
+    pv.add_argument("--backend", type=str, default="xla")
+    pv.add_argument("--trace-dir", type=str, default=None)
+    pv.set_defaults(fn=_cmd_verify)
+
+    pd = sub.add_parser("dump", help="golden-file dump (morton codes, indices)")
+    pd.add_argument("--vertices", type=int, default=1000)
+    pd.add_argument("--triangles", type=int, default=3000)
+    pd.add_argument("--seed", type=int, default=7)
+    pd.add_argument("--codes-path", type=str, default="morton_codes.txt")
+    pd.add_argument("--indices-path", type=str, default="indices.txt")
+    pd.set_defaults(fn=_cmd_dump)
+
+    pb = sub.add_parser("bench", help="headline benchmark")
+    pb.add_argument("rest", nargs=argparse.REMAINDER)
+    pb.set_defaults(fn=_cmd_bench)
+
+    pi = sub.add_parser("info", help="device + config report")
+    pi.set_defaults(fn=_cmd_info)
+
+    args = parser.parse_args(argv)
+    logging.basicConfig(
+        level=logging.DEBUG if args.verbose else logging.INFO,
+        format="%(levelname)s %(name)s: %(message)s")
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -112,7 +112,7 @@ def sort_u64(key: U64, *payloads: jnp.ndarray, key_bits: int = 64,
         slo, shi, spl = _sort_xla(lo, hi, payloads, key_bits)
         return U64(slo, shi), tuple(spl)
     if backend == "hybrid":
-        ones = 0xFFFFFFFF
+        ones = np.uint32(0xFFFFFFFF)
         arrs, _ = _pad_to_block([lo, hi] + list(payloads), n, block,
                                 [ones, ones] + [0] * len(payloads))
         slo, shi, spl = _sort_hybrid(arrs[0], arrs[1], arrs[2:], key_bits,
