@@ -116,3 +116,14 @@ def test_cli_verify_hybrid_backend(capsys):
                "--backend", "hybrid"])
     assert rc == 0
     assert "VERIFY PASS" in capsys.readouterr().out
+
+
+def test_bench_matrix_smoke(capsys):
+    # Tiny CPU-backend run of every matrix config (machinery, not perf).
+    from tpu_qe.bench import matrix
+    matrix.main(["--scale", "0.0001"])
+    out = capsys.readouterr().out.strip().splitlines()
+    import json
+    rows = [json.loads(line) for line in out]
+    assert len(rows) == 3
+    assert all(r["value"] > 0 for r in rows)

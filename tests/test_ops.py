@@ -190,3 +190,70 @@ class TestJoin:
                                       np.searchsorted(r, l, "left"))
         np.testing.assert_array_equal(np.asarray(idx.end),
                                       np.searchsorted(r, l, "right"))
+
+
+class TestScanJoin:
+    def _mk(self, rng, n_r=500, n_l=600):
+        rkeys = np.unique(_u64(rng, n_r))
+        right = Table.from_numpy({
+            "rval": (np.arange(len(rkeys), dtype=np.uint32) * 7 + 3),
+        })
+        hit = rkeys[rng.integers(0, len(rkeys), size=n_l // 2)]
+        miss = _u64(rng, n_l - n_l // 2)
+        lkeys = np.concatenate([hit, miss])
+        left = Table.from_numpy({
+            "lval": np.arange(len(lkeys), dtype=np.uint32),
+        })
+        return rkeys, right, lkeys, left
+
+    def test_matches_oracle(self):
+        from tpu_qe.bits import U64
+        from tpu_qe.ops.join import join_fk_scan
+
+        rng = np.random.default_rng(3)
+        rkeys, right, lkeys, left = self._mk(rng)
+        out, matched = join_fk_scan(left, right, U64.from_numpy(lkeys),
+                                    U64.from_numpy(rkeys))
+        o = out.to_numpy()
+        matched = np.asarray(matched)
+        pos = {int(k): i for i, k in enumerate(rkeys)}
+        for i, k in enumerate(lkeys):
+            # left columns must come back in original left order
+            assert o["lval"][i] == i
+            if int(k) in pos:
+                assert matched[i], i
+                assert o["rval"][i] == pos[int(k)] * 7 + 3
+            else:
+                assert not matched[i], i
+
+    def test_float_right_values(self):
+        from tpu_qe.bits import U64
+        from tpu_qe.ops.join import join_fk_scan
+
+        rng = np.random.default_rng(5)
+        rkeys = np.unique(_u64(rng, 200))
+        vals = rng.standard_normal(len(rkeys)).astype(np.float32)
+        right = Table.from_numpy({"rv": vals})
+        lkeys = rkeys[rng.integers(0, len(rkeys), 400)]
+        left = Table.from_numpy({"li": np.arange(400, dtype=np.uint32)})
+        out, matched = join_fk_scan(left, right, U64.from_numpy(lkeys),
+                                    U64.from_numpy(rkeys))
+        assert bool(np.all(np.asarray(matched)))
+        o = out.to_numpy()
+        pos = {int(k): i for i, k in enumerate(rkeys)}
+        for i, k in enumerate(lkeys):
+            assert o["rv"][i] == vals[pos[int(k)]]
+
+    def test_empty_right_all_unmatched(self):
+        from tpu_qe.bits import U64
+        from tpu_qe.ops.join import join_fk_scan
+
+        rng = np.random.default_rng(9)
+        lkeys = _u64(rng, 64)
+        left = Table.from_numpy({"li": np.arange(64, dtype=np.uint32)})
+        right = Table.from_numpy({"rv": np.zeros(1, dtype=np.uint32)})
+        rkeys = np.array([lkeys.max() + 1 if lkeys.max() < 2**64 - 1 else 0],
+                         dtype=np.uint64)
+        out, matched = join_fk_scan(left, right, U64.from_numpy(lkeys),
+                                    U64.from_numpy(rkeys))
+        assert not np.any(np.asarray(matched) & (lkeys != rkeys[0]))

@@ -109,6 +109,12 @@ def _cmd_bench(args) -> int:
     return 0
 
 
+def _cmd_bench_matrix(args) -> int:
+    from tpu_qe.bench import matrix
+    matrix.main(args.rest or [])
+    return 0
+
+
 def _cmd_info(args) -> int:
     import jax
 
@@ -147,6 +153,10 @@ def main(argv=None) -> int:
     pb = sub.add_parser("bench", help="headline benchmark")
     pb.add_argument("rest", nargs=argparse.REMAINDER)
     pb.set_defaults(fn=_cmd_bench)
+
+    pm = sub.add_parser("bench-matrix", help="operator benchmark matrix")
+    pm.add_argument("rest", nargs=argparse.REMAINDER)
+    pm.set_defaults(fn=_cmd_bench_matrix)
 
     pi = sub.add_parser("info", help="device + config report")
     pi.set_defaults(fn=_cmd_info)

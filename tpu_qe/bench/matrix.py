@@ -1,0 +1,151 @@
+"""Benchmark matrix: the BASELINE.json operator configs, measured honestly.
+
+Each config prints one JSON line (same schema as bench.py). Data is
+generated on-device (jax.random) — host->device transfer of multi-GB inputs
+through the tunnel would dominate otherwise. Runtimes are >1 s per config,
+so plain end-to-end measurement (completion-fenced) is accurate to ~3%
+(fixed ~35 ms dispatch latency).
+
+Configs (BASELINE.md):
+  sort64m        radix sort 64M u64 + payload, 1 chip      (same as bench.py)
+  filter_agg     filter + GROUP BY aggregate over 256M rows, 1 chip
+  join           FK equi-join 2 x 100M rows, 1 chip (scan-join)
+  dsort          distributed sample-sort over the local mesh (all devices)
+"""
+
+from __future__ import annotations
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_qe.bench.sol import device_kind, hbm_peak_bytes_per_s
+from tpu_qe.bits import U64
+from tpu_qe.utils.timing import measure
+
+
+def _rand_u32(key, n):
+    return jax.random.bits(key, (n,), dtype=jnp.uint32)
+
+
+def _emit(name: str, n_rows: int, seconds: float, extra=None):
+    row = {
+        "metric": name,
+        "value": round(n_rows / seconds),
+        "unit": "rows/s",
+        "time_s": round(seconds, 4),
+        "rows": n_rows,
+        "device": device_kind(),
+    }
+    row.update(extra or {})
+    print(json.dumps(row), flush=True)
+    return row
+
+
+def bench_filter_agg(n: int = 1 << 28, groups: int = 1 << 20,
+                     reps: int = 2):
+    """Filter (~50% selectivity) + GROUP BY count/sum over n rows."""
+    from tpu_qe.ops.aggregate import group_aggregate
+    from tpu_qe.ops.filter import compact
+    from tpu_qe.table import Table
+
+    k0, k1, k2 = jax.random.split(jax.random.PRNGKey(7), 3)
+    # group ids spread over `groups` distinct 64-bit morton-cell-style keys
+    gid = jax.random.randint(k0, (n,), 0, groups, dtype=jnp.int32)
+    key = U64((gid.view(jnp.uint32) * jnp.uint32(2654435761)),
+              gid.view(jnp.uint32) >> 13)
+    val = _rand_u32(k1, n)
+
+    @jax.jit
+    def run(key, val):
+        tab = Table({"klo": key.lo, "khi": key.hi, "val": val})
+        tab, cnt = compact(tab, tab["val"] < jnp.uint32(1 << 30))
+        res = group_aggregate(U64(tab["klo"], tab["khi"]), tab["val"],
+                              aggs=("count", "sum"))
+        return res.num_groups, res.aggs["sum"][:8]
+
+    secs = measure(lambda: run(key, val), reps=reps)
+    return _emit(f"filter + group aggregate, {n} rows, 1 chip", n, secs,
+                 {"groups": groups})
+
+
+def bench_join(n: int = 100_000_000, reps: int = 2):
+    """FK equi-join: n left rows probe n unique right keys (scan-join)."""
+    from tpu_qe.ops.join import join_fk_scan
+    from tpu_qe.table import Table
+
+    k0, k1 = jax.random.split(jax.random.PRNGKey(3))
+    # unique right keys: a bijective mix of arange
+    r = jnp.arange(n, dtype=jnp.uint32)
+    rkey = U64(r * jnp.uint32(2654435761) ^ jnp.uint32(0x9E3779B9), r)
+    rval = _rand_u32(k0, n)
+    # left keys: random picks of right keys (all match)
+    pick = jax.random.randint(k1, (n,), 0, n, dtype=jnp.int32)
+    lkey = U64(jnp.take(rkey.lo, pick), jnp.take(rkey.hi, pick))
+
+    @jax.jit
+    def run(lkey, rkey, rval):
+        left = Table({"li": jnp.arange(lkey.lo.shape[0], dtype=jnp.uint32)})
+        right = Table({"rval": rval})
+        out, matched = join_fk_scan(left, right, lkey, rkey)
+        return jnp.sum(matched.astype(jnp.uint32)), out["rval"][:8]
+
+    secs = measure(lambda: run(lkey, rkey, rval), reps=reps)
+    return _emit(f"fk scan-join, {n} x {n} rows, 1 chip", 2 * n, secs)
+
+
+def bench_dsort(n: int = 1 << 26, zipf: bool = True, reps: int = 2):
+    """Distributed sample-sort over all local devices (skewed keys)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tpu_qe.exchange import distributed_sort, make_mesh
+
+    mesh = make_mesh()
+    d = mesh.shape["x"]
+    k0 = jax.random.PRNGKey(5)
+    if zipf:
+        # Zipf-ish skew: exponentiate a uniform to concentrate mass
+        u = jax.random.uniform(k0, (n,), dtype=jnp.float32)
+        skew = (u ** 4 * (1 << 30)).astype(jnp.uint32)
+        lo, hi = skew * jnp.uint32(2654435761), skew >> 8
+    else:
+        lo = _rand_u32(k0, n)
+        hi = _rand_u32(jax.random.fold_in(k0, 1), n)
+    sharding = NamedSharding(mesh, P("x"))
+    key = U64(jax.device_put(lo, sharding), jax.device_put(hi, sharding))
+    pay = jax.device_put(jnp.arange(n, dtype=jnp.uint32), sharding)
+
+    def run():
+        res, overflow = distributed_sort(key, pay, mesh=mesh,
+                                         capacity_factor=4.0)
+        return res.key.lo, overflow
+
+    secs = measure(run, reps=reps)
+    return _emit(f"distributed sample-sort, {n} u64 keys"
+                 f" ({'zipf' if zipf else 'uniform'}), {d} device(s)", n,
+                 secs, {"devices": d})
+
+
+def main(argv=None) -> None:
+    import argparse
+    p = argparse.ArgumentParser()
+    p.add_argument("--configs", type=str, default="filter_agg,join,dsort")
+    p.add_argument("--scale", type=float, default=1.0,
+                   help="row-count multiplier (e.g. 0.1 for smoke runs)")
+    a = p.parse_args(argv)
+    s = a.scale
+    for c in a.configs.split(","):
+        if c == "filter_agg":
+            bench_filter_agg(n=max(int((1 << 28) * s), 1 << 12))
+        elif c == "join":
+            bench_join(n=max(int(100e6 * s), 1 << 12))
+        elif c == "dsort":
+            bench_dsort(n=max(int((1 << 26) * s) // 8 * 8, 1 << 12))
+        else:
+            raise SystemExit(f"unknown config {c!r}")
+
+
+if __name__ == "__main__":
+    main()

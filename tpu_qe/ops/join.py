@@ -122,6 +122,89 @@ def join_fk(left: Table, right: Table, key: str = "key") -> FkJoinResult:
     return FkJoinResult(out.with_column(key, lkey), matched)
 
 
+@jax.jit
+def join_fk_scan(left: Table, right: Table, lkey: U64, rkey: U64):
+    """Foreign-key equi-join via one sort + cumulative sweeps.
+
+    At scale the probe loop of ``join_fk`` (log2(m) sequential gather
+    rounds at XLA's ~68 M elem/s gather throughput) is the wrong shape for
+    100M-row joins. This formulation needs ONE stable sort, two cummax
+    sweeps, one small sort, and exactly one gather per right value column:
+
+      1. concatenate right (side=0) and left (side=1) key rows and
+         stable-sort by (key, side) — each left row lands after its
+         matching right row within its key segment;
+      2. forward-fill POSITIONS (not values — positions are monotone, so
+         cummax fills them exactly; value cumsums would wrap):
+         R = cummax(is_right ? pos+1 : 0) is the latest right row at or
+         before each row, S = cummax(is_new ? pos : 0) the segment head;
+         a left row matches iff R-1 >= S;
+      3. deliver (match position, matched) back to original left order with
+         a small stable sort on the carried left index, then gather each
+         right value column once at the n_left match positions.
+
+    Left columns never enter the sorted stream — the output is aligned to
+    the original left row order, so left columns pass through untouched.
+    Right keys should be unique (FK semantics); with duplicates the LAST
+    right row in key order wins.
+
+    Returns (Table with left cols + right value cols, matched bool mask).
+    """
+    n_l = lkey.lo.shape[0]
+    n_r = rkey.lo.shape[0]
+    n = n_l + n_r
+
+    side = jnp.concatenate([jnp.zeros(n_r, jnp.uint32),
+                            jnp.ones(n_l, jnp.uint32)])
+    klo = jnp.concatenate([rkey.lo, lkey.lo])
+    khi = jnp.concatenate([rkey.hi, lkey.hi])
+    pay_names_r = list(right)
+    pads_r = [jnp.concatenate([
+        right[nm].view(jnp.uint32) if right[nm].dtype != jnp.uint32
+        else right[nm],
+        jnp.zeros(n_l, jnp.uint32)]) for nm in pay_names_r]
+    lidx = jnp.concatenate([jnp.zeros(n_r, jnp.uint32),
+                            jnp.arange(n_l, dtype=jnp.uint32)])
+
+    ops = [khi, klo, side] + pads_r + [lidx]
+    res = jax.lax.sort(ops, num_keys=3, is_stable=True)
+    shi, slo, sside = res[0], res[1], res[2]
+    srv = list(res[3:3 + len(pads_r)])
+    slidx = res[-1]
+
+    prev_lo = jnp.concatenate([jnp.zeros(1, jnp.uint32), slo[:-1]])
+    prev_hi = jnp.concatenate([jnp.zeros(1, jnp.uint32), shi[:-1]])
+    pos = jnp.arange(n, dtype=jnp.uint32)
+    is_new = (pos == 0) | (slo != prev_lo) | (shi != prev_hi)
+    is_right = sside == 0
+
+    seg_head = jax.lax.cummax(jnp.where(is_new, pos, jnp.uint32(0)))
+    last_right = jax.lax.cummax(
+        jnp.where(is_right, pos + 1, jnp.uint32(0)))  # 1-based
+    matched_stream = (last_right > 0) & (last_right - 1 >= seg_head)
+    rpos = jnp.where(matched_stream, last_right - 1, jnp.uint32(0))
+
+    # deliver (rpos, matched) back in original left order: among left rows,
+    # slidx is a permutation of [0, n_l), so sorting by it (right rows
+    # keyed to the end) puts row i of the result at original left row i.
+    key_order = jnp.where(is_right, jnp.uint32(0xFFFFFFFF), slidx)
+    res2 = jax.lax.sort(
+        [key_order, rpos, matched_stream.astype(jnp.uint32)],
+        num_keys=1, is_stable=True)
+    rpos_l = res2[1][:n_l]
+    matched = res2[2][:n_l] > 0
+
+    cols = {nm: left[nm] for nm in left}
+    for nm, c in zip(pay_names_r, srv):
+        out_name = nm if nm not in cols else f"right_{nm}"
+        v = jnp.take(c, rpos_l)
+        v = jnp.where(matched, v, jnp.uint32(0))
+        if right[nm].dtype != jnp.uint32:
+            v = v.view(right[nm].dtype)
+        cols[out_name] = v
+    return Table(cols), matched
+
+
 class SortedJoinIndex(NamedTuple):
     """Join index for one-to-many joins of sorted tables."""
 
