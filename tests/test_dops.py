@@ -1,0 +1,107 @@
+"""Distributed join/aggregate tests on the fake 8-device CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from tpu_qe.exchange import make_mesh
+from tpu_qe.exchange.dops import (distributed_aggregate_numpy,
+                                  distributed_join_fk_numpy)
+
+
+def _mesh(n):
+    if len(jax.devices()) < n:
+        pytest.skip(f"needs {n} devices")
+    return make_mesh(n)
+
+
+class TestDistributedJoin:
+    @pytest.mark.parametrize("n_dev", [2, 8])
+    def test_matches_local_oracle(self, n_dev):
+        mesh = _mesh(n_dev)
+        rng = np.random.default_rng(n_dev)
+        n_r = 1 << 10
+        rkeys = np.unique(rng.integers(0, 1 << 62, 2 * n_r, dtype=np.uint64))[:n_r]
+        rvals = (np.arange(n_r, dtype=np.uint32) * 11 + 1)
+        n_l = 1 << 11
+        hit = rkeys[rng.integers(0, n_r, n_l // 2)]
+        miss = rng.integers(0, 1 << 62, n_l - n_l // 2, dtype=np.uint64) | (
+            np.uint64(1) << np.uint64(62))  # disjoint from rkeys
+        lkeys = np.concatenate([hit, miss])
+        rng.shuffle(lkeys)
+
+        # the miss-key range is disjoint from right keys, so right rows
+        # legitimately concentrate on the lower devices: allow the right
+        # side full concentration.
+        matched, (rv,) = distributed_join_fk_numpy(
+            lkeys, [], rkeys, [rvals], mesh, capacity_factor=4.0,
+            capacity_factor_right=float(n_dev))
+        pos = {int(k): i for i, k in enumerate(rkeys)}
+        for i, k in enumerate(lkeys):
+            if int(k) in pos:
+                assert matched[i], i
+                assert rv[i] == pos[int(k)] * 11 + 1
+            else:
+                assert not matched[i], i
+
+    def test_skewed_left_keys(self, n_dev=4):
+        # many left duplicates of few right keys — hotspots on one device
+        mesh = _mesh(n_dev)
+        rng = np.random.default_rng(0)
+        rkeys = np.arange(1, 65, dtype=np.uint64) * np.uint64(12345)
+        rvals = np.arange(64, dtype=np.uint32)
+        lkeys = rkeys[rng.zipf(1.5, size=1 << 10).clip(1, 64) - 1]
+        matched, (rv,) = distributed_join_fk_numpy(
+            lkeys, [], rkeys, [rvals], mesh, capacity_factor=float(n_dev))
+        assert matched.all()
+        pos = {int(k): i for i, k in enumerate(rkeys)}
+        assert all(rv[i] == pos[int(k)] for i, k in enumerate(lkeys))
+
+
+class TestDistributedAggregate:
+    @pytest.mark.parametrize("n_dev", [2, 8])
+    def test_count_sum_vs_numpy(self, n_dev):
+        mesh = _mesh(n_dev)
+        rng = np.random.default_rng(n_dev + 10)
+        n = 1 << 12
+        keys = rng.integers(0, 50, n).astype(np.uint64) * np.uint64(
+            0x9E3779B97F4A7C15)
+        vals = rng.integers(0, 1000, n, dtype=np.uint32)
+        got = distributed_aggregate_numpy(keys, vals, mesh,
+                                          aggs=("count", "sum"),
+                                          capacity_factor=4.0)
+        import collections
+        want_cnt = collections.Counter(int(k) & ((1 << 64) - 1) for k in keys)
+        want_sum = collections.defaultdict(int)
+        for k, v in zip(keys, vals):
+            want_sum[int(k) & ((1 << 64) - 1)] += int(v)
+        assert set(got) == set(want_cnt)
+        for k in want_cnt:
+            assert got[k]["count"] == want_cnt[k]
+            assert got[k]["sum"] == want_sum[k] % (1 << 32)
+
+    def test_min_max(self, n_dev=4):
+        mesh = _mesh(n_dev)
+        rng = np.random.default_rng(2)
+        n = 1 << 12
+        keys = rng.integers(0, 20, n).astype(np.uint64)
+        vals = rng.integers(0, 1 << 31, n, dtype=np.uint32)
+        got = distributed_aggregate_numpy(keys, vals, mesh,
+                                          aggs=("count", "min", "max"),
+                                          capacity_factor=4.0)
+        for k in set(int(x) for x in keys):
+            sel = vals[keys == k]
+            assert got[k]["min"] == sel.min()
+            assert got[k]["max"] == sel.max()
+
+    def test_all_ones_key_group(self, n_dev=2):
+        # a REAL all-ones key must survive the padding convention
+        mesh = _mesh(n_dev)
+        keys = np.full(256, (1 << 64) - 1, dtype=np.uint64)
+        vals = np.ones(256, dtype=np.uint32)
+        got = distributed_aggregate_numpy(keys, vals, mesh,
+                                          aggs=("count", "sum"),
+                                          capacity_factor=4.0)
+        k = (1 << 64) - 1
+        assert got[k]["count"] == 256
+        assert got[k]["sum"] == 256

@@ -4,3 +4,15 @@ from tpu_qe.exchange.dsort import (  # noqa: F401
     distributed_sort_numpy,
     make_mesh,
 )
+from tpu_qe.exchange.dops import (  # noqa: F401
+    distributed_aggregate,
+    distributed_aggregate_numpy,
+    distributed_join_fk,
+    distributed_join_fk_numpy,
+)
+from tpu_qe.exchange.shuffle import (  # noqa: F401
+    AXIS,
+    exchange,
+    route_by_splitters,
+    sample_splitters,
+)

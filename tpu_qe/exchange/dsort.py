@@ -12,12 +12,10 @@ Algorithm — splitter-based sample sort (skew-robust):
     tiny sort yields global splitters at the D-quantiles, so heavily skewed
     (e.g. Zipf) key distributions still produce balanced destinations —
     this replaces routing on raw high digits;
-2.  keys are routed to ``dest = #(splitters < key)``, locally partitioned by
-    destination (a stable local sort), and sliced into a (D, capacity)
-    padded exchange buffer (static shapes — the TPU-native stand-in for a
-    ragged all_to_all), with per-pair counts;
-3.  one ``jax.lax.all_to_all`` over the mesh axis moves buffer + counts;
-4.  each device stably sorts what it received; pad sentinels carry an
+2.  keys are routed to ``dest = #(splitters < key)`` and exchanged with the
+    padded fixed-size all_to_all of tpu_qe.exchange.shuffle (static shapes;
+    exact counts; overflow detection);
+3.  each device stably sorts what it received; pad sentinels carry an
     invalid flag sorted after every real key (a real all-ones key is still
     ordered correctly).
 
@@ -29,7 +27,7 @@ all_to_all concatenates in source-rank order, and local sorts are stable.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Sequence
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -38,8 +36,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from tpu_qe.bits import U64
+from tpu_qe.exchange.shuffle import (AXIS, exchange, route_by_splitters,
+                                     sample_splitters)
 
-AXIS = "x"
 _ONES = jnp.uint32(0xFFFFFFFF)
 
 
@@ -65,87 +64,25 @@ class DistSortResult(NamedTuple):
     valid: jnp.ndarray
 
 
-def _cmp_gt(lo_a, hi_a, lo_b, hi_b):
-    """u64 pair comparison a > b."""
-    return (hi_a > hi_b) | ((hi_a == hi_b) & (lo_a > lo_b))
-
-
-def _local_shard_sort(lo, hi, flag, payloads):
-    """Stable sort by (key, invalid-flag): sentinels after equal real keys."""
-    res = jax.lax.sort([hi, lo, flag] + list(payloads), num_keys=3,
-                       is_stable=True)
-    return res[1], res[0], res[2], list(res[3:])
-
-
 def _dsort_shard(lo, hi, *payloads, n_dev: int, samples_per_dev: int,
                  capacity: int):
     """Per-shard body (runs under shard_map; axis name AXIS)."""
-    n_local = lo.shape[0]
-    my = jax.lax.axis_index(AXIS)
+    sp_lo, sp_hi = sample_splitters(lo, hi, n_dev, samples_per_dev)
+    dest = route_by_splitters(lo, hi, sp_lo, sp_hi)
 
-    # --- 1. splitters from a strided oversample of every device
-    stride = max(n_local // samples_per_dev, 1)
-    idx = (jnp.arange(samples_per_dev) * stride) % n_local
-    s_lo, s_hi = lo[idx], hi[idx]
-    g_lo = jax.lax.all_gather(s_lo, AXIS).reshape(-1)
-    g_hi = jax.lax.all_gather(s_hi, AXIS).reshape(-1)
-    g_hi, g_lo = jax.lax.sort([g_hi, g_lo], num_keys=2, is_stable=False)
-    total = n_dev * samples_per_dev
-    sp_idx = (jnp.arange(1, n_dev) * total) // n_dev
-    sp_lo, sp_hi = g_lo[sp_idx], g_hi[sp_idx]  # (D-1,) splitter keys
+    cols = [lo, hi] + list(payloads)
+    pads = [_ONES, _ONES] + [jnp.uint32(0)] * len(payloads)
+    recv, recv_flag, recv_counts, overflow = exchange(
+        dest, cols, pads, n_dev, capacity)
 
-    # --- 2. route: dest = number of splitters strictly below the key
-    gt = _cmp_gt(lo[None, :], hi[None, :], sp_lo[:, None], sp_hi[:, None])
-    dest = jnp.sum(gt.astype(jnp.uint32), axis=0)  # (n_local,) in [0, D)
-
-    # stable partition by destination + original keys/payloads as values
-    parts = jax.lax.sort(
-        [dest, lo, hi] + list(payloads), num_keys=1, is_stable=True)
-    dest_s, lo_s, hi_s = parts[0], parts[1], parts[2]
-    pay_s = list(parts[3:])
-
-    counts = jnp.sum(
-        (dest_s[:, None] == jnp.arange(n_dev, dtype=jnp.uint32)[None, :])
-        .astype(jnp.uint32), axis=0)  # (D,)
-    offsets = jnp.cumsum(counts) - counts
-
-    # --- slice per-destination runs into the padded (D, capacity) buffer
-    def pack(col, fill):
-        colp = jnp.concatenate(
-            [col, jnp.full((capacity,), fill, dtype=col.dtype)])
-
-        def one(d):
-            run = jax.lax.dynamic_slice(colp, (offsets[d],), (capacity,))
-            in_run = jnp.arange(capacity, dtype=jnp.uint32) < counts[d]
-            return jnp.where(in_run, run, fill)
-
-        return jax.vmap(one)(jnp.arange(n_dev))  # (D, capacity)
-
-    send_lo = pack(lo_s, _ONES)
-    send_hi = pack(hi_s, _ONES)
-    send_pay = [pack(p, jnp.uint32(0)) for p in pay_s]
-    send_flag = pack(jnp.zeros(n_local, dtype=jnp.uint32), jnp.uint32(1))
-
-    # --- 3. exchange over ICI
-    a2a = functools.partial(jax.lax.all_to_all, axis_name=AXIS, split_axis=0,
-                            concat_axis=0, tiled=False)
-    recv_lo = a2a(send_lo).reshape(-1)
-    recv_hi = a2a(send_hi).reshape(-1)
-    recv_flag = a2a(send_flag).reshape(-1)
-    recv_pay = [a2a(p).reshape(-1) for p in send_pay]
-    recv_counts = jax.lax.all_to_all(
-        counts.reshape(n_dev, 1), AXIS, 0, 0).reshape(-1)
-
-    # overflow detection: a (src,dst) run larger than capacity was truncated
-    overflow = jax.lax.pmax(jnp.max(counts), AXIS) > jnp.uint32(capacity)
-
-    # --- 4. local stable sort of received data (sentinels flagged last)
-    out_lo, out_hi, _, out_pay = _local_shard_sort(
-        recv_lo, recv_hi, recv_flag, recv_pay)
+    # local stable sort of received data; sentinels flagged after equal
+    # real keys.
+    res = jax.lax.sort([recv[1], recv[0], recv_flag] + recv[2:],
+                       num_keys=3, is_stable=True)
+    out_hi, out_lo = res[0], res[1]
+    out_pay = list(res[3:])
     valid = jnp.sum(recv_counts).reshape(1)
-    del my
-    return (out_lo, out_hi, *out_pay, valid,
-            overflow.astype(jnp.uint32).reshape(1))
+    return (out_lo, out_hi, *out_pay, valid, overflow.reshape(1))
 
 
 @functools.partial(jax.jit,

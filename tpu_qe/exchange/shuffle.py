@@ -1,0 +1,107 @@
+"""Keyed shuffle primitives over a device mesh (shard_map bodies).
+
+The communication backend the reference lacks entirely (its only transport
+is one wgpu queue submit, /root/reference/src/main.rs:727) — SURVEY.md §2c's
+mandated first-class component. These functions run INSIDE shard_map and
+compose into the distributed operators:
+
+  sample_splitters   all_gather a strided oversample -> global quantile
+                     splitters (skew-robust: Zipf keys still balance)
+  route_by_splitters dest device = #(splitters < key)
+  exchange           stable local partition by dest + padded fixed-size
+                     all_to_all over ICI with exact per-pair counts and
+                     overflow detection (static shapes: the TPU-native
+                     stand-in for a ragged all_to_all)
+
+distributed_sort / distributed_join_fk / distributed_aggregate are thin
+compositions: exchange + the corresponding local operator per shard.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+AXIS = "x"
+_ONES = jnp.uint32(0xFFFFFFFF)
+
+
+def cmp_gt(lo_a, hi_a, lo_b, hi_b):
+    """u64 pair comparison a > b."""
+    return (hi_a > hi_b) | ((hi_a == hi_b) & (lo_a > lo_b))
+
+
+def sample_splitters(lo, hi, n_dev: int, samples_per_dev: int,
+                     axis: str = AXIS):
+    """Global D-quantile splitters from a strided per-device oversample."""
+    n_local = lo.shape[0]
+    stride = max(n_local // samples_per_dev, 1)
+    idx = (jnp.arange(samples_per_dev) * stride) % n_local
+    g_lo = jax.lax.all_gather(lo[idx], axis).reshape(-1)
+    g_hi = jax.lax.all_gather(hi[idx], axis).reshape(-1)
+    g_hi, g_lo = jax.lax.sort([g_hi, g_lo], num_keys=2, is_stable=False)
+    total = n_dev * samples_per_dev
+    sp_idx = (jnp.arange(1, n_dev) * total) // n_dev
+    return g_lo[sp_idx], g_hi[sp_idx]  # (D-1,) each
+
+
+def route_by_splitters(lo, hi, sp_lo, sp_hi):
+    """dest device = number of splitters strictly below the key."""
+    n_dev = sp_lo.shape[0] + 1
+    gt = cmp_gt(lo[None, :], hi[None, :], sp_lo[:, None], sp_hi[:, None])
+    del n_dev
+    return jnp.sum(gt.astype(jnp.uint32), axis=0)
+
+
+def exchange(dest, cols, pad_values, n_dev: int, capacity: int,
+             axis: str = AXIS):
+    """Move rows to their dest device via a padded all_to_all.
+
+    Args:
+      dest: (n_local,) uint32 destination device per row.
+      cols: list of (n_local,) uint32 columns to move (keys first by
+        convention; all carried through one stable partition so relative
+        order within a destination is preserved — stability).
+      pad_values: per-column uint32 fill for exchange padding.
+    Returns:
+      (recv_cols, recv_flag, recv_counts, overflow):
+        recv_cols: list of (n_dev * capacity,) received columns, grouped by
+          source rank in rank order (source order preserved within a rank);
+        recv_flag: 1 where the slot is padding;
+        recv_counts: (n_dev,) real rows received from each source;
+        overflow: scalar u32, nonzero if any (src,dst) run exceeded
+          capacity (counts stay exact so truncation is detectable).
+    """
+    n_local = dest.shape[0]
+    parts = jax.lax.sort([dest] + list(cols), num_keys=1, is_stable=True)
+    dest_s, cols_s = parts[0], list(parts[1:])
+
+    counts = jnp.sum(
+        (dest_s[:, None] == jnp.arange(n_dev, dtype=jnp.uint32)[None, :])
+        .astype(jnp.uint32), axis=0)
+    offsets = jnp.cumsum(counts) - counts
+
+    def pack(col, fill):
+        colp = jnp.concatenate(
+            [col, jnp.full((capacity,), fill, dtype=col.dtype)])
+
+        def one(d):
+            run = jax.lax.dynamic_slice(colp, (offsets[d],), (capacity,))
+            in_run = jnp.arange(capacity, dtype=jnp.uint32) < counts[d]
+            return jnp.where(in_run, run, fill)
+
+        return jax.vmap(one)(jnp.arange(n_dev))  # (D, capacity)
+
+    a2a = functools.partial(jax.lax.all_to_all, axis_name=axis,
+                            split_axis=0, concat_axis=0, tiled=False)
+    recv_cols = [a2a(pack(c, v)).reshape(-1)
+                 for c, v in zip(cols_s, pad_values)]
+    recv_flag = a2a(pack(jnp.zeros(n_local, jnp.uint32),
+                         jnp.uint32(1))).reshape(-1)
+    recv_counts = jax.lax.all_to_all(
+        counts.reshape(n_dev, 1), axis, 0, 0).reshape(-1)
+    overflow = (jax.lax.pmax(jnp.max(counts), axis)
+                > jnp.uint32(capacity)).astype(jnp.uint32)
+    return recv_cols, recv_flag, recv_counts, overflow

@@ -16,6 +16,7 @@ Implemented:
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -122,8 +123,10 @@ def join_fk(left: Table, right: Table, key: str = "key") -> FkJoinResult:
     return FkJoinResult(out.with_column(key, lkey), matched)
 
 
-@jax.jit
-def join_fk_scan(left: Table, right: Table, lkey: U64, rkey: U64):
+@functools.partial(jax.jit, static_argnames=())
+def join_fk_scan(left: Table, right: Table, lkey: U64, rkey: U64,
+                 l_valid: jnp.ndarray | None = None,
+                 r_valid: jnp.ndarray | None = None):
     """Foreign-key equi-join via one sort + cumulative sweeps.
 
     At scale the probe loop of ``join_fk`` (log2(m) sequential gather
@@ -148,6 +151,10 @@ def join_fk_scan(left: Table, right: Table, lkey: U64, rkey: U64):
     Right keys should be unique (FK semantics); with duplicates the LAST
     right row in key order wins.
 
+    Optional validity masks support padded inputs (e.g. the distributed
+    exchange's padding slots): invalid right rows never fill; invalid left
+    rows report matched=False.
+
     Returns (Table with left cols + right value cols, matched bool mask).
     """
     n_l = lkey.lo.shape[0]
@@ -165,18 +172,27 @@ def join_fk_scan(left: Table, right: Table, lkey: U64, rkey: U64):
         jnp.zeros(n_l, jnp.uint32)]) for nm in pay_names_r]
     lidx = jnp.concatenate([jnp.zeros(n_r, jnp.uint32),
                             jnp.arange(n_l, dtype=jnp.uint32)])
+    rv = (jnp.ones(n_r, jnp.uint32) if r_valid is None
+          else r_valid.astype(jnp.uint32))
+    lv = (jnp.ones(n_l, jnp.uint32) if l_valid is None
+          else l_valid.astype(jnp.uint32))
+    valid = jnp.concatenate([rv, lv])
 
-    ops = [khi, klo, side] + pads_r + [lidx]
+    ops = [khi, klo, side] + pads_r + [lidx, valid]
     res = jax.lax.sort(ops, num_keys=3, is_stable=True)
     shi, slo, sside = res[0], res[1], res[2]
     srv = list(res[3:3 + len(pads_r)])
-    slidx = res[-1]
+    slidx = res[-2]
+    valid_s = res[-1] > 0
 
     prev_lo = jnp.concatenate([jnp.zeros(1, jnp.uint32), slo[:-1]])
     prev_hi = jnp.concatenate([jnp.zeros(1, jnp.uint32), shi[:-1]])
     pos = jnp.arange(n, dtype=jnp.uint32)
     is_new = (pos == 0) | (slo != prev_lo) | (shi != prev_hi)
-    is_right = sside == 0
+    side_right = sside == 0
+    # Only VALID right rows may fill; but the output compaction below must
+    # still key ALL right rows (valid or not) away from left indices.
+    is_right = side_right & valid_s
 
     seg_head = jax.lax.cummax(jnp.where(is_new, pos, jnp.uint32(0)))
     last_right = jax.lax.cummax(
@@ -187,12 +203,14 @@ def join_fk_scan(left: Table, right: Table, lkey: U64, rkey: U64):
     # deliver (rpos, matched) back in original left order: among left rows,
     # slidx is a permutation of [0, n_l), so sorting by it (right rows
     # keyed to the end) puts row i of the result at original left row i.
-    key_order = jnp.where(is_right, jnp.uint32(0xFFFFFFFF), slidx)
+    key_order = jnp.where(side_right, jnp.uint32(0xFFFFFFFF), slidx)
     res2 = jax.lax.sort(
         [key_order, rpos, matched_stream.astype(jnp.uint32)],
         num_keys=1, is_stable=True)
     rpos_l = res2[1][:n_l]
     matched = res2[2][:n_l] > 0
+    if l_valid is not None:
+        matched = matched & l_valid
 
     cols = {nm: left[nm] for nm in left}
     for nm, c in zip(pay_names_r, srv):
