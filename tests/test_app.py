@@ -127,3 +127,11 @@ def test_bench_matrix_smoke(capsys):
     rows = [json.loads(line) for line in out]
     assert len(rows) == 3
     assert all(r["value"] > 0 for r in rows)
+
+
+def test_bench_kernels_smoke(capsys):
+    from tpu_qe.bench import kernels
+    kernels.main(["--n", str(1 << 12)])
+    import json
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(rows) == 6

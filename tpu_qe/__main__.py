@@ -115,6 +115,12 @@ def _cmd_bench_matrix(args) -> int:
     return 0
 
 
+def _cmd_bench_kernels(args) -> int:
+    from tpu_qe.bench import kernels
+    kernels.main(args.rest or [])
+    return 0
+
+
 def _cmd_info(args) -> int:
     import jax
 
@@ -157,6 +163,10 @@ def main(argv=None) -> int:
     pm = sub.add_parser("bench-matrix", help="operator benchmark matrix")
     pm.add_argument("rest", nargs=argparse.REMAINDER)
     pm.set_defaults(fn=_cmd_bench_matrix)
+
+    pk = sub.add_parser("bench-kernels", help="per-kernel benchmarks vs SOL")
+    pk.add_argument("rest", nargs=argparse.REMAINDER)
+    pk.set_defaults(fn=_cmd_bench_kernels)
 
     pi = sub.add_parser("info", help="device + config report")
     pi.set_defaults(fn=_cmd_info)
