@@ -257,3 +257,45 @@ class TestScanJoin:
         out, matched = join_fk_scan(left, right, U64.from_numpy(lkeys),
                                     U64.from_numpy(rkeys))
         assert not np.any(np.asarray(matched) & (lkeys != rkeys[0]))
+
+
+class TestTableAPI:
+    def test_sort_by_filter_group_join(self):
+        from tpu_qe.pipeline import build_scene_index
+
+        rng = np.random.default_rng(1)
+        n = 1000
+        keys = rng.integers(0, 8, n).astype(np.uint64)
+        vals = rng.integers(0, 100, n, dtype=np.uint32)
+        t = Table.from_numpy({"key": keys, "val": vals})
+
+        s = t.sort_by("key")
+        sk = s["key"].to_numpy()
+        assert (np.diff(sk.astype(np.int64)) >= 0).all()
+
+        ft, cnt = t.filter(lambda tb: tb["val"] < jnp.uint32(50))
+        assert int(cnt) == int((vals < 50).sum())
+
+        g = t.group_by("key", "val", aggs=("count", "sum"))
+        ng = int(g.num_groups)
+        assert ng == len(np.unique(keys))
+        got = {int(k): int(c) for k, c in zip(
+            g.key.to_numpy()[:ng], np.asarray(g.aggs["count"])[:ng])}
+        import collections
+        want = collections.Counter(int(k) for k in keys)
+        assert got == dict(want)
+
+        right = Table.from_numpy({
+            "key": np.arange(8, dtype=np.uint64),
+            "rv": np.arange(8, dtype=np.uint32) * 3})
+        out, matched = t.join(right, key="key")
+        assert bool(np.all(np.asarray(matched)))
+        assert np.array_equal(np.asarray(out["rv"]),
+                              (keys * 3).astype(np.uint32))
+
+        # flagship pipeline smoke: sorted + same multiset of indices
+        idx = build_scene_index()
+        codes = idx.code.to_numpy()
+        assert (np.diff(codes.astype(np.int64)) >= 0).all() or (
+            np.array_equal(np.sort(codes), codes))
+        assert sorted(np.asarray(idx.order)) == list(range(3000))

@@ -109,6 +109,64 @@ class Table:
             return c[:n]
         return Table({k: h(v) for k, v in self._cols.items()})
 
+    # -- query-operator conveniences ------------------------------------------
+    def sort_by(self, key: str, backend: str = "xla") -> "Table":
+        """Rows reordered by ascending u64 key column (stable)."""
+        from tpu_qe.sort import sort_u64
+        k = self._cols[key]
+        if not isinstance(k, U64):
+            raise TypeError(f"sort key {key!r} must be u64")
+        names, payloads, kinds = [], [], []
+        for n, c in self._cols.items():
+            if n == key:
+                continue
+            names.append(n)
+            if isinstance(c, U64):
+                payloads += [c.lo, c.hi]
+                kinds.append("u64")
+            else:
+                payloads.append(c.view(jnp.uint32)
+                                if c.dtype != jnp.uint32 else c)
+                kinds.append(str(c.dtype))
+        skey, spay = sort_u64(k, *payloads, backend=backend)
+        cols: dict[str, Column] = {key: skey}
+        i = 0
+        for n, kind in zip(names, kinds):
+            if kind == "u64":
+                cols[n] = U64(spay[i], spay[i + 1])
+                i += 2
+            else:
+                c = spay[i]
+                cols[n] = c.view(kind) if kind != "uint32" else c
+                i += 1
+        return Table(cols)
+
+    def filter(self, predicate) -> tuple["Table", "jnp.ndarray"]:
+        """Stable compaction of rows where predicate(self) is True.
+
+        Returns (table, count): rows [0, count) are the selected rows.
+        """
+        from tpu_qe.ops.filter import filter_table
+        return filter_table(self, predicate)
+
+    def group_by(self, key: str, value: str | None = None,
+                 aggs=("count",)):
+        """Sort-based GROUP BY over a u64 key column."""
+        from tpu_qe.ops.aggregate import group_aggregate
+        k = self._cols[key]
+        if not isinstance(k, U64):
+            raise TypeError(f"group key {key!r} must be u64")
+        v = None if value is None else self._cols[value]
+        return group_aggregate(k, v, aggs=tuple(aggs))
+
+    def join(self, right: "Table", key: str = "key"):
+        """FK equi-join against `right` on a shared u64 key column."""
+        from tpu_qe.ops.join import join_fk_scan
+        lkey, rkey = self._cols[key], right[key]
+        if not (isinstance(lkey, U64) and isinstance(rkey, U64)):
+            raise TypeError("join key must be u64 on both sides")
+        return join_fk_scan(self.drop(key), right.drop(key), lkey, rkey)
+
     def __repr__(self) -> str:
         parts = ", ".join(
             f"{k}: {'u64' if isinstance(v, U64) else v.dtype}"
