@@ -74,9 +74,14 @@ def _sort_hybrid(lo, hi, payloads, key_bits, bits_per_pass, block):
         lo2, hi2 = lo.reshape(nb, block), hi.reshape(nb, block)
         ranks, hist = block_rank_and_histogram(lo2, hi2, shift, bits)
         # Flat exclusive scan of the digit-major histogram: the single scan
-        # that replaces the reference's 3-kernel scan tree.
+        # that replaces the reference's 3-kernel scan tree
+        # (grid-sequential Pallas kernel when lane-aligned, else XLA).
         flat = hist.reshape(-1).astype(jnp.uint32)
-        base = jnp.cumsum(flat) - flat
+        if flat.shape[0] % 1024 == 0:
+            from tpu_qe.kernels.scan import exclusive_scan
+            base = exclusive_scan(flat)
+        else:
+            base = jnp.cumsum(flat) - flat
         # dest = base[digit, block] + local stable rank
         mask = jnp.uint32((1 << bits) - 1)
         if shift == 0:
