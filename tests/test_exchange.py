@@ -73,3 +73,14 @@ class TestDistributedSort:
         keys = rng.integers(0, 1 << 64, size=1 << 12, dtype=np.uint64)
         k = distributed_sort_numpy(keys, None, mesh)
         np.testing.assert_array_equal(k, np.sort(keys))
+
+
+def test_single_device_mesh_fast_path():
+    mesh = make_mesh(1)
+    rng = np.random.default_rng(5)
+    keys = rng.integers(0, 1 << 64, size=1 << 12, dtype=np.uint64)
+    payload = np.arange(len(keys), dtype=np.uint32)
+    k, p = distributed_sort_numpy(keys, payload, mesh)
+    order = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(k, keys[order])
+    np.testing.assert_array_equal(p, order.astype(np.uint32))

@@ -47,3 +47,19 @@ def test_matches_native_end_to_end():
     want = morton.encode_quantized(q, j)
     np.testing.assert_array_equal(np.asarray(got.lo)[:n], np.asarray(want.lo))
     np.testing.assert_array_equal(np.asarray(got.hi)[:n], np.asarray(want.hi))
+
+
+def test_encode_points_matches_degenerate_triangles():
+    """A point == a degenerate triangle (all three vertices equal, size 0)."""
+    import jax.numpy as jnp
+
+    params, _, _ = _params(seed=3)
+    rng = np.random.default_rng(4)
+    pts = rng.uniform(-1, 1, (500, 3)).astype(np.float32) * 50
+    # degenerate triangles: each references one vertex three times
+    tris = np.repeat(np.arange(500, dtype=np.int32)[:, None], 3, axis=1)
+    want = morton.encode(jnp.asarray(pts), jnp.asarray(tris), params)
+    got = morton.encode_points(jnp.asarray(pts[:, 0]), jnp.asarray(pts[:, 1]),
+                               jnp.asarray(pts[:, 2]), params)
+    np.testing.assert_array_equal(np.asarray(got.lo), np.asarray(want.lo))
+    np.testing.assert_array_equal(np.asarray(got.hi), np.asarray(want.hi))

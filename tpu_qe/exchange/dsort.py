@@ -22,6 +22,16 @@ Algorithm — splitter-based sample sort (skew-robust):
 Within-device sorted runs concatenated in mesh order form the globally
 sorted sequence; stability holds because routing preserves source order,
 all_to_all concatenates in source-rank order, and local sorts are stable.
+
+Exchange/compute overlap: the all_to_all and the local sort have a full
+data dependence (every received element participates in the local sort),
+so manual double-buffering cannot hide the exchange behind THIS step;
+XLA already overlaps the splitter all_gather with the local partition, and
+across pipeline stages (e.g. sort feeding a downstream operator) XLA's
+latency-hiding scheduler overlaps collectives with unrelated compute. A
+merge-based local phase (k sorted sub-streams merged as chunks arrive)
+would enable finer overlap at the cost of a TPU-hostile merge — revisit
+if exchange time dominates on real multi-chip hardware.
 """
 
 from __future__ import annotations
@@ -106,6 +116,14 @@ def distributed_sort(key: U64, *payloads: jnp.ndarray, mesh: Mesh,
     n = key.lo.shape[0]
     assert n % n_dev == 0, (n, n_dev)
     n_local = n // n_dev
+    if n_dev == 1:
+        # degenerate mesh: no exchange needed — one local stable sort
+        # (avoids the capacity_factor-inflated receive buffer)
+        res = jax.lax.sort([key.hi, key.lo] + list(payloads), num_keys=2,
+                           is_stable=True)
+        return (DistSortResult(U64(res[1], res[0]), tuple(res[2:]),
+                               jnp.full((1,), n, jnp.uint32)),
+                jnp.zeros((1,), jnp.uint32))
     capacity = int(np.ceil(capacity_factor * n_local / n_dev))
     capacity = max(capacity, 16)
 

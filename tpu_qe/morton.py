@@ -150,3 +150,36 @@ def encode(verts: jnp.ndarray, tris: jnp.ndarray, params: MortonParams,
     if use_lut:
         return encode_quantized_lut(q, j, params)
     return encode_quantized(q, j)
+
+
+def quantize_points(x: jnp.ndarray, y: jnp.ndarray, z: jnp.ndarray,
+                    size: jnp.ndarray | None,
+                    params: MortonParams) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Quantize columnar points (the scale path: no vertex gathers).
+
+    Same float op order as the triangle path (morton_code.wgsl:109-110)
+    with the point itself as the centroid and `size` as the AABB diagonal
+    length (0 when None).
+    """
+    c = jnp.stack([x, y, z], axis=-1)
+    val = (c - params.offset) * params.multiplier - jnp.float32(0.001)
+    q = jnp.clip(val, 0.0, float(_COORD_MAX)).astype(jnp.uint32)
+    if size is None:
+        j = jnp.zeros(x.shape[0], dtype=jnp.uint32)
+    else:
+        j = jnp.clip(size * params.size_multiplier, 0.0,
+                     float(_SIZE_INDEX_MAX)).astype(jnp.uint32)
+    return q, j
+
+
+def encode_points(x: jnp.ndarray, y: jnp.ndarray, z: jnp.ndarray,
+                  params: MortonParams,
+                  size: jnp.ndarray | None = None) -> U64:
+    """Extended-morton keys for columnar point data (f32 columns).
+
+    The query-engine-scale entry point: rows are (x, y, z[, size]) columns
+    of a Table; no triangle index gathers. Uses the direct bit-interleave
+    (measured ~50% of HBM speed-of-light on v5e — BASELINE.md).
+    """
+    q, j = quantize_points(x, y, z, size, params)
+    return encode_quantized(q, j)
