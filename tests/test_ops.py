@@ -273,6 +273,14 @@ class TestTableAPI:
         sk = s["key"].to_numpy()
         assert (np.diff(sk.astype(np.int64)) >= 0).all()
 
+        # f32 columns survive sort_by bit-exactly (carried as bit patterns)
+        tf = Table.from_numpy({"key": keys,
+                               "f": rng.standard_normal(n).astype(np.float32)})
+        sf = tf.sort_by("key")
+        order = np.argsort(keys, kind="stable")
+        np.testing.assert_array_equal(np.asarray(sf["f"]),
+                                      np.asarray(tf["f"])[order])
+
         ft, cnt = t.filter(lambda tb: tb["val"] < jnp.uint32(50))
         assert int(cnt) == int((vals < 50).sum())
 

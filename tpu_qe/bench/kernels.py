@@ -26,8 +26,7 @@ def _chain(fn, *arrays):
         def run(*args):
             def body(i, carry):
                 carry = (carry[0] ^ i.astype(jnp.uint32),) + carry[1:]
-                out = fn(*carry)
-                return tuple(jax.tree.leaves(out))[:len(carry)] if False else out
+                return fn(*carry)
             return jax.lax.fori_loop(0, k, body, args)
         return functools.partial(run, *arrays)
     return make
