@@ -105,3 +105,17 @@ class TestDistributedAggregate:
         k = (1 << 64) - 1
         assert got[k]["count"] == 256
         assert got[k]["sum"] == 256
+
+
+def test_min_only_no_phantom_padding_group(n_dev=4):
+    # regression: without 'count' in aggs, padding groups used to leak
+    # through as a phantom all-ones key with min=0xFFFFFFFF
+    mesh = _mesh(n_dev)
+    rng = np.random.default_rng(6)
+    keys = rng.integers(0, 10, 1 << 10).astype(np.uint64)
+    vals = rng.integers(0, 1 << 30, 1 << 10, dtype=np.uint32)
+    got = distributed_aggregate_numpy(keys, vals, mesh, aggs=("min",),
+                                      capacity_factor=4.0)
+    assert set(got) == set(int(k) for k in keys)
+    for k in got:
+        assert got[k] == {"min": int(vals[keys == k].min())}

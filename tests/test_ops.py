@@ -307,3 +307,46 @@ class TestTableAPI:
         assert (np.diff(codes.astype(np.int64)) >= 0).all() or (
             np.array_equal(np.sort(codes), codes))
         assert sorted(np.asarray(idx.order)) == list(range(3000))
+
+
+class TestJoinRegressions:
+    def test_searchsorted_power_of_two_sizes(self):
+        from tpu_qe.bits import U64
+        from tpu_qe.ops.join import searchsorted_u64
+
+        for m in (1, 2, 4, 1024):
+            r = np.arange(m, dtype=np.uint64) * 3
+            q = np.concatenate([r, r + 1, [r.max() + 10]])
+            got = np.asarray(searchsorted_u64(U64.from_numpy(r),
+                                              U64.from_numpy(q)))
+            np.testing.assert_array_equal(got, np.searchsorted(r, q, "left"),
+                                          err_msg=f"m={m}")
+
+    def test_scan_join_u64_right_column(self):
+        from tpu_qe.bits import U64
+        from tpu_qe.ops.join import join_fk_scan
+
+        rng = np.random.default_rng(8)
+        rkeys = np.unique(_u64(rng, 100))
+        rbig = rng.integers(0, 1 << 64, len(rkeys), dtype=np.uint64)
+        right = Table.from_numpy({"big": rbig})
+        lkeys = rkeys[rng.integers(0, len(rkeys), 200)]
+        left = Table.from_numpy({"i": np.arange(200, dtype=np.uint32)})
+        out, matched = join_fk_scan(left, right, U64.from_numpy(lkeys),
+                                    U64.from_numpy(rkeys))
+        assert np.all(np.asarray(matched))
+        got = out["big"].to_numpy()
+        pos = {int(k): i for i, k in enumerate(rkeys)}
+        assert all(got[i] == rbig[pos[int(k)]] for i, k in enumerate(lkeys))
+
+    def test_fk_join_finds_match_in_power_of_two_table(self):
+        from tpu_qe.ops.join import join_fk
+        rkeys = np.arange(1024, dtype=np.uint64) * 7
+        right = Table.from_numpy({"key": rkeys,
+                                  "v": np.arange(1024, dtype=np.uint32)})
+        left = Table.from_numpy({"key": rkeys.copy(),
+                                 "li": np.arange(1024, dtype=np.uint32)})
+        res = join_fk(left, right, key="key")
+        assert bool(np.all(np.asarray(res.matched)))
+        assert np.array_equal(np.asarray(res.table["v"]),
+                              np.arange(1024, dtype=np.uint32))

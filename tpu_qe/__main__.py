@@ -76,7 +76,7 @@ def _cmd_verify(args) -> int:
     if ok_sorted and not all_zeros:
         log.info("Sorted !!!!!!!!!")         # verdict parity: main.rs:857
     else:
-        bad = int(np.count_nonzero(np.diff(keys_np.astype(np.int64)) < 0))
+        bad = int(np.count_nonzero(keys_np[1:] < keys_np[:-1]))
         log.error("Not sorted!!! %d", bad)   # verdict parity: main.rs:861
     log.info("oracle keys bit-exact: %s, payload order exact: %s",
              keys_exact, idx_exact)

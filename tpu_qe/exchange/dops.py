@@ -170,20 +170,24 @@ def distributed_join_fk_numpy(lkeys, lvals, rkeys, rvals, mesh, **kw):
 _NEUTRAL = {"count": 0, "sum": 0, "min": 0xFFFFFFFF, "max": 0}
 
 
-def _dagg_shard(lo, hi, val, *, n_dev, samples_per_dev, capacity, aggs):
+def _dagg_shard(lo, hi, val, *, n_dev, samples_per_dev, capacity,
+                inner_aggs):
     from tpu_qe.ops.aggregate import group_aggregate
 
     # Phase 1: local partial aggregation (volume reduction). Results are
     # padded to n_local with key=all-ones; their agg payloads are set to
     # the agg's neutral element so later combining ignores them.
-    part = group_aggregate(U64(lo, hi), val, aggs=aggs)
+    # 'count' is ALWAYS among inner_aggs (appended by the caller if not
+    # requested): the host wrapper needs it to distinguish a purely-padding
+    # group from a real all-ones key group.
+    part = group_aggregate(U64(lo, hi), val, aggs=inner_aggs)
     n_local = lo.shape[0]
     idx = jnp.arange(part.key.lo.shape[0], dtype=jnp.uint32)
     is_real = idx < part.num_groups
     klo = jnp.where(is_real, part.key.lo, _ONES)
     khi = jnp.where(is_real, part.key.hi, _ONES)
     partials = []
-    for a in aggs:
+    for a in inner_aggs:
         neutral = jnp.uint32(_NEUTRAL[a])
         partials.append(jnp.where(is_real, part.aggs[a], neutral))
     del n_local
@@ -206,7 +210,7 @@ def _dagg_shard(lo, hi, val, *, n_dev, samples_per_dev, capacity, aggs):
     dest = route_by_splitters(klo, khi, sp_lo, sp_hi)
     dest = jnp.where(is_real, dest,
                      (idx % jnp.uint32(n_dev)).astype(jnp.uint32))
-    pads = [_ONES, _ONES] + [jnp.uint32(_NEUTRAL[a]) for a in aggs]
+    pads = [_ONES, _ONES] + [jnp.uint32(_NEUTRAL[a]) for a in inner_aggs]
     recv, _, _, overflow = exchange(dest, [klo, khi] + partials, pads,
                                     n_dev, capacity)
 
@@ -216,7 +220,7 @@ def _dagg_shard(lo, hi, val, *, n_dev, samples_per_dev, capacity, aggs):
     out_key = None
     out_aggs = []
     num_groups = None
-    for a, col in zip(aggs, recv[2:]):
+    for a, col in zip(inner_aggs, recv[2:]):
         combine = {"count": ("sum",), "sum": ("sum",), "min": ("min",),
                    "max": ("max",)}[a]
         r = group_aggregate(U64(rklo, rkhi), col, aggs=combine)
@@ -231,17 +235,23 @@ def _dagg_shard(lo, hi, val, *, n_dev, samples_per_dev, capacity, aggs):
 def distributed_aggregate(key: U64, value: jnp.ndarray, mesh: Mesh,
                           aggs=("count", "sum"), samples_per_dev: int = 128,
                           capacity_factor: float = 2.0):
-    """GROUP BY over mesh-sharded rows (two-phase aggregation)."""
+    """GROUP BY over mesh-sharded rows (two-phase aggregation).
+
+    Returns (klo, khi, *agg_columns_in_inner_order, num_groups, overflow)
+    where inner order = requested aggs plus a trailing 'count' if it was
+    not requested (used to identify padding groups).
+    """
     n_dev = mesh.shape[AXIS]
     n = key.lo.shape[0]
     assert n % n_dev == 0
+    inner_aggs = tuple(aggs) if "count" in aggs else tuple(aggs) + ("count",)
     capacity = max(int(np.ceil(capacity_factor * (n // n_dev) / n_dev)), 16)
     spec = P(AXIS)
-    n_out = 2 + len(aggs) + 2
+    n_out = 2 + len(inner_aggs) + 2
     fn = shard_map(
         functools.partial(_dagg_shard, n_dev=n_dev,
                           samples_per_dev=samples_per_dev,
-                          capacity=capacity, aggs=tuple(aggs)),
+                          capacity=capacity, inner_aggs=inner_aggs),
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=tuple([spec] * n_out),
@@ -264,13 +274,14 @@ def distributed_aggregate_numpy(keys, values, mesh, aggs=("count", "sum"),
     klo = np.asarray(res[0]).reshape(n_dev, -1)
     khi = np.asarray(res[1]).reshape(n_dev, -1)
     cols = [np.asarray(c).reshape(n_dev, -1) for c in res[2:-2]]
+    inner = tuple(aggs) if "count" in aggs else tuple(aggs) + ("count",)
     ng = np.asarray(res[-2]).reshape(n_dev)
     out = {}
     for d in range(n_dev):
         for i in range(int(ng[d])):
             k = int(klo[d, i]) | (int(khi[d, i]) << 32)
-            row = {a: int(c[d, i]) for a, c in zip(aggs, cols)}
-            if row.get("count", 1) == 0:
+            row = {a: int(c[d, i]) for a, c in zip(inner, cols)}
+            if row["count"] == 0:
                 continue  # purely-padding group
-            out[k] = row
+            out[k] = {a: row[a] for a in aggs}
     return out

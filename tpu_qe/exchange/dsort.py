@@ -162,12 +162,13 @@ def distributed_sort_numpy(keys: np.ndarray, payload: np.ndarray | None,
     valid = np.asarray(res.valid).reshape(n_dev)
     out_keys = []
     out_pay = []
+    p = (np.asarray(res.payloads[0]).reshape(n_dev, -1)
+         if payload is not None else None)
     for d in range(n_dev):
         v = int(valid[d])
         out_keys.append(lo[d, :v].astype(np.uint64)
                         | (hi[d, :v].astype(np.uint64) << np.uint64(32)))
-        if payload is not None:
-            p = np.asarray(res.payloads[0]).reshape(n_dev, -1)
+        if p is not None:
             out_pay.append(p[d, :v])
     keys_out = np.concatenate(out_keys)
     if payload is None:

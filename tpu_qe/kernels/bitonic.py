@@ -99,6 +99,10 @@ def sort_chunks(lo: jnp.ndarray, hi: jnp.ndarray, *payloads: jnp.ndarray,
         interpret = use_interpret()
     nb, width = lo.shape
     assert width == rows * LANES, (width, rows)
+    # the k/j stage schedule implements a correct network only for
+    # power-of-two chunk lengths; anything else would return silently
+    # unsorted data
+    assert width & (width - 1) == 0, f"chunk length must be a power of two, got {width}"
     planes = [lo, hi, *payloads]
     n_planes = len(planes)
     spec = pl.BlockSpec((1, rows, LANES), lambda b: (b, 0, 0),

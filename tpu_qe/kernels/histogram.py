@@ -103,6 +103,10 @@ def block_histogram(lo: jnp.ndarray, hi: jnp.ndarray, shift: int, bits: int,
         interpret = use_interpret()
     nb, block = lo.shape
     assert block % (SUBLANES * LANES) == 0, block
+    # per-(block, digit) counts accumulate in float32 inside the kernel;
+    # exactness requires counts < 2^24 (a skewed block could put every
+    # element in one digit) — reject silently-inexact block sizes
+    assert block < (1 << 24), f"block {block} would overflow f32 counts"
     rows = block // LANES
     radix = 1 << bits
     lo3 = lo.reshape(nb, rows, LANES)
@@ -176,6 +180,7 @@ def block_rank_and_histogram(lo: jnp.ndarray, hi: jnp.ndarray, shift: int,
         interpret = use_interpret()
     nb, block = lo.shape
     assert block % (SUBLANES * LANES) == 0, block
+    assert block < (1 << 24), f"block {block} would overflow f32 counts"
     rows = block // LANES
     radix = 1 << bits
     lo3 = lo.reshape(nb, rows, LANES)

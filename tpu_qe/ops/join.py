@@ -34,7 +34,11 @@ def searchsorted_u64(sorted_key: U64, query: U64, side: str = "left"):
     s_lo, s_hi = sorted_key
     q_lo, q_hi = query
     m = s_lo.shape[0]
-    steps = max(m - 1, 1).bit_length()
+    # m+1 possible answers (0..m): need ceil(log2(m+1)) halvings of the
+    # [lo, hi] bracket; max(m-1,1).bit_length() is one short exactly when
+    # m is a power of two (the common case here — block sizes are powers
+    # of two), which made join_fk miss real matches.
+    steps = m.bit_length()
     lo_b = jnp.zeros(q_lo.shape, dtype=jnp.int32)
     hi_b = jnp.full(q_lo.shape, m, dtype=jnp.int32)
 
@@ -90,33 +94,10 @@ def join_fk(left: Table, right: Table, key: str = "key") -> FkJoinResult:
     with a vectorized binary search. Right rows are gathered per left row;
     unmatched left rows get arbitrary gathered values and matched=False.
     """
-    from tpu_qe.sort import sort_u64
-
     rkey = right[key]
     assert isinstance(rkey, U64), "join key must be u64"
-    # sort right table by key: payloads are every other right column
-    names = [n for n in right if n != key]
-    payloads = []
-    kinds = []
-    for n in names:
-        c = right[n]
-        if isinstance(c, U64):
-            payloads += [c.lo, c.hi]
-            kinds.append("u64")
-        else:
-            payloads.append(c)
-            kinds.append("one")
-    skey, spay = sort_u64(rkey, *payloads)
-    cols = {key: skey}
-    i = 0
-    for n, kind in zip(names, kinds):
-        if kind == "u64":
-            cols[n] = U64(spay[i], spay[i + 1])
-            i += 2
-        else:
-            cols[n] = spay[i]
-            i += 1
-    right_sorted = Table(cols)
+    right_sorted = right.sort_by(key)
+    skey = right_sorted[key]
     lkey = left[key]
     out, matched = _join_fk_impl(left.drop(key), right_sorted.drop(key),
                                  lkey, skey)
@@ -165,11 +146,20 @@ def join_fk_scan(left: Table, right: Table, lkey: U64, rkey: U64,
                             jnp.ones(n_l, jnp.uint32)])
     klo = jnp.concatenate([rkey.lo, lkey.lo])
     khi = jnp.concatenate([rkey.hi, lkey.hi])
+    # right value columns, split into u32 planes (U64 columns become two)
     pay_names_r = list(right)
-    pads_r = [jnp.concatenate([
-        right[nm].view(jnp.uint32) if right[nm].dtype != jnp.uint32
-        else right[nm],
-        jnp.zeros(n_l, jnp.uint32)]) for nm in pay_names_r]
+    r_planes: list = []      # (name, kind) per plane group
+    pads_r = []
+    for nm in pay_names_r:
+        c = right[nm]
+        if isinstance(c, U64):
+            pads_r.append(jnp.concatenate([c.lo, jnp.zeros(n_l, jnp.uint32)]))
+            pads_r.append(jnp.concatenate([c.hi, jnp.zeros(n_l, jnp.uint32)]))
+            r_planes.append((nm, "u64"))
+        else:
+            v = c.view(jnp.uint32) if c.dtype != jnp.uint32 else c
+            pads_r.append(jnp.concatenate([v, jnp.zeros(n_l, jnp.uint32)]))
+            r_planes.append((nm, str(c.dtype)))
     lidx = jnp.concatenate([jnp.zeros(n_r, jnp.uint32),
                             jnp.arange(n_l, dtype=jnp.uint32)])
     rv = (jnp.ones(n_r, jnp.uint32) if r_valid is None
@@ -213,13 +203,19 @@ def join_fk_scan(left: Table, right: Table, lkey: U64, rkey: U64,
         matched = matched & l_valid
 
     cols = {nm: left[nm] for nm in left}
-    for nm, c in zip(pay_names_r, srv):
+    i = 0
+    for nm, kind in r_planes:
         out_name = nm if nm not in cols else f"right_{nm}"
-        v = jnp.take(c, rpos_l)
-        v = jnp.where(matched, v, jnp.uint32(0))
-        if right[nm].dtype != jnp.uint32:
-            v = v.view(right[nm].dtype)
-        cols[out_name] = v
+        def fetch(c):
+            v = jnp.take(c, rpos_l)
+            return jnp.where(matched, v, jnp.uint32(0))
+        if kind == "u64":
+            cols[out_name] = U64(fetch(srv[i]), fetch(srv[i + 1]))
+            i += 2
+        else:
+            v = fetch(srv[i])
+            cols[out_name] = v.view(kind) if kind != "uint32" else v
+            i += 1
     return Table(cols), matched
 
 

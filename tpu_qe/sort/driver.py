@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpu_qe.bits import U64, digit_schedule, masked_key
+from tpu_qe.bits import U64, digit_schedule, masked_key, select_digit
 from tpu_qe.constants import DEFAULT_BLOCK
 from tpu_qe.kernels.histogram import block_rank_and_histogram
 
@@ -83,15 +83,7 @@ def _sort_hybrid(lo, hi, payloads, key_bits, bits_per_pass, block):
         else:
             base = jnp.cumsum(flat) - flat
         # dest = base[digit, block] + local stable rank
-        mask = jnp.uint32((1 << bits) - 1)
-        if shift == 0:
-            d = lo2 & mask
-        elif shift + bits <= 32:
-            d = (lo2 >> shift) & mask
-        elif shift >= 32:
-            d = ((hi2 >> (shift - 32)) if shift > 32 else hi2) & mask
-        else:
-            d = ((lo2 >> shift) | (hi2 << (32 - shift))) & mask
+        d = select_digit(lo2, hi2, shift, bits)
         dest = jnp.take(base, d * jnp.uint32(nb) + row) + ranks
         # Apply the permutation: order all operands by destination.
         operands = [dest.reshape(-1), lo, hi] + list(payloads)
