@@ -350,3 +350,57 @@ class TestJoinRegressions:
         assert bool(np.all(np.asarray(res.matched)))
         assert np.array_equal(np.asarray(res.table["v"]),
                               np.arange(1024, dtype=np.uint32))
+
+
+class TestFusedFilterAggregate:
+    def test_valid_mask_equals_compact_then_aggregate(self):
+        from tpu_qe.bits import U64
+        from tpu_qe.ops.aggregate import group_aggregate
+
+        rng = np.random.default_rng(12)
+        n = 5000
+        keys = rng.integers(0, 40, n).astype(np.uint64) * np.uint64(977)
+        vals = rng.integers(0, 1000, n, dtype=np.uint32)
+        mask = vals % 3 != 0
+
+        k = U64.from_numpy(keys)
+        fused = group_aggregate(k, jnp.asarray(vals),
+                                aggs=("count", "sum", "min", "max"),
+                                valid=jnp.asarray(mask))
+        ref = group_aggregate(U64.from_numpy(keys[mask]),
+                              jnp.asarray(vals[mask]),
+                              aggs=("count", "sum", "min", "max"))
+        ng = int(fused.num_groups)
+        assert ng == int(ref.num_groups)
+        for a in ("count", "sum", "min", "max"):
+            np.testing.assert_array_equal(np.asarray(fused.aggs[a])[:ng],
+                                          np.asarray(ref.aggs[a])[:ng])
+        np.testing.assert_array_equal(fused.key.to_numpy()[:ng],
+                                      ref.key.to_numpy()[:ng])
+
+    def test_all_invalid(self):
+        from tpu_qe.bits import U64
+        from tpu_qe.ops.aggregate import group_aggregate
+
+        keys = np.arange(100, dtype=np.uint64)
+        g = group_aggregate(U64.from_numpy(keys),
+                            jnp.ones(100, dtype=jnp.uint32),
+                            aggs=("count",),
+                            valid=jnp.zeros(100, dtype=bool))
+        assert int(g.num_groups) == 0
+
+    def test_all_valid_same_as_no_mask(self):
+        from tpu_qe.bits import U64
+        from tpu_qe.ops.aggregate import group_aggregate
+
+        rng = np.random.default_rng(13)
+        keys = rng.integers(0, 7, 512).astype(np.uint64)
+        vals = rng.integers(0, 99, 512, dtype=np.uint32)
+        a = group_aggregate(U64.from_numpy(keys), jnp.asarray(vals),
+                            aggs=("sum",), valid=jnp.ones(512, bool))
+        b = group_aggregate(U64.from_numpy(keys), jnp.asarray(vals),
+                            aggs=("sum",))
+        ng = int(a.num_groups)
+        assert ng == int(b.num_groups)
+        np.testing.assert_array_equal(np.asarray(a.aggs["sum"])[:ng],
+                                      np.asarray(b.aggs["sum"])[:ng])

@@ -35,7 +35,9 @@ def _cmd_verify(args) -> int:
     from tpu_qe.utils.profiling import marker, trace_session
 
     cfg = EngineConfig(
-        sort=SortConfig(backend=args.backend),
+        sort=SortConfig(backend=args.backend,
+                        bits_per_pass=args.bits_per_pass,
+                        num_passes=args.num_passes),
         scene=SceneConfig(num_vertices=args.vertices,
                           num_triangles=args.triangles, seed=args.seed),
         trace_dir=args.trace_dir,
@@ -55,7 +57,8 @@ def _cmd_verify(args) -> int:
         idx = jnp.arange(sc.num_triangles, dtype=jnp.uint32)
         with marker("radix sort"):
             skey, (sidx,) = sort_u64(code, idx, backend=cfg.sort.backend,
-                                     key_bits=cfg.sort.key_bits)
+                                     key_bits=cfg.sort.key_bits,
+                                     bits_per_pass=cfg.sort.bits_per_pass)
         mlo, mhi = masked_key(skey.lo, skey.hi, cfg.sort.key_bits)
         ok_sorted = bool(is_sorted_u64(mlo, mhi))
 
@@ -145,6 +148,10 @@ def main(argv=None) -> int:
     pv.add_argument("--triangles", type=int, default=3000)
     pv.add_argument("--seed", type=int, default=7)
     pv.add_argument("--backend", type=str, default="xla")
+    pv.add_argument("--bits-per-pass", type=int, default=8)
+    pv.add_argument("--num-passes", type=int, default=8,
+                    help="e.g. --bits-per-pass 6 --num-passes 11 for the "
+                         "reference's 6-bit test variant")
     pv.add_argument("--trace-dir", type=str, default=None)
     pv.set_defaults(fn=_cmd_verify)
 

@@ -53,13 +53,18 @@ def _shift_right_one(x: jnp.ndarray, fill) -> jnp.ndarray:
 
 @functools.partial(jax.jit, static_argnames=("aggs",))
 def group_aggregate(key: U64, value: jnp.ndarray | None = None,
-                    aggs: Sequence[str] = ("count",)) -> GroupResult:
+                    aggs: Sequence[str] = ("count",),
+                    valid: jnp.ndarray | None = None) -> GroupResult:
     """GROUP BY `key` computing `aggs` over `value`.
 
     Args:
       key: (n,) u64 group keys (e.g. morton cell ids).
       value: (n,) uint32 or float32 column (required unless aggs==("count",)).
       aggs: subset of {"count", "sum", "min", "max"}.
+      valid: optional bool mask — rows where False are excluded, WITHOUT a
+        separate compaction pass (the filter fuses into the aggregation
+        sort: invalid rows sort to the end as an extra leading key, and
+        num_groups counts only groups among valid rows).
     Returns:
       GroupResult with padded outputs (valid rows: [0, num_groups)).
     """
@@ -72,18 +77,24 @@ def group_aggregate(key: U64, value: jnp.ndarray | None = None,
         raise ValueError("value column required for sum/min/max")
     n = key.lo.shape[0]
 
-    # sort rows by (key, value-bits): min = first of run, max = last of run,
-    # and sums/counts are order-independent within a run.
-    operands = [key.hi, key.lo]
-    num_keys = 2
+    # sort rows by ([invalid,] key, value-bits): min = first of run, max =
+    # last of run, and sums/counts are order-independent within a run.
+    operands = []
+    if valid is not None:
+        operands.append(jnp.where(valid, jnp.uint32(0), jnp.uint32(1)))
+    operands += [key.hi, key.lo]
     if value is not None:
         operands.append(_float_sortable_bits(value))
-        num_keys = 3
-        res = jax.lax.sort(operands, num_keys=num_keys, is_stable=False)
+    res = jax.lax.sort(operands, num_keys=len(operands), is_stable=False)
+    if valid is not None:
+        sinvalid = res[0] > 0
+        res = res[1:]
+    else:
+        sinvalid = None
+    if value is not None:
         shi, slo, sval_bits = res[0], res[1], res[2]
         sval = sval_bits  # preserved below via positions, not bits
     else:
-        res = jax.lax.sort(operands, num_keys=num_keys, is_stable=False)
         shi, slo = res[0], res[1]
         sval = None
     # recover actual sorted values (inverse of _float_sortable_bits)
@@ -97,8 +108,15 @@ def group_aggregate(key: U64, value: jnp.ndarray | None = None,
     prev_hi = _shift_right_one(shi, 0)
     idx = jnp.arange(n, dtype=jnp.uint32)
     is_new = (idx == 0) | (slo != prev_lo) | (shi != prev_hi)
-    nxt = jnp.concatenate([is_new[1:], jnp.ones((1,), dtype=bool)])
-    is_end = nxt  # last row of each group
+    if sinvalid is not None:
+        # invalid rows sorted to the tail start no group; a valid row ends
+        # its group iff the next row starts one, is invalid, or is the end
+        is_new = is_new & ~sinvalid
+        boundary = is_new | sinvalid
+        is_end = ~sinvalid & jnp.concatenate(
+            [boundary[1:], jnp.ones((1,), dtype=bool)])
+    else:
+        is_end = jnp.concatenate([is_new[1:], jnp.ones((1,), dtype=bool)])
 
     # running sums in sorted order
     pos1 = idx + 1  # inclusive row count
