@@ -141,7 +141,18 @@ def join_fk_scan(left: Table, right: Table, lkey: U64, rkey: U64,
     n_l = lkey.lo.shape[0]
     n_r = rkey.lo.shape[0]
     n = n_l + n_r
+    assert n < (1 << 30), "join_fk_scan supports up to 2^30 combined rows"
 
+    # Operand packing (each extra 200M-row sort operand costs real time):
+    # the third sort key is side<<31 | left-row-index — it orders right
+    # rows (side 0) before left rows within a key segment, and left rows
+    # by original index (equivalent to stable order among equal keys).
+    # The validity bit rides the SAME word's bit 30 as payload-only
+    # information? No — bit 30 would alter the ordering of left rows; the
+    # valid bit is instead packed into bit 30 of a side-channel-free spot:
+    # it must not be a key, so it travels in the rpos word of the second
+    # sort and in `sidekey`'s bit 30 only for RIGHT rows (whose relative
+    # order among equal keys is FK-irrelevant: last-wins already).
     side = jnp.concatenate([jnp.zeros(n_r, jnp.uint32),
                             jnp.ones(n_l, jnp.uint32)])
     klo = jnp.concatenate([rkey.lo, lkey.lo])
@@ -160,20 +171,31 @@ def join_fk_scan(left: Table, right: Table, lkey: U64, rkey: U64,
             v = c.view(jnp.uint32) if c.dtype != jnp.uint32 else c
             pads_r.append(jnp.concatenate([v, jnp.zeros(n_l, jnp.uint32)]))
             r_planes.append((nm, str(c.dtype)))
-    lidx = jnp.concatenate([jnp.zeros(n_r, jnp.uint32),
+    # right rows carry their own index too, so sidekeys stay unique and
+    # the unstable sort is deterministic (duplicate right keys: highest
+    # index wins).
+    lidx = jnp.concatenate([jnp.arange(n_r, dtype=jnp.uint32),
                             jnp.arange(n_l, dtype=jnp.uint32)])
     rv = (jnp.ones(n_r, jnp.uint32) if r_valid is None
           else r_valid.astype(jnp.uint32))
     lv = (jnp.ones(n_l, jnp.uint32) if l_valid is None
           else l_valid.astype(jnp.uint32))
     valid = jnp.concatenate([rv, lv])
+    # sidekey = side<<31 | valid<<30 | lidx. For LEFT rows valid affects
+    # ordering only among equal (key, side) rows of differing validity —
+    # harmless: matched is masked by l_valid and left output order is
+    # restored by lidx alone. For RIGHT rows it orders invalid before
+    # valid, which strengthens last-wins (a valid right row wins over
+    # pads). One sort operand replaces three.
+    sidekey = (side << jnp.uint32(31)) | (valid << jnp.uint32(30)) | lidx
 
-    ops = [khi, klo, side] + pads_r + [lidx, valid]
-    res = jax.lax.sort(ops, num_keys=3, is_stable=True)
-    shi, slo, sside = res[0], res[1], res[2]
+    ops = [khi, klo, sidekey] + pads_r
+    res = jax.lax.sort(ops, num_keys=3, is_stable=False)
+    shi, slo, ssidekey = res[0], res[1], res[2]
     srv = list(res[3:3 + len(pads_r)])
-    slidx = res[-2]
-    valid_s = res[-1] > 0
+    sside = ssidekey >> jnp.uint32(31)
+    valid_s = (ssidekey >> jnp.uint32(30)) & jnp.uint32(1) > 0
+    slidx = ssidekey & jnp.uint32((1 << 30) - 1)
 
     prev_lo = jnp.concatenate([jnp.zeros(1, jnp.uint32), slo[:-1]])
     prev_hi = jnp.concatenate([jnp.zeros(1, jnp.uint32), shi[:-1]])
@@ -188,7 +210,9 @@ def join_fk_scan(left: Table, right: Table, lkey: U64, rkey: U64,
     last_right = jax.lax.cummax(
         jnp.where(is_right, pos + 1, jnp.uint32(0)))  # 1-based
     matched_stream = (last_right > 0) & (last_right - 1 >= seg_head)
-    rpos = jnp.where(matched_stream, last_right - 1, jnp.uint32(0))
+    # pack matched into rpos bit 30 (positions < 2^30): one payload word
+    rpos = jnp.where(matched_stream,
+                     (last_right - 1) | jnp.uint32(1 << 30), jnp.uint32(0))
 
     # NOTE (measured): replacing the final per-column gather with a
     # gather-free nibble-wise cummax forward fill (8 pieces x cummax of
@@ -199,11 +223,10 @@ def join_fk_scan(left: Table, right: Table, lkey: U64, rkey: U64,
     # slidx is a permutation of [0, n_l), so sorting by it (right rows
     # keyed to the end) puts row i of the result at original left row i.
     key_order = jnp.where(side_right, jnp.uint32(0xFFFFFFFF), slidx)
-    res2 = jax.lax.sort(
-        [key_order, rpos, matched_stream.astype(jnp.uint32)],
-        num_keys=1, is_stable=True)
-    rpos_l = res2[1][:n_l]
-    matched = res2[2][:n_l] > 0
+    res2 = jax.lax.sort([key_order, rpos], num_keys=1, is_stable=False)
+    packed = res2[1][:n_l]
+    matched = (packed >> jnp.uint32(30)) & jnp.uint32(1) > 0
+    rpos_l = packed & jnp.uint32((1 << 30) - 1)
     if l_valid is not None:
         matched = matched & l_valid
 
