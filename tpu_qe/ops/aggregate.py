@@ -11,8 +11,10 @@ and reduce each run. All reductions are formulated scatter-free:
 - min / max: first/last row of each run after sorting by (key, value-bits)
   with the standard order-preserving float bit transform.
 
-Group-end rows are compacted with the engine's stable 1-bit partition
-(tpu_qe.ops.filter.compact) — the same primitive as a radix split.
+Group-end rows are compacted with one unstable sort whose key packs the
+keep/drop bit into bit 31 of the (unique, increasing) row position — order
+among kept rows is position order, so stability comes for free and the
+operand count stays minimal.
 """
 
 from __future__ import annotations
@@ -24,8 +26,6 @@ import jax
 import jax.numpy as jnp
 
 from tpu_qe.bits import U64
-from tpu_qe.ops.filter import compact
-from tpu_qe.table import Table
 
 _VALID_AGGS = ("count", "sum", "min", "max")
 
@@ -118,36 +118,47 @@ def group_aggregate(key: U64, value: jnp.ndarray | None = None,
     else:
         is_end = jnp.concatenate([is_new[1:], jnp.ones((1,), dtype=bool)])
 
-    # running sums in sorted order
-    pos1 = idx + 1  # inclusive row count
-    cols = {"klo": slo, "khi": shi, "pos": pos1}
+    # Compact group-END rows to the front with ONE sort whose key packs
+    # the keep/drop flag into bit 31 of the (unique, increasing) position:
+    # within kept rows the order is position order, i.e. stable for free,
+    # so the sort can be unstable and carries the minimum operand count.
+    assert n < (1 << 31), n
+    pos1 = idx + 1  # inclusive row count (1-based end position)
+    packed = jnp.where(is_end, pos1, pos1 | jnp.uint32(1 << 31))
+    operands = [packed, slo, shi]
     if "sum" in aggs:
         if sval.dtype == jnp.float32:
-            cols["csum"] = jnp.cumsum(sval, dtype=jnp.float32)
+            csum = jnp.cumsum(sval, dtype=jnp.float32).view(jnp.uint32)
         else:
-            cols["csum"] = jnp.cumsum(sval.astype(jnp.uint32),
-                                      dtype=jnp.uint32)
-    if "min" in aggs:
-        cols["first_val"] = sval  # valid at group-start rows
-        # propagate: value at the START of this row's group == min; grab it
-        # by compacting group-START rows separately below.
+            csum = jnp.cumsum(sval.astype(jnp.uint32), dtype=jnp.uint32)
+        operands.append(csum)
     if "max" in aggs:
-        cols["last_val"] = sval  # valid at group-end rows
-
-    end_tab, num_groups = compact(Table(cols), is_end)
-    klo, khi = end_tab["klo"], end_tab["khi"]
-    pos_end = end_tab["pos"]
+        operands.append(sval.view(jnp.uint32)
+                        if sval.dtype == jnp.float32 else sval)
+    res2 = jax.lax.sort(operands, num_keys=1, is_stable=False)
+    pos_end = res2[0] & jnp.uint32(0x7FFFFFFF)
+    klo, khi = res2[1], res2[2]
+    num_groups = jnp.sum(is_end.astype(jnp.uint32))
+    i = 3
     prev_pos = _shift_right_one(pos_end, 0)
     out: dict[str, jnp.ndarray] = {}
     if "count" in aggs:
         out["count"] = pos_end - prev_pos
     if "sum" in aggs:
-        ce = end_tab["csum"]
-        out["sum"] = ce - _shift_right_one(ce, jnp.zeros((), ce.dtype))
+        ce = res2[i]
+        i += 1
+        if sval.dtype == jnp.float32:
+            out["sum"] = ce.view(jnp.float32) - _shift_right_one(
+                ce, jnp.zeros((), jnp.uint32)).view(jnp.float32)
+        else:
+            out["sum"] = ce - _shift_right_one(ce, jnp.zeros((), ce.dtype))
     if "max" in aggs:
-        out["max"] = end_tab["last_val"]
+        mx = res2[i]
+        i += 1
+        out["max"] = mx.view(jnp.float32) if sval.dtype == jnp.float32 else mx
     if "min" in aggs:
-        start_tab, _ = compact(Table({"first_val": cols["first_val"]}),
-                               is_new)
-        out["min"] = start_tab["first_val"]
+        # the group's first row (its min, since rows are value-sorted within
+        # a group) sits at stream index prev_pos — a num_groups-sized gather
+        # replaces the second full compaction this used to cost.
+        out["min"] = jnp.take(sval, prev_pos)
     return GroupResult(U64(klo, khi), out, num_groups)
