@@ -85,10 +85,13 @@ def _dsort_shard(lo, hi, *payloads, n_dev: int, samples_per_dev: int,
     recv, recv_flag, recv_counts, overflow = exchange(
         dest, cols, pads, n_dev, capacity)
 
-    # local stable sort of received data; sentinels flagged after equal
-    # real keys.
-    res = jax.lax.sort([recv[1], recv[0], recv_flag] + recv[2:],
-                       num_keys=3, is_stable=True)
+    # local sort of received data: the third key packs the pad flag (bit
+    # 31: sentinels after equal real keys) over the arrival index (source
+    # order = stability), so the sort can run unstable.
+    arrival = jnp.arange(recv[0].shape[0], dtype=jnp.uint32)
+    flag_key = (recv_flag << jnp.uint32(31)) | arrival
+    res = jax.lax.sort([recv[1], recv[0], flag_key] + recv[2:],
+                       num_keys=3, is_stable=False)
     out_hi, out_lo = res[0], res[1]
     out_pay = list(res[3:])
     valid = jnp.sum(recv_counts).reshape(1)

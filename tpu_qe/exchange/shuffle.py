@@ -23,6 +23,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 AXIS = "x"
 _ONES = jnp.uint32(0xFFFFFFFF)
@@ -75,8 +76,20 @@ def exchange(dest, cols, pad_values, n_dev: int, capacity: int,
           capacity (counts stay exact so truncation is detectable).
     """
     n_local = dest.shape[0]
-    parts = jax.lax.sort([dest] + list(cols), num_keys=1, is_stable=True)
-    dest_s, cols_s = parts[0], list(parts[1:])
+    # Partition by destination with an unstable sort: the key packs dest
+    # into the high bits and the row index below, so order within a
+    # destination is row order (stability for free, no stable-sort cost).
+    dbits = max(int(np.ceil(np.log2(max(n_dev, 2)))), 1)
+    if n_local < (1 << (32 - dbits)):
+        idx = jnp.arange(n_local, dtype=jnp.uint32)
+        packed = (dest << jnp.uint32(32 - dbits)) | idx
+        parts = jax.lax.sort([packed] + list(cols), num_keys=1,
+                             is_stable=False)
+        dest_s = parts[0] >> jnp.uint32(32 - dbits)
+    else:
+        parts = jax.lax.sort([dest] + list(cols), num_keys=1, is_stable=True)
+        dest_s = parts[0]
+    cols_s = list(parts[1:])
 
     counts = jnp.sum(
         (dest_s[:, None] == jnp.arange(n_dev, dtype=jnp.uint32)[None, :])
