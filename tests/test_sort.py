@@ -175,3 +175,26 @@ class TestMortonJax:
         ocodes, oidx = native.pipeline_oracle(1000, 3000, 7)
         np.testing.assert_array_equal(U64(*sk).to_numpy(), ocodes)
         np.testing.assert_array_equal(np.asarray(sp), oidx)
+
+
+class TestTiebreakBackend:
+    @pytest.mark.parametrize("n", [1, 255, 1024, 3000])
+    def test_equals_stable_with_unique_payload(self, n):
+        rng = np.random.default_rng(n)
+        # heavy duplicates so the tiebreak actually decides order
+        keys = rng.integers(0, 16, n).astype(np.uint64) * np.uint64(977)
+        payload = np.arange(n, dtype=np.uint32)
+        k1, p1 = sort_u64_numpy(keys, payload, backend="xla")
+        k2, p2 = sort_u64_numpy(keys, payload, backend="xla_tiebreak")
+        np.testing.assert_array_equal(k1, k2)
+        np.testing.assert_array_equal(p1, p2)
+
+    def test_masked_key_bits_variant(self):
+        rng = np.random.default_rng(9)
+        keys = rng.integers(0, 1 << 64, 2000, dtype=np.uint64)
+        payload = np.arange(2000, dtype=np.uint32)
+        k1, p1 = sort_u64_numpy(keys, payload, backend="xla", key_bits=24)
+        k2, p2 = sort_u64_numpy(keys, payload, backend="xla_tiebreak",
+                                key_bits=24)
+        np.testing.assert_array_equal(k1, k2)
+        np.testing.assert_array_equal(p1, p2)

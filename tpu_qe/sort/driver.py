@@ -66,6 +66,28 @@ def _sort_xla(lo, hi, payloads, key_bits, stable=True):
     return res[2], res[3], list(res[4:])
 
 
+def _sort_xla_tiebreak(lo, hi, payloads, key_bits):
+    """Stable-equivalent sort when payloads[0] is a UNIQUE index.
+
+    An unstable 3-key sort with the unique payload as tiebreak returns
+    exactly the stable-by-key result, and measures ~24% faster than the
+    stable 2-key sort on v5e (272 vs 336 ms at 64M): the third key costs
+    nothing extra (the payload word was being carried anyway) while the
+    is_stable flag costs a heavier sort network. This is the flagship
+    pipeline's exact shape — the reference sorts (morton code, triangle
+    index) pairs where the payload IS the unique index
+    (/root/reference/src/main.rs:376-688).
+    """
+    mlo, mhi = masked_key(lo, hi, key_bits)
+    if key_bits >= 64:
+        operands = [hi, lo] + list(payloads)
+        res = jax.lax.sort(operands, num_keys=3, is_stable=False)
+        return res[1], res[0], list(res[2:])
+    operands = [mhi, mlo, payloads[0], lo, hi] + list(payloads[1:])
+    res = jax.lax.sort(operands, num_keys=3, is_stable=False)
+    return res[3], res[4], [res[2]] + list(res[5:])
+
+
 def _sort_hybrid(lo, hi, payloads, key_bits, bits_per_pass, block):
     n = lo.shape[0]
     nb = n // block
@@ -110,6 +132,10 @@ def sort_u64(key: U64, *payloads: jnp.ndarray, key_bits: int = 64,
     n = lo.shape[0]
     if backend == "xla":
         slo, shi, spl = _sort_xla(lo, hi, payloads, key_bits, stable)
+        return U64(slo, shi), tuple(spl)
+    if backend == "xla_tiebreak":
+        assert payloads, "xla_tiebreak requires a payload (the unique index)"
+        slo, shi, spl = _sort_xla_tiebreak(lo, hi, payloads, key_bits)
         return U64(slo, shi), tuple(spl)
     if backend == "hybrid":
         ones = np.uint32(0xFFFFFFFF)
