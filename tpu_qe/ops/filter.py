@@ -26,7 +26,12 @@ def compact(table: Table, mask: jnp.ndarray) -> tuple[Table, jnp.ndarray]:
     Returns (table, count): rows [0, count) are the selected rows in their
     original order; rows beyond are the unselected rows (also stable).
     """
-    drop = jnp.where(mask, jnp.uint32(0), jnp.uint32(1))
+    n = mask.shape[0]
+    assert n < (1 << 31), n
+    # keep/drop packs into bit 31 over the unique row index: order within
+    # each side is row order (stability) and the sort runs unstable.
+    drop = jnp.where(mask, jnp.uint32(0), jnp.uint32(1 << 31))
+    key = drop | jnp.arange(n, dtype=jnp.uint32)
     cols = []
     names = []
     shapes: list[str] = []
@@ -39,7 +44,7 @@ def compact(table: Table, mask: jnp.ndarray) -> tuple[Table, jnp.ndarray]:
             cols.append(c)
             shapes.append("one")
         names.append(name)
-    res = jax.lax.sort([drop] + cols, num_keys=1, is_stable=True)
+    res = jax.lax.sort([key] + cols, num_keys=1, is_stable=False)
     out_cols = list(res[1:])
     rebuilt = {}
     i = 0
