@@ -125,7 +125,7 @@ def test_bench_matrix_smoke(capsys):
     out = capsys.readouterr().out.strip().splitlines()
     import json
     rows = [json.loads(line) for line in out]
-    assert len(rows) == 3
+    assert len(rows) == 4
     assert all(r["value"] > 0 for r in rows)
 
 

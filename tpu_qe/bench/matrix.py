@@ -69,6 +69,30 @@ def bench_filter_agg(n: int = 1 << 28, groups: int = 1 << 20,
                  {"groups": groups})
 
 
+def bench_pipeline(n: int = 1 << 26, reps: int = 2):
+    """Flagship at scale: morton-encode n points + sort (code, index)."""
+    from tpu_qe import morton
+    from tpu_qe.sort import sort_u64
+
+    k = jax.random.split(jax.random.PRNGKey(11), 3)
+    x = jax.random.uniform(k[0], (n,), jnp.float32, -100, 100)
+    y = jax.random.uniform(k[1], (n,), jnp.float32, -100, 100)
+    z = jax.random.uniform(k[2], (n,), jnp.float32, -100, 100)
+    params = morton.MortonParams.for_scene(
+        np.array([-100.0] * 3, np.float32), np.array([100.0] * 3, np.float32))
+
+    @jax.jit
+    def run(x, y, z, params):
+        code = morton.encode_points(x, y, z, params)
+        idx = jnp.arange(x.shape[0], dtype=jnp.uint32)
+        skey, (sidx,) = sort_u64(code, idx, backend="xla_tiebreak")
+        return skey.lo[:8], sidx[:8]
+
+    secs = measure(lambda: run(x, y, z, params), reps=reps)
+    return _emit(f"morton encode + sort pipeline, {n} points, 1 chip",
+                 n, secs)
+
+
 def bench_join(n: int = 100_000_000, reps: int = 2):
     """FK equi-join: n left rows probe n unique right keys (scan-join)."""
     from tpu_qe.ops.join import join_fk_scan
@@ -129,13 +153,16 @@ def bench_dsort(n: int = 1 << 26, zipf: bool = True, reps: int = 2):
 def main(argv=None) -> None:
     import argparse
     p = argparse.ArgumentParser()
-    p.add_argument("--configs", type=str, default="filter_agg,join,dsort")
+    p.add_argument("--configs", type=str,
+                   default="pipeline,filter_agg,join,dsort")
     p.add_argument("--scale", type=float, default=1.0,
                    help="row-count multiplier (e.g. 0.1 for smoke runs)")
     a = p.parse_args(argv)
     s = a.scale
     for c in a.configs.split(","):
-        if c == "filter_agg":
+        if c == "pipeline":
+            bench_pipeline(n=max(int((1 << 26) * s), 1 << 12))
+        elif c == "filter_agg":
             bench_filter_agg(n=max(int((1 << 28) * s), 1 << 12))
         elif c == "join":
             bench_join(n=max(int(100e6 * s), 1 << 12))
