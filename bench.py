@@ -41,13 +41,14 @@ def main() -> None:
     import numpy as np
 
     from tpu_qe.bench.sol import device_kind, sort_sol_seconds
-    from tpu_qe.sort import sort_u64
+    from tpu_qe.sort import BEST_UNIQUE_PAYLOAD_BACKEND, sort_u64
     from tpu_qe.bits import U64
     from tpu_qe.utils.timing import measure_chained
 
     # the headline workload's payload is a unique index, so the tiebreak
     # backend returns the bit-identical stable result, faster
-    backend = "xla_tiebreak" if args.backend == "best" else args.backend
+    backend = (BEST_UNIQUE_PAYLOAD_BACKEND if args.backend == "best"
+               else args.backend)
     n = args.n
     rng = np.random.default_rng(7)
     lo = jnp.asarray(rng.integers(0, 1 << 32, size=n, dtype=np.uint32))

@@ -119,3 +119,23 @@ def test_min_only_no_phantom_padding_group(n_dev=4):
     assert set(got) == set(int(k) for k in keys)
     for k in got:
         assert got[k] == {"min": int(vals[keys == k].min())}
+
+
+def test_float_values_sum_min_max(n_dev=4):
+    # regression: float values used to be silently truncated to uint32,
+    # and the uint32 pad neutrals corrupted float min/max
+    mesh = _mesh(n_dev)
+    rng = np.random.default_rng(21)
+    n = 1 << 10
+    keys = rng.integers(0, 12, n).astype(np.uint64)
+    vals = (rng.standard_normal(n) * 10).astype(np.float32)  # negatives too
+    got = distributed_aggregate_numpy(keys, vals, mesh,
+                                      aggs=("count", "sum", "min", "max"),
+                                      capacity_factor=4.0)
+    for k in set(int(x) for x in keys):
+        sel = vals[keys == k]
+        assert got[k]["count"] == len(sel)
+        assert abs(got[k]["sum"] - float(sel.sum())) < 1e-2 * max(
+            1.0, abs(float(sel.sum())))
+        assert got[k]["min"] == float(sel.min())
+        assert got[k]["max"] == float(sel.max())

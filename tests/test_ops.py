@@ -404,3 +404,19 @@ class TestFusedFilterAggregate:
         assert ng == int(b.num_groups)
         np.testing.assert_array_equal(np.asarray(a.aggs["sum"])[:ng],
                                       np.asarray(b.aggs["sum"])[:ng])
+
+
+def test_searchsorted_all_ones_query_right_side():
+    # regression: side="right" with u64::MAX queries used to overshoot to
+    # m+1 via clamped out-of-bounds probes
+    from tpu_qe.bits import U64
+    from tpu_qe.ops.join import searchsorted_u64
+
+    M = (1 << 64) - 1
+    r = np.array([1, 2, M, M], dtype=np.uint64)
+    q = np.array([M, 0, 2, 3], dtype=np.uint64)
+    for side in ("left", "right"):
+        got = np.asarray(searchsorted_u64(U64.from_numpy(r),
+                                          U64.from_numpy(q), side=side))
+        np.testing.assert_array_equal(got, np.searchsorted(r, q, side),
+                                      err_msg=side)

@@ -147,7 +147,10 @@ def main(argv=None) -> int:
     pv.add_argument("--vertices", type=int, default=1000)
     pv.add_argument("--triangles", type=int, default=3000)
     pv.add_argument("--seed", type=int, default=7)
-    pv.add_argument("--backend", type=str, default="xla")
+    pv.add_argument("--backend", type=str, default="xla_tiebreak",
+                    help="sort backend; the pipeline payload is the unique "
+                         "triangle index, so xla_tiebreak is bit-identical "
+                         "to xla and faster")
     pv.add_argument("--bits-per-pass", type=int, default=8)
     pv.add_argument("--num-passes", type=int, default=8,
                     help="e.g. --bits-per-pass 6 --num-passes 11 for the "

@@ -106,6 +106,8 @@ def distributed_join_fk(lkey: U64, left_cols: tuple, rkey: U64,
     n_dev = mesh.shape[AXIS]
     n_l, n_r = lkey.lo.shape[0], rkey.lo.shape[0]
     assert n_l % n_dev == 0 and n_r % n_dev == 0
+    # global left indices travel as u32
+    assert n_l < (1 << 32), n_l
     # Splitters balance the UNION of both key distributions, so the side
     # with less mass can legitimately concentrate (e.g. a small dimension
     # table whose key range covers a fraction of the union quantiles) —
@@ -167,7 +169,15 @@ def distributed_join_fk_numpy(lkeys, lvals, rkeys, rvals, mesh, **kw):
 # distributed GROUP BY aggregate
 # --------------------------------------------------------------------------
 
-_NEUTRAL = {"count": 0, "sum": 0, "min": 0xFFFFFFFF, "max": 0}
+def _neutral(agg: str, dtype) -> jnp.ndarray:
+    """Padding-slot value whose contribution is a no-op for the combine,
+    as a u32 bit pattern (exchange columns are u32)."""
+    if dtype == jnp.float32:
+        v = {"count": 0.0, "sum": 0.0, "min": float("inf"),
+             "max": float("-inf")}[agg]
+        return jnp.float32(v).view(jnp.uint32)
+    return jnp.uint32({"count": 0, "sum": 0, "min": 0xFFFFFFFF,
+                       "max": 0}[agg])
 
 
 def _dagg_shard(lo, hi, val, *, n_dev, samples_per_dev, capacity,
@@ -186,10 +196,15 @@ def _dagg_shard(lo, hi, val, *, n_dev, samples_per_dev, capacity,
     is_real = idx < part.num_groups
     klo = jnp.where(is_real, part.key.lo, _ONES)
     khi = jnp.where(is_real, part.key.hi, _ONES)
+    # per-agg value dtypes (count is always u32; sum/min/max follow val)
+    dtypes = {a: (jnp.uint32 if a == "count" else val.dtype)
+              for a in inner_aggs}
     partials = []
     for a in inner_aggs:
-        neutral = jnp.uint32(_NEUTRAL[a])
-        partials.append(jnp.where(is_real, part.aggs[a], neutral))
+        col = part.aggs[a]
+        neutral = _neutral(a, dtypes[a])
+        bits = col.view(jnp.uint32) if col.dtype != jnp.uint32 else col
+        partials.append(jnp.where(is_real, bits, neutral))
     del n_local
 
     # Phase 2: shuffle partial groups by key. Padding slots carry neutral
@@ -210,24 +225,57 @@ def _dagg_shard(lo, hi, val, *, n_dev, samples_per_dev, capacity,
     dest = route_by_splitters(klo, khi, sp_lo, sp_hi)
     dest = jnp.where(is_real, dest,
                      (idx % jnp.uint32(n_dev)).astype(jnp.uint32))
-    pads = [_ONES, _ONES] + [jnp.uint32(_NEUTRAL[a]) for a in inner_aggs]
+    pads = [_ONES, _ONES] + [_neutral(a, dtypes[a]) for a in inner_aggs]
     recv, _, _, overflow = exchange(dest, [klo, khi] + partials, pads,
                                     n_dev, capacity)
 
-    # Phase 3: combine received partials per key. count/sum combine by sum;
-    # min/max by min/max.
+    # Phase 3: combine received partials per key with ONE key sort shared
+    # across all agg columns (count/sum combine by cumsum differences at
+    # group ends; min/max by an inclusive segmented scan read at ends),
+    # then one packed-position compaction — two sorts total instead of two
+    # per agg.
+    from tpu_qe.ops.aggregate import _shift_right_one, segmented_reduce
+
     rklo, rkhi = recv[0], recv[1]
-    out_key = None
-    out_aggs = []
-    num_groups = None
-    for a, col in zip(inner_aggs, recv[2:]):
-        combine = {"count": ("sum",), "sum": ("sum",), "min": ("min",),
-                   "max": ("max",)}[a]
-        r = group_aggregate(U64(rklo, rkhi), col, aggs=combine)
-        out_key, num_groups = r.key, r.num_groups
-        out_aggs.append(r.aggs[combine[0]])
-    return (out_key.lo, out_key.hi, *out_aggs,
-            num_groups.reshape(1).astype(jnp.uint32), overflow.reshape(1))
+    m = rklo.shape[0]
+    assert m < (1 << 31), m
+    res = jax.lax.sort([rkhi, rklo] + list(recv[2:]), num_keys=2,
+                       is_stable=False)
+    skhi, sklo = res[0], res[1]
+    scols = list(res[2:])
+    pos = jnp.arange(m, dtype=jnp.uint32)
+    is_new = ((pos == 0) | (sklo != _shift_right_one(sklo, 0))
+              | (skhi != _shift_right_one(skhi, 0)))
+    is_end = jnp.concatenate([is_new[1:], jnp.ones((1,), bool)])
+    num_groups_all = jnp.sum(is_end.astype(jnp.uint32))
+
+    reduced = []
+    for a, col in zip(inner_aggs, scols):
+        dt = dtypes[a]
+        v = col.view(dt) if dt != jnp.uint32 else col
+        if a in ("count", "sum"):
+            # inclusive per-segment running sum via associative scan
+            # (exact for u32 wraparound; floats accept running-sum
+            # rounding like the local operator)
+            def comb(x, y):
+                fx, vx = x
+                fy, vy = y
+                return fy | fx, jnp.where(fy, vy, vx + vy)
+            _, run_sum = jax.lax.associative_scan(comb, (is_new, v))
+            reduced.append(run_sum)
+        else:
+            reduced.append(segmented_reduce(v, is_new, a))
+
+    # compact group-end rows to the front (keep/drop packed over position)
+    packed = jnp.where(is_end, pos, pos | jnp.uint32(1 << 31))
+    ops2 = [packed, sklo, skhi] + [
+        (r.view(jnp.uint32) if r.dtype != jnp.uint32 else r)
+        for r in reduced]
+    res2 = jax.lax.sort(ops2, num_keys=1, is_stable=False)
+    out_lo, out_hi = res2[1], res2[2]
+    out_aggs = list(res2[3:])
+    return (out_lo, out_hi, *out_aggs,
+            num_groups_all.reshape(1), overflow.reshape(1))
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "samples_per_dev",
@@ -262,25 +310,41 @@ def distributed_aggregate(key: U64, value: jnp.ndarray, mesh: Mesh,
 
 def distributed_aggregate_numpy(keys, values, mesh, aggs=("count", "sum"),
                                 **kw):
-    """Host wrapper: returns {key -> {agg -> value}} over all shards."""
+    """Host wrapper: returns {key -> {agg -> value}} over all shards.
+
+    Value dtype is preserved: uint32/int32 aggregate in u32 wraparound
+    arithmetic; float32 values aggregate as floats.
+    """
     sh = NamedSharding(mesh, P(AXIS))
     u = U64.from_numpy(keys)
     key = U64(jax.device_put(u.lo, sh), jax.device_put(u.hi, sh))
-    val = jax.device_put(jnp.asarray(values, dtype=jnp.uint32), sh)
+    values = np.asarray(values)
+    if values.dtype == np.float32:
+        val = jax.device_put(jnp.asarray(values), sh)
+    else:
+        val = jax.device_put(jnp.asarray(values.astype(np.uint32)), sh)
     res = distributed_aggregate(key, val, mesh=mesh, aggs=tuple(aggs), **kw)
     if int(np.asarray(res[-1]).max()):
         raise RuntimeError("exchange capacity overflow; raise capacity_factor")
     n_dev = mesh.shape[AXIS]
     klo = np.asarray(res[0]).reshape(n_dev, -1)
     khi = np.asarray(res[1]).reshape(n_dev, -1)
-    cols = [np.asarray(c).reshape(n_dev, -1) for c in res[2:-2]]
     inner = tuple(aggs) if "count" in aggs else tuple(aggs) + ("count",)
+    is_f32 = values.dtype == np.float32
+    cols = []
+    for a, c in zip(inner, res[2:-2]):
+        c = np.asarray(c).reshape(n_dev, -1)
+        if is_f32 and a != "count":
+            c = c.view(np.float32)
+        cols.append(c)
     ng = np.asarray(res[-2]).reshape(n_dev)
     out = {}
     for d in range(n_dev):
         for i in range(int(ng[d])):
             k = int(klo[d, i]) | (int(khi[d, i]) << 32)
-            row = {a: int(c[d, i]) for a, c in zip(inner, cols)}
+            row = {a: (float(c[d, i]) if is_f32 and a != "count"
+                       else int(c[d, i]))
+                   for a, c in zip(inner, cols)}
             if row["count"] == 0:
                 continue  # purely-padding group
             out[k] = {a: row[a] for a in aggs}

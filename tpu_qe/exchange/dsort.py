@@ -129,6 +129,8 @@ def distributed_sort(key: U64, *payloads: jnp.ndarray, mesh: Mesh,
                 jnp.zeros((1,), jnp.uint32))
     capacity = int(np.ceil(capacity_factor * n_local / n_dev))
     capacity = max(capacity, 16)
+    # the local sort packs the pad flag into bit 31 over the arrival index
+    assert n_dev * capacity < (1 << 31), (n_dev, capacity)
 
     spec = P(AXIS)
     out_specs = tuple([spec] * (2 + len(payloads))) + (spec, spec)

@@ -51,6 +51,27 @@ def _shift_right_one(x: jnp.ndarray, fill) -> jnp.ndarray:
     return jnp.concatenate([jnp.full((1,), fill, dtype=x.dtype), x[:-1]])
 
 
+def segmented_reduce(values: jnp.ndarray, is_new: jnp.ndarray,
+                     kind: str) -> jnp.ndarray:
+    """Inclusive per-segment running reduction (scan with segment reset).
+
+    At each row: the reduction of its segment's values up to and including
+    itself — so reading at segment-END rows yields the full per-segment
+    reduction. kind in {"min", "max"}; sums use cumsum differences instead
+    (cheaper). Implemented with jax.lax.associative_scan over
+    (segment-start flag, value) pairs.
+    """
+    op = jnp.minimum if kind == "min" else jnp.maximum
+
+    def combine(a, b):
+        fa, va = a
+        fb, vb = b
+        return fb | fa, jnp.where(fb, vb, op(va, vb))
+
+    _, out = jax.lax.associative_scan(combine, (is_new, values))
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("aggs",))
 def group_aggregate(key: U64, value: jnp.ndarray | None = None,
                     aggs: Sequence[str] = ("count",),

@@ -53,10 +53,15 @@ def searchsorted_u64(sorted_key: U64, query: U64, side: str = "left"):
 
     def body(_, carry):
         lo_b, hi_b = carry
+        # once the bracket closes (lo==hi) further iterations must be
+        # no-ops: mid would equal hi (possibly m, out of bounds — clamped
+        # gathers then read s[m-1] and an all-ones query advances lo past
+        # m, returning m+1)
+        done = lo_b >= hi_b
         mid = (lo_b + hi_b) // 2
-        go_right = probe_less(mid)
+        go_right = probe_less(mid) & ~done
         return (jnp.where(go_right, mid + 1, lo_b),
-                jnp.where(go_right, hi_b, mid))
+                jnp.where(go_right | done, hi_b, mid))
 
     lo_b, hi_b = jax.lax.fori_loop(0, steps, body, (lo_b, hi_b))
     return lo_b

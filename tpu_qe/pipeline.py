@@ -47,9 +47,14 @@ def sorted_morton_index(verts: jnp.ndarray, tris: jnp.ndarray,
 
 def build_scene_index(scene: SceneConfig | None = None,
                       sort: SortConfig | None = None) -> MortonIndex:
-    """Generate the seeded reference scene and build its sorted index."""
+    """Generate the seeded reference scene and build its sorted index.
+
+    When no sort config is given, the pipeline defaults to the tiebreak
+    backend (the payload is the unique triangle index, so the result is
+    bit-identical to the stable sort).
+    """
     scene = scene or SceneConfig()
-    sort = sort or SortConfig()
+    sort = sort or SortConfig(backend="xla_tiebreak")
     verts, tris, smin, smax = native.scene_generate(
         scene.num_vertices, scene.num_triangles, scene.seed)
     params = morton.MortonParams.for_scene(smin, smax)
