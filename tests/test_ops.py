@@ -420,3 +420,18 @@ def test_searchsorted_all_ones_query_right_side():
                                           U64.from_numpy(q), side=side))
         np.testing.assert_array_equal(got, np.searchsorted(r, q, side),
                                       err_msg=side)
+
+
+def test_empty_inputs():
+    from tpu_qe.bits import U64
+    from tpu_qe.ops.aggregate import group_aggregate
+    from tpu_qe.sort import sort_u64_numpy
+
+    assert sort_u64_numpy(np.array([], dtype=np.uint64)).shape == (0,)
+    g = group_aggregate(U64.from_numpy(np.array([], dtype=np.uint64)),
+                        jnp.array([], dtype=jnp.uint32),
+                        aggs=("count", "sum"))
+    assert int(g.num_groups) == 0
+    t = Table.from_numpy({"k": np.array([], dtype=np.uint32)})
+    ft, cnt = t.filter(lambda tb: tb["k"] > 0)
+    assert int(cnt) == 0

@@ -125,6 +125,13 @@ def group_aggregate(key: U64, value: jnp.ndarray | None = None,
         sval = jnp.where(was_positive, b ^ jnp.uint32(0x80000000), ~b).view(
             jnp.float32)
 
+    if n == 0:
+        empty32 = jnp.zeros(0, jnp.uint32)
+        return GroupResult(
+            U64(empty32, empty32),
+            {a: jnp.zeros(0, jnp.uint32 if a == "count" or value is None
+                          else value.dtype) for a in aggs},
+            jnp.uint32(0))
     prev_lo = _shift_right_one(slo, 0)
     prev_hi = _shift_right_one(shi, 0)
     idx = jnp.arange(n, dtype=jnp.uint32)
