@@ -198,3 +198,19 @@ class TestTiebreakBackend:
                                 key_bits=24)
         np.testing.assert_array_equal(k1, k2)
         np.testing.assert_array_equal(p1, p2)
+
+
+class TestMxuRankKernel:
+    @pytest.mark.parametrize("nb,block,shift",
+                             [(2, 1024, 0), (1, 2048, 24), (3, 1024, 56)])
+    def test_matches_vpu_kernel(self, nb, block, shift):
+        from tpu_qe.kernels.rank_mxu import block_rank_and_histogram_mxu
+
+        rng = np.random.default_rng(nb * 100 + shift)
+        lo = rng.integers(0, 1 << 32, (nb, block), dtype=np.uint32)
+        hi = rng.integers(0, 1 << 32, (nb, block), dtype=np.uint32)
+        r1, h1 = block_rank_and_histogram(lo.reshape(nb, block),
+                                          hi.reshape(nb, block), shift, 8)
+        r2, h2 = block_rank_and_histogram_mxu(lo, hi, shift)
+        np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+        np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
