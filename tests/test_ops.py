@@ -435,3 +435,55 @@ def test_empty_inputs():
     t = Table.from_numpy({"k": np.array([], dtype=np.uint32)})
     ft, cnt = t.filter(lambda tb: tb["k"] > 0)
     assert int(cnt) == 0
+
+
+class TestMultiAggregate:
+    def test_multi_column_vs_single(self):
+        from tpu_qe.bits import U64
+        from tpu_qe.ops.aggregate import group_aggregate, group_aggregate_multi
+
+        rng = np.random.default_rng(17)
+        n = 4000
+        keys = rng.integers(0, 30, n).astype(np.uint64) * np.uint64(31)
+        a = rng.integers(0, 1000, n, dtype=np.uint32)
+        b = rng.standard_normal(n).astype(np.float32)
+
+        k = U64.from_numpy(keys)
+        m = group_aggregate_multi(
+            k, {"a": jnp.asarray(a), "b": jnp.asarray(b)},
+            {"a": ("count", "sum", "min", "max"), "b": ("min", "max")})
+        ra = group_aggregate(k, jnp.asarray(a),
+                             aggs=("count", "sum", "min", "max"))
+        rb = group_aggregate(k, jnp.asarray(b), aggs=("min", "max"))
+        ng = int(m.num_groups)
+        assert ng == int(ra.num_groups) == int(rb.num_groups)
+        np.testing.assert_array_equal(m.key.to_numpy()[:ng],
+                                      ra.key.to_numpy()[:ng])
+        for agg in ("count", "sum", "min", "max"):
+            np.testing.assert_array_equal(np.asarray(m.aggs[f"a_{agg}"])[:ng],
+                                          np.asarray(ra.aggs[agg])[:ng])
+        for agg in ("min", "max"):
+            np.testing.assert_array_equal(np.asarray(m.aggs[f"b_{agg}"])[:ng],
+                                          np.asarray(rb.aggs[agg])[:ng])
+
+    def test_multi_with_valid_mask(self):
+        from tpu_qe.bits import U64
+        from tpu_qe.ops.aggregate import group_aggregate, group_aggregate_multi
+
+        rng = np.random.default_rng(18)
+        n = 2000
+        keys = rng.integers(0, 10, n).astype(np.uint64)
+        a = rng.integers(0, 100, n, dtype=np.uint32)
+        mask = a % 2 == 0
+        m = group_aggregate_multi(U64.from_numpy(keys),
+                                  {"a": jnp.asarray(a)},
+                                  {"a": ("count", "min")},
+                                  valid=jnp.asarray(mask))
+        ref = group_aggregate(U64.from_numpy(keys[mask]),
+                              jnp.asarray(a[mask]), aggs=("count", "min"))
+        ng = int(m.num_groups)
+        assert ng == int(ref.num_groups)
+        np.testing.assert_array_equal(np.asarray(m.aggs["a_count"])[:ng],
+                                      np.asarray(ref.aggs["count"])[:ng])
+        np.testing.assert_array_equal(np.asarray(m.aggs["a_min"])[:ng],
+                                      np.asarray(ref.aggs["min"])[:ng])

@@ -190,3 +190,125 @@ def group_aggregate(key: U64, value: jnp.ndarray | None = None,
         # replaces the second full compaction this used to cost.
         out["min"] = jnp.take(sval, prev_pos)
     return GroupResult(U64(klo, khi), out, num_groups)
+
+
+class MultiGroupResult(NamedTuple):
+    """Padded multi-column GROUP BY result."""
+
+    key: U64                 # unique group keys, ascending
+    aggs: dict               # "column_agg" -> array (padded like key)
+    num_groups: jnp.ndarray  # scalar
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def _group_aggregate_multi(key: U64, cols: tuple, spec: tuple,
+                           valid: jnp.ndarray | None):
+    n = key.lo.shape[0]
+    names = [s[0] for s in spec]
+    per_col_aggs = {s[0]: s[1] for s in spec}
+    dtypes = {nm: c.dtype for nm, c in zip(names, cols)}
+
+    operands = []
+    if valid is not None:
+        operands.append(jnp.where(valid, jnp.uint32(0), jnp.uint32(1)))
+    operands += [key.hi, key.lo]
+    num_keys = len(operands)
+    operands += [c.view(jnp.uint32) if c.dtype != jnp.uint32 else c
+                 for c in cols]
+    res = jax.lax.sort(operands, num_keys=num_keys, is_stable=False)
+    if valid is not None:
+        sinvalid = res[0] > 0
+        res = res[1:]
+    else:
+        sinvalid = None
+    shi, slo = res[0], res[1]
+    scols = {nm: (c.view(dtypes[nm]) if dtypes[nm] != jnp.uint32 else c)
+             for nm, c in zip(names, res[2:])}
+
+    if n == 0:
+        empty32 = jnp.zeros(0, jnp.uint32)
+        out = {}
+        for nm in names:
+            for a in per_col_aggs[nm]:
+                dt = jnp.uint32 if a == "count" else dtypes[nm]
+                out[f"{nm}_{a}"] = jnp.zeros(0, dt)
+        return MultiGroupResult(U64(empty32, empty32), out, jnp.uint32(0))
+
+    idx = jnp.arange(n, dtype=jnp.uint32)
+    is_new = ((idx == 0) | (slo != _shift_right_one(slo, 0))
+              | (shi != _shift_right_one(shi, 0)))
+    if sinvalid is not None:
+        is_new = is_new & ~sinvalid
+        boundary = is_new | sinvalid
+        is_end = ~sinvalid & jnp.concatenate(
+            [boundary[1:], jnp.ones((1,), dtype=bool)])
+    else:
+        is_end = jnp.concatenate([is_new[1:], jnp.ones((1,), dtype=bool)])
+
+    # inclusive per-segment reductions in stream order (value columns are
+    # NOT sort keys here — segmented scans handle min/max directly)
+    reduced = {}
+    pos1 = idx + 1
+    for nm in names:
+        v = scols[nm]
+        for a in per_col_aggs[nm]:
+            if a == "count":
+                reduced[f"{nm}_{a}"] = pos1  # diffed after compaction
+            elif a == "sum":
+                reduced[f"{nm}_{a}"] = jnp.cumsum(v, dtype=v.dtype)
+            else:
+                reduced[f"{nm}_{a}"] = segmented_reduce(v, is_new, a)
+
+    assert n < (1 << 31), n
+    packed = jnp.where(is_end, pos1, pos1 | jnp.uint32(1 << 31))
+    ops2 = [packed, slo, shi] + [
+        (r.view(jnp.uint32) if r.dtype != jnp.uint32 else r)
+        for r in reduced.values()]
+    res2 = jax.lax.sort(ops2, num_keys=1, is_stable=False)
+    pos_end = res2[0] & jnp.uint32(0x7FFFFFFF)
+    klo, khi = res2[1], res2[2]
+    num_groups = jnp.sum(is_end.astype(jnp.uint32))
+    prev_pos = _shift_right_one(pos_end, 0)
+
+    out = {}
+    for (name, r_in), r_sorted in zip(reduced.items(), res2[3:]):
+        nm, a = name.rsplit("_", 1)
+        dt = jnp.uint32 if a == "count" else dtypes[nm]
+        rv = r_sorted.view(dt) if dt != jnp.uint32 else r_sorted
+        if a == "count":
+            out[name] = pos_end - prev_pos
+        elif a == "sum":
+            prev = _shift_right_one(rv, jnp.zeros((), dt))
+            out[name] = rv - prev
+        else:
+            out[name] = rv
+    return MultiGroupResult(U64(klo, khi), out, num_groups)
+
+
+def group_aggregate_multi(key: U64, values: dict, aggs: dict,
+                          valid: jnp.ndarray | None = None
+                          ) -> MultiGroupResult:
+    """Multi-column GROUP BY: one key sort shared across all aggregations.
+
+    SQL shape: SELECT count(*), sum(a), min(b), max(b) ... GROUP BY key.
+    Unlike group_aggregate, value columns are payloads rather than sort
+    keys — per-run min/max come from segmented scans (segmented_reduce),
+    so any number of (column, agg) pairs share one sort + one compaction.
+
+    Args:
+      key: (n,) u64 group keys.
+      values: {column_name: (n,) uint32/int32/float32 array}.
+      aggs: {column_name: tuple of "count"/"sum"/"min"/"max"}.
+      valid: optional bool row mask (fused filter, see group_aggregate).
+    Returns:
+      MultiGroupResult; aggs dict keyed "column_agg". Note float sums use
+      a running-cumsum difference (same rounding caveat as group_aggregate).
+    """
+    names = tuple(sorted(values))
+    for nm in names:
+        for a in aggs.get(nm, ()):
+            if a not in _VALID_AGGS:
+                raise ValueError(f"unknown agg {a!r} for column {nm!r}")
+    spec = tuple((nm, tuple(aggs[nm])) for nm in names if nm in aggs)
+    cols = tuple(values[nm] for nm, _ in spec)
+    return _group_aggregate_multi(key, cols, spec, valid)
