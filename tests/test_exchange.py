@@ -84,3 +84,43 @@ def test_single_device_mesh_fast_path():
     order = np.argsort(keys, kind="stable")
     np.testing.assert_array_equal(k, keys[order])
     np.testing.assert_array_equal(p, order.astype(np.uint32))
+
+
+def test_all_equal_keys_split_across_devices(n_dev=8):
+    # heavy-key splitting: position splitters route an all-equal dataset
+    # identically (source s -> dest s: zero data movement, balanced
+    # totals), so every device ends with n/D rows instead of one device
+    # receiving everything. The per-(src,dst) capacity model still prices
+    # the fat identity pair at n_local, hence capacity_factor=n_dev.
+    mesh = _mesh(n_dev)
+    keys = np.full(1 << 12, 777, dtype=np.uint64)
+    payload = np.arange(len(keys), dtype=np.uint32)
+    k, p = distributed_sort_numpy(keys, payload, mesh,
+                                  capacity_factor=float(n_dev))
+    np.testing.assert_array_equal(k, keys)
+    np.testing.assert_array_equal(p, payload)  # stability across the split
+
+    # balance check: every device holds exactly n/D real rows
+    from tpu_qe.bits import U64
+    from tpu_qe.exchange import distributed_sort
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    u = U64.from_numpy(keys)
+    sh = NamedSharding(mesh, P("x"))
+    key = U64(jax.device_put(u.lo, sh), jax.device_put(u.hi, sh))
+    res, _ = distributed_sort(key, mesh=mesh, capacity_factor=float(n_dev))
+    valid = np.asarray(res.valid).reshape(n_dev)
+    expect = len(keys) // n_dev
+    assert (np.abs(valid.astype(np.int64) - expect) <= 2).all(), valid
+
+
+def test_zipf_low_capacity(n_dev=8):
+    mesh = _mesh(n_dev)
+    rng = np.random.default_rng(11)
+    ranks = rng.zipf(1.2, size=1 << 13).astype(np.uint64)
+    keys = ranks * np.uint64(0x9E3779B97F4A7C15)
+    payload = np.arange(len(keys), dtype=np.uint32)
+    k, p = distributed_sort_numpy(keys, payload, mesh, capacity_factor=2.0)
+    order = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(k, keys[order])
+    np.testing.assert_array_equal(p, order.astype(np.uint32))

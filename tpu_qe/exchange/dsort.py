@@ -46,8 +46,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from tpu_qe.bits import U64
-from tpu_qe.exchange.shuffle import (AXIS, exchange, route_by_splitters,
-                                     sample_splitters)
+from tpu_qe.exchange.shuffle import (AXIS, exchange,
+                                     route_by_splitters_pos,
+                                     sample_splitters_pos)
 
 _ONES = jnp.uint32(0xFFFFFFFF)
 
@@ -77,8 +78,15 @@ class DistSortResult(NamedTuple):
 def _dsort_shard(lo, hi, *payloads, n_dev: int, samples_per_dev: int,
                  capacity: int):
     """Per-shard body (runs under shard_map; axis name AXIS)."""
-    sp_lo, sp_hi = sample_splitters(lo, hi, n_dev, samples_per_dev)
-    dest = route_by_splitters(lo, hi, sp_lo, sp_hi)
+    # (key, global position) splitters: hot keys split across devices with
+    # stability (see shuffle.sample_splitters_pos). Per-source positions
+    # are contiguous, so rank-ordered receive == position order.
+    n_local = lo.shape[0]
+    my = jax.lax.axis_index(AXIS).astype(jnp.uint32)
+    gpos = my * jnp.uint32(n_local) + jnp.arange(n_local, dtype=jnp.uint32)
+    sp_lo, sp_hi, sp_pos = sample_splitters_pos(lo, hi, gpos, n_dev,
+                                                samples_per_dev)
+    dest = route_by_splitters_pos(lo, hi, gpos, sp_lo, sp_hi, sp_pos)
 
     cols = [lo, hi] + list(payloads)
     pads = [_ONES, _ONES] + [jnp.uint32(0)] * len(payloads)
@@ -118,6 +126,7 @@ def distributed_sort(key: U64, *payloads: jnp.ndarray, mesh: Mesh,
     n_dev = mesh.shape[AXIS]
     n = key.lo.shape[0]
     assert n % n_dev == 0, (n, n_dev)
+    assert n < (1 << 32), n  # global positions travel as u32
     n_local = n // n_dev
     if n_dev == 1:
         # degenerate mesh: no exchange needed — one local stable sort

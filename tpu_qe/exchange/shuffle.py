@@ -56,6 +56,39 @@ def route_by_splitters(lo, hi, sp_lo, sp_hi):
     return jnp.sum(gt.astype(jnp.uint32), axis=0)
 
 
+def sample_splitters_pos(lo, hi, pos, n_dev: int, samples_per_dev: int,
+                         axis: str = AXIS):
+    """(key, position) splitters — heavy-key splitting with stability.
+
+    Routing on bare keys cannot balance a single hot key (all duplicates
+    share one destination; worst case needs capacity_factor = n_dev). With
+    the global position appended as the least-significant key, quantiles
+    fall WITHIN runs of equal keys, splitting any hot key across devices;
+    global order is preserved because duplicates are position-ordered
+    across the device range, and per-source positions are contiguous so
+    source-rank receive order equals position order (stability).
+    """
+    n_local = lo.shape[0]
+    stride = max(n_local // samples_per_dev, 1)
+    idx = (jnp.arange(samples_per_dev) * stride) % n_local
+    g_lo = jax.lax.all_gather(lo[idx], axis).reshape(-1)
+    g_hi = jax.lax.all_gather(hi[idx], axis).reshape(-1)
+    g_pos = jax.lax.all_gather(pos[idx], axis).reshape(-1)
+    g_hi, g_lo, g_pos = jax.lax.sort([g_hi, g_lo, g_pos], num_keys=3,
+                                     is_stable=False)
+    total = n_dev * samples_per_dev
+    sp_idx = (jnp.arange(1, n_dev) * total) // n_dev
+    return g_lo[sp_idx], g_hi[sp_idx], g_pos[sp_idx]
+
+
+def route_by_splitters_pos(lo, hi, pos, sp_lo, sp_hi, sp_pos):
+    """dest = number of (key, position) splitters strictly below the row."""
+    k_gt = cmp_gt(lo[None, :], hi[None, :], sp_lo[:, None], sp_hi[:, None])
+    k_eq = (lo[None, :] == sp_lo[:, None]) & (hi[None, :] == sp_hi[:, None])
+    gt = k_gt | (k_eq & (pos[None, :] > sp_pos[:, None]))
+    return jnp.sum(gt.astype(jnp.uint32), axis=0)
+
+
 def exchange(dest, cols, pad_values, n_dev: int, capacity: int,
              axis: str = AXIS):
     """Move rows to their dest device via a padded all_to_all.
