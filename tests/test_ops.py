@@ -487,3 +487,23 @@ class TestMultiAggregate:
                                       np.asarray(ref.aggs["count"])[:ng])
         np.testing.assert_array_equal(np.asarray(m.aggs["a_min"])[:ng],
                                       np.asarray(ref.aggs["min"])[:ng])
+
+
+def test_table_group_by_multi():
+    rng = np.random.default_rng(23)
+    n = 1000
+    t = Table.from_numpy({
+        "key": rng.integers(0, 9, n).astype(np.uint64),
+        "a": rng.integers(0, 50, n, dtype=np.uint32),
+        "b": rng.standard_normal(n).astype(np.float32),
+    })
+    m = t.group_by_multi("key", {"a": ("sum",), "b": ("max",)})
+    ng = int(m.num_groups)
+    keys = t["key"].to_numpy()
+    a = np.asarray(t["a"])
+    b = np.asarray(t["b"])
+    for i in range(ng):
+        k = m.key.to_numpy()[i]
+        sel = keys == k
+        assert int(np.asarray(m.aggs["a_sum"])[i]) == a[sel].sum() % (1 << 32)
+        assert float(np.asarray(m.aggs["b_max"])[i]) == b[sel].max()
