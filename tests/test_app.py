@@ -135,3 +135,30 @@ def test_bench_kernels_smoke(capsys):
     import json
     rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     assert len(rows) == 6
+
+
+def test_table_pytree_map_safe():
+    # regression: tree_unflatten ran the validating __init__, so any
+    # jax.tree.map over a Table with scalar/placeholder leaves crashed
+    import jax
+    t = Table_for_pytree()
+    sums = jax.tree.map(lambda x: x.sum(), t)
+    assert set(sums._cols) == {"k", "v"}
+    ones = jax.tree.map(lambda x: 1.0, t)
+    assert ones._cols["v"] == 1.0
+
+
+def Table_for_pytree():
+    from tpu_qe.table import Table
+    return Table.from_numpy({
+        "k": np.arange(4, dtype=np.uint32),
+        "v": np.ones(4, dtype=np.float32)})
+
+
+def test_checkpoint_rejects_reserved_column_names(tmp_path):
+    import pytest
+    from tpu_qe.table import Table
+    from tpu_qe.utils.checkpoint import save_table_npz
+    t = Table.from_numpy({"x@hi": np.ones(3, dtype=np.float32)})
+    with pytest.raises(ValueError, match="reserved"):
+        save_table_npz(t, str(tmp_path / "t.npz"))

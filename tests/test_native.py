@@ -177,3 +177,9 @@ class TestPipelineOracle:
         assert (np.diff(codes.astype(np.uint64)).astype(np.int64) >= 0).all()
         # permutation of all triangle ids
         assert np.array_equal(np.sort(idx), np.arange(3000))
+
+
+def test_scene_generate_rejects_zero_vertices():
+    import pytest
+    with pytest.raises(ValueError, match="num_vertices"):
+        native.scene_generate(0, 5, 7)

@@ -214,3 +214,17 @@ class TestMxuRankKernel:
         r2, h2 = block_rank_and_histogram_mxu(lo, hi, shift)
         np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
         np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+
+
+def test_mxu_rank_skewed_digits():
+    """Regression: bf16 prefix cast corrupted ranks once any digit's
+    running count exceeded 256 (e.g. heavy-key blocks)."""
+    from tpu_qe.kernels.rank_mxu import block_rank_and_histogram_mxu
+
+    rng = np.random.default_rng(5)
+    lo = rng.integers(0, 2, (1, 2048)).astype(np.uint32)  # digits {0,1}
+    hi = np.zeros((1, 2048), dtype=np.uint32)
+    r1, h1 = block_rank_and_histogram(lo, hi, 0, 8)
+    r2, h2 = block_rank_and_histogram_mxu(lo, hi, 0)
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))

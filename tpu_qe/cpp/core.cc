@@ -113,6 +113,7 @@ struct ChaCha8 {
 
   // rand 0.8 UniformInt<u32>::new(0, n) widening-multiply rejection sampling.
   uint32_t next_uniform_u32(uint32_t n) {
+    if (n == 0) return 0;  // guard: % 0 is SIGFPE (kills the process)
     uint64_t range = n;
     uint64_t ints_to_reject = (0xFFFFFFFFull - range + 1) % range;
     uint64_t zone = 0xFFFFFFFFull - ints_to_reject;

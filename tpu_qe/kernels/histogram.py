@@ -37,16 +37,11 @@ SUBLANES = 8
 
 def _extract_digit(lo: jnp.ndarray, hi: jnp.ndarray, shift: int,
                    bits: int) -> jnp.ndarray:
-    """Digit from (lo, hi) u32 key words (generalized select_digit_8,
-    /root/reference/src/tests.rs:17-24)."""
-    mask = jnp.uint32((1 << bits) - 1)
-    if shift + bits <= 32:
-        d = (lo >> shift) if shift else lo
-    elif shift >= 32:
-        d = (hi >> (shift - 32)) if shift > 32 else hi
-    else:
-        d = (lo >> shift) | (hi << (32 - shift))
-    return d & mask
+    """Digit from (lo, hi) u32 key words — delegates to the single
+    implementation in tpu_qe.bits (pure jnp, Pallas-safe), so kernel digits
+    can never drift from driver digits."""
+    from tpu_qe.bits import select_digit
+    return select_digit(lo, hi, shift, bits)
 
 
 def _cumsum(x: jnp.ndarray, axis: int) -> jnp.ndarray:

@@ -83,9 +83,13 @@ def _rank_kernel(lo_ref, hi_ref, rank_ref, hist_ref, *, shift: int):
             excl_rows.append(excl_rows[-1] + h[k - 1])
         excl = jnp.stack(excl_rows, axis=0)                  # (G, 16, 16)
 
-        # base[e] = EXCL[row, d_hi[e], d_lo[e]] via dual matmul
+        # base[e] = EXCL[row, d_hi[e], d_lo[e]] via dual matmul. EXCL holds
+        # prefix COUNTS (up to the block size): it must stay f32 — a bf16
+        # cast is exact only up to 256 and silently corrupted ranks for
+        # skewed digit distributions (f32 matmul on the MXU is exact for
+        # counts < 2^24, enforced by the block-size assert).
         t1 = jax.lax.dot_general(
-            oh_hi, excl.astype(jnp.bfloat16), dimension_numbers=dn_mix,
+            oh_hi.astype(jnp.float32), excl, dimension_numbers=dn_mix,
             preferred_element_type=jnp.float32)              # (G, 128, 16l)
         base = jnp.sum(t1 * oh_lo.astype(jnp.float32), axis=2)
 

@@ -26,9 +26,10 @@ _lib = None
 # (/root/reference/src/main.rs:183,189).
 LUT_U32_LEN = 4608
 SIZE_LUT_U32_LEN = 8192
-COORD_BITS = 20
-SIZE_BITS = 4
-SIZE_INDEX_BITS = 12
+# Morton bit layout: single source of truth is tpu_qe/constants.py
+# (mirrored by tpu_qe/cpp/core.cc).
+from tpu_qe.constants import (COORD_BITS, SIZE_BITS,  # noqa: E402,F401
+                              SIZE_INDEX_BITS)
 
 
 def _build() -> None:
@@ -111,6 +112,10 @@ def scene_generate(num_vertices: int, num_triangles: int, seed: int):
 
     Returns (vertices (V,3) f32, triangles (T,3) u32, scene_min, scene_max).
     """
+    if num_vertices <= 0 or num_triangles < 0:
+        raise ValueError(
+            f"need num_vertices >= 1 (got {num_vertices}) and "
+            f"num_triangles >= 0 (got {num_triangles})")
     lib = _load()
     verts = np.empty((num_vertices, 3), dtype=np.float32)
     tris = np.empty((num_triangles, 3), dtype=np.uint32)

@@ -43,7 +43,11 @@ class Table:
 
     @classmethod
     def tree_unflatten(cls, names, cols):
-        return cls(dict(zip(names, cols)))
+        # JAX rebuilds pytrees with arbitrary placeholder leaves (tracers,
+        # scalars, None) — the validating __init__ must not run here.
+        obj = object.__new__(cls)
+        obj._cols = dict(zip(names, cols))
+        return obj
 
     # -- basic access ---------------------------------------------------------
     @property

@@ -21,6 +21,10 @@ from tpu_qe.table import Table
 def _flatten(table: Table) -> dict:
     out = {}
     for name in table:
+        if name.endswith("@lo") or name.endswith("@hi"):
+            raise ValueError(
+                f"column name {name!r} collides with the u64 plane "
+                "encoding (reserved suffixes '@lo'/'@hi')")
         c = table[name]
         if isinstance(c, U64):
             out[f"{name}@lo"] = c.lo
