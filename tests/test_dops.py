@@ -139,3 +139,60 @@ def test_float_values_sum_min_max(n_dev=4):
             1.0, abs(float(sel.sum())))
         assert got[k]["min"] == float(sel.min())
         assert got[k]["max"] == float(sel.max())
+
+
+def test_hot_left_key_splits_with_right_broadcast(n_dev=8):
+    # ALL left rows share one key: previously every row routed to a single
+    # device (that shard received the whole dataset); position splitters
+    # spread them across devices and the straddling right row is broadcast
+    # so every shard matches. The per-(src,dst) capacity model still
+    # prices the identity-aligned route at n_local per pair (cf=n_dev),
+    # but the BALANCE is observable: every device receives ~n/D real rows.
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tpu_qe.bits import U64
+    from tpu_qe.exchange.dops import distributed_join_fk
+
+    mesh = _mesh(n_dev)
+    n_l = 1 << 12
+    lkeys = np.full(n_l, 424242, dtype=np.uint64)
+    rkeys = np.array([424242, 7, 8, 9, 10, 11, 12, 13], dtype=np.uint64)
+    rvals = np.arange(len(rkeys), dtype=np.uint32) + 100
+    matched, (rv,) = distributed_join_fk_numpy(
+        lkeys, [], rkeys, [rvals], mesh, capacity_factor=float(n_dev),
+        capacity_factor_right=float(n_dev))
+    assert matched.all()
+    assert (rv == 100).all()
+
+    # balance: count real received left rows per device via pad flags
+    sh = NamedSharding(mesh, P("x"))
+    u = U64.from_numpy(lkeys)
+    lk = U64(jax.device_put(u.lo, sh), jax.device_put(u.hi, sh))
+    ru = U64.from_numpy(rkeys)
+    rk = U64(jax.device_put(ru.lo, sh), jax.device_put(ru.hi, sh))
+    rv_dev = jax.device_put(jnp.asarray(rvals), sh)
+    res = distributed_join_fk(lk, (), rk, (rv_dev,), mesh=mesh,
+                              capacity_factor=float(n_dev),
+                              capacity_factor_right=float(n_dev))
+    flag = np.asarray(res[2]).reshape(n_dev, -1)
+    per_dev = (flag == 0).sum(axis=1)
+    assert per_dev.max() <= 2 * n_l // n_dev, per_dev
+
+
+def test_mixed_hot_and_unique_left_keys(n_dev=4):
+    mesh = _mesh(n_dev)
+    rng = np.random.default_rng(31)
+    rkeys = np.unique(rng.integers(0, 1 << 40, 256, dtype=np.uint64))
+    rvals = (np.arange(len(rkeys), dtype=np.uint32) * 3 + 1)
+    hot = rkeys[5]
+    n_l = 1 << 11
+    lkeys = np.where(rng.random(n_l) < 0.6, hot,
+                     rkeys[rng.integers(0, len(rkeys), n_l)])
+    matched, (rv,) = distributed_join_fk_numpy(
+        lkeys, [], rkeys, [rvals], mesh, capacity_factor=3.0,
+        capacity_factor_right=float(n_dev))
+    assert matched.all()
+    pos = {int(k): i for i, k in enumerate(rkeys)}
+    assert all(rv[i] == pos[int(k)] * 3 + 1 for i, k in enumerate(lkeys))

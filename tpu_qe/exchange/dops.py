@@ -46,27 +46,58 @@ _ONES = jnp.uint32(0xFFFFFFFF)
 
 def _djoin_shard(llo, lhi, lval_cols, rlo, rhi, rval_cols, *, n_dev,
                  samples_per_dev, cap_l, cap_r):
+    from tpu_qe.exchange.shuffle import (route_by_splitters_pos,
+                                         sample_splitters_pos)
     from tpu_qe.ops.join import join_fk_scan
 
     n_local_l = llo.shape[0]
+    n_local_r = rlo.shape[0]
     my = jax.lax.axis_index(AXIS).astype(jnp.uint32)
     gidx = my * jnp.uint32(n_local_l) + jnp.arange(n_local_l,
                                                    dtype=jnp.uint32)
 
-    # splitters from BOTH sides' key distributions: sampling only the right
-    # side hotspots devices when left-key mass falls outside the right key
-    # range (any splitter set is correct — equal keys co-locate — but
-    # balance needs the union distribution)
-    sp_lo, sp_hi = sample_splitters(
+    # (key, left-position) splitters over BOTH sides' key distributions:
+    # hot LEFT keys split across a device range (a bare-key splitter set
+    # cannot balance a key whose duplicates exceed one device's share).
+    # Right rows for keys that straddle a splitter — at most n_dev-1 of
+    # them, since each straddling key must contain a distinct quantile —
+    # are broadcast to every device below so every shard in the key's
+    # range can match.
+    pos_l = gidx
+    pos_r = jnp.zeros(n_local_r, dtype=jnp.uint32)  # rights sort first
+    sp_lo, sp_hi, sp_pos = sample_splitters_pos(
         jnp.concatenate([rlo, llo]), jnp.concatenate([rhi, lhi]),
-        n_dev, samples_per_dev)
+        jnp.concatenate([pos_r, pos_l]), n_dev, samples_per_dev)
 
-    dest_r = route_by_splitters(rlo, rhi, sp_lo, sp_hi)
+    # right rows route to the FIRST device of their key's range; they span
+    # further iff routing the same key at maximum position lands higher
+    dest_r = route_by_splitters_pos(rlo, rhi, pos_r, sp_lo, sp_hi, sp_pos)
+    dest_r_max = route_by_splitters_pos(rlo, rhi, jnp.full(n_local_r, _ONES),
+                                        sp_lo, sp_hi, sp_pos)
+    spans = dest_r_max > dest_r
     recv_r, flag_r, _, ovf_r = exchange(
         dest_r, [rlo, rhi] + list(rval_cols),
         [_ONES, _ONES] + [jnp.uint32(0)] * len(rval_cols), n_dev, cap_r)
 
-    dest_l = route_by_splitters(llo, lhi, sp_lo, sp_hi)
+    # broadcast the straddling right rows: stable-partition them to the
+    # front, keep n_dev-1 slots (the global bound), all_gather
+    nspan = max(n_dev - 1, 1)
+    span_key = jnp.where(spans, jnp.uint32(0), jnp.uint32(1 << 31)) |         jnp.arange(n_local_r, dtype=jnp.uint32)
+    sres = jax.lax.sort([span_key, rlo, rhi] + list(rval_cols), num_keys=1,
+                        is_stable=False)
+    n_span_local = jnp.sum(spans.astype(jnp.uint32))
+    pad_slot = jnp.arange(nspan, dtype=jnp.uint32) >= n_span_local
+
+    def bc(col, fill):
+        c = jnp.where(pad_slot, fill, col[:nspan])
+        return jax.lax.all_gather(c, AXIS).reshape(-1)  # (n_dev * nspan,)
+
+    bc_lo = bc(sres[1], _ONES)
+    bc_hi = bc(sres[2], _ONES)
+    bc_vals = [bc(c, jnp.uint32(0)) for c in sres[3:]]
+    bc_flag = bc(jnp.zeros(nspan, jnp.uint32), jnp.uint32(1))
+
+    dest_l = route_by_splitters_pos(llo, lhi, pos_l, sp_lo, sp_hi, sp_pos)
     recv_l, flag_l, _, ovf_l = exchange(
         dest_l, [llo, lhi, gidx] + list(lval_cols),
         [_ONES, _ONES, _ONES] + [jnp.uint32(0)] * len(lval_cols),
@@ -74,11 +105,17 @@ def _djoin_shard(llo, lhi, lval_cols, rlo, rhi, rval_cols, *, n_dev,
 
     lkey = U64(recv_l[0], recv_l[1])
     g = recv_l[2]
-    rkey = U64(recv_r[0], recv_r[1])
+    # right set = exchanged rows + broadcast straddlers (a straddler also
+    # arrives via the normal exchange on its first device — same row, so
+    # FK last-wins makes the duplicate harmless)
+    rkey = U64(jnp.concatenate([recv_r[0], bc_lo]),
+               jnp.concatenate([recv_r[1], bc_hi]))
+    r_valid = jnp.concatenate([flag_r == 0, bc_flag == 0])
     left = Table({f"_l{i}": c for i, c in enumerate(recv_l[3:])})
-    right = Table({f"_r{i}": c for i, c in enumerate(recv_r[2:])})
+    right = Table({f"_r{i}": jnp.concatenate([c, b])
+                   for i, (c, b) in enumerate(zip(recv_r[2:], bc_vals))})
     out, matched = join_fk_scan(left, right, lkey, rkey,
-                                l_valid=flag_l == 0, r_valid=flag_r == 0)
+                                l_valid=flag_l == 0, r_valid=r_valid)
     overflow = (ovf_r | ovf_l).reshape(1)
     outs = [g, matched.astype(jnp.uint32), flag_l]
     outs += [out[f"_l{i}"] for i in range(len(lval_cols))]
