@@ -1,0 +1,130 @@
+"""Randomized differential fuzz: every operator vs a numpy oracle.
+
+Each trial draws sizes, key skew, value dtypes, masks, and mesh widths at
+random (seeded — failures reproduce from the trial number) and checks the
+operator against a straightforward numpy reimplementation. Complements the
+targeted unit tests with breadth across parameter combinations.
+"""
+
+from __future__ import annotations
+
+import collections
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_qe.bits import U64
+from tpu_qe.table import Table
+
+
+def _keys(rng, n):
+    """Random keys with randomized skew/width."""
+    style = rng.integers(0, 4)
+    if style == 0:    # uniform 64-bit
+        return rng.integers(0, 1 << 64, n, dtype=np.uint64)
+    if style == 1:    # few distinct values (heavy duplicates)
+        k = int(rng.integers(1, 20))
+        return rng.integers(0, k, n).astype(np.uint64) * np.uint64(0x9E37)
+    if style == 2:    # zipf
+        return (rng.zipf(1.3, n).astype(np.uint64)
+                * np.uint64(0x9E3779B97F4A7C15))
+    # boundary-heavy: zeros and all-ones mixed with uniform
+    k = rng.integers(0, 1 << 64, n, dtype=np.uint64)
+    k[rng.random(n) < 0.1] = 0
+    k[rng.random(n) < 0.1] = np.uint64((1 << 64) - 1)
+    return k
+
+
+@pytest.mark.parametrize("trial", range(12))
+def test_fuzz_sort_and_groupby(trial):
+    rng = np.random.default_rng(1000 + trial)
+    n = int(rng.integers(1, 6000))
+    keys = _keys(rng, n)
+    vals = rng.integers(0, 1 << 31, n, dtype=np.uint32)
+
+    # sort (both stable backends agree with numpy stable argsort)
+    from tpu_qe.sort import sort_u64_numpy
+    pay = np.arange(n, dtype=np.uint32)
+    order = np.argsort(keys, kind="stable")
+    for backend in ("xla", "xla_tiebreak"):
+        gk, gp = sort_u64_numpy(keys, pay, backend=backend)
+        np.testing.assert_array_equal(gk, keys[order], err_msg=backend)
+        np.testing.assert_array_equal(gp, order.astype(np.uint32),
+                                      err_msg=backend)
+
+    # group by with a random mask
+    from tpu_qe.ops.aggregate import group_aggregate
+    mask = rng.random(n) < rng.random()
+    g = group_aggregate(U64.from_numpy(keys), jnp.asarray(vals),
+                        aggs=("count", "sum", "min", "max"),
+                        valid=jnp.asarray(mask))
+    ng = int(g.num_groups)
+    km, vm = keys[mask], vals[mask]
+    want_cnt = collections.Counter(int(k) for k in km)
+    assert ng == len(want_cnt)
+    gk = g.key.to_numpy()[:ng]
+    assert list(gk) == sorted(want_cnt)
+    for i, k in enumerate(gk):
+        sel = vm[km == k]
+        assert int(np.asarray(g.aggs["count"])[i]) == len(sel)
+        assert int(np.asarray(g.aggs["sum"])[i]) == int(sel.sum()) % (1 << 32)
+        assert int(np.asarray(g.aggs["min"])[i]) == sel.min()
+        assert int(np.asarray(g.aggs["max"])[i]) == sel.max()
+
+
+@pytest.mark.parametrize("trial", range(8))
+def test_fuzz_scan_join(trial):
+    rng = np.random.default_rng(2000 + trial)
+    from tpu_qe.ops.join import join_fk_scan
+
+    n_r = int(rng.integers(1, 2000))
+    rkeys = np.unique(_keys(rng, n_r))
+    rvals = rng.integers(0, 1 << 31, len(rkeys), dtype=np.uint32)
+    n_l = int(rng.integers(1, 3000))
+    pick_hit = rng.random(n_l) < rng.random()
+    lkeys = np.where(pick_hit, rkeys[rng.integers(0, len(rkeys), n_l)],
+                     _keys(rng, n_l))
+    left = Table.from_numpy({"i": np.arange(n_l, dtype=np.uint32)})
+    right = Table.from_numpy({"v": rvals})
+    out, matched = join_fk_scan(left, right, U64.from_numpy(lkeys),
+                                U64.from_numpy(rkeys))
+    matched = np.asarray(matched)
+    pos = {int(k): i for i, k in enumerate(rkeys)}
+    ov = np.asarray(out["v"])
+    for i, k in enumerate(lkeys):
+        if int(k) in pos:
+            assert matched[i], (trial, i)
+            assert ov[i] == rvals[pos[int(k)]], (trial, i)
+        else:
+            assert not matched[i], (trial, i)
+
+
+@pytest.mark.parametrize("trial", range(4))
+def test_fuzz_distributed(trial):
+    rng = np.random.default_rng(3000 + trial)
+    n_dev = int(rng.choice([2, 4, 8]))
+    if len(jax.devices()) < n_dev:
+        pytest.skip("needs devices")
+    from tpu_qe.exchange import distributed_sort_numpy, make_mesh
+    from tpu_qe.exchange.dops import distributed_aggregate_numpy
+
+    mesh = make_mesh(n_dev)
+    n = int(rng.integers(1, 40)) * n_dev * 8
+    keys = _keys(rng, n)
+    pay = np.arange(n, dtype=np.uint32)
+    k, p = distributed_sort_numpy(keys, pay, mesh,
+                                  capacity_factor=float(n_dev))
+    order = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(k, keys[order], err_msg=str(trial))
+    np.testing.assert_array_equal(p, order.astype(np.uint32))
+
+    vals = rng.integers(0, 1000, n, dtype=np.uint32)
+    got = distributed_aggregate_numpy(keys, vals, mesh,
+                                      aggs=("count", "sum"),
+                                      capacity_factor=float(n_dev))
+    want = collections.Counter(int(x) for x in keys)
+    assert set(got) == set(want)
+    for kk in want:
+        assert got[kk]["count"] == want[kk]
