@@ -20,13 +20,19 @@ from tpu_qe.utils.profiling import profile_kernel
 
 def _chain(fn, *arrays):
     """chain_fn factory: fn maps arrays -> pytree of same-dtype arrays of
-    which the first must be xor-perturbable uint32."""
+    which the first must be xor-perturbable uint32.
+
+    An optimization barrier separates iterations: purely-elementwise
+    kernels otherwise fuse across the whole chain into ONE pass over
+    memory, reporting impossible >SOL bandwidths (observed 25x SOL for
+    the direct morton encode before the barrier)."""
     def make(k):
         @jax.jit
         def run(*args):
             def body(i, carry):
                 carry = (carry[0] ^ i.astype(jnp.uint32),) + carry[1:]
-                return fn(*carry)
+                out = fn(*carry)
+                return jax.lax.optimization_barrier(out)
             return jax.lax.fori_loop(0, k, body, args)
         return functools.partial(run, *arrays)
     return make
@@ -64,7 +70,9 @@ def bench_morton(n: int = 1 << 24):
     for name, fn in (("morton_lut_pallas", pallas_fn),
                      ("morton_lut_xla_take", jnp_lut_fn),
                      ("morton_direct_xla", jnp_direct_fn)):
-        k_big = 3 if "take" in name else 17
+        # the direct path runs ~1ms/iter: the differential needs a long
+        # chain to rise above the ~35ms round-trip noise
+        k_big = 3 if "take" in name else 33
         s = profile_kernel(name, _chain(fn, qx, qy, qz, j), bytes_moved, n,
                            k_big=k_big)
         out.append(_emit(name, s))
