@@ -125,6 +125,42 @@ def test_fuzz_distributed(trial):
                                       aggs=("count", "sum"),
                                       capacity_factor=float(n_dev))
     want = collections.Counter(int(x) for x in keys)
+    want_sum = collections.defaultdict(int)
+    for kk, v in zip(keys, vals):
+        want_sum[int(kk)] += int(v)
     assert set(got) == set(want)
     for kk in want:
         assert got[kk]["count"] == want[kk]
+        assert got[kk]["sum"] == want_sum[kk] % (1 << 32)
+
+
+@pytest.mark.parametrize("trial", range(6))
+def test_fuzz_distributed_join(trial):
+    rng = np.random.default_rng(4000 + trial)
+    n_dev = int(rng.choice([2, 4, 8]))
+    if len(jax.devices()) < n_dev:
+        pytest.skip("needs devices")
+    from tpu_qe.exchange import make_mesh
+    from tpu_qe.exchange.dops import distributed_join_fk_numpy
+
+    mesh = make_mesh(n_dev)
+    # right tables from TINY (fewer rows per shard than n_dev-1, the
+    # regression class) to moderately sized
+    n_r = int(rng.choice([1, 2, 3])) * n_dev
+    rkeys = np.unique(rng.integers(0, 1 << 40, 4 * n_r, dtype=np.uint64))[:n_r]
+    rvals = rng.integers(0, 1 << 30, n_r, dtype=np.uint32)
+    n_l = int(rng.integers(1, 30)) * n_dev * 8
+    hit = rng.random(n_l) < rng.random()
+    lkeys = np.where(hit, rkeys[rng.integers(0, n_r, n_l)],
+                     rng.integers(0, 1 << 40, n_l, dtype=np.uint64)
+                     | (np.uint64(1) << np.uint64(41)))
+    matched, (rv,) = distributed_join_fk_numpy(
+        lkeys, [], rkeys, [rvals], mesh,
+        capacity_factor=float(n_dev), capacity_factor_right=float(n_dev))
+    pos = {int(k): i for i, k in enumerate(rkeys)}
+    for i, k in enumerate(lkeys):
+        if int(k) in pos:
+            assert matched[i], (trial, i)
+            assert rv[i] == rvals[pos[int(k)]], (trial, i)
+        else:
+            assert not matched[i], (trial, i)

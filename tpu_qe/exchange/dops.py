@@ -82,14 +82,25 @@ def _djoin_shard(llo, lhi, lval_cols, rlo, rhi, rval_cols, *, n_dev,
     # broadcast the straddling right rows: stable-partition them to the
     # front, keep n_dev-1 slots (the global bound), all_gather
     nspan = max(n_dev - 1, 1)
-    span_key = jnp.where(spans, jnp.uint32(0), jnp.uint32(1 << 31)) |         jnp.arange(n_local_r, dtype=jnp.uint32)
+    assert n_local_r < (1 << 31), n_local_r  # span flag packs into bit 31
+    span_key = (jnp.where(spans, jnp.uint32(0), jnp.uint32(1 << 31))
+                | jnp.arange(n_local_r, dtype=jnp.uint32))
     sres = jax.lax.sort([span_key, rlo, rhi] + list(rval_cols), num_keys=1,
                         is_stable=False)
     n_span_local = jnp.sum(spans.astype(jnp.uint32))
+    # > nspan straddlers is impossible for UNIQUE right keys (each must
+    # contain a distinct quantile) but possible with duplicate keys —
+    # detect rather than silently truncate the broadcast set
+    ovf_span = (n_span_local > jnp.uint32(nspan)).astype(jnp.uint32)
     pad_slot = jnp.arange(nspan, dtype=jnp.uint32) >= n_span_local
 
     def bc(col, fill):
-        c = jnp.where(pad_slot, fill, col[:nspan])
+        # right shards can hold fewer than nspan rows: pad before masking
+        colp = col
+        if n_local_r < nspan:
+            colp = jnp.concatenate(
+                [col, jnp.full(nspan - n_local_r, fill, col.dtype)])
+        c = jnp.where(pad_slot, fill, colp[:nspan])
         return jax.lax.all_gather(c, AXIS).reshape(-1)  # (n_dev * nspan,)
 
     bc_lo = bc(sres[1], _ONES)
@@ -116,7 +127,7 @@ def _djoin_shard(llo, lhi, lval_cols, rlo, rhi, rval_cols, *, n_dev,
                    for i, (c, b) in enumerate(zip(recv_r[2:], bc_vals))})
     out, matched = join_fk_scan(left, right, lkey, rkey,
                                 l_valid=flag_l == 0, r_valid=r_valid)
-    overflow = (ovf_r | ovf_l).reshape(1)
+    overflow = (ovf_r | ovf_l | ovf_span).reshape(1)
     outs = [g, matched.astype(jnp.uint32), flag_l]
     outs += [out[f"_l{i}"] for i in range(len(lval_cols))]
     outs += [out[f"_r{i}"] for i in range(len(rval_cols))]
@@ -228,7 +239,6 @@ def _dagg_shard(lo, hi, val, *, n_dev, samples_per_dev, capacity,
     # requested): the host wrapper needs it to distinguish a purely-padding
     # group from a real all-ones key group.
     part = group_aggregate(U64(lo, hi), val, aggs=inner_aggs)
-    n_local = lo.shape[0]
     idx = jnp.arange(part.key.lo.shape[0], dtype=jnp.uint32)
     is_real = idx < part.num_groups
     klo = jnp.where(is_real, part.key.lo, _ONES)
@@ -242,7 +252,6 @@ def _dagg_shard(lo, hi, val, *, n_dev, samples_per_dev, capacity,
         neutral = _neutral(a, dtypes[a])
         bits = col.view(jnp.uint32) if col.dtype != jnp.uint32 else col
         partials.append(jnp.where(is_real, bits, neutral))
-    del n_local
 
     # Phase 2: shuffle partial groups by key. Padding slots carry neutral
     # values, so spread them round-robin instead of letting them all route
@@ -250,15 +259,8 @@ def _dagg_shard(lo, hi, val, *, n_dev, samples_per_dev, capacity,
     # Sample only the REAL group prefix ([0, num_groups)) — a strided
     # sample over the padded array would be dominated by all-ones pads
     # whenever groups are few, collapsing every real group onto device 0.
-    ng = jnp.maximum(part.num_groups.astype(jnp.uint32), jnp.uint32(1))
-    stride = jnp.maximum(ng // jnp.uint32(samples_per_dev), jnp.uint32(1))
-    s_idx = (jnp.arange(samples_per_dev, dtype=jnp.uint32) * stride) % ng
-    g_lo = jax.lax.all_gather(jnp.take(klo, s_idx), AXIS).reshape(-1)
-    g_hi = jax.lax.all_gather(jnp.take(khi, s_idx), AXIS).reshape(-1)
-    g_hi, g_lo = jax.lax.sort([g_hi, g_lo], num_keys=2, is_stable=False)
-    total = n_dev * samples_per_dev
-    sp_pos = (jnp.arange(1, n_dev) * total) // n_dev
-    sp_lo, sp_hi = g_lo[sp_pos], g_hi[sp_pos]
+    sp_lo, sp_hi = sample_splitters(klo, khi, n_dev, samples_per_dev,
+                                    n_valid=part.num_groups)
     dest = route_by_splitters(klo, khi, sp_lo, sp_hi)
     dest = jnp.where(is_real, dest,
                      (idx % jnp.uint32(n_dev)).astype(jnp.uint32))

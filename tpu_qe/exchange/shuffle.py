@@ -35,13 +35,25 @@ def cmp_gt(lo_a, hi_a, lo_b, hi_b):
 
 
 def sample_splitters(lo, hi, n_dev: int, samples_per_dev: int,
-                     axis: str = AXIS):
-    """Global D-quantile splitters from a strided per-device oversample."""
+                     axis: str = AXIS, n_valid=None):
+    """Global D-quantile splitters from a strided per-device oversample.
+
+    n_valid (optional, dynamic): sample only the first n_valid rows of
+    each shard — used when the arrays carry a valid prefix followed by
+    padding (e.g. partial aggregation results), where a static stride
+    would be dominated by pad sentinels.
+    """
     n_local = lo.shape[0]
-    stride = max(n_local // samples_per_dev, 1)
-    idx = (jnp.arange(samples_per_dev) * stride) % n_local
-    g_lo = jax.lax.all_gather(lo[idx], axis).reshape(-1)
-    g_hi = jax.lax.all_gather(hi[idx], axis).reshape(-1)
+    if n_valid is None:
+        stride = max(n_local // samples_per_dev, 1)
+        idx = (jnp.arange(samples_per_dev) * stride) % n_local
+    else:
+        nv = jnp.maximum(n_valid.astype(jnp.uint32), jnp.uint32(1))
+        stride = jnp.maximum(nv // jnp.uint32(samples_per_dev),
+                             jnp.uint32(1))
+        idx = (jnp.arange(samples_per_dev, dtype=jnp.uint32) * stride) % nv
+    g_lo = jax.lax.all_gather(jnp.take(lo, idx), axis).reshape(-1)
+    g_hi = jax.lax.all_gather(jnp.take(hi, idx), axis).reshape(-1)
     g_hi, g_lo = jax.lax.sort([g_hi, g_lo], num_keys=2, is_stable=False)
     total = n_dev * samples_per_dev
     sp_idx = (jnp.arange(1, n_dev) * total) // n_dev
@@ -50,9 +62,7 @@ def sample_splitters(lo, hi, n_dev: int, samples_per_dev: int,
 
 def route_by_splitters(lo, hi, sp_lo, sp_hi):
     """dest device = number of splitters strictly below the key."""
-    n_dev = sp_lo.shape[0] + 1
     gt = cmp_gt(lo[None, :], hi[None, :], sp_lo[:, None], sp_hi[:, None])
-    del n_dev
     return jnp.sum(gt.astype(jnp.uint32), axis=0)
 
 
