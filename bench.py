@@ -30,7 +30,7 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--n", type=int, default=1 << 26,
                         help="number of u64 keys (default 64M)")
-    parser.add_argument("--reps", type=int, default=2)
+    parser.add_argument("--reps", type=int, default=3)
     parser.add_argument("--backend", type=str, default="best",
                         help="sort backend for the headline number "
                              "('best' picks the framework default)")
@@ -73,7 +73,7 @@ def main() -> None:
 
     # Scale chain length so the differential work dwarfs the ~35 ms fixed
     # round-trip noise (sub-noise differentials clamp to 0 and are garbage).
-    k_big = 1 + max(2, (1 << 27) // n)
+    k_big = 1 + max(4, (1 << 28) // n)
     xla_s = measure_chained(chain("xla"), 1, k_big, reps=args.reps)
     if backend == "xla":
         best_s = xla_s
