@@ -61,15 +61,40 @@ def main() -> None:
             def run(lo, hi, payload):
                 def body(i, carry):
                     clo, chi, cpay = carry
-                    # Perturb with the loop counter so every iteration is
-                    # live; xor-ing the sorted output keeps key distribution.
-                    clo = clo ^ i.astype(jnp.uint32)
+                    # Perturb BOTH words with the loop counter so every
+                    # iteration is live and later iterations are not
+                    # near-sorted in hi (an adaptive backend could exploit
+                    # that). XOR by a per-iteration constant is a bijection
+                    # applied uniformly, so the key distribution is
+                    # stationary across iterations (asserted once below).
+                    iu = i.astype(jnp.uint32)
+                    clo = clo ^ iu
+                    chi = chi ^ (iu * jnp.uint32(0x9E3779B9))
                     skey, (spay,) = sort_u64(U64(clo, chi), cpay,
                                              backend=be)
                     return (skey.lo, skey.hi, spay)
                 return jax.lax.fori_loop(0, k, body, (lo, hi, payload))
             return functools.partial(run, lo, hi, payload)
         return make
+
+    # One-time stationarity check of the chaining methodology: after k
+    # perturb+sort rounds the key distribution must still look uniform
+    # (mean of each u32 word near 2^31). Host-side numpy replay of the
+    # exact perturbation on a small n — the property is per-element and
+    # independent of array size.
+    def _stationary_ok(k=6, n_small=1 << 18, tol=0.02):
+        r2 = np.random.default_rng(11)
+        l = r2.integers(0, 1 << 32, n_small, dtype=np.uint32)
+        h = r2.integers(0, 1 << 32, n_small, dtype=np.uint32)
+        for i in range(k):
+            l ^= np.uint32(i)
+            h ^= np.uint32((i * 0x9E3779B9) & 0xFFFFFFFF)
+            u = (h.astype(np.uint64) << np.uint64(32)) | l.astype(np.uint64)
+            order = np.argsort(u, kind="stable")
+            l, h = l[order], h[order]
+        c = 2.0**31
+        return (abs(l.mean() / c - 1) < tol and abs(h.mean() / c - 1) < tol)
+    assert _stationary_ok(), "chained perturbation drifted off-uniform"
 
     # Scale chain length so the differential work dwarfs the ~35 ms fixed
     # round-trip noise (sub-noise differentials clamp to 0 and are garbage).

@@ -141,6 +141,27 @@ def test_float_values_sum_min_max(n_dev=4):
         assert got[k]["max"] == float(sel.max())
 
 
+def test_signed_negative_min_max_rejected(n_dev=2):
+    # regression (ADVICE r1): int32 values with negatives were silently
+    # reinterpreted as u32, so min/max aggregated in unsigned order
+    # (min([-1, 5]) -> 5). Now rejected with guidance.
+    mesh = _mesh(n_dev)
+    keys = np.array([1, 1, 2, 2], dtype=np.uint64)
+    vals = np.array([-1, 5, 3, -7], dtype=np.int32)
+    with pytest.raises(ValueError, match="unsigned order"):
+        distributed_aggregate_numpy(keys, vals, mesh, aggs=("min",))
+    # sum/count of negatives stays legal (exact u32 wraparound)
+    got = distributed_aggregate_numpy(keys, vals, mesh,
+                                      aggs=("count", "sum"),
+                                      capacity_factor=4.0)
+    assert got[1]["count"] == 2 and got[2]["count"] == 2
+    assert np.uint32(got[1]["sum"]) == np.uint32(4)
+    # non-negative signed min/max still allowed
+    got = distributed_aggregate_numpy(
+        keys, np.abs(vals), mesh, aggs=("min",), capacity_factor=4.0)
+    assert got[1]["min"] == 1 and got[2]["min"] == 3
+
+
 def test_hot_left_key_splits_with_right_broadcast(n_dev=8):
     # ALL left rows share one key: previously every row routed to a single
     # device (that shard received the whole dataset); position splitters

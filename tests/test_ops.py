@@ -121,6 +121,47 @@ class TestGroupAggregate:
             np.asarray(res.aggs["max"])[:g],
             [v[s:e].max() for s, e in zip(starts, ends)])
 
+    def test_float_sum_small_group_after_large_prefix(self):
+        # Regression (ADVICE r1): float sums were differences of one GLOBAL
+        # running cumsum, so a small group following a large prefix lost its
+        # significant digits. With the per-segment scan the small group's
+        # sum is computed from its own values only.
+        n_big = 1 << 16
+        keys = np.concatenate([
+            np.zeros(n_big, dtype=np.uint64),          # group 0: huge sum
+            np.full(4, 7, dtype=np.uint64),            # group 7: tiny sum
+        ])
+        vals = np.concatenate([
+            np.full(n_big, 1.0e6, dtype=np.float32),   # prefix sum ~6.5e10
+            np.full(4, 1.0e-3, dtype=np.float32),
+        ])
+        res = group_aggregate(U64.from_numpy(keys), jnp.asarray(vals),
+                              aggs=("sum",))
+        g = int(res.num_groups)
+        assert g == 2
+        sums = np.asarray(res.aggs["sum"])[:g]
+        np.testing.assert_allclose(sums[0], n_big * 1.0e6, rtol=1e-6)
+        # the old global-cumsum path returned 0.0 or garbage here
+        np.testing.assert_allclose(sums[1], 4.0e-3, rtol=1e-5)
+
+    def test_float_sum_valid_mask_precision(self):
+        rng = np.random.default_rng(11)
+        n = 4096
+        keys = _u64(rng, n, hi=50)
+        vals = rng.random(n).astype(np.float32)
+        valid = rng.random(n) < 0.7
+        res = group_aggregate(U64.from_numpy(keys), jnp.asarray(vals),
+                              aggs=("sum", "count"),
+                              valid=jnp.asarray(valid))
+        g = int(res.num_groups)
+        uk = np.unique(keys[valid])
+        assert g == len(uk)
+        np.testing.assert_array_equal(res.key.to_numpy()[:g], uk)
+        want = [np.sort(vals[valid & (keys == k)]).astype(np.float64).sum()
+                for k in uk]
+        np.testing.assert_allclose(np.asarray(res.aggs["sum"])[:g], want,
+                                   rtol=1e-5)
+
     def test_count_only(self):
         keys = np.array([5, 5, 5, 1, 1, 9], dtype=np.uint64)
         res = group_aggregate(U64.from_numpy(keys))

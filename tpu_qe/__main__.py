@@ -107,8 +107,20 @@ def _cmd_dump(args) -> int:
 
 def _cmd_bench(args) -> int:
     sys.argv = ["bench.py"] + (args.rest or [])
-    import bench
-    bench.main()
+    # bench.py lives at the repo root (driver contract), not in the
+    # package — load it by path so `python -m tpu_qe bench` works from
+    # any CWD and from an installed console script.
+    import importlib.util
+    import pathlib
+    path = pathlib.Path(__file__).resolve().parent.parent / "bench.py"
+    if path.exists():
+        spec = importlib.util.spec_from_file_location("bench", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        mod.main()
+    else:  # installed layout without the repo checkout: try CWD import
+        import bench
+        bench.main()
     return 0
 
 

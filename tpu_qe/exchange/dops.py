@@ -361,6 +361,15 @@ def distributed_aggregate_numpy(keys, values, mesh, aggs=("count", "sum"),
     if values.dtype == np.float32:
         val = jax.device_put(jnp.asarray(values), sh)
     else:
+        # u32 wraparound reinterpretation is exact for sum/count, but
+        # min/max of a signed column with negatives would be computed in
+        # UNSIGNED order (min([-1, 5]) -> 5). Reject rather than be wrong.
+        if (np.issubdtype(values.dtype, np.signedinteger)
+                and ({"min", "max"} & set(aggs)) and bool((values < 0).any())):
+            raise ValueError(
+                "min/max over signed values with negatives would aggregate "
+                "in unsigned order; bias-map to sortable u32 first "
+                "(v.astype(np.int64) + 2**31 -> uint32) and invert on output")
         val = jax.device_put(jnp.asarray(values.astype(np.uint32)), sh)
     res = distributed_aggregate(key, val, mesh=mesh, aggs=tuple(aggs), **kw)
     if int(np.asarray(res[-1]).max()):

@@ -5,9 +5,12 @@ neither scatters nor atomics worth using, but it has a world-class sorter —
 so GROUP BY is sort-based: sort rows by group key, find group boundaries,
 and reduce each run. All reductions are formulated scatter-free:
 
-- count / sum: difference of an inclusive running sum at group-end rows
-  (integer sums use wraparound arithmetic, so the difference is exact
-  mod 2^32; float sums document the running-sum rounding);
+- count / integer sum: difference of an inclusive running sum at group-end
+  rows (wraparound arithmetic, so the difference is exact mod 2^32);
+- float sum: per-SEGMENT inclusive scan (associative_scan with reset at
+  group starts), so rounding stays proportional to each group's own
+  values — NOT a global-cumsum difference, whose error scales with the
+  global prefix magnitude;
 - min / max: first/last row of each run after sorting by (key, value-bits)
   with the standard order-preserving float bit transform.
 
@@ -57,11 +60,16 @@ def segmented_reduce(values: jnp.ndarray, is_new: jnp.ndarray,
 
     At each row: the reduction of its segment's values up to and including
     itself — so reading at segment-END rows yields the full per-segment
-    reduction. kind in {"min", "max"}; sums use cumsum differences instead
-    (cheaper). Implemented with jax.lax.associative_scan over
-    (segment-start flag, value) pairs.
+    reduction. kind in {"min", "max", "sum"}; integer sums use global
+    cumsum differences instead (exact mod 2^32, cheaper), but FLOAT sums
+    must use this (kind="sum") so rounding error stays proportional to
+    each segment's own magnitude rather than the global prefix.
+    Implemented with jax.lax.associative_scan over (segment-start flag,
+    value) pairs.
     """
-    op = jnp.minimum if kind == "min" else jnp.maximum
+    ops = {"min": jnp.minimum, "max": jnp.maximum,
+           "sum": lambda a, b: a + b}
+    op = ops[kind]
 
     def combine(a, b):
         fa, va = a
@@ -156,7 +164,12 @@ def group_aggregate(key: U64, value: jnp.ndarray | None = None,
     operands = [packed, slo, shi]
     if "sum" in aggs:
         if sval.dtype == jnp.float32:
-            csum = jnp.cumsum(sval, dtype=jnp.float32).view(jnp.uint32)
+            # Per-SEGMENT inclusive float sum (scan with reset at group
+            # starts): differencing one GLOBAL running cumsum makes a small
+            # group's error scale with the global prefix magnitude — at
+            # 256M rows that can wipe out the group's significant digits.
+            seg_start = is_new if sinvalid is None else (is_new | sinvalid)
+            csum = segmented_reduce(sval, seg_start, "sum").view(jnp.uint32)
         else:
             csum = jnp.cumsum(sval.astype(jnp.uint32), dtype=jnp.uint32)
         operands.append(csum)
@@ -176,8 +189,8 @@ def group_aggregate(key: U64, value: jnp.ndarray | None = None,
         ce = res2[i]
         i += 1
         if sval.dtype == jnp.float32:
-            out["sum"] = ce.view(jnp.float32) - _shift_right_one(
-                ce, jnp.zeros((), jnp.uint32)).view(jnp.float32)
+            # segmented sum: the value at a group-end row IS the group sum
+            out["sum"] = ce.view(jnp.float32)
         else:
             out["sum"] = ce - _shift_right_one(ce, jnp.zeros((), ce.dtype))
     if "max" in aggs:

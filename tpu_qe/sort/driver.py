@@ -102,11 +102,16 @@ def _sort_hybrid(lo, hi, payloads, key_bits, bits_per_pass, block):
         # that replaces the reference's 3-kernel scan tree
         # (grid-sequential Pallas kernel when lane-aligned, else XLA).
         flat = hist.reshape(-1).astype(jnp.uint32)
-        if flat.shape[0] % 1024 == 0:
-            from tpu_qe.kernels.scan import exclusive_scan
-            base = exclusive_scan(flat)
+        # Pad the flat histogram up to the scan kernel's 1024-lane tile so
+        # the Pallas scan is ALWAYS the path that runs (appended zeros do
+        # not change the exclusive prefix of the real region).
+        from tpu_qe.kernels.scan import exclusive_scan
+        m = flat.shape[0]
+        pm = -(-m // 1024) * 1024
+        if pm != m:
+            base = exclusive_scan(jnp.pad(flat, (0, pm - m)))[:m]
         else:
-            base = jnp.cumsum(flat) - flat
+            base = exclusive_scan(flat)
         # dest = base[digit, block] + local stable rank
         d = select_digit(lo2, hi2, shift, bits)
         dest = jnp.take(base, d * jnp.uint32(nb) + row) + ranks
@@ -137,7 +142,23 @@ def sort_u64(key: U64, *payloads: jnp.ndarray, key_bits: int = 64,
         slo, shi, spl = _sort_xla(lo, hi, payloads, key_bits, stable)
         return U64(slo, shi), tuple(spl)
     if backend == "xla_tiebreak":
-        assert payloads, "xla_tiebreak requires a payload (the unique index)"
+        assert payloads, (
+            "xla_tiebreak CONTRACT: payloads[0] must be a UNIQUE per-row "
+            "value (normally the original ascending row index). With any "
+            "other payload the result is (key, payload)-ordered, NOT the "
+            "stable-by-key order. Use backend='xla' for general payloads.")
+        import os
+        if os.environ.get("TPU_QE_DEBUG_CHECKS"):
+            # opt-in misuse detector (costs a reduction per call): the
+            # common correct usage is payloads[0] == arange(n).
+            bad = jnp.any(payloads[0] != jnp.arange(n, dtype=payloads[0].dtype))
+            jax.lax.cond(
+                bad,
+                lambda: jax.debug.print(
+                    "tpu_qe WARNING: xla_tiebreak payload[0] is not "
+                    "arange(n); result is (key,payload)-ordered, not "
+                    "stable-by-key"),
+                lambda: None)
         slo, shi, spl = _sort_xla_tiebreak(lo, hi, payloads, key_bits)
         return U64(slo, shi), tuple(spl)
     if backend == "hybrid":
