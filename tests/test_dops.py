@@ -31,11 +31,11 @@ class TestDistributedJoin:
         rng.shuffle(lkeys)
 
         # the miss-key range is disjoint from right keys, so right rows
-        # legitimately concentrate on the lower devices: allow the right
-        # side full concentration.
+        # legitimately concentrate on the lower devices — genuinely
+        # off-diagonal demand. "auto" plans both exchanges and sizes the
+        # receive layouts to the measured demand (no n_dev factor guess).
         matched, (rv,) = distributed_join_fk_numpy(
-            lkeys, [], rkeys, [rvals], mesh, capacity_factor=4.0,
-            capacity_factor_right=float(n_dev))
+            lkeys, [], rkeys, [rvals], mesh, capacity_factor="auto")
         pos = {int(k): i for i, k in enumerate(rkeys)}
         for i, k in enumerate(lkeys):
             if int(k) in pos:
@@ -52,7 +52,7 @@ class TestDistributedJoin:
         rvals = np.arange(64, dtype=np.uint32)
         lkeys = rkeys[rng.zipf(1.5, size=1 << 10).clip(1, 64) - 1]
         matched, (rv,) = distributed_join_fk_numpy(
-            lkeys, [], rkeys, [rvals], mesh, capacity_factor=float(n_dev))
+            lkeys, [], rkeys, [rvals], mesh, capacity_factor="auto")
         assert matched.all()
         pos = {int(k): i for i, k in enumerate(rkeys)}
         assert all(rv[i] == pos[int(k)] for i, k in enumerate(lkeys))
@@ -166,9 +166,9 @@ def test_hot_left_key_splits_with_right_broadcast(n_dev=8):
     # ALL left rows share one key: previously every row routed to a single
     # device (that shard received the whole dataset); position splitters
     # spread them across devices and the straddling right row is broadcast
-    # so every shard matches. The per-(src,dst) capacity model still
-    # prices the identity-aligned route at n_local per pair (cf=n_dev),
-    # but the BALANCE is observable: every device receives ~n/D real rows.
+    # so every shard matches. The identity-aligned left route stays LOCAL
+    # under the two-tier exchange, so the default factor suffices; the
+    # BALANCE is observable: every device receives ~n/D real rows.
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -182,8 +182,7 @@ def test_hot_left_key_splits_with_right_broadcast(n_dev=8):
     rkeys = np.array([424242, 7, 8, 9, 10, 11, 12, 13], dtype=np.uint64)
     rvals = np.arange(len(rkeys), dtype=np.uint32) + 100
     matched, (rv,) = distributed_join_fk_numpy(
-        lkeys, [], rkeys, [rvals], mesh, capacity_factor=float(n_dev),
-        capacity_factor_right=float(n_dev))
+        lkeys, [], rkeys, [rvals], mesh, capacity_factor="auto")
     assert matched.all()
     assert (rv == 100).all()
 
@@ -195,8 +194,8 @@ def test_hot_left_key_splits_with_right_broadcast(n_dev=8):
     rk = U64(jax.device_put(ru.lo, sh), jax.device_put(ru.hi, sh))
     rv_dev = jax.device_put(jnp.asarray(rvals), sh)
     res = distributed_join_fk(lk, (), rk, (rv_dev,), mesh=mesh,
-                              capacity_factor=float(n_dev),
-                              capacity_factor_right=float(n_dev))
+                              capacity_factor=2.0,
+                              capacity_factor_right=2.0)
     flag = np.asarray(res[2]).reshape(n_dev, -1)
     per_dev = (flag == 0).sum(axis=1)
     assert per_dev.max() <= 2 * n_l // n_dev, per_dev
@@ -212,8 +211,7 @@ def test_mixed_hot_and_unique_left_keys(n_dev=4):
     lkeys = np.where(rng.random(n_l) < 0.6, hot,
                      rkeys[rng.integers(0, len(rkeys), n_l)])
     matched, (rv,) = distributed_join_fk_numpy(
-        lkeys, [], rkeys, [rvals], mesh, capacity_factor=3.0,
-        capacity_factor_right=float(n_dev))
+        lkeys, [], rkeys, [rvals], mesh, capacity_factor="auto")
     assert matched.all()
     pos = {int(k): i for i, k in enumerate(rkeys)}
     assert all(rv[i] == pos[int(k)] * 3 + 1 for i, k in enumerate(lkeys))

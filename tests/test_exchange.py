@@ -39,13 +39,14 @@ class TestDistributedSort:
         np.testing.assert_array_equal(p, order.astype(np.uint32))
 
     def test_all_equal_keys(self, n_dev=4):
-        # worst-case skew: every key identical -> all route to one device;
-        # capacity_factor >= D must make it lossless and stable.
+        # worst-case skew: every key identical. Position splitters route
+        # identity (src d -> dest d) and the two-tier exchange keeps
+        # diagonal rows local, so the DEFAULT capacity factor suffices
+        # (round 1 needed capacity_factor = n_dev here).
         mesh = _mesh(n_dev)
         keys = np.full(1 << 10, 12345, dtype=np.uint64)
         payload = np.arange(len(keys), dtype=np.uint32)
-        k, p = distributed_sort_numpy(keys, payload, mesh,
-                                      capacity_factor=float(n_dev))
+        k, p = distributed_sort_numpy(keys, payload, mesh)
         np.testing.assert_array_equal(k, keys)
         np.testing.assert_array_equal(p, payload)
 
@@ -62,8 +63,13 @@ class TestDistributedSort:
         np.testing.assert_array_equal(p, order.astype(np.uint32))
 
     def test_overflow_detected(self, n_dev=4):
+        # adversarial TRUE off-diagonal overload: keys descend across the
+        # mesh, so device d's whole shard must move to device D-1-d (the
+        # reversal permutation) — per-pair demand = n_local >> capacity.
+        # (All-zero keys no longer overflow: identity routing is local.)
         mesh = _mesh(n_dev)
-        keys = np.zeros(1 << 10, dtype=np.uint64)  # all to device 0
+        n = 1 << 10
+        keys = np.arange(n, 0, -1).astype(np.uint64)
         with pytest.raises(RuntimeError, match="capacity"):
             distributed_sort_numpy(keys, None, mesh, capacity_factor=1.0)
 
@@ -90,13 +96,12 @@ def test_all_equal_keys_split_across_devices(n_dev=8):
     # heavy-key splitting: position splitters route an all-equal dataset
     # identically (source s -> dest s: zero data movement, balanced
     # totals), so every device ends with n/D rows instead of one device
-    # receiving everything. The per-(src,dst) capacity model still prices
-    # the fat identity pair at n_local, hence capacity_factor=n_dev.
+    # receiving everything. The two-tier exchange keeps the fat identity
+    # pair local, so the default capacity factor suffices.
     mesh = _mesh(n_dev)
     keys = np.full(1 << 12, 777, dtype=np.uint64)
     payload = np.arange(len(keys), dtype=np.uint32)
-    k, p = distributed_sort_numpy(keys, payload, mesh,
-                                  capacity_factor=float(n_dev))
+    k, p = distributed_sort_numpy(keys, payload, mesh)
     np.testing.assert_array_equal(k, keys)
     np.testing.assert_array_equal(p, payload)  # stability across the split
 
@@ -108,7 +113,7 @@ def test_all_equal_keys_split_across_devices(n_dev=8):
     u = U64.from_numpy(keys)
     sh = NamedSharding(mesh, P("x"))
     key = U64(jax.device_put(u.lo, sh), jax.device_put(u.hi, sh))
-    res, _ = distributed_sort(key, mesh=mesh, capacity_factor=float(n_dev))
+    res, _ = distributed_sort(key, mesh=mesh)
     valid = np.asarray(res.valid).reshape(n_dev)
     expect = len(keys) // n_dev
     assert (np.abs(valid.astype(np.int64) - expect) <= 2).all(), valid
@@ -124,3 +129,46 @@ def test_zipf_low_capacity(n_dev=8):
     order = np.argsort(keys, kind="stable")
     np.testing.assert_array_equal(k, keys[order])
     np.testing.assert_array_equal(p, order.astype(np.uint32))
+
+
+def test_adversarial_reversal_auto_capacity(n_dev=8):
+    # the reversal permutation (every shard moves wholesale to another
+    # device) overflows any O(n_local/D) uniform budget; "auto" plans the
+    # exchange (plan_sort_capacity) and sizes the receive layout to the
+    # measured per-pair demand (~n_local), so it just works.
+    mesh = _mesh(n_dev)
+    n = 1 << 13
+    keys = np.arange(n, 0, -1).astype(np.uint64)
+    payload = np.arange(n, dtype=np.uint32)
+    k, p = distributed_sort_numpy(keys, payload, mesh,
+                                  capacity_factor="auto")
+    np.testing.assert_array_equal(k, np.sort(keys))
+    np.testing.assert_array_equal(p, np.argsort(keys, kind="stable"))
+
+
+def test_auto_capacity_zipf(n_dev=8):
+    mesh = _mesh(n_dev)
+    rng = np.random.default_rng(13)
+    ranks = rng.zipf(1.2, size=1 << 13).astype(np.uint64)
+    keys = ranks * np.uint64(0x9E3779B97F4A7C15)
+    payload = np.arange(len(keys), dtype=np.uint32)
+    k, p = distributed_sort_numpy(keys, payload, mesh,
+                                  capacity_factor="auto")
+    order = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(k, keys[order])
+    np.testing.assert_array_equal(p, order.astype(np.uint32))
+
+
+def test_auto_capacity_is_demand_sized(n_dev=8):
+    # identity route: measured off-diagonal demand ~0 -> capacity floor,
+    # receive buffer D*16 + n_local instead of D * (factor * n_local / D).
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from tpu_qe.bits import U64
+    from tpu_qe.exchange.dsort import auto_capacity
+    mesh = _mesh(n_dev)
+    keys = np.full(1 << 12, 7, dtype=np.uint64)
+    u = U64.from_numpy(keys)
+    sh = NamedSharding(mesh, P("x"))
+    key = U64(jax.device_put(u.lo, sh), jax.device_put(u.hi, sh))
+    assert auto_capacity(key, mesh) == 16  # the floor: no off-diag demand

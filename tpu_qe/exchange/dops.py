@@ -75,7 +75,7 @@ def _djoin_shard(llo, lhi, lval_cols, rlo, rhi, rval_cols, *, n_dev,
     dest_r_max = route_by_splitters_pos(rlo, rhi, jnp.full(n_local_r, _ONES),
                                         sp_lo, sp_hi, sp_pos)
     spans = dest_r_max > dest_r
-    recv_r, flag_r, _, ovf_r = exchange(
+    recv_r, flag_r, _, _, ovf_r = exchange(
         dest_r, [rlo, rhi] + list(rval_cols),
         [_ONES, _ONES] + [jnp.uint32(0)] * len(rval_cols), n_dev, cap_r)
 
@@ -109,7 +109,7 @@ def _djoin_shard(llo, lhi, lval_cols, rlo, rhi, rval_cols, *, n_dev,
     bc_flag = bc(jnp.zeros(nspan, jnp.uint32), jnp.uint32(1))
 
     dest_l = route_by_splitters_pos(llo, lhi, pos_l, sp_lo, sp_hi, sp_pos)
-    recv_l, flag_l, _, ovf_l = exchange(
+    recv_l, flag_l, _, _, ovf_l = exchange(
         dest_l, [llo, lhi, gidx] + list(lval_cols),
         [_ONES, _ONES, _ONES] + [jnp.uint32(0)] * len(lval_cols),
         n_dev, cap_l)
@@ -134,19 +134,67 @@ def _djoin_shard(llo, lhi, lval_cols, rlo, rhi, rval_cols, *, n_dev,
     return (*outs, overflow)
 
 
+def _djoin_plan_shard(llo, lhi, rlo, rhi, *, n_dev, samples_per_dev):
+    """Planning pass for the join: route both sides (exactly like
+    _djoin_shard) and return the max off-diagonal bucket per side."""
+    from tpu_qe.exchange.shuffle import (offdiag_demand,
+                                         route_by_splitters_pos,
+                                         sample_splitters_pos)
+
+    n_local_l = llo.shape[0]
+    n_local_r = rlo.shape[0]
+    my = jax.lax.axis_index(AXIS).astype(jnp.uint32)
+    gidx = my * jnp.uint32(n_local_l) + jnp.arange(n_local_l,
+                                                   dtype=jnp.uint32)
+    pos_l = gidx
+    pos_r = jnp.zeros(n_local_r, dtype=jnp.uint32)
+    sp_lo, sp_hi, sp_pos = sample_splitters_pos(
+        jnp.concatenate([rlo, llo]), jnp.concatenate([rhi, lhi]),
+        jnp.concatenate([pos_r, pos_l]), n_dev, samples_per_dev)
+    dest_l = route_by_splitters_pos(llo, lhi, pos_l, sp_lo, sp_hi, sp_pos)
+    dest_r = route_by_splitters_pos(rlo, rhi, pos_r, sp_lo, sp_hi, sp_pos)
+    return (offdiag_demand(dest_l, n_dev).reshape(1),
+            offdiag_demand(dest_r, n_dev).reshape(1))
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "samples_per_dev"))
+def plan_join_capacity(lkey: U64, rkey: U64, mesh: Mesh,
+                       samples_per_dev: int = 128):
+    """Measured off-diagonal exchange demand (left, right) for the join."""
+    n_dev = mesh.shape[AXIS]
+    spec = P(AXIS)
+    fn = shard_map(
+        functools.partial(_djoin_plan_shard, n_dev=n_dev,
+                          samples_per_dev=samples_per_dev),
+        mesh=mesh, in_specs=(spec,) * 4, out_specs=(spec, spec),
+        check_vma=False)
+    return fn(lkey.lo, lkey.hi, rkey.lo, rkey.hi)
+
+
+def _pow2_capacity(demand: int, slack: float = 1.05) -> int:
+    need = max(int(np.ceil(demand * slack)), 16)
+    return 1 << int(np.ceil(np.log2(need)))
+
+
 @functools.partial(jax.jit, static_argnames=("mesh", "samples_per_dev",
                                              "capacity_factor",
-                                             "capacity_factor_right"))
+                                             "capacity_factor_right",
+                                             "capacity_left",
+                                             "capacity_right"))
 def distributed_join_fk(lkey: U64, left_cols: tuple, rkey: U64,
                         right_cols: tuple, mesh: Mesh,
                         samples_per_dev: int = 128,
                         capacity_factor: float = 2.0,
-                        capacity_factor_right: float | None = None):
+                        capacity_factor_right: float | None = None,
+                        capacity_left: int | None = None,
+                        capacity_right: int | None = None):
     """FK equi-join of mesh-sharded tables.
 
     Args:
       lkey/rkey: U64 keys, globally (n_l,)/(n_r,), sharded over the mesh.
       left_cols/right_cols: tuples of u32 value columns, sharded likewise.
+      capacity_left/right: explicit off-diagonal bucket capacities (e.g.
+        from plan_join_capacity — demand-sized); override the factors.
     Returns (global_left_index, matched, pad_flag, out_left_cols,
     out_right_cols, overflow), each per-shard padded; rows with pad_flag==0
     are real, identified by global_left_index.
@@ -159,10 +207,14 @@ def distributed_join_fk(lkey: U64, left_cols: tuple, rkey: U64,
     # Splitters balance the UNION of both key distributions, so the side
     # with less mass can legitimately concentrate (e.g. a small dimension
     # table whose key range covers a fraction of the union quantiles) —
-    # give it its own factor, up to n_dev for full concentration.
+    # give it its own factor, up to n_dev for full concentration, or
+    # plan_join_capacity for the measured demand. Diagonal (stay-local)
+    # rows are free (tpu_qe.exchange.shuffle two-tier model).
     cf_r = capacity_factor if capacity_factor_right is None else capacity_factor_right
-    cap_l = max(int(np.ceil(capacity_factor * (n_l // n_dev) / n_dev)), 16)
-    cap_r = max(int(np.ceil(cf_r * (n_r // n_dev) / n_dev)), 16)
+    cap_l = (capacity_left if capacity_left is not None
+             else max(int(np.ceil(capacity_factor * (n_l // n_dev) / n_dev)), 16))
+    cap_r = (capacity_right if capacity_right is not None
+             else max(int(np.ceil(cf_r * (n_r // n_dev) / n_dev)), 16))
 
     spec = P(AXIS)
     n_out = 3 + len(left_cols) + len(right_cols) + 1
@@ -181,7 +233,11 @@ def distributed_join_fk(lkey: U64, left_cols: tuple, rkey: U64,
 
 
 def distributed_join_fk_numpy(lkeys, lvals, rkeys, rvals, mesh, **kw):
-    """Host wrapper: returns (matched, right-values) in original left order."""
+    """Host wrapper: returns (matched, right-values) in original left order.
+
+    capacity_factor="auto" plans both exchanges first (plan_join_capacity)
+    and sizes the receive layouts to measured off-diagonal demand.
+    """
     n_dev = mesh.shape[AXIS]
     sh = NamedSharding(mesh, P(AXIS))
 
@@ -192,8 +248,19 @@ def distributed_join_fk_numpy(lkeys, lvals, rkeys, rvals, mesh, **kw):
     def put32(x):
         return jax.device_put(jnp.asarray(x, dtype=jnp.uint32), sh)
 
-    res = distributed_join_fk(put64(lkeys), tuple(put32(v) for v in lvals),
-                              put64(rkeys), tuple(put32(v) for v in rvals),
+    lk, rk = put64(lkeys), put64(rkeys)
+    if kw.get("capacity_factor") == "auto":
+        kw = dict(kw)
+        del kw["capacity_factor"]
+        kw.pop("capacity_factor_right", None)
+        if n_dev > 1:
+            dl, dr = plan_join_capacity(
+                lk, rk, mesh,
+                samples_per_dev=kw.get("samples_per_dev", 128))
+            kw["capacity_left"] = _pow2_capacity(int(np.asarray(dl).max()))
+            kw["capacity_right"] = _pow2_capacity(int(np.asarray(dr).max()))
+    res = distributed_join_fk(lk, tuple(put32(v) for v in lvals),
+                              rk, tuple(put32(v) for v in rvals),
                               mesh=mesh, **kw)
     overflow = int(np.asarray(res[-1]).max())
     if overflow:
@@ -265,8 +332,8 @@ def _dagg_shard(lo, hi, val, *, n_dev, samples_per_dev, capacity,
     dest = jnp.where(is_real, dest,
                      (idx % jnp.uint32(n_dev)).astype(jnp.uint32))
     pads = [_ONES, _ONES] + [_neutral(a, dtypes[a]) for a in inner_aggs]
-    recv, _, _, overflow = exchange(dest, [klo, khi] + partials, pads,
-                                    n_dev, capacity)
+    recv, _, _, _, overflow = exchange(dest, [klo, khi] + partials, pads,
+                                       n_dev, capacity)
 
     # Phase 3: combine received partials per key with ONE key sort shared
     # across all agg columns (count/sum combine by cumsum differences at

@@ -90,14 +90,15 @@ def _dsort_shard(lo, hi, *payloads, n_dev: int, samples_per_dev: int,
 
     cols = [lo, hi] + list(payloads)
     pads = [_ONES, _ONES] + [jnp.uint32(0)] * len(payloads)
-    recv, recv_flag, recv_counts, overflow = exchange(
+    recv, recv_flag, recv_rank, recv_counts, overflow = exchange(
         dest, cols, pads, n_dev, capacity)
 
     # local sort of received data: the third key packs the pad flag (bit
-    # 31: sentinels after equal real keys) over the arrival index (source
-    # order = stability), so the sort can run unstable.
-    arrival = jnp.arange(recv[0].shape[0], dtype=jnp.uint32)
-    flag_key = (recv_flag << jnp.uint32(31)) | arrival
+    # 31: sentinels after equal real keys) over the exchange's stability
+    # rank (source-major order — the diagonal rows live in a local tail
+    # block, so flat position is no longer source order), so the sort can
+    # run unstable.
+    flag_key = (recv_flag << jnp.uint32(31)) | recv_rank
     res = jax.lax.sort([recv[1], recv[0], flag_key] + recv[2:],
                        num_keys=3, is_stable=False)
     out_hi, out_lo = res[0], res[1]
@@ -106,22 +107,63 @@ def _dsort_shard(lo, hi, *payloads, n_dev: int, samples_per_dev: int,
     return (out_lo, out_hi, *out_pay, valid, overflow.reshape(1))
 
 
+def _plan_shard(lo, hi, *, n_dev, samples_per_dev):
+    """Planning pass: route only, return the max off-diagonal bucket size.
+
+    Must sample/route EXACTLY like _dsort_shard so the measured demand is
+    valid for the real exchange (both are deterministic in the inputs).
+    """
+    from tpu_qe.exchange.shuffle import offdiag_demand
+
+    n_local = lo.shape[0]
+    my = jax.lax.axis_index(AXIS).astype(jnp.uint32)
+    gpos = my * jnp.uint32(n_local) + jnp.arange(n_local, dtype=jnp.uint32)
+    sp_lo, sp_hi, sp_pos = sample_splitters_pos(lo, hi, gpos, n_dev,
+                                                samples_per_dev)
+    dest = route_by_splitters_pos(lo, hi, gpos, sp_lo, sp_hi, sp_pos)
+    return offdiag_demand(dest, n_dev).reshape(1)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "samples_per_dev"))
+def plan_sort_capacity(key: U64, mesh: Mesh, samples_per_dev: int = 128):
+    """Measure the exact off-diagonal exchange demand for distributed_sort.
+
+    Returns a (n_dev,) replicated-value array whose max is the largest
+    off-diagonal (src,dst) bucket; pass ceil to distributed_sort as
+    `capacity` (round up to bound recompiles) for a demand-sized receive
+    layout instead of a uniform capacity_factor guess.
+    """
+    n_dev = mesh.shape[AXIS]
+    spec = P(AXIS)
+    fn = shard_map(
+        functools.partial(_plan_shard, n_dev=n_dev,
+                          samples_per_dev=samples_per_dev),
+        mesh=mesh, in_specs=(spec, spec), out_specs=spec, check_vma=False)
+    return fn(key.lo, key.hi)
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("mesh", "samples_per_dev", "capacity_factor"))
+                   static_argnames=("mesh", "samples_per_dev",
+                                    "capacity_factor", "capacity"))
 def distributed_sort(key: U64, *payloads: jnp.ndarray, mesh: Mesh,
                      samples_per_dev: int = 128,
-                     capacity_factor: float = 2.0):
+                     capacity_factor: float = 2.0,
+                     capacity: int | None = None):
     """Sort u64 keys (+u32 payloads) sharded over a 1-D mesh.
 
     Args:
       key: U64 with global shape (n,), n divisible by mesh size.
       mesh: 1-D mesh from make_mesh().
+      capacity: explicit per-(src,dst) OFF-DIAGONAL bucket capacity
+        (e.g. from plan_sort_capacity — demand-sized). Overrides
+        capacity_factor. Diagonal (stay-local) rows never consume it.
     Returns:
       (DistSortResult, overflow_flag). Device d's run holds the d-th quantile
       of the global key order: its first ``valid[d]`` elements, sorted;
       concatenated in mesh order they form the full sorted sequence.
-      overflow_flag (u32) is nonzero if a send bucket exceeded capacity
-      (raise capacity_factor; counts stay exact so overflow is detectable).
+      overflow_flag (u32) is nonzero if an off-diagonal send bucket
+      exceeded capacity (raise capacity_factor / re-plan; counts stay
+      exact so overflow is detectable).
     """
     n_dev = mesh.shape[AXIS]
     n = key.lo.shape[0]
@@ -136,10 +178,12 @@ def distributed_sort(key: U64, *payloads: jnp.ndarray, mesh: Mesh,
         return (DistSortResult(U64(res[1], res[0]), tuple(res[2:]),
                                jnp.full((1,), n, jnp.uint32)),
                 jnp.zeros((1,), jnp.uint32))
-    capacity = int(np.ceil(capacity_factor * n_local / n_dev))
+    if capacity is None:
+        capacity = int(np.ceil(capacity_factor * n_local / n_dev))
     capacity = max(capacity, 16)
-    # the local sort packs the pad flag into bit 31 over the arrival index
-    assert n_dev * capacity < (1 << 31), (n_dev, capacity)
+    # the local sort packs the pad flag into bit 31 over the stability rank
+    # (rank < n_dev * max(capacity, n_local))
+    assert n_dev * max(capacity, n_local) < (1 << 31), (n_dev, capacity)
 
     spec = P(AXIS)
     out_specs = tuple([spec] * (2 + len(payloads))) + (spec, spec)
@@ -158,9 +202,29 @@ def distributed_sort(key: U64, *payloads: jnp.ndarray, mesh: Mesh,
     return DistSortResult(U64(out_lo, out_hi), out_pay, valid), overflow
 
 
+def auto_capacity(key: U64, mesh: Mesh, samples_per_dev: int = 128,
+                  slack: float = 1.05) -> int:
+    """Demand-sized off-diagonal capacity for distributed_sort.
+
+    Runs the planning pass, reads back the scalar demand, and rounds up to
+    the next power of two (so repeated runs on similar data reuse one
+    compiled executable instead of recompiling per exact demand). slack
+    guards the re-sample (the plan is deterministic, so 1.0 would do; the
+    margin is free because of the pow2 rounding).
+    """
+    demand = int(np.asarray(
+        plan_sort_capacity(key, mesh, samples_per_dev=samples_per_dev)).max())
+    need = max(int(np.ceil(demand * slack)), 16)
+    return 1 << int(np.ceil(np.log2(need)))
+
+
 def distributed_sort_numpy(keys: np.ndarray, payload: np.ndarray | None,
                            mesh: Mesh, **kw):
-    """Host-side wrapper: shard, sort, gather, compact (for tests/benches)."""
+    """Host-side wrapper: shard, sort, gather, compact (for tests/benches).
+
+    capacity_factor="auto" plans the exchange first (plan_sort_capacity)
+    and sizes the receive layout to measured off-diagonal demand.
+    """
     n_dev = mesh.shape[AXIS]
     key = U64.from_numpy(keys)
     sharding = NamedSharding(mesh, P(AXIS))
@@ -168,6 +232,13 @@ def distributed_sort_numpy(keys: np.ndarray, payload: np.ndarray | None,
     payloads = ()
     if payload is not None:
         payloads = (jax.device_put(jnp.asarray(payload), sharding),)
+    if kw.get("capacity_factor") == "auto":
+        kw = dict(kw)
+        del kw["capacity_factor"]
+        if n_dev > 1:
+            kw["capacity"] = auto_capacity(
+                key, mesh,
+                samples_per_dev=kw.get("samples_per_dev", 128))
     res, overflow = distributed_sort(key, *payloads, mesh=mesh, **kw)
     if int(np.asarray(overflow).max()):
         raise RuntimeError("exchange capacity overflow; raise capacity_factor")

@@ -11,7 +11,11 @@ compose into the distributed operators:
   exchange           stable local partition by dest + padded fixed-size
                      all_to_all over ICI with exact per-pair counts and
                      overflow detection (static shapes: the TPU-native
-                     stand-in for a ragged all_to_all)
+                     stand-in for a ragged all_to_all). Two-tier capacity:
+                     diagonal (stay-local) rows bypass the collective with
+                     full n_local capacity; only off-diagonal buckets pay
+                     `capacity`, which `offdiag_demand` can size to the
+                     measured demand (plan-then-execute)
 
 distributed_sort / distributed_join_fk / distributed_aggregate are thin
 compositions: exchange + the corresponding local operator per shard.
@@ -99,25 +103,9 @@ def route_by_splitters_pos(lo, hi, pos, sp_lo, sp_hi, sp_pos):
     return jnp.sum(gt.astype(jnp.uint32), axis=0)
 
 
-def exchange(dest, cols, pad_values, n_dev: int, capacity: int,
-             axis: str = AXIS):
-    """Move rows to their dest device via a padded all_to_all.
-
-    Args:
-      dest: (n_local,) uint32 destination device per row.
-      cols: list of (n_local,) uint32 columns to move (keys first by
-        convention; all carried through one stable partition so relative
-        order within a destination is preserved — stability).
-      pad_values: per-column uint32 fill for exchange padding.
-    Returns:
-      (recv_cols, recv_flag, recv_counts, overflow):
-        recv_cols: list of (n_dev * capacity,) received columns, grouped by
-          source rank in rank order (source order preserved within a rank);
-        recv_flag: 1 where the slot is padding;
-        recv_counts: (n_dev,) real rows received from each source;
-        overflow: scalar u32, nonzero if any (src,dst) run exceeded
-          capacity (counts stay exact so truncation is detectable).
-    """
+def _partition_by_dest(dest, cols, n_dev: int):
+    """Stable partition of rows by destination; returns (cols_s, counts,
+    offsets) with counts/offsets per destination."""
     n_local = dest.shape[0]
     # Partition by destination with an unstable sort: the key packs dest
     # into the high bits and the row index below, so order within a
@@ -133,11 +121,71 @@ def exchange(dest, cols, pad_values, n_dev: int, capacity: int,
         parts = jax.lax.sort([dest] + list(cols), num_keys=1, is_stable=True)
         dest_s = parts[0]
     cols_s = list(parts[1:])
-
     counts = jnp.sum(
         (dest_s[:, None] == jnp.arange(n_dev, dtype=jnp.uint32)[None, :])
         .astype(jnp.uint32), axis=0)
     offsets = jnp.cumsum(counts) - counts
+    return cols_s, counts, offsets
+
+
+def offdiag_demand(dest, n_dev: int, axis: str = AXIS):
+    """Max off-diagonal (src,dst) bucket size across the mesh (scalar u32).
+
+    The planning half of demand-sized exchange: run this (cheap — one
+    histogram + pmax) in a first jitted program, read the scalar back, and
+    size `capacity` for the real exchange to the actual demand instead of
+    a uniform worst-case factor. Diagonal (dest == own rank) traffic is
+    excluded — it never enters the all_to_all (see `exchange`).
+    """
+    counts = jnp.sum(
+        (dest[:, None] == jnp.arange(n_dev, dtype=jnp.uint32)[None, :])
+        .astype(jnp.uint32), axis=0)
+    me = jax.lax.axis_index(axis).astype(jnp.uint32)
+    off = jnp.where(jnp.arange(n_dev, dtype=jnp.uint32) == me, 0, counts)
+    return jax.lax.pmax(jnp.max(off), axis)
+
+
+def exchange(dest, cols, pad_values, n_dev: int, capacity: int,
+             axis: str = AXIS):
+    """Move rows to their dest device: local keep + padded all_to_all.
+
+    Two-tier capacity model: rows whose destination is their own device
+    NEVER enter the all_to_all — they are kept in a local tail block with
+    full n_local capacity (pure HBM, no interconnect cost). Only
+    off-diagonal (src != dst) buckets consume `capacity`, so identity /
+    all-equal-key routes no longer inflate the receive buffer by a factor
+    of n_dev (the round-1 uniform model priced the zero-movement route at
+    n_local per pair). Use `offdiag_demand` to size `capacity` to actual
+    demand.
+
+    Args:
+      dest: (n_local,) uint32 destination device per row.
+      cols: list of (n_local,) uint32 columns to move (keys first by
+        convention; all carried through one stable partition so relative
+        order within a destination is preserved — stability).
+      pad_values: per-column uint32 fill for exchange padding.
+    Returns:
+      (recv_cols, recv_flag, recv_rank, recv_counts, overflow):
+        recv_cols: list of (n_dev * capacity + n_local,) received columns:
+          first n_dev*capacity entries are off-diagonal blocks grouped by
+          source rank (own rank's block is all padding), the n_local tail
+          holds the rows that stayed local;
+        recv_flag: 1 where the slot is padding;
+        recv_rank: u32 stability rank — strictly increasing over
+          (source rank, within-source order); sort by it to recover the
+          source-rank arrival order the flat layout no longer provides;
+        recv_counts: (n_dev,) real rows received from each source
+          (including own rank's local rows);
+        overflow: scalar u32, nonzero if any OFF-DIAGONAL (src,dst) run
+          exceeded capacity (counts stay exact so truncation is
+          detectable; local rows cannot overflow).
+    """
+    n_local = dest.shape[0]
+    cols_s, counts, offsets = _partition_by_dest(dest, cols, n_dev)
+    me = jax.lax.axis_index(axis).astype(jnp.uint32)
+    dev_ids = jnp.arange(n_dev, dtype=jnp.uint32)
+    # off-diagonal send budget: own bucket contributes nothing to the a2a
+    send_counts = jnp.where(dev_ids == me, 0, counts)
 
     def pack(col, fill):
         colp = jnp.concatenate(
@@ -145,19 +193,38 @@ def exchange(dest, cols, pad_values, n_dev: int, capacity: int,
 
         def one(d):
             run = jax.lax.dynamic_slice(colp, (offsets[d],), (capacity,))
-            in_run = jnp.arange(capacity, dtype=jnp.uint32) < counts[d]
+            in_run = jnp.arange(capacity, dtype=jnp.uint32) < send_counts[d]
             return jnp.where(in_run, run, fill)
 
-        return jax.vmap(one)(jnp.arange(n_dev))  # (D, capacity)
+        return jax.vmap(one)(dev_ids)  # (D, capacity)
+
+    def local_tail(col, fill):
+        colp = jnp.concatenate(
+            [col, jnp.full((n_local,), fill, dtype=col.dtype)])
+        run = jax.lax.dynamic_slice(colp, (offsets[me],), (n_local,))
+        in_run = jnp.arange(n_local, dtype=jnp.uint32) < counts[me]
+        return jnp.where(in_run, run, fill)
 
     a2a = functools.partial(jax.lax.all_to_all, axis_name=axis,
                             split_axis=0, concat_axis=0, tiled=False)
-    recv_cols = [a2a(pack(c, v)).reshape(-1)
-                 for c, v in zip(cols_s, pad_values)]
-    recv_flag = a2a(pack(jnp.zeros(n_local, jnp.uint32),
-                         jnp.uint32(1))).reshape(-1)
+    recv_cols = [
+        jnp.concatenate([a2a(pack(c, v)).reshape(-1), local_tail(c, v)])
+        for c, v in zip(cols_s, pad_values)]
+    zeros = jnp.zeros(n_local, jnp.uint32)
+    recv_flag = jnp.concatenate([
+        a2a(pack(zeros, jnp.uint32(1))).reshape(-1),
+        local_tail(zeros, jnp.uint32(1))])
+    # stability rank: source-major, within-source order preserved. The
+    # off-diagonal region's source is its block index; the local tail's
+    # source is own rank. stride M keeps ranks disjoint per source.
+    m_stride = jnp.uint32(max(capacity, n_local))
+    off_pos = jnp.arange(n_dev * capacity, dtype=jnp.uint32)
+    off_rank = (off_pos // jnp.uint32(capacity)) * m_stride \
+        + off_pos % jnp.uint32(capacity)
+    tail_rank = me * m_stride + jnp.arange(n_local, dtype=jnp.uint32)
+    recv_rank = jnp.concatenate([off_rank, tail_rank])
     recv_counts = jax.lax.all_to_all(
         counts.reshape(n_dev, 1), axis, 0, 0).reshape(-1)
-    overflow = (jax.lax.pmax(jnp.max(counts), axis)
+    overflow = (jax.lax.pmax(jnp.max(send_counts), axis)
                 > jnp.uint32(capacity)).astype(jnp.uint32)
-    return recv_cols, recv_flag, recv_counts, overflow
+    return recv_cols, recv_flag, recv_rank, recv_counts, overflow
