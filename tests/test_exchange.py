@@ -172,3 +172,57 @@ def test_auto_capacity_is_demand_sized(n_dev=8):
     sh = NamedSharding(mesh, P("x"))
     key = U64(jax.device_put(u.lo, sh), jax.device_put(u.hi, sh))
     assert auto_capacity(key, mesh) == 16  # the floor: no off-diag demand
+
+
+class TestOverlappedExchange:
+    """dsort(overlap=k): chunked sub-exchanges + merge tree (SURVEY §2c
+    exchange/compute overlap). Must be bit-identical to the monolithic
+    path on the valid prefix."""
+
+    @pytest.mark.parametrize("n_dev", [2, 4, 8])
+    @pytest.mark.parametrize("k", [2, 4])
+    def test_bit_identical_to_monolithic(self, n_dev, k):
+        mesh = _mesh(n_dev)
+        rng = np.random.default_rng(100 * n_dev + k)
+        n = 1 << 13
+        keys = rng.integers(0, 1 << 64, size=n, dtype=np.uint64)
+        keys[::5] = keys[1]  # duplicates exercise the stability rank
+        payload = np.arange(n, dtype=np.uint32)
+        k_m, p_m = distributed_sort_numpy(keys, payload, mesh,
+                                          capacity_factor=3.0)
+        k_o, p_o = distributed_sort_numpy(keys, payload, mesh,
+                                          capacity_factor=3.0, overlap=k)
+        np.testing.assert_array_equal(k_o, k_m)
+        np.testing.assert_array_equal(p_o, p_m)
+        order = np.argsort(keys, kind="stable")
+        np.testing.assert_array_equal(k_o, keys[order])
+        np.testing.assert_array_equal(p_o, order.astype(np.uint32))
+
+    def test_zipf_overlap(self, n_dev=8, k=4):
+        mesh = _mesh(n_dev)
+        rng = np.random.default_rng(77)
+        ranks = rng.zipf(1.3, size=1 << 13).astype(np.uint64)
+        keys = ranks * np.uint64(0x9E3779B97F4A7C15)
+        payload = np.arange(len(keys), dtype=np.uint32)
+        k_o, p_o = distributed_sort_numpy(keys, payload, mesh,
+                                          capacity_factor=4.0, overlap=k)
+        order = np.argsort(keys, kind="stable")
+        np.testing.assert_array_equal(k_o, keys[order])
+        np.testing.assert_array_equal(p_o, order.astype(np.uint32))
+
+    def test_all_equal_keys_overlap(self, n_dev=4, k=2):
+        # identity route: every chunk is pure local tail, zero collective
+        mesh = _mesh(n_dev)
+        keys = np.full(1 << 12, 99, dtype=np.uint64)
+        payload = np.arange(len(keys), dtype=np.uint32)
+        k_o, p_o = distributed_sort_numpy(keys, payload, mesh, overlap=k)
+        np.testing.assert_array_equal(k_o, keys)
+        np.testing.assert_array_equal(p_o, payload)
+
+    def test_overlap_overflow_detected(self, n_dev=4, k=2):
+        mesh = _mesh(n_dev)
+        n = 1 << 12
+        keys = np.arange(n, 0, -1).astype(np.uint64)  # reversal route
+        with pytest.raises(RuntimeError, match="capacity"):
+            distributed_sort_numpy(keys, None, mesh, capacity_factor=1.0,
+                                   overlap=k)

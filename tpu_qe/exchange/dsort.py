@@ -23,15 +23,21 @@ Within-device sorted runs concatenated in mesh order form the globally
 sorted sequence; stability holds because routing preserves source order,
 all_to_all concatenates in source-rank order, and local sorts are stable.
 
-Exchange/compute overlap: the all_to_all and the local sort have a full
-data dependence (every received element participates in the local sort),
-so manual double-buffering cannot hide the exchange behind THIS step;
-XLA already overlaps the splitter all_gather with the local partition, and
-across pipeline stages (e.g. sort feeding a downstream operator) XLA's
-latency-hiding scheduler overlaps collectives with unrelated compute. A
-merge-based local phase (k sorted sub-streams merged as chunks arrive)
-would enable finer overlap at the cost of a TPU-hostile merge — revisit
-if exchange time dominates on real multi-chip hardware.
+Exchange/compute overlap (``overlap=k``): the monolithic all_to_all and
+local sort have a full data dependence, so k SUB-exchanges break it: the
+destination-partitioned rows are sliced into k contiguous ranges, each
+exchanged independently, and each received chunk is pre-sorted
+immediately — chunk j's local sort has no data dependence on sub-exchange
+j+1, so XLA's latency-hiding scheduler runs it while the next collective
+is in flight (the per-chunk sorts are ~85% of local compute). The
+non-overlappable tail is a log2(k)-round bitonic MERGE tree over the
+pre-sorted runs — O(log n) compare-exchange stages per round instead of
+the O(log^2 n) of a full re-sort, so only ~15% of the local work must
+wait for the last chunk. Results are bit-identical to the monolithic
+path (the merge network realizes the same unique total order
+(key, stability-rank) the one-shot sort does). This fills the SURVEY §2c
+overlap row; contrast the reference's single queue submit
+(/root/reference/src/main.rs:727).
 """
 
 from __future__ import annotations
@@ -107,6 +113,110 @@ def _dsort_shard(lo, hi, *payloads, n_dev: int, samples_per_dev: int,
     return (out_lo, out_hi, *out_pay, valid, overflow.reshape(1))
 
 
+def _lex_le3(a, b):
+    """Lexicographic a <= b over (hi, lo, rank) u32 column triples."""
+    ah, al, ar = a[0], a[1], a[2]
+    bh, bl, br = b[0], b[1], b[2]
+    return ((ah < bh)
+            | ((ah == bh) & ((al < bl)
+                             | ((al == bl) & (ar <= br)))))
+
+
+def _bitonic_merge_cols(A, B):
+    """Merge two column sets, each ascending by (hi, lo, rank), into one.
+
+    Columns are [hi, lo, rank, *payloads]; both runs must have the same
+    power-of-two length. concat(A, reverse(B)) is bitonic; log2(2L)
+    half-cleaner stages sort it — O(log n) full-array passes instead of
+    the O(log^2 n) of a general sort, which is what makes the overlap
+    path's final combine cheap relative to the overlapped per-chunk sorts.
+    """
+    m = A[0].shape[0]
+    assert m == B[0].shape[0] and (m & (m - 1)) == 0, (m, B[0].shape)
+    cols = [jnp.concatenate([a, b[::-1]]) for a, b in zip(A, B)]
+    s = m
+    while s >= 1:
+        parts = [c.reshape(-1, 2, s) for c in cols]
+        a = [p[:, 0] for p in parts]
+        b = [p[:, 1] for p in parts]
+        a_le_b = _lex_le3(a, b)
+        low = [jnp.where(a_le_b, x, y) for x, y in zip(a, b)]
+        high = [jnp.where(a_le_b, y, x) for x, y in zip(a, b)]
+        cols = [jnp.stack([l, h], axis=1).reshape(-1)
+                for l, h in zip(low, high)]
+        s //= 2
+    return cols
+
+
+def _dsort_shard_overlap(lo, hi, *payloads, n_dev: int, samples_per_dev: int,
+                         capacity: int, k: int):
+    """Overlapped per-shard body: k sub-exchanges, per-chunk pre-sorts
+    (overlappable with in-flight collectives), bitonic merge tree tail.
+
+    Bit-identical to _dsort_shard's result on the valid prefix: every
+    real row carries a globally unique (key, stability-rank) pair and the
+    merge network realizes the same total order the one-shot sort does.
+
+    Chunks slice the rows in ORIGINAL order (not destination-partitioned
+    order — a dest-major slice would concentrate each chunk on one
+    destination and blow the per-chunk budget): each sub-exchange
+    partitions its own slice, so per-chunk bucket sizes are ~1/k of the
+    full-exchange buckets, and stability holds because chunk j's rows
+    precede chunk j+1's in source order.
+    """
+    n_local = lo.shape[0]
+    assert n_local % k == 0, (n_local, k)
+    w = n_local // k
+    my = jax.lax.axis_index(AXIS).astype(jnp.uint32)
+    gpos = my * jnp.uint32(n_local) + jnp.arange(n_local, dtype=jnp.uint32)
+    sp_lo, sp_hi, sp_pos = sample_splitters_pos(lo, hi, gpos, n_dev,
+                                                samples_per_dev)
+    dest = route_by_splitters_pos(lo, hi, gpos, sp_lo, sp_hi, sp_pos)
+
+    cols_s = [lo, hi] + list(payloads)
+    dest_s = dest
+    pads = [_ONES, _ONES] + [jnp.uint32(0)] * len(payloads)
+
+    # chunk stride inside exchange(): must match its m_stride for slices
+    m_stride = max(capacity, w)
+    l0 = n_dev * capacity + w
+    l_pow2 = 1 << int(np.ceil(np.log2(max(l0, 2))))
+
+    runs = []
+    valid = jnp.zeros((), jnp.uint32)
+    ovf = jnp.zeros((), jnp.uint32)
+    for j in range(k):
+        sl = slice(j * w, (j + 1) * w)
+        recv, flag, rank, counts_j, ovf_j = exchange(
+            dest_s[sl], [c[sl] for c in cols_s], pads, n_dev, capacity)
+        # globalize the per-chunk stability rank: chunk j's rows from a
+        # source precede chunk j+1's (contiguous slices of the partition)
+        src = rank // jnp.uint32(m_stride)
+        within = rank % jnp.uint32(m_stride)
+        grank = (src * jnp.uint32(m_stride * k)
+                 + jnp.uint32(j * m_stride) + within)
+        flagkey = (flag << jnp.uint32(31)) | grank
+        pres = jax.lax.sort([recv[1], recv[0], flagkey] + recv[2:],
+                            num_keys=3, is_stable=False)
+        # pad the sorted run to a power of two (all-max sentinels keep it
+        # sorted; pad payloads are 0 and pad flagkeys carry bit 31)
+        pad_n = l_pow2 - l0
+        padded = [jnp.concatenate([c, jnp.full((pad_n,), v, c.dtype)])
+                  for c, v in zip(pres, [_ONES, _ONES, _ONES]
+                                  + [jnp.uint32(0)] * len(payloads))]
+        runs.append(padded)
+        valid = valid + jnp.sum(counts_j)
+        ovf = ovf | ovf_j
+
+    while len(runs) > 1:
+        runs = [_bitonic_merge_cols(runs[i], runs[i + 1])
+                for i in range(0, len(runs), 2)]
+    res = runs[0]
+    out_hi, out_lo = res[0], res[1]
+    out_pay = list(res[3:])
+    return (out_lo, out_hi, *out_pay, valid.reshape(1), ovf.reshape(1))
+
+
 def _plan_shard(lo, hi, *, n_dev, samples_per_dev):
     """Planning pass: route only, return the max off-diagonal bucket size.
 
@@ -144,11 +254,13 @@ def plan_sort_capacity(key: U64, mesh: Mesh, samples_per_dev: int = 128):
 
 @functools.partial(jax.jit,
                    static_argnames=("mesh", "samples_per_dev",
-                                    "capacity_factor", "capacity"))
+                                    "capacity_factor", "capacity",
+                                    "overlap"))
 def distributed_sort(key: U64, *payloads: jnp.ndarray, mesh: Mesh,
                      samples_per_dev: int = 128,
                      capacity_factor: float = 2.0,
-                     capacity: int | None = None):
+                     capacity: int | None = None,
+                     overlap: int = 1):
     """Sort u64 keys (+u32 payloads) sharded over a 1-D mesh.
 
     Args:
@@ -157,6 +269,13 @@ def distributed_sort(key: U64, *payloads: jnp.ndarray, mesh: Mesh,
       capacity: explicit per-(src,dst) OFF-DIAGONAL bucket capacity
         (e.g. from plan_sort_capacity — demand-sized). Overrides
         capacity_factor. Diagonal (stay-local) rows never consume it.
+        With overlap=k the budget applies PER SUB-EXCHANGE (a bucket
+        landing entirely inside one chunk needs the full budget there).
+      overlap: number of pipelined sub-exchanges (power of two dividing
+        the shard size). k > 1 splits the exchange so per-chunk local
+        sorts run while later collectives are in flight; the final
+        combine is a bitonic merge tree (see module docstring). Results
+        on the valid prefix are bit-identical to overlap=1.
     Returns:
       (DistSortResult, overflow_flag). Device d's run holds the d-th quantile
       of the global key order: its first ``valid[d]`` elements, sorted;
@@ -178,18 +297,34 @@ def distributed_sort(key: U64, *payloads: jnp.ndarray, mesh: Mesh,
         return (DistSortResult(U64(res[1], res[0]), tuple(res[2:]),
                                jnp.full((1,), n, jnp.uint32)),
                 jnp.zeros((1,), jnp.uint32))
-    if capacity is None:
-        capacity = int(np.ceil(capacity_factor * n_local / n_dev))
-    capacity = max(capacity, 16)
-    # the local sort packs the pad flag into bit 31 over the stability rank
-    # (rank < n_dev * max(capacity, n_local))
-    assert n_dev * max(capacity, n_local) < (1 << 31), (n_dev, capacity)
+    assert overlap >= 1 and (overlap & (overlap - 1)) == 0, overlap
+    if overlap > 1:
+        assert n_local % overlap == 0, (n_local, overlap)
+        w = n_local // overlap
+        if capacity is None:
+            capacity = int(np.ceil(capacity_factor * w / n_dev))
+        capacity = max(capacity, 16)
+        # flagkey packs the pad bit over the global rank
+        assert n_dev * max(capacity, w) * overlap < (1 << 31), \
+            (n_dev, capacity, overlap)
+        body = functools.partial(_dsort_shard_overlap, n_dev=n_dev,
+                                 samples_per_dev=samples_per_dev,
+                                 capacity=capacity, k=overlap)
+    else:
+        if capacity is None:
+            capacity = int(np.ceil(capacity_factor * n_local / n_dev))
+        capacity = max(capacity, 16)
+        # the local sort packs the pad flag into bit 31 over the
+        # stability rank (rank < n_dev * max(capacity, n_local))
+        assert n_dev * max(capacity, n_local) < (1 << 31), (n_dev, capacity)
+        body = functools.partial(_dsort_shard, n_dev=n_dev,
+                                 samples_per_dev=samples_per_dev,
+                                 capacity=capacity)
 
     spec = P(AXIS)
     out_specs = tuple([spec] * (2 + len(payloads))) + (spec, spec)
     fn = shard_map(
-        functools.partial(_dsort_shard, n_dev=n_dev,
-                          samples_per_dev=samples_per_dev, capacity=capacity),
+        body,
         mesh=mesh,
         in_specs=tuple([spec] * (2 + len(payloads))),
         out_specs=out_specs,

@@ -104,8 +104,8 @@ def route_by_splitters_pos(lo, hi, pos, sp_lo, sp_hi, sp_pos):
 
 
 def _partition_by_dest(dest, cols, n_dev: int):
-    """Stable partition of rows by destination; returns (cols_s, counts,
-    offsets) with counts/offsets per destination."""
+    """Stable partition of rows by destination; returns (cols_s, dest_s,
+    counts, offsets) with counts/offsets per destination."""
     n_local = dest.shape[0]
     # Partition by destination with an unstable sort: the key packs dest
     # into the high bits and the row index below, so order within a
@@ -125,7 +125,7 @@ def _partition_by_dest(dest, cols, n_dev: int):
         (dest_s[:, None] == jnp.arange(n_dev, dtype=jnp.uint32)[None, :])
         .astype(jnp.uint32), axis=0)
     offsets = jnp.cumsum(counts) - counts
-    return cols_s, counts, offsets
+    return cols_s, dest_s, counts, offsets
 
 
 def offdiag_demand(dest, n_dev: int, axis: str = AXIS):
@@ -181,7 +181,7 @@ def exchange(dest, cols, pad_values, n_dev: int, capacity: int,
           detectable; local rows cannot overflow).
     """
     n_local = dest.shape[0]
-    cols_s, counts, offsets = _partition_by_dest(dest, cols, n_dev)
+    cols_s, _, counts, offsets = _partition_by_dest(dest, cols, n_dev)
     me = jax.lax.axis_index(axis).astype(jnp.uint32)
     dev_ids = jnp.arange(n_dev, dtype=jnp.uint32)
     # off-diagonal send budget: own bucket contributes nothing to the a2a
