@@ -215,3 +215,66 @@ def test_mixed_hot_and_unique_left_keys(n_dev=4):
     assert matched.all()
     pos = {int(k): i for i, k in enumerate(rkeys)}
     assert all(rv[i] == pos[int(k)] * 3 + 1 for i, k in enumerate(lkeys))
+
+
+class TestDistributedInnerJoin:
+    @staticmethod
+    def _oracle_pairs(lkeys, rkeys, rvals):
+        import collections
+        where = collections.defaultdict(list)
+        for j, k in enumerate(rkeys):
+            where[int(k)].append(int(rvals[j]))
+        out = []
+        for i, k in enumerate(lkeys):
+            for v in where.get(int(k), ()):
+                out.append((i, v))
+        return sorted(out)
+
+    @pytest.mark.parametrize("n_dev", [2, 8])
+    def test_duplicate_right_keys_vs_oracle(self, n_dev):
+        from tpu_qe.exchange.dops import distributed_join_inner_numpy
+        mesh = _mesh(n_dev)
+        rng = np.random.default_rng(n_dev + 50)
+        n_l, n_r = 1 << 11, 1 << 10
+        lkeys = rng.integers(0, 200, n_l).astype(np.uint64)
+        rkeys = rng.integers(0, 300, n_r).astype(np.uint64)  # dups + misses
+        rvals = np.arange(n_r, dtype=np.uint32) * 5 + 2
+        g, _, (rv,) = distributed_join_inner_numpy(
+            lkeys, [], rkeys, [rvals], mesh, capacity_factor=4.0,
+            out_budget_factor=16.0)
+        got = sorted(zip(g.tolist(), rv.tolist()))
+        assert got == self._oracle_pairs(lkeys, rkeys, rvals)
+
+    def test_left_values_carried(self, n_dev=4):
+        from tpu_qe.exchange.dops import distributed_join_inner_numpy
+        mesh = _mesh(n_dev)
+        rng = np.random.default_rng(3)
+        n = 1 << 10
+        lkeys = rng.integers(0, 64, n).astype(np.uint64)
+        lvals = np.arange(n, dtype=np.uint32) * 7
+        rkeys = np.arange(64, dtype=np.uint64)
+        rkeys = np.tile(rkeys, 2)  # each key twice
+        rvals = np.arange(128, dtype=np.uint32)
+        g, (lv,), (rv,) = distributed_join_inner_numpy(
+            lkeys, [lvals], rkeys, [rvals], mesh, capacity_factor=4.0,
+            out_budget_factor=8.0)
+        # every left row matches exactly 2 right rows
+        assert len(g) == 2 * n
+        np.testing.assert_array_equal(lv, lvals[g])
+        # right value consistency: rv's key must equal the left key
+        rmap = {}
+        for j, k in enumerate(rkeys):
+            rmap[int(rvals[j])] = int(k)
+        assert all(rmap[int(v)] == int(lkeys[i])
+                   for i, v in zip(g[:512], rv[:512]))
+
+    def test_output_budget_overflow_detected(self, n_dev=2):
+        from tpu_qe.exchange.dops import distributed_join_inner_numpy
+        mesh = _mesh(n_dev)
+        lkeys = np.full(1 << 8, 5, dtype=np.uint64)
+        rkeys = np.full(1 << 8, 5, dtype=np.uint64)  # 65536 pairs, one dev
+        with pytest.raises(RuntimeError, match="budget"):
+            distributed_join_inner_numpy(
+                lkeys, [], rkeys, [np.arange(1 << 8, dtype=np.uint32)],
+                mesh, capacity_factor=float(n_dev),
+                capacity_factor_right=float(n_dev), out_budget_factor=2.0)

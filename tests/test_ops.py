@@ -548,3 +548,115 @@ def test_table_group_by_multi():
         sel = keys == k
         assert int(np.asarray(m.aggs["a_sum"])[i]) == a[sel].sum() % (1 << 32)
         assert float(np.asarray(m.aggs["b_max"])[i]) == b[sel].max()
+
+
+class TestInnerJoin:
+    """One-to-many materialized inner join (duplicate right keys)."""
+
+    @staticmethod
+    def _oracle(lkeys, rkeys):
+        pairs = []
+        import collections
+        where = collections.defaultdict(list)
+        for j, k in enumerate(rkeys):
+            where[int(k)].append(j)
+        for i, k in enumerate(lkeys):
+            for j in where.get(int(k), ()):
+                pairs.append((i, int(rkeys[j]), j))
+        return pairs
+
+    def test_duplicate_right_keys_vs_oracle(self):
+        from tpu_qe.ops import join_inner
+        rng = np.random.default_rng(8)
+        n_l, n_r = 500, 300
+        lkeys = rng.integers(0, 60, n_l).astype(np.uint64)
+        rkeys = rng.integers(0, 60, n_r).astype(np.uint64)  # many dups
+        rvals = np.arange(n_r, dtype=np.uint32) * 7 + 1
+        lvals = np.arange(n_l, dtype=np.uint32) * 13 + 5
+        left = Table.from_numpy({"key": lkeys, "lv": lvals})
+        right = Table.from_numpy({"key": rkeys, "rv": rvals})
+        want = self._oracle(lkeys, rkeys)
+        res = join_inner(left, right, out_budget=len(want) + 37)
+        m = int(res.num_out)
+        assert m == len(want), (m, len(want))
+        assert int(res.overflow) == 0
+        out = res.table.to_numpy()
+        got = sorted(zip(out["lv"][:m].tolist(), out["rv"][:m].tolist()))
+        want_pairs = sorted((int(lvals[i]), int(rvals[j]))
+                            for i, _, j in want)
+        assert got == want_pairs
+
+    def test_output_is_left_major_ordered(self):
+        from tpu_qe.ops import join_inner
+        lkeys = np.array([5, 3, 5], dtype=np.uint64)
+        rkeys = np.array([5, 3, 5, 9], dtype=np.uint64)
+        left = Table.from_numpy({"key": lkeys,
+                                 "li": np.arange(3, dtype=np.uint32)})
+        right = Table.from_numpy({"key": rkeys,
+                                  "ri": np.arange(4, dtype=np.uint32)})
+        res = join_inner(left, right, out_budget=16)
+        m = int(res.num_out)
+        assert m == 5  # left0 x {r0,r2}, left1 x {r1}, left2 x {r0,r2}
+        out = res.table.to_numpy()
+        # slots are ordered by left row, then right (sorted) order
+        np.testing.assert_array_equal(out["li"][:m], [0, 0, 1, 2, 2])
+        np.testing.assert_array_equal(sorted(out["ri"][:2]), [0, 2])
+        np.testing.assert_array_equal(out["ri"][2:3], [1])
+
+    def test_overflow_exact_count(self):
+        from tpu_qe.ops import join_inner
+        lkeys = np.full(10, 4, dtype=np.uint64)
+        rkeys = np.full(10, 4, dtype=np.uint64)  # 100 output pairs
+        left = Table.from_numpy({"key": lkeys})
+        right = Table.from_numpy({"key": rkeys})
+        res = join_inner(left, right, out_budget=32)
+        assert int(res.num_out) == 100      # exact despite truncation
+        assert int(res.overflow) == 1
+        res2 = join_inner(left, right, out_budget=128)
+        assert int(res2.num_out) == 100 and int(res2.overflow) == 0
+
+    def test_no_matches_and_empty_right_rows(self):
+        from tpu_qe.ops import join_inner
+        lkeys = np.array([1, 2, 3], dtype=np.uint64)
+        rkeys = np.array([7, 8], dtype=np.uint64)
+        res = join_inner(Table.from_numpy({"key": lkeys}),
+                         Table.from_numpy({"key": rkeys}), out_budget=8)
+        assert int(res.num_out) == 0 and int(res.overflow) == 0
+
+    def test_u64_value_columns_carried(self):
+        from tpu_qe.ops import join_inner
+        lkeys = np.array([2, 2, 9], dtype=np.uint64)
+        rkeys = np.array([2, 9, 2], dtype=np.uint64)
+        rbig = np.array([1 << 40, 2 << 40, 3 << 40], dtype=np.uint64)
+        res = join_inner(
+            Table.from_numpy({"key": lkeys}),
+            Table.from_numpy({"key": rkeys, "big": rbig}), out_budget=16)
+        m = int(res.num_out)
+        assert m == 5
+        out = res.table.to_numpy()
+        got = sorted(out["big"][:m].tolist())
+        assert got == sorted([1 << 40, 3 << 40, 1 << 40, 3 << 40, 2 << 40])
+
+    def test_fuzz_vs_oracle(self):
+        from tpu_qe.ops import join_inner
+        rng = np.random.default_rng(99)
+        for trial in range(5):
+            n_l = int(rng.integers(1, 400))
+            n_r = int(rng.integers(1, 400))
+            kr = int(rng.integers(2, 40))
+            lkeys = rng.integers(0, kr, n_l).astype(np.uint64)
+            rkeys = rng.integers(0, kr, n_r).astype(np.uint64)
+            want = self._oracle(lkeys, rkeys)
+            res = join_inner(Table.from_numpy({"key": lkeys}),
+                             Table.from_numpy({"key": rkeys}),
+                             out_budget=max(len(want), 1) + 3)
+            m = int(res.num_out)
+            assert m == len(want), trial
+            assert int(res.overflow) == 0
+            li = np.asarray(res.left_index)[:m]
+            got_keys = lkeys[li]
+            want_li = np.array([i for i, _, _ in want])
+            np.testing.assert_array_equal(np.sort(li), np.sort(want_li))
+            rk_sorted = np.sort(rkeys)
+            ri = np.asarray(res.right_index)[:m]
+            np.testing.assert_array_equal(got_keys, rk_sorted[ri])

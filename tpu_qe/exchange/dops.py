@@ -281,6 +281,125 @@ def distributed_join_fk_numpy(lkeys, lvals, rkeys, rvals, mesh, **kw):
 
 
 # --------------------------------------------------------------------------
+# distributed one-to-many inner join
+# --------------------------------------------------------------------------
+
+def _djoin_inner_shard(llo, lhi, lval_cols, rlo, rhi, rval_cols, *, n_dev,
+                       samples_per_dev, cap_l, cap_r, out_budget):
+    from tpu_qe.ops.join import join_inner_padded
+
+    n_local_l = llo.shape[0]
+    my = jax.lax.axis_index(AXIS).astype(jnp.uint32)
+    gidx = my * jnp.uint32(n_local_l) + jnp.arange(n_local_l,
+                                                   dtype=jnp.uint32)
+    # BARE-key splitters over the union: a one-to-many join must co-locate
+    # ALL duplicates of a key (left and right) on one device, so hot keys
+    # cannot be position-split here; a hot key's whole match set lands on
+    # one shard (its output is quadratic in the duplicate count anyway) —
+    # capacity/budget overflow stays exactly detected.
+    sp_lo, sp_hi = sample_splitters(jnp.concatenate([rlo, llo]),
+                                    jnp.concatenate([rhi, lhi]),
+                                    n_dev, samples_per_dev)
+    dest_l = route_by_splitters(llo, lhi, sp_lo, sp_hi)
+    dest_r = route_by_splitters(rlo, rhi, sp_lo, sp_hi)
+
+    recv_l, flag_l, _, _, ovf_l = exchange(
+        dest_l, [llo, lhi, gidx] + list(lval_cols),
+        [_ONES, _ONES, _ONES] + [jnp.uint32(0)] * len(lval_cols),
+        n_dev, cap_l)
+    recv_r, flag_r, _, _, ovf_r = exchange(
+        dest_r, [rlo, rhi] + list(rval_cols),
+        [_ONES, _ONES] + [jnp.uint32(0)] * len(rval_cols), n_dev, cap_r)
+
+    left = Table({"_g": recv_l[2],
+                  **{f"_l{i}": c for i, c in enumerate(recv_l[3:])}})
+    right = Table({f"_r{i}": c for i, c in enumerate(recv_r[2:])})
+    res = join_inner_padded(left, right,
+                            U64(recv_l[0], recv_l[1]),
+                            U64(recv_r[0], recv_r[1]),
+                            flag_l == 0, flag_r == 0, out_budget)
+    overflow = (ovf_l | ovf_r | res.overflow).reshape(1)
+    outs = [res.table["_g"]]
+    outs += [res.table[f"_l{i}"] for i in range(len(lval_cols))]
+    outs += [res.table[f"_r{i}"] for i in range(len(rval_cols))]
+    return (*outs, res.num_out.reshape(1), overflow)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "samples_per_dev",
+                                             "capacity_factor",
+                                             "capacity_factor_right",
+                                             "out_budget_factor"))
+def distributed_join_inner(lkey: U64, left_cols: tuple, rkey: U64,
+                           right_cols: tuple, mesh: Mesh,
+                           samples_per_dev: int = 128,
+                           capacity_factor: float = 2.0,
+                           capacity_factor_right: float | None = None,
+                           out_budget_factor: float = 4.0):
+    """One-to-many inner equi-join of mesh-sharded tables.
+
+    Both sides route by the same bare-key splitters so equal keys
+    co-locate; each shard materializes its local matches into a padded
+    budget of out_budget_factor * n_l_local rows. Returns per-shard
+    (global_left_index, left value cols, right value cols, num_out,
+    overflow); slots [0, num_out[d]) of shard d are real.
+    """
+    n_dev = mesh.shape[AXIS]
+    n_l, n_r = lkey.lo.shape[0], rkey.lo.shape[0]
+    assert n_l % n_dev == 0 and n_r % n_dev == 0
+    assert n_l < (1 << 32), n_l
+    cf_r = (capacity_factor if capacity_factor_right is None
+            else capacity_factor_right)
+    cap_l = max(int(np.ceil(capacity_factor * (n_l // n_dev) / n_dev)), 16)
+    cap_r = max(int(np.ceil(cf_r * (n_r // n_dev) / n_dev)), 16)
+    out_budget = max(int(np.ceil(out_budget_factor * (n_l // n_dev))), 16)
+    spec = P(AXIS)
+    n_out = 1 + len(left_cols) + len(right_cols) + 2
+    fn = shard_map(
+        lambda llo, lhi, lvs, rlo, rhi, rvs: _djoin_inner_shard(
+            llo, lhi, lvs, rlo, rhi, rvs, n_dev=n_dev,
+            samples_per_dev=samples_per_dev, cap_l=cap_l, cap_r=cap_r,
+            out_budget=out_budget),
+        mesh=mesh,
+        in_specs=(spec, spec, tuple([spec] * len(left_cols)),
+                  spec, spec, tuple([spec] * len(right_cols))),
+        out_specs=tuple([spec] * n_out),
+        check_vma=False,
+    )
+    return fn(lkey.lo, lkey.hi, tuple(left_cols), rkey.lo, rkey.hi,
+              tuple(right_cols))
+
+
+def distributed_join_inner_numpy(lkeys, lvals, rkeys, rvals, mesh, **kw):
+    """Host wrapper: returns (left_index, left value cols, right value
+    cols) over all real output rows, in no particular global order."""
+    n_dev = mesh.shape[AXIS]
+    sh = NamedSharding(mesh, P(AXIS))
+
+    def put64(x):
+        u = U64.from_numpy(x)
+        return U64(jax.device_put(u.lo, sh), jax.device_put(u.hi, sh))
+
+    def put32(x):
+        return jax.device_put(jnp.asarray(x, dtype=jnp.uint32), sh)
+
+    res = distributed_join_inner(
+        put64(lkeys), tuple(put32(v) for v in lvals),
+        put64(rkeys), tuple(put32(v) for v in rvals), mesh=mesh, **kw)
+    if int(np.asarray(res[-1]).max()):
+        raise RuntimeError(
+            "exchange capacity or output budget overflow; raise "
+            "capacity_factor / out_budget_factor")
+    num_out = np.asarray(res[-2]).reshape(n_dev)
+    cols = [np.asarray(c).reshape(n_dev, -1) for c in res[:-2]]
+    picks = [np.concatenate([c[d, :num_out[d]] for d in range(n_dev)])
+             for c in cols]
+    g = picks[0]
+    lcols = picks[1:1 + len(lvals)]
+    rcols = picks[1 + len(lvals):]
+    return g, lcols, rcols
+
+
+# --------------------------------------------------------------------------
 # distributed GROUP BY aggregate
 # --------------------------------------------------------------------------
 

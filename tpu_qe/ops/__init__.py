@@ -1,3 +1,4 @@
 from tpu_qe.ops.filter import compact, filter_table  # noqa: F401
 from tpu_qe.ops.aggregate import group_aggregate  # noqa: F401
-from tpu_qe.ops.join import join_fk, join_sorted  # noqa: F401
+from tpu_qe.ops.join import (join_fk, join_inner, join_sorted,  # noqa: F401
+                             expand_ranges)

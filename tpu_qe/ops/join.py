@@ -265,3 +265,172 @@ def join_sorted(left_key: U64, right_key_sorted: U64) -> SortedJoinIndex:
     start = searchsorted_u64(right_key_sorted, left_key, side="left")
     end = searchsorted_u64(right_key_sorted, left_key, side="right")
     return SortedJoinIndex(start, end)
+
+
+class InnerJoinResult(NamedTuple):
+    """Materialized one-to-many inner join, padded to a static budget.
+
+    Slots [0, num_out) are real output rows; num_out is EXACT even when it
+    exceeds the budget (overflow != 0 — the padded columns are then
+    truncated, never silently wrong).
+    """
+
+    table: Table              # left cols + right cols per output row
+    left_index: jnp.ndarray   # (out_budget,) source left row per slot
+    right_index: jnp.ndarray  # (out_budget,) source right row (sorted order)
+    num_out: jnp.ndarray      # exact total number of matches (u32)
+    overflow: jnp.ndarray     # u32: num_out > out_budget
+
+
+@functools.partial(jax.jit, static_argnames=("out_budget",))
+def expand_ranges(ranges: SortedJoinIndex, out_budget: int):
+    """Cumsum-based segment replication of [start, end) match ranges.
+
+    The TPU-native expansion of a join index into output slots — no
+    scatter, no dynamic shapes. For output slot j we need its source left
+    row i (the row with offsets[i] <= j < offsets[i+1]) and the within-
+    range position t = j - offsets[i]:
+
+      1. counts c_i = end_i - start_i; offsets = exclusive cumsum.
+      2. merge two sorted streams by ONE unstable sort: segment MARKERS at
+         stream key (offsets[i]<<1 | 0) carrying i, and SLOTS at
+         (j<<1 | 1). A marker sorts immediately before the first slot of
+         its segment.
+      3. both i and offsets[i] are non-decreasing along the merged stream,
+         so two cummax forward-fills recover (i, offsets[i]) at every
+         slot — the trick that makes replication scatter-free.
+      4. compact the slot entries (drop markers) with the packed-position
+         sort used everywhere else, then one gather of start[i] yields
+         right_index = start[i] + (j - offsets[i]).
+
+    Returns (left_index, right_index, num_out, overflow); slots past
+    num_out hold clamped garbage — mask with arange < num_out.
+    """
+    start, end = ranges.start.astype(jnp.uint32), ranges.end.astype(jnp.uint32)
+    n_l = start.shape[0]
+    assert out_budget >= 1 and n_l + out_budget < (1 << 30), \
+        (n_l, out_budget)
+    c = jnp.where(end > start, end - start, jnp.uint32(0))
+    total = jnp.sum(c)  # exact while < 2^32
+    # u32 cumsum wraps for pathological (near-cross-join) outputs; a
+    # float32 shadow sum monotonically detects that regime so overflow is
+    # still flagged even when the exact counter has wrapped.
+    total_f = jnp.sum(c.astype(jnp.float32))
+    offsets = jnp.cumsum(c) - c
+
+    # markers for rows with c>0; empty rows key to the sentinel tail
+    big = jnp.uint32((1 << 31) - 1)
+    mkey = jnp.where(c > 0, (offsets << jnp.uint32(1)), big)
+    skey = (jnp.arange(out_budget, dtype=jnp.uint32) << jnp.uint32(1)) \
+        | jnp.uint32(1)
+    keys = jnp.concatenate([mkey, skey])
+    ivals = jnp.concatenate([jnp.arange(n_l, dtype=jnp.uint32) + 1,
+                             jnp.zeros(out_budget, jnp.uint32)])
+    ovals = jnp.concatenate([offsets + 1,
+                             jnp.zeros(out_budget, jnp.uint32)])
+    res = jax.lax.sort([keys, ivals, ovals], num_keys=1, is_stable=False)
+    skeys, sivals, sovals = res
+    fill_i = jax.lax.cummax(sivals)    # i+1, monotone along the stream
+    fill_o = jax.lax.cummax(sovals)    # offsets[i]+1, monotone too
+    # compact slots (odd stream keys) to the front in j order
+    pos = jnp.arange(n_l + out_budget, dtype=jnp.uint32)
+    keep = (skeys & jnp.uint32(1)) == 1
+    packed = jnp.where(keep, pos, pos | jnp.uint32(1 << 31))
+    res2 = jax.lax.sort([packed, fill_i, fill_o], num_keys=1,
+                        is_stable=False)
+    li = jnp.maximum(res2[1][:out_budget], jnp.uint32(1)) - 1
+    off = jnp.maximum(res2[2][:out_budget], jnp.uint32(1)) - 1
+    j = jnp.arange(out_budget, dtype=jnp.uint32)
+    t = j - jnp.minimum(off, j)
+    ri = jnp.take(start, li) + t
+    overflow = ((total > jnp.uint32(out_budget))
+                | (total_f > jnp.float32(2**31))).astype(jnp.uint32)
+    return li, ri, total, overflow
+
+
+@functools.partial(jax.jit, static_argnames=("out_budget",))
+def _join_inner_impl(left: Table, right_sorted: Table, lkey: U64,
+                     rkey_sorted: U64, out_budget: int):
+    ranges = join_sorted(lkey, rkey_sorted)
+    li, ri, num_out, overflow = expand_ranges(ranges, out_budget)
+    valid_out = jnp.arange(out_budget, dtype=jnp.uint32) < num_out
+    ri = jnp.where(valid_out, ri, jnp.uint32(0))
+    li = jnp.where(valid_out, li, jnp.uint32(0))
+    cols = {}
+    lcols = left.take(li)
+    for nm in lcols:
+        cols[nm] = lcols[nm]
+    rcols = right_sorted.take(ri)
+    for nm in rcols:
+        out_name = nm if nm not in cols else f"right_{nm}"
+        cols[out_name] = rcols[nm]
+    return InnerJoinResult(Table(cols), li, ri, num_out, overflow)
+
+
+@functools.partial(jax.jit, static_argnames=("out_budget",))
+def join_inner_padded(left: Table, right: Table, lkey: U64, rkey: U64,
+                      l_valid: jnp.ndarray, r_valid: jnp.ndarray,
+                      out_budget: int):
+    """One-to-many inner join over PADDED inputs (validity-masked rows).
+
+    The distributed shard body: exchanged buffers carry pad rows whose
+    keys are all-ones sentinels, and a real all-ones key must not match
+    them. The right side is sorted by (key, invalid-flag) so each key
+    segment's VALID rows form its prefix; the per-left match count is then
+    clipped to the valid prefix via an exclusive prefix-count of validity
+    (two tiny gathers), and invalid left rows contribute zero matches.
+    Same static-budget + exact-count discipline as join_inner.
+    """
+    m = rkey.lo.shape[0]
+    inval = jnp.where(r_valid, jnp.uint32(0), jnp.uint32(1))
+    perm0 = jnp.arange(m, dtype=jnp.uint32)
+    res = jax.lax.sort([rkey.hi, rkey.lo, inval, perm0], num_keys=3,
+                       is_stable=False)
+    rhi_s, rlo_s, inval_s, perm = res
+    rkey_s = U64(rlo_s, rhi_s)
+    right_s = right.take(perm)
+    valid_s = inval_s == 0
+    ranges = join_sorted(lkey, rkey_s)
+    # P[i] = number of valid right rows in sorted positions [0, i)
+    pfx = jnp.concatenate([jnp.zeros(1, jnp.uint32),
+                           jnp.cumsum(valid_s.astype(jnp.uint32))])
+    c = jnp.take(pfx, ranges.end) - jnp.take(pfx, ranges.start)
+    c = jnp.where(l_valid, c, jnp.uint32(0))
+    li, ri, num_out, overflow = expand_ranges(
+        SortedJoinIndex(ranges.start, ranges.start + c.astype(jnp.int32)),
+        out_budget)
+    valid_out = jnp.arange(out_budget, dtype=jnp.uint32) < num_out
+    li = jnp.where(valid_out, li, jnp.uint32(0))
+    ri = jnp.where(valid_out, ri, jnp.uint32(0))
+    cols = {}
+    lcols = left.take(li)
+    for nm in lcols:
+        cols[nm] = lcols[nm]
+    rcols = right_s.take(ri)
+    for nm in rcols:
+        out_name = nm if nm not in cols else f"right_{nm}"
+        cols[out_name] = rcols[nm]
+    return InnerJoinResult(Table(cols), li, ri, num_out, overflow)
+
+
+def join_inner(left: Table, right: Table, key: str = "key",
+               out_budget: int | None = None) -> InnerJoinResult:
+    """One-to-many inner equi-join with duplicate right keys.
+
+    Materializes every (left row, matching right row) pair into a padded
+    output of static size ``out_budget`` (default 2 * n_left). The exact
+    match count is always returned; if it exceeds the budget the result
+    sets overflow and the caller re-runs with a bigger budget — the same
+    static-shape + exact-count discipline as the distributed exchange
+    (never silent truncation).
+
+    Generalizes join_fk (right-unique) to arbitrary key multiplicity;
+    completes SURVEY §7's query-operator mandate for the non-FK case.
+    """
+    rkey = right[key]
+    assert isinstance(rkey, U64), "join key must be u64"
+    if out_budget is None:
+        out_budget = max(2 * left.num_rows, 16)
+    right_sorted = right.sort_by(key)
+    return _join_inner_impl(left.drop(key), right_sorted.drop(key),
+                            left[key], right_sorted[key], out_budget)

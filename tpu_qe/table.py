@@ -181,6 +181,14 @@ class Table:
             raise TypeError("join key must be u64 on both sides")
         return join_fk_scan(self.drop(key), right.drop(key), lkey, rkey)
 
+    def join_inner(self, right: "Table", key: str = "key",
+                   out_budget: int | None = None):
+        """One-to-many inner equi-join (duplicate right keys allowed):
+        materializes every match pair into a static padded budget with an
+        exact count + overflow flag (ops.join.join_inner)."""
+        from tpu_qe.ops.join import join_inner
+        return join_inner(self, right, key=key, out_budget=out_budget)
+
     def __repr__(self) -> str:
         parts = ", ".join(
             f"{k}: {'u64' if isinstance(v, U64) else v.dtype}"
