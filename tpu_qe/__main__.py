@@ -98,7 +98,7 @@ def _cmd_dump(args) -> int:
     verts, tris, smin, smax = native.scene_generate(
         args.vertices, args.triangles, args.seed)
     gen = native.MortonGen(smin, smax)
-    codes = gen.encode(verts, tris)
+    codes = gen.encode(verts, tris, quirk=args.quirk_lut)
     p1 = dump_morton_codes(codes, args.codes_path)
     p2 = dump_indices(tris, args.indices_path)
     print(f"wrote {p1}\nwrote {p2}")
@@ -134,6 +134,36 @@ def _cmd_bench_kernels(args) -> int:
     from tpu_qe.bench import kernels
     kernels.main(args.rest or [])
     return 0
+
+
+def _cmd_bench_big(args) -> int:
+    import json
+
+    from tpu_qe.bench.sol import device_kind, sort_sol_seconds
+    from tpu_qe.sort.bigsort import sort_big
+
+    res = sort_big(args.n, run_size=args.run_size,
+                   n_buckets=args.buckets, verbose=args.verbose_big)
+    out = {
+        "metric": f"out-of-core sort {res.n} u64 keys + u32 payload, 1 chip",
+        "value": round(res.keys_per_s),
+        "unit": "keys/s",
+        "time_s": round(res.seconds, 3),
+        "phase_runs_s": round(res.phase_a_s, 3),
+        "phase_merge_s": round(res.phase_c_s, 3),
+        "compile_s": round(res.compile_s, 3),
+        "verified": res.all_ok,
+        "checks": {
+            "sorted": res.sorted_ok, "hash": res.hash_ok,
+            "count": res.count_ok, "perm": res.perm_ok,
+            "boundary": res.boundary_ok},
+        "sol_fraction": round(
+            sort_sol_seconds(res.n, num_passes=8, payload_cols=1)
+            / res.seconds, 4),
+        "device": device_kind(),
+    }
+    print(json.dumps(out))
+    return 0 if res.all_ok else 1
 
 
 def _cmd_info(args) -> int:
@@ -174,6 +204,10 @@ def main(argv=None) -> int:
     pd.add_argument("--vertices", type=int, default=1000)
     pd.add_argument("--triangles", type=int, default=3000)
     pd.add_argument("--seed", type=int, default=7)
+    pd.add_argument("--quirk-lut", action="store_true",
+                    help="consume the LUTs exactly like the SHIPPED "
+                         "reference kernel (morton_code.wgsl:72-74 i*3 "
+                         "byte shift) instead of the resolved i*8 layout")
     pd.add_argument("--codes-path", type=str, default="morton_codes.txt")
     pd.add_argument("--indices-path", type=str, default="indices.txt")
     pd.set_defaults(fn=_cmd_dump)
@@ -190,10 +224,28 @@ def main(argv=None) -> int:
     pk.add_argument("rest", nargs=argparse.REMAINDER)
     pk.set_defaults(fn=_cmd_bench_kernels)
 
+    pg = sub.add_parser("bench-big",
+                        help="out-of-core big sort (north-star config)")
+    pg.add_argument("--n", type=int, default=1 << 30)
+    pg.add_argument("--run-size", type=int, default=1 << 26)
+    pg.add_argument("--buckets", type=int, default=None)
+    pg.add_argument("--verbose-big", action="store_true")
+    pg.set_defaults(fn=_cmd_bench_big)
+
     pi = sub.add_parser("info", help="device + config report")
     pi.set_defaults(fn=_cmd_info)
 
+    # argparse mishandles REMAINDER after a bare "--" separator (the
+    # documented `python -m tpu_qe bench-matrix -- --scale 0.01` form):
+    # split manually and append to the subcommand's rest args.
+    argv = list(sys.argv[1:] if argv is None else argv)
+    tail = None
+    if "--" in argv:
+        i = argv.index("--")
+        argv, tail = argv[:i], argv[i + 1:]
     args = parser.parse_args(argv)
+    if tail is not None and hasattr(args, "rest"):
+        args.rest = [a for a in (args.rest or []) if a != "--"] + tail
     logging.basicConfig(
         level=logging.DEBUG if args.verbose else logging.INFO,
         format="%(levelname)s %(name)s: %(message)s")

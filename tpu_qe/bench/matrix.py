@@ -21,7 +21,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpu_qe.bench.sol import device_kind, hbm_peak_bytes_per_s
+from tpu_qe.bench.sol import (device_kind, group_aggregate_sol_seconds,
+                              hbm_peak_bytes_per_s, join_scan_sol_seconds,
+                              sort_sol_seconds)
 from tpu_qe.bits import U64
 from tpu_qe.utils.timing import measure
 
@@ -65,8 +67,9 @@ def bench_filter_agg(n: int = 1 << 28, groups: int = 1 << 20,
         return res.num_groups, res.aggs["sum"][:8]
 
     secs = measure(lambda: run(key, val), reps=reps)
+    sol = group_aggregate_sol_seconds(n, n_aggs=2, has_valid=True)
     return _emit(f"filter + group aggregate, {n} rows, 1 chip", n, secs,
-                 {"groups": groups})
+                 {"groups": groups, "sol_fraction": round(sol / secs, 3)})
 
 
 def bench_pipeline(n: int = 1 << 26, reps: int = 2):
@@ -89,8 +92,9 @@ def bench_pipeline(n: int = 1 << 26, reps: int = 2):
         return skey.lo[:8], sidx[:8]
 
     secs = measure(lambda: run(x, y, z, params), reps=reps)
+    sol = sort_sol_seconds(n, num_passes=8, payload_cols=1)
     return _emit(f"morton encode + sort pipeline, {n} points, 1 chip",
-                 n, secs)
+                 n, secs, {"sol_fraction": round(sol / secs, 4)})
 
 
 def bench_join(n: int = 100_000_000, reps: int = 2):
@@ -115,7 +119,9 @@ def bench_join(n: int = 100_000_000, reps: int = 2):
         return jnp.sum(matched.astype(jnp.uint32)), out["rval"][:8]
 
     secs = measure(lambda: run(lkey, rkey, rval), reps=reps)
-    return _emit(f"fk scan-join, {n} x {n} rows, 1 chip", 2 * n, secs)
+    sol = join_scan_sol_seconds(n, n, value_planes=1)
+    return _emit(f"fk scan-join, {n} x {n} rows, 1 chip", 2 * n, secs,
+                 {"sol_fraction": round(sol / secs, 3)})
 
 
 def bench_dsort(n: int = 1 << 26, zipf: bool = True, reps: int = 2):

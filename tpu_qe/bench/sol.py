@@ -57,3 +57,63 @@ def sort_sol_seconds(n: int, num_passes: int, payload_cols: int = 1,
                      key_bytes: int = 8, fused: bool = True) -> float:
     return (num_passes * sort_pass_bytes(n, payload_cols, key_bytes, fused)
             / hbm_peak_bytes_per_s())
+
+
+# --------------------------------------------------------------------------
+# Operator envelope model (v5e-calibrated primitive costs)
+#
+# The sort-based operators compose three primitive shapes; their envelope
+# is the sum of the primitives' own envelopes, so sol_fraction tells how
+# much slack remains in the operator GLUE (1.0 = the operator costs
+# exactly what its irreducible primitives cost on this hardware):
+#
+#   lax.sort    VPU comparison-sort envelope. BASELINE.md measured table:
+#               flat 3-operand 64M stable sort = 343 ms -> the n*log2(n)^2
+#               per-operand constant below; unstable measures ~0.8x.
+#   scan        cummax / associative_scan full-stream sweeps. Calibrated
+#               from the v5e microbench (tools/calibrate_sol.py).
+#   elementwise streaming pass at HBM peak (read + write per operand).
+# --------------------------------------------------------------------------
+
+_SORT_C = 2.6e-12        # s per element * log2(n)^2 * operand (v5e)
+_SORT_UNSTABLE = 0.8     # measured stable->unstable ratio (BASELINE.md)
+_SCAN_C = 60.0e-12       # s per element * operand for one cummax-class
+                         # scan sweep (v5e, tools/calibrate_sol.py)
+
+
+def lax_sort_seconds(n: int, num_operands: int, stable: bool = True) -> float:
+    """Envelope of one flat variadic lax.sort on this hardware class."""
+    import numpy as np
+    f = 1.0 if stable else _SORT_UNSTABLE
+    return float(n * np.log2(max(n, 2)) ** 2 * _SORT_C * num_operands * f)
+
+
+def scan_seconds(n: int, num_operands: int = 1) -> float:
+    """Envelope of one cummax/associative_scan sweep over n elements."""
+    return float(n * _SCAN_C * num_operands)
+
+
+def elementwise_seconds(n: int, num_operands: int = 1) -> float:
+    return 2.0 * n * 4 * num_operands / hbm_peak_bytes_per_s()
+
+
+def join_scan_sol_seconds(n_l: int, n_r: int, value_planes: int = 1) -> float:
+    """Envelope of join_fk_scan: one (3+P)-operand sort of the combined
+    stream, one segmented forward-fill scan, one (2+P)-operand restore
+    sort, plus boundary-detect sweeps."""
+    m = n_l + n_r
+    return (lax_sort_seconds(m, 3 + value_planes, stable=False)
+            + scan_seconds(m, 2 + value_planes)
+            + lax_sort_seconds(m, 2 + value_planes, stable=False)
+            + elementwise_seconds(m, 3))
+
+
+def group_aggregate_sol_seconds(n: int, n_aggs: int = 2,
+                                has_valid: bool = False) -> float:
+    """Envelope of group_aggregate: one value sort, boundary sweeps, one
+    running-sum scan per agg, one compaction sort."""
+    ops1 = 3 + (1 if has_valid else 0)   # khi, klo, value (+valid)
+    return (lax_sort_seconds(n, ops1, stable=False)
+            + scan_seconds(n, max(n_aggs - 1, 1))
+            + elementwise_seconds(n, 3)
+            + lax_sort_seconds(n, 2 + n_aggs, stable=False))

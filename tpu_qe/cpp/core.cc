@@ -252,6 +252,27 @@ uint64_t encode_one_lut(const MortonGen* g, uint32_t qx, uint32_t qy,
   return code;
 }
 
+// QUIRK-FAITHFUL consumption of the shipped reference kernel
+// (morton_code.wgsl:72-74,111-126): byte-level i reads coordinate bits
+// [3*i, 3*i+8) — the i*3 shift where the 9-group LUT layout implies i*8 —
+// so only bits 0..13 of each quantized coordinate reach the key and
+// byte windows overlap. Given identical LUT content this reproduces the
+// shipped binary's morton codes exactly; it exists so `dump --quirk-lut`
+// can byte-match the reference's observable behavior even though the
+// crate's own LUT bit layout is unreachable from this environment.
+uint64_t encode_one_lut_quirk(const MortonGen* g, uint32_t qx, uint32_t qy,
+                              uint32_t qz, uint32_t j) {
+  uint64_t code = 0;
+  uint32_t q[3] = {qx, qy, qz};
+  for (int level = 0; level < 3; level++) {
+    for (int axis = 0; axis < 3; axis++) {
+      code |= g->lut[axis + 3 * level][(q[axis] >> (3 * level)) & 0xFF];
+    }
+  }
+  code |= g->size_lut[j & kSizeIndexMax];
+  return code;
+}
+
 uint64_t encode_one_direct(uint32_t qx, uint32_t qy, uint32_t qz, uint32_t j) {
   return spread_coord(qx, 0) | spread_coord(qy, 1) | spread_coord(qz, 2) |
          spread_size(j >> (kSizeIndexBits - kSizeBits));
@@ -384,6 +405,18 @@ TQ_API void tq_morton_encode(const void* gen, const float* verts,
   for (uint64_t t = 0; t < num_tris; t++) {
     codes[t] = encode_one_lut(g, q[4 * t], q[4 * t + 1], q[4 * t + 2],
                               q[4 * t + 3]);
+  }
+}
+
+TQ_API void tq_morton_encode_quirk(const void* gen, const float* verts,
+                                   const uint32_t* tris, uint64_t num_tris,
+                                   uint64_t* codes) {
+  const MortonGen* g = reinterpret_cast<const MortonGen*>(gen);
+  std::vector<uint32_t> q(num_tris * 4);
+  tq_morton_quantize(gen, verts, tris, num_tris, q.data());
+  for (uint64_t t = 0; t < num_tris; t++) {
+    codes[t] = encode_one_lut_quirk(g, q[4 * t], q[4 * t + 1], q[4 * t + 2],
+                                    q[4 * t + 3]);
   }
 }
 

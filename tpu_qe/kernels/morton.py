@@ -49,16 +49,17 @@ def _lookup(tab_ref, grp: int, byte: jnp.ndarray) -> jnp.ndarray:
 
 
 def _morton_kernel(qx_ref, qy_ref, qz_ref, j_ref, lut_lo_ref, lut_hi_ref,
-                   lo_ref, hi_ref):
+                   lo_ref, hi_ref, *, byte_step: int = 8):
     q = (qx_ref[0], qy_ref[0], qz_ref[0])
     lo = jnp.zeros_like(q[0])
     hi = jnp.zeros_like(q[0])
-    # 9 groups: axis + 3*level, byte = (coord >> 8*level) & 0xFF
-    # (the reference's translate_coords_lut, morton_code.wgsl:42-46, with
-    # the byte-shift quirk at :72-74 resolved to 8*level)
+    # 9 groups: axis + 3*level, byte = (coord >> byte_step*level) & 0xFF
+    # (the reference's translate_coords_lut, morton_code.wgsl:42-46;
+    # byte_step=8 resolves the :72-74 quirk, byte_step=3 is faithful to
+    # the shipped kernel's i*3 shift)
     for level in range(3):
         for axis in range(3):
-            byte = (q[axis] >> jnp.uint32(8 * level)) & jnp.uint32(0xFF)
+            byte = (q[axis] >> jnp.uint32(byte_step * level)) & jnp.uint32(0xFF)
             grp = axis + 3 * level
             lo = lo | _lookup(lut_lo_ref, grp, byte)
             hi = hi | _lookup(lut_hi_ref, grp, byte)
@@ -74,11 +75,13 @@ def _morton_kernel(qx_ref, qy_ref, qz_ref, j_ref, lut_lo_ref, lut_hi_ref,
     lo_ref[0], hi_ref[0] = lo, hi
 
 
-@functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
+@functools.partial(jax.jit, static_argnames=("block_rows", "interpret",
+                                             "quirk_shift"))
 def encode_quantized_lut(q: jnp.ndarray, j: jnp.ndarray,
                          lut_lo: jnp.ndarray, lut_hi: jnp.ndarray,
                          block_rows: int = 256,
-                         interpret: bool | None = None) -> U64:
+                         interpret: bool | None = None,
+                         quirk_shift: bool = False) -> U64:
     """Morton keys from quantized cells via VMEM LUT lane-gathers.
 
     Args:
@@ -104,7 +107,8 @@ def encode_quantized_lut(q: jnp.ndarray, j: jnp.ndarray,
     lut_spec = pl.BlockSpec((9, 2, LANES), lambda b: (0, 0, 0),
                             memory_space=pltpu.VMEM)
     lo, hi = pl.pallas_call(
-        _morton_kernel,
+        functools.partial(_morton_kernel,
+                          byte_step=3 if quirk_shift else 8),
         grid=(nb,),
         in_specs=[data_spec] * 4 + [lut_spec] * 2,
         out_specs=(data_spec, data_spec),

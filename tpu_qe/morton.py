@@ -126,14 +126,22 @@ def encode_quantized(q: jnp.ndarray, j: jnp.ndarray) -> U64:
 
 
 def encode_quantized_lut(q: jnp.ndarray, j: jnp.ndarray,
-                         params: MortonParams) -> U64:
-    """LUT-path key construction (parity with morton_code.wgsl:111-126,
-    with the byte-shift quirk at :72-74 resolved to 8*level)."""
+                         params: MortonParams,
+                         quirk_shift: bool = False) -> U64:
+    """LUT-path key construction (parity with morton_code.wgsl:111-126).
+
+    quirk_shift=False (default) resolves the byte-shift quirk at :72-74
+    to 8*level (the layout the 9-group LUT implies); quirk_shift=True is
+    FAITHFUL to the shipped kernel's i*3 shift, reproducing the shipped
+    binary's codes given identical LUT content (only coordinate bits
+    0..13 reach the key; byte windows overlap).
+    """
     lo = jnp.zeros(q.shape[0], dtype=jnp.uint32)
     hi = jnp.zeros(q.shape[0], dtype=jnp.uint32)
+    step = 3 if quirk_shift else 8
     for level in range(3):
         for axis in range(3):
-            byte = (q[:, axis] >> (8 * level)) & jnp.uint32(0xFF)
+            byte = (q[:, axis] >> (step * level)) & jnp.uint32(0xFF)
             grp = axis + 3 * level
             lo = lo | jnp.take(params.lut_lo[grp], byte)
             hi = hi | jnp.take(params.lut_hi[grp], byte)
@@ -144,11 +152,11 @@ def encode_quantized_lut(q: jnp.ndarray, j: jnp.ndarray,
 
 
 def encode(verts: jnp.ndarray, tris: jnp.ndarray, params: MortonParams,
-           use_lut: bool = False) -> U64:
+           use_lut: bool = False, quirk_lut: bool = False) -> U64:
     """Full morton encoding: gather + quantize + key construction."""
     q, j = quantize(verts, tris, params)
-    if use_lut:
-        return encode_quantized_lut(q, j, params)
+    if use_lut or quirk_lut:
+        return encode_quantized_lut(q, j, params, quirk_shift=quirk_lut)
     return encode_quantized(q, j)
 
 

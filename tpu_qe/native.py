@@ -65,6 +65,7 @@ def _load() -> ctypes.CDLL:
         lib.tq_morton_gen_flatten.argtypes = [voidp, u32p, u32p, f32p]
         lib.tq_morton_quantize.argtypes = [voidp, f32p, u32p, u64, u32p]
         lib.tq_morton_encode.argtypes = [voidp, f32p, u32p, u64, u64p]
+        lib.tq_morton_encode_quirk.argtypes = [voidp, f32p, u32p, u64, u64p]
         lib.tq_morton_encode_direct.argtypes = [u32p, u64, u64p]
         lib.tq_select_digit8.argtypes = [u32, u32, u32]
         lib.tq_select_digit8.restype = u32
@@ -171,16 +172,23 @@ class MortonGen:
             _ptr(q, ctypes.c_uint32))
         return q
 
-    def encode(self, verts: np.ndarray, tris: np.ndarray) -> np.ndarray:
+    def encode(self, verts: np.ndarray, tris: np.ndarray,
+               quirk: bool = False) -> np.ndarray:
+        """Morton codes for a triangle scene.
+
+        quirk=True reproduces the SHIPPED reference kernel's LUT
+        consumption (morton_code.wgsl:72-74: the i*3 byte shift) instead
+        of the resolved i*8 layout — see core.cc encode_one_lut_quirk.
+        """
         lib = _load()
         tris = np.ascontiguousarray(tris, dtype=np.uint32)
         verts = np.ascontiguousarray(verts, dtype=np.float32)
         n = tris.shape[0]
         codes = np.empty(n, dtype=np.uint64)
-        lib.tq_morton_encode(
-            self._buf.ctypes.data_as(ctypes.c_void_p),
-            _ptr(verts, ctypes.c_float), _ptr(tris, ctypes.c_uint32), n,
-            _ptr(codes, ctypes.c_uint64))
+        fn = lib.tq_morton_encode_quirk if quirk else lib.tq_morton_encode
+        fn(self._buf.ctypes.data_as(ctypes.c_void_p),
+           _ptr(verts, ctypes.c_float), _ptr(tris, ctypes.c_uint32), n,
+           _ptr(codes, ctypes.c_uint64))
         return codes
 
 

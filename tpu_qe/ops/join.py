@@ -117,20 +117,17 @@ def join_fk_scan(left: Table, right: Table, lkey: U64, rkey: U64,
 
     At scale the probe loop of ``join_fk`` (log2(m) sequential gather
     rounds at XLA's ~68 M elem/s gather throughput) is the wrong shape for
-    100M-row joins. This formulation needs ONE stable sort, two cummax
-    sweeps, one small sort, and exactly one gather per right value column:
+    100M-row joins. This formulation needs ONE sort, one segmented
+    forward-fill scan, and one restore sort — zero full-stream gathers:
 
       1. concatenate right (side=0) and left (side=1) key rows and
-         stable-sort by (key, side) — each left row lands after its
+         sort by (key, side, index) — each left row lands after its
          matching right row within its key segment;
-      2. forward-fill POSITIONS (not values — positions are monotone, so
-         cummax fills them exactly; value cumsums would wrap):
-         R = cummax(is_right ? pos+1 : 0) is the latest right row at or
-         before each row, S = cummax(is_new ? pos : 0) the segment head;
-         a left row matches iff R-1 >= S;
-      3. deliver (match position, matched) back to original left order with
-         a small stable sort on the carried left index, then gather each
-         right value column once at the n_left match positions.
+      2. a single segmented last-valid associative scan forward-fills,
+         within each key segment, both the "a valid right precedes me"
+         flag (= matched) and that right row's value columns;
+      3. deliver (matched, values) back to original left order with a
+         sort on the carried left index.
 
     Left columns never enter the sorted stream — the output is aligned to
     the original left row order, so left columns pass through untouched.
@@ -207,31 +204,45 @@ def join_fk_scan(left: Table, right: Table, lkey: U64, rkey: U64,
     pos = jnp.arange(n, dtype=jnp.uint32)
     is_new = (pos == 0) | (slo != prev_lo) | (shi != prev_hi)
     side_right = sside == 0
-    # Only VALID right rows may fill; but the output compaction below must
-    # still key ALL right rows (valid or not) away from left indices.
+    # Only VALID right rows may fill.
     is_right = side_right & valid_s
 
-    seg_head = jax.lax.cummax(jnp.where(is_new, pos, jnp.uint32(0)))
-    last_right = jax.lax.cummax(
-        jnp.where(is_right, pos + 1, jnp.uint32(0)))  # 1-based
-    matched_stream = (last_right > 0) & (last_right - 1 >= seg_head)
-    # pack matched into rpos bit 30 (positions < 2^30): one payload word
-    rpos = jnp.where(matched_stream,
-                     (last_right - 1) | jnp.uint32(1 << 30), jnp.uint32(0))
+    # Segmented LAST-VALID forward fill: ONE associative scan delivers, at
+    # every stream row, (a) whether a valid right row precedes it within
+    # its key segment — which IS the match flag — and (b) that right
+    # row's value columns, directly. This replaces the round-1 design
+    # (cummax of right positions + one jnp.take per column after the
+    # restore sort): XLA's flat gather runs at ~68 M elem/s on v5e and was
+    # ~40% of the whole join; the scan streams at memory speed. (An
+    # 8-piece nibble-wise cummax fill was also tried in round 1 and
+    # measured slower — the last-valid monoid does it in ONE scan.)
+    # Monoid element (s, f, v*): s = "segment boundary inside this span",
+    # f = "valid right after the span's last boundary", v = its values.
+    # Associative up to don't-care values (v is only consumed when f=1).
+    def _seg_last_valid(a, b):
+        sa, fa = a[0], a[1]
+        sb, fb = b[0], b[1]
+        s = sa | sb
+        f = fb | (fa & ~sb)
+        vals = tuple(jnp.where(fb, vb, va)
+                     for va, vb in zip(a[2:], b[2:]))
+        return (s, f) + vals
 
-    # NOTE (measured): replacing the final per-column gather with a
-    # gather-free nibble-wise cummax forward fill (8 pieces x cummax of
-    # (pos+1)<<4 | piece) was tried and measured SLOWER at 100M x 100M on
-    # v5e (5.35s vs 5.05s) — eight extra full-stream sweeps cost more than
-    # the single n_left-sized gather. Keeping the gather.
-    # deliver (rpos, matched) back in original left order: among left rows,
-    # slidx is a permutation of [0, n_l), so sorting by it (right rows
-    # keyed to the end) puts row i of the result at original left row i.
+    scanned = jax.lax.associative_scan(
+        _seg_last_valid, (is_new, is_right) + tuple(srv))
+    fill_f = scanned[1]
+    fills = list(scanned[2:])
+
+    # deliver (matched, values) back in original left order: among left
+    # rows, slidx is a permutation of [0, n_l), so sorting by it (right
+    # rows keyed to the end) puts row i of the result at original left
+    # row i.
     key_order = jnp.where(side_right, jnp.uint32(0xFFFFFFFF), slidx)
-    res2 = jax.lax.sort([key_order, rpos], num_keys=1, is_stable=False)
-    packed = res2[1][:n_l]
-    matched = (packed >> jnp.uint32(30)) & jnp.uint32(1) > 0
-    rpos_l = packed & jnp.uint32((1 << 30) - 1)
+    res2 = jax.lax.sort(
+        [key_order, fill_f.astype(jnp.uint32)] + fills,
+        num_keys=1, is_stable=False)
+    matched = res2[1][:n_l] > 0
+    vals_l = [c[:n_l] for c in res2[2:]]
     if l_valid is not None:
         matched = matched & l_valid
 
@@ -240,13 +251,12 @@ def join_fk_scan(left: Table, right: Table, lkey: U64, rkey: U64,
     for nm, kind in r_planes:
         out_name = nm if nm not in cols else f"right_{nm}"
         def fetch(c):
-            v = jnp.take(c, rpos_l)
-            return jnp.where(matched, v, jnp.uint32(0))
+            return jnp.where(matched, c, jnp.uint32(0))
         if kind == "u64":
-            cols[out_name] = U64(fetch(srv[i]), fetch(srv[i + 1]))
+            cols[out_name] = U64(fetch(vals_l[i]), fetch(vals_l[i + 1]))
             i += 2
         else:
-            v = fetch(srv[i])
+            v = fetch(vals_l[i])
             cols[out_name] = v.view(kind) if kind != "uint32" else v
             i += 1
     return Table(cols), matched

@@ -1,0 +1,322 @@
+"""Out-of-core single-chip sort: the 1B-key north-star config.
+
+BASELINE.json's north star is sorting 1B u64 keys + u32 payload on one
+chip. 1B rows = 12 GB of operands; with sort workspace that exceeds the
+v5e's 16 GB HBM as a single lax.sort, and the host tunnel in this
+environment moves ~25-30 MB/s (measured 2026-08-17), so host-streaming
+out-of-core is off the table (24 GB of traffic ~ 15 min). The design is
+therefore fully DEVICE-RESIDENT external sample sort:
+
+  phase A (runs)   generate each 64M-row chunk on device from a
+                   regenerable index hash (key = murmur2x32(i) — no input
+                   array ever exists) and sort it with the engine's
+                   tiebreak sort; R sorted runs stay resident (12 GB).
+  phase B (plan)   strided samples from every run -> device-sorted global
+                   splitters at the B-quantiles; per-run segment
+                   boundaries via searchsorted_u64; ~R*B ints read back.
+                   Host sizes the static segment capacity to the EXACT
+                   measured demand (plan-then-execute, same discipline as
+                   the distributed exchange).
+  phase C (merge)  per output bucket: dynamic-slice one segment from each
+                   run, mask tails with all-ones sentinels, one sort of
+                   the concatenation, then VERIFY on device and read back
+                   only scalars: full (not sampled) sortedness, per-row
+                   key == hash(payload) (each output row is a genuine
+                   input pair), exact counts, payload sum/sum-of-squares
+                   (permutation evidence), and bucket boundary keys
+                   (cross-bucket global order).
+
+The sorted output exists bucket-by-bucket in HBM; nothing but the check
+scalars crosses the tunnel. Rate = n / wall(A+B+C), every phase fenced by
+scalar readbacks (block_until_ready is unreliable on this transport —
+see tpu_qe.utils.timing).
+
+Reference contrast: the reference sorts 3,000 keys in one dispatch chain
+(/root/reference/src/constants.rs:3); this module is the scale-out of the
+same sorted-key-stream contract to 333,000x that size on one chip.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_qe.bits import U64
+from tpu_qe.ops.join import searchsorted_u64
+
+_ONES = jnp.uint32(0xFFFFFFFF)
+
+
+def _murmur_fmix32(h):
+    """murmur3 32-bit finalizer — a bijective avalanche mix on u32."""
+    h = h ^ (h >> jnp.uint32(16))
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> jnp.uint32(13))
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> jnp.uint32(16))
+    return h
+
+
+def keygen_hash(idx: jnp.ndarray, seed: int = 7) -> U64:
+    """Regenerable pseudorandom u64 key for global row index idx (u32).
+
+    Two independent murmur3 finalizer streams form (lo, hi): uniform
+    enough for sort benchmarking, and any (key, payload) output pair can
+    be re-validated ANYWHERE as key == keygen_hash(payload) — which is
+    what lets the out-of-core sort verify 1B rows on device without ever
+    materializing an input array.
+    """
+    s = jnp.uint32(seed)
+    lo = _murmur_fmix32(idx ^ (s * jnp.uint32(0x9E3779B9)))
+    hi = _murmur_fmix32(idx ^ (s * jnp.uint32(0x85EBCA77)) ^ jnp.uint32(0x5BD1E995))
+    return U64(lo, hi)
+
+
+def keygen_hash_numpy(idx: np.ndarray, seed: int = 7) -> np.ndarray:
+    """Numpy mirror of keygen_hash (for oracle checks in tests)."""
+    def fmix(h):
+        h = h ^ (h >> np.uint32(16))
+        h = (h * np.uint32(0x85EBCA6B)).astype(np.uint32)
+        h = h ^ (h >> np.uint32(13))
+        h = (h * np.uint32(0xC2B2AE35)).astype(np.uint32)
+        return h ^ (h >> np.uint32(16))
+    idx = idx.astype(np.uint32)
+    c1 = np.uint32((seed * 0x9E3779B9) & 0xFFFFFFFF)
+    c2 = np.uint32((seed * 0x85EBCA77) & 0xFFFFFFFF)
+    lo = fmix(idx ^ c1)
+    hi = fmix(idx ^ c2 ^ np.uint32(0x5BD1E995))
+    return lo.astype(np.uint64) | (hi.astype(np.uint64) << np.uint64(32))
+
+
+@functools.partial(jax.jit, static_argnames=("n_run", "seed"))
+def _make_sorted_run(r: jnp.ndarray, n_run: int, seed: int):
+    """Generate chunk r's rows and sort them (phase A body)."""
+    idx = r * jnp.uint32(n_run) + jnp.arange(n_run, dtype=jnp.uint32)
+    key = keygen_hash(idx, seed)
+    # tiebreak sort: payload is the unique global index (driver.py
+    # BEST_UNIQUE_PAYLOAD_BACKEND rationale)
+    hi, lo, pay = jax.lax.sort([key.hi, key.lo, idx], num_keys=3,
+                               is_stable=False)
+    return lo, hi, pay
+
+
+@functools.partial(jax.jit, static_argnames=("n_buckets", "per_run"))
+def _plan_splitters(run_los, run_his, n_buckets: int, per_run: int):
+    """Phase B: global bucket splitters + per-run segment boundaries."""
+    samples_lo, samples_hi = [], []
+    for lo, hi in zip(run_los, run_his):
+        n = lo.shape[0]
+        stride = max(n // per_run, 1)
+        sel = (jnp.arange(per_run) * stride) % n
+        samples_lo.append(jnp.take(lo, sel))
+        samples_hi.append(jnp.take(hi, sel))
+    s_lo = jnp.concatenate(samples_lo)
+    s_hi = jnp.concatenate(samples_hi)
+    s_hi, s_lo = jax.lax.sort([s_hi, s_lo], num_keys=2, is_stable=False)
+    total = s_lo.shape[0]
+    q = (jnp.arange(1, n_buckets) * total) // n_buckets
+    sp = U64(s_lo[q], s_hi[q])  # (B-1,) ascending splitters
+    # segment boundary of splitter b in run r: first position >= splitter
+    bounds = []
+    for lo, hi in zip(run_los, run_his):
+        bounds.append(searchsorted_u64(U64(lo, hi), sp, side="left"))
+    return sp.lo, sp.hi, jnp.stack(bounds)  # (R, B-1)
+
+
+def _merge_bucket_fn(n_runs: int, cap_seg: int, seed: int):
+    """Build the jitted phase-C body for one bucket (static capacity)."""
+
+    @jax.jit
+    def merge(starts, deltas, sizes, *run_arrays):
+        # run_arrays = lo0, hi0, pay0, lo1, hi1, pay1, ...
+        # starts are pre-clamped host-side so start+cap_seg stays in
+        # bounds (dynamic_slice CLAMPS out-of-bounds starts downward,
+        # which would silently substitute earlier — duplicate — rows);
+        # deltas locate the real segment inside the clamped window.
+        segs_lo, segs_hi, segs_pay = [], [], []
+        ar = jnp.arange(cap_seg, dtype=jnp.uint32)
+        for r in range(n_runs):
+            lo, hi, pay = run_arrays[3 * r: 3 * r + 3]
+            sl = jax.lax.dynamic_slice(lo, (starts[r],), (cap_seg,))
+            sh = jax.lax.dynamic_slice(hi, (starts[r],), (cap_seg,))
+            sp = jax.lax.dynamic_slice(pay, (starts[r],), (cap_seg,))
+            d = deltas[r].astype(jnp.uint32)
+            in_seg = (ar >= d) & (ar < d + sizes[r].astype(jnp.uint32))
+            segs_lo.append(jnp.where(in_seg, sl, _ONES))
+            segs_hi.append(jnp.where(in_seg, sh, _ONES))
+            segs_pay.append(jnp.where(in_seg, sp, jnp.uint32(0)))
+        lo = jnp.concatenate(segs_lo)
+        hi = jnp.concatenate(segs_hi)
+        pay = jnp.concatenate(segs_pay)
+        # sentinel pads sort after every real key; valid count masks them
+        n_valid = jnp.sum(sizes).astype(jnp.uint32)
+        shi, slo, spay = jax.lax.sort([hi, lo, pay], num_keys=3,
+                                      is_stable=False)
+        # ---- on-device verification (full, not sampled) ----
+        m = slo.shape[0]
+        pos = jnp.arange(m, dtype=jnp.uint32)
+        valid = pos < n_valid
+        ge = ((shi[1:] > shi[:-1])
+              | ((shi[1:] == shi[:-1]) & (slo[1:] >= slo[:-1])))
+        sorted_ok = jnp.all(ge | ~valid[1:])
+        want = keygen_hash(spay, seed)
+        hash_ok = jnp.all((~valid) | ((slo == want.lo) & (shi == want.hi)))
+        # u32 wraparound sums (exact mod 2^32; x64 is disabled on TPU)
+        pay_sum = jnp.sum(jnp.where(valid, spay, 0), dtype=jnp.uint32)
+        pay_sq = jnp.sum(jnp.where(valid, spay * spay, 0),
+                         dtype=jnp.uint32)
+        first_lo, first_hi = slo[0], shi[0]
+        li = jnp.maximum(n_valid, 1) - 1
+        last_lo, last_hi = slo[li], shi[li]
+        return (sorted_ok.astype(jnp.uint32), hash_ok.astype(jnp.uint32),
+                n_valid, pay_sum, pay_sq,
+                first_lo, first_hi, last_lo, last_hi)
+
+    return merge
+
+
+@dataclasses.dataclass(frozen=True)
+class BigSortResult:
+    n: int
+    seconds: float
+    keys_per_s: float
+    sorted_ok: bool
+    hash_ok: bool
+    count_ok: bool
+    perm_ok: bool
+    boundary_ok: bool
+    phase_a_s: float
+    phase_c_s: float
+    compile_s: float = 0.0
+
+    @property
+    def all_ok(self) -> bool:
+        return (self.sorted_ok and self.hash_ok and self.count_ok
+                and self.perm_ok and self.boundary_ok)
+
+
+def sort_big(n: int, run_size: int = 1 << 26, n_buckets: int | None = None,
+             seed: int = 7, samples_per_run: int = 4096,
+             verbose: bool = False) -> BigSortResult:
+    """Device-resident out-of-core sort + full verification of n rows.
+
+    n must be a multiple of run_size. Peak HBM ~ n*12 bytes for the
+    resident runs plus one bucket's sort working set (~3x bucket bytes) —
+    1B rows (12 GB) fits a 16 GB v5e with run_size=64M, n_buckets=32.
+    """
+    assert n % run_size == 0, (n, run_size)
+    assert n < (1 << 32), "payload travels as u32 global index"
+    n_runs = n // run_size
+    if n_buckets is None:
+        # bucket working set ~3x its bytes; keep buckets <= 64M rows
+        n_buckets = max(2, int(np.ceil(n / (1 << 26))))
+
+    # Warm the tunnel and AOT-compile the phase-A executable OUTSIDE the
+    # timed region (the first device op in a process pays one-time tunnel
+    # warmup, and remote compiles cost tens of seconds; the measured rate
+    # is the compile-once serving model — compile_s is reported).
+    tc0 = time.perf_counter()
+    np.asarray(jnp.zeros(8, jnp.uint32)[:1])
+    run_exec = _make_sorted_run.lower(jnp.uint32(0), n_run=run_size,
+                                      seed=seed).compile()
+    compile_s = time.perf_counter() - tc0
+
+    t0 = time.perf_counter()
+    runs = []
+    for r in range(n_runs):
+        lo, hi, pay = run_exec(jnp.uint32(r))
+        runs.append((lo, hi, pay))
+    # fence phase A (tiny readback per run tail)
+    for lo, _, _ in runs:
+        np.asarray(lo[-1:])
+    t_a = time.perf_counter() - t0
+
+    # phase B: plan
+    run_los = tuple(r[0] for r in runs)
+    run_his = tuple(r[1] for r in runs)
+    sp_lo, sp_hi, bounds = _plan_splitters(run_los, run_his, n_buckets,
+                                           samples_per_run)
+    bounds = np.asarray(bounds)          # (R, B-1) readback fences phase B
+    sp_lo_h = np.asarray(sp_lo)
+    sp_hi_h = np.asarray(sp_hi)
+    # per-(run, bucket) segment [start, end)
+    zeros = np.zeros((n_runs, 1), dtype=bounds.dtype)
+    full = np.full((n_runs, 1), run_size, dtype=bounds.dtype)
+    starts = np.concatenate([zeros, bounds], axis=1)      # (R, B)
+    ends = np.concatenate([bounds, full], axis=1)
+    sizes = (ends - starts).astype(np.int32)
+    # round the static segment capacity up to a 1M multiple: enough to
+    # amortize recompiles across similar datasets without the up-to-2x
+    # sort padding a power-of-two rounding costs (measured: pow2 rounding
+    # turned a 33.5M demand into 64M and doubled every merge sort)
+    quantum = 1 << 20 if run_size >= (1 << 22) else 256
+    cap_seg = -(-max(int(sizes.max()), 1) // quantum) * quantum
+    if verbose:
+        print(f"bigsort: {n_runs} runs x {run_size}, {n_buckets} buckets, "
+              f"cap_seg={cap_seg} (max demand {int(sizes.max())})")
+
+    merge = _merge_bucket_fn(n_runs, cap_seg, seed)
+    flat_runs = [a for r in runs for a in r]
+    tc1 = time.perf_counter()
+    ex_st = jnp.zeros(n_runs, jnp.int32)
+    ex_sz = jnp.zeros(n_runs, jnp.int32)
+    merge_exec = merge.lower(ex_st, ex_st, ex_sz, *flat_runs).compile()
+    merge_compile_s = time.perf_counter() - tc1
+    compile_s += merge_compile_s
+
+    t1 = time.perf_counter()
+    total_count = 0
+    sum_pay = np.uint32(0)
+    sum_sq = np.uint32(0)
+    all_sorted = True
+    all_hash = True
+    boundary_ok = True
+    prev_last = None
+    for b in range(n_buckets):
+        raw = starts[:, b].astype(np.int64)
+        clamped = np.minimum(raw, max(run_size - cap_seg, 0))
+        deltas = (raw - clamped).astype(np.int32)
+        st = jnp.asarray(clamped.astype(np.int32))
+        dl = jnp.asarray(deltas)
+        sz = jnp.asarray(sizes[:, b].astype(np.int32))
+        out = merge_exec(st, dl, sz, *flat_runs)
+        (s_ok, h_ok, cnt, psum, psq, flo, fhi, llo, lhi) = \
+            [np.asarray(x) for x in out]       # scalar readbacks fence
+        all_sorted &= bool(s_ok)
+        all_hash &= bool(h_ok)
+        total_count += int(cnt)
+        sum_pay = np.uint32(sum_pay + psum)
+        sum_sq = np.uint32(sum_sq + psq)
+        if prev_last is not None and int(cnt) > 0:
+            pl_lo, pl_hi = prev_last
+            le = (int(pl_hi) < int(fhi)
+                  or (int(pl_hi) == int(fhi) and int(pl_lo) <= int(flo)))
+            boundary_ok &= le
+        if int(cnt) > 0:
+            prev_last = (llo, lhi)
+        if verbose:
+            print(f"  bucket {b}: {int(cnt)} rows sorted={bool(s_ok)} "
+                  f"hash={bool(h_ok)}")
+    t_c = time.perf_counter() - t1
+
+    # permutation evidence: payload sum / sum of squares over all buckets
+    # must equal sum over 0..n-1 (mod 2^32) — with count and per-row hash
+    # validity this pins the output to a permutation of the input stream.
+    # (closed forms via Python bigints: no 8 GB host array needed)
+    want_sum = np.uint32((n * (n - 1) // 2) & 0xFFFFFFFF)
+    want_sq = np.uint32(((n - 1) * n * (2 * n - 1) // 6) & 0xFFFFFFFF)
+    perm_ok = (sum_pay == want_sum) and (sum_sq == want_sq)
+    count_ok = total_count == n
+    # total = runs + plan + merges; the mid-stream merge compile is
+    # excluded (reported in compile_s)
+    dt = time.perf_counter() - t0 - merge_compile_s
+    return BigSortResult(
+        n=n, seconds=dt, keys_per_s=n / dt,
+        sorted_ok=all_sorted, hash_ok=all_hash, count_ok=count_ok,
+        perm_ok=bool(perm_ok), boundary_ok=boundary_ok,
+        phase_a_s=t_a, phase_c_s=t_c, compile_s=compile_s)
