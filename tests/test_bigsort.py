@@ -40,3 +40,9 @@ def test_bucket_contents_match_numpy_oracle():
 def test_uneven_bucket_sizes():
     res = sort_big(1 << 13, run_size=1 << 12, n_buckets=3)
     assert res.all_ok, res
+
+
+def test_incore_small():
+    from tpu_qe.sort.bigsort import sort_big_incore
+    res = sort_big_incore(1 << 13)
+    assert res.all_ok, res

@@ -140,12 +140,17 @@ def _cmd_bench_big(args) -> int:
     import json
 
     from tpu_qe.bench.sol import device_kind, sort_sol_seconds
-    from tpu_qe.sort.bigsort import sort_big
+    from tpu_qe.sort.bigsort import sort_big, sort_big_incore
 
-    res = sort_big(args.n, run_size=args.run_size,
-                   n_buckets=args.buckets, verbose=args.verbose_big)
+    if args.in_core:
+        res = sort_big_incore(args.n)
+        kind = "in-core"
+    else:
+        res = sort_big(args.n, run_size=args.run_size,
+                       n_buckets=args.buckets, verbose=args.verbose_big)
+        kind = "out-of-core"
     out = {
-        "metric": f"out-of-core sort {res.n} u64 keys + u32 payload, 1 chip",
+        "metric": f"{kind} sort {res.n} u64 keys + u32 payload, 1 chip",
         "value": round(res.keys_per_s),
         "unit": "keys/s",
         "time_s": round(res.seconds, 3),
@@ -230,6 +235,9 @@ def main(argv=None) -> int:
     pg.add_argument("--run-size", type=int, default=1 << 26)
     pg.add_argument("--buckets", type=int, default=None)
     pg.add_argument("--verbose-big", action="store_true")
+    pg.add_argument("--in-core", action="store_true",
+                    help="single resident sort+verify program (fits up to "
+                         "~512M rows on a 16 GB chip)")
     pg.set_defaults(fn=_cmd_bench_big)
 
     pi = sub.add_parser("info", help="device + config report")

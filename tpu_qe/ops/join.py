@@ -207,31 +207,39 @@ def join_fk_scan(left: Table, right: Table, lkey: U64, rkey: U64,
     # Only VALID right rows may fill.
     is_right = side_right & valid_s
 
-    # Segmented LAST-VALID forward fill: ONE associative scan delivers, at
-    # every stream row, (a) whether a valid right row precedes it within
-    # its key segment — which IS the match flag — and (b) that right
-    # row's value columns, directly. This replaces the round-1 design
-    # (cummax of right positions + one jnp.take per column after the
-    # restore sort): XLA's flat gather runs at ~68 M elem/s on v5e and was
-    # ~40% of the whole join; the scan streams at memory speed. (An
-    # 8-piece nibble-wise cummax fill was also tried in round 1 and
-    # measured slower — the last-valid monoid does it in ONE scan.)
+    # Segmented LAST-VALID forward fill: one log2(n)-step Hillis-Steele
+    # sweep delivers, at every stream row, (a) whether a valid right row
+    # precedes it within its key segment — which IS the match flag — and
+    # (b) that right row's value columns, directly. This replaces the
+    # round-1 design (cummax of right positions + one jnp.take per column
+    # after the restore sort): XLA's flat gather runs at ~68 M elem/s on
+    # v5e and was ~40% of the whole join; the sweep streams at memory
+    # speed. (An 8-piece nibble-wise cummax fill was also tried in round 1
+    # and measured slower, and jax.lax.associative_scan with a tuple
+    # carrier was tried in round 2 but its lowering stalled the remote TPU
+    # compiler for tens of minutes — the explicit strided loop compiles
+    # instantly and is the same O(n log n) work.)
     # Monoid element (s, f, v*): s = "segment boundary inside this span",
     # f = "valid right after the span's last boundary", v = its values.
     # Associative up to don't-care values (v is only consumed when f=1).
-    def _seg_last_valid(a, b):
-        sa, fa = a[0], a[1]
-        sb, fb = b[0], b[1]
-        s = sa | sb
-        f = fb | (fa & ~sb)
-        vals = tuple(jnp.where(fb, vb, va)
-                     for va, vb in zip(a[2:], b[2:]))
-        return (s, f) + vals
-
-    scanned = jax.lax.associative_scan(
-        _seg_last_valid, (is_new, is_right) + tuple(srv))
-    fill_f = scanned[1]
-    fills = list(scanned[2:])
+    fill_s = is_new
+    fill_f = is_right
+    fills = list(srv)
+    stride = 1
+    while stride < n:
+        # combine a = element shifted by stride (identity-padded at the
+        # front) with b = self: s=sa|sb, f=fb|(fa&~sb), v=fb?vb:va
+        sa = jnp.concatenate([jnp.zeros(stride, fill_s.dtype),
+                              fill_s[:-stride]])
+        fa = jnp.concatenate([jnp.zeros(stride, fill_f.dtype),
+                              fill_f[:-stride]])
+        vas = [jnp.concatenate([jnp.zeros(stride, v.dtype), v[:-stride]])
+               for v in fills]
+        sb, fb = fill_s, fill_f
+        fill_s = sa | sb
+        fill_f = fb | (fa & ~sb)
+        fills = [jnp.where(fb, vb, va) for va, vb in zip(vas, fills)]
+        stride *= 2
 
     # deliver (matched, values) back in original left order: among left
     # rows, slidx is a permutation of [0, n_l), so sorting by it (right

@@ -200,6 +200,50 @@ class BigSortResult:
                 and self.perm_ok and self.boundary_ok)
 
 
+@functools.partial(jax.jit, static_argnames=("n", "seed"))
+def _incore_sort_and_verify(n: int, seed: int):
+    """One resident program: generate -> sort -> verify, scalars out.
+
+    Nothing but check scalars leaves the device, so XLA's planner can
+    overlap/free buffers — this is how the 256M-512M rungs of the ladder
+    run without the chained-timing workspace that OOMed round 1
+    (BASELINE.md:123).
+    """
+    idx = jnp.arange(n, dtype=jnp.uint32)
+    key = keygen_hash(idx, seed)
+    shi, slo, spay = jax.lax.sort([key.hi, key.lo, idx], num_keys=3,
+                                  is_stable=False)
+    ge = ((shi[1:] > shi[:-1])
+          | ((shi[1:] == shi[:-1]) & (slo[1:] >= slo[:-1])))
+    sorted_ok = jnp.all(ge)
+    want = keygen_hash(spay, seed)
+    hash_ok = jnp.all((slo == want.lo) & (shi == want.hi))
+    pay_sum = jnp.sum(spay, dtype=jnp.uint32)
+    pay_sq = jnp.sum(spay * spay, dtype=jnp.uint32)
+    return (sorted_ok.astype(jnp.uint32), hash_ok.astype(jnp.uint32),
+            pay_sum, pay_sq)
+
+
+def sort_big_incore(n: int, seed: int = 7) -> BigSortResult:
+    """Single-program resident sort + full verification of n rows."""
+    tc0 = time.perf_counter()
+    np.asarray(jnp.zeros(8, jnp.uint32)[:1])  # tunnel warmup
+    ex = _incore_sort_and_verify.lower(n=n, seed=seed).compile()
+    compile_s = time.perf_counter() - tc0
+    t0 = time.perf_counter()
+    out = [np.asarray(x) for x in ex()]  # scalar readbacks fence
+    dt = time.perf_counter() - t0
+    s_ok, h_ok, psum, psq = out
+    want_sum = np.uint32((n * (n - 1) // 2) & 0xFFFFFFFF)
+    want_sq = np.uint32(((n - 1) * n * (2 * n - 1) // 6) & 0xFFFFFFFF)
+    return BigSortResult(
+        n=n, seconds=dt, keys_per_s=n / dt,
+        sorted_ok=bool(s_ok), hash_ok=bool(h_ok), count_ok=True,
+        perm_ok=bool((psum == want_sum) and (psq == want_sq)),
+        boundary_ok=True, phase_a_s=0.0, phase_c_s=dt,
+        compile_s=compile_s)
+
+
 def sort_big(n: int, run_size: int = 1 << 26, n_buckets: int | None = None,
              seed: int = 7, samples_per_run: int = 4096,
              verbose: bool = False) -> BigSortResult:
