@@ -280,14 +280,20 @@ def sort_big(n: int, run_size: int = 1 << 26, n_buckets: int | None = None,
         np.asarray(lo[-1:])
     t_a = time.perf_counter() - t0
 
-    # phase B: plan
+    # phase B: plan (AOT-compiled out of the timed region like the rest)
     run_los = tuple(r[0] for r in runs)
     run_his = tuple(r[1] for r in runs)
-    sp_lo, sp_hi, bounds = _plan_splitters(run_los, run_his, n_buckets,
-                                           samples_per_run)
+    tcp = time.perf_counter()
+    plan_exec = _plan_splitters.lower(run_los, run_his,
+                                      n_buckets=n_buckets,
+                                      per_run=samples_per_run).compile()
+    compile_s += time.perf_counter() - tcp
+    t_b0 = time.perf_counter()
+    sp_lo, sp_hi, bounds = plan_exec(run_los, run_his)
     bounds = np.asarray(bounds)          # (R, B-1) readback fences phase B
     sp_lo_h = np.asarray(sp_lo)
     sp_hi_h = np.asarray(sp_hi)
+    t_b = time.perf_counter() - t_b0
     # per-(run, bucket) segment [start, end)
     zeros = np.zeros((n_runs, 1), dtype=bounds.dtype)
     full = np.full((n_runs, 1), run_size, dtype=bounds.dtype)
@@ -356,9 +362,9 @@ def sort_big(n: int, run_size: int = 1 << 26, n_buckets: int | None = None,
     want_sq = np.uint32(((n - 1) * n * (2 * n - 1) // 6) & 0xFFFFFFFF)
     perm_ok = (sum_pay == want_sum) and (sum_sq == want_sq)
     count_ok = total_count == n
-    # total = runs + plan + merges; the mid-stream merge compile is
-    # excluded (reported in compile_s)
-    dt = time.perf_counter() - t0 - merge_compile_s
+    # total = runs + plan + merges; mid-stream compiles are excluded
+    # (reported in compile_s)
+    dt = t_a + t_b + t_c
     return BigSortResult(
         n=n, seconds=dt, keys_per_s=n / dt,
         sorted_ok=all_sorted, hash_ok=all_hash, count_ok=count_ok,
