@@ -55,6 +55,7 @@ from tpu_qe.bits import U64
 from tpu_qe.exchange.shuffle import (AXIS, exchange,
                                      route_by_splitters_pos,
                                      sample_splitters_pos)
+from tpu_qe.sort.merge import bitonic_merge_cols as _bitonic_merge_cols
 
 _ONES = jnp.uint32(0xFFFFFFFF)
 
@@ -111,41 +112,6 @@ def _dsort_shard(lo, hi, *payloads, n_dev: int, samples_per_dev: int,
     out_pay = list(res[3:])
     valid = jnp.sum(recv_counts).reshape(1)
     return (out_lo, out_hi, *out_pay, valid, overflow.reshape(1))
-
-
-def _lex_le3(a, b):
-    """Lexicographic a <= b over (hi, lo, rank) u32 column triples."""
-    ah, al, ar = a[0], a[1], a[2]
-    bh, bl, br = b[0], b[1], b[2]
-    return ((ah < bh)
-            | ((ah == bh) & ((al < bl)
-                             | ((al == bl) & (ar <= br)))))
-
-
-def _bitonic_merge_cols(A, B):
-    """Merge two column sets, each ascending by (hi, lo, rank), into one.
-
-    Columns are [hi, lo, rank, *payloads]; both runs must have the same
-    power-of-two length. concat(A, reverse(B)) is bitonic; log2(2L)
-    half-cleaner stages sort it — O(log n) full-array passes instead of
-    the O(log^2 n) of a general sort, which is what makes the overlap
-    path's final combine cheap relative to the overlapped per-chunk sorts.
-    """
-    m = A[0].shape[0]
-    assert m == B[0].shape[0] and (m & (m - 1)) == 0, (m, B[0].shape)
-    cols = [jnp.concatenate([a, b[::-1]]) for a, b in zip(A, B)]
-    s = m
-    while s >= 1:
-        parts = [c.reshape(-1, 2, s) for c in cols]
-        a = [p[:, 0] for p in parts]
-        b = [p[:, 1] for p in parts]
-        a_le_b = _lex_le3(a, b)
-        low = [jnp.where(a_le_b, x, y) for x, y in zip(a, b)]
-        high = [jnp.where(a_le_b, y, x) for x, y in zip(a, b)]
-        cols = [jnp.stack([l, h], axis=1).reshape(-1)
-                for l, h in zip(low, high)]
-        s //= 2
-    return cols
 
 
 def _dsort_shard_overlap(lo, hi, *payloads, n_dev: int, samples_per_dev: int,
