@@ -65,7 +65,14 @@ def sort_sol_seconds(n: int, num_passes: int, payload_cols: int = 1,
 # The sort-based operators compose three primitive shapes; their envelope
 # is the sum of the primitives' own envelopes, so sol_fraction tells how
 # much slack remains in the operator GLUE (1.0 = the operator costs
-# exactly what its irreducible primitives cost on this hardware):
+# exactly what its irreducible primitives cost on this hardware). The
+# constants are calibrated to ~±25%: fractions near or ABOVE 1.0 mean the
+# fused operator leaves no measurable slack (XLA fuses/overlaps more than
+# the sum-of-primitives model credits — e.g. filter+GROUP BY measures
+# 1.24 because the variadic sort's payload operands cost less than full
+# key-comparison weight). Fractions well below 1.0 are the actionable
+# signal (the round-1 join measured 0.6 before the gather was removed;
+# 0.82 after):
 #
 #   lax.sort    VPU comparison-sort envelope. BASELINE.md measured table:
 #               flat 3-operand 64M stable sort = 343 ms -> the n*log2(n)^2
@@ -111,7 +118,9 @@ def join_scan_sol_seconds(n_l: int, n_r: int, value_planes: int = 1) -> float:
 def group_aggregate_sol_seconds(n: int, n_aggs: int = 2,
                                 has_valid: bool = False) -> float:
     """Envelope of group_aggregate: one value sort, boundary sweeps, one
-    running-sum scan per agg, one compaction sort."""
+    running-sum scan per agg, one compaction sort. Measured 2026-08-17:
+    the real operator at 256M runs at 1.24x this model (payload operands
+    in variadic sorts are cheaper than key operands; see module note)."""
     ops1 = 3 + (1 if has_valid else 0)   # khi, klo, value (+valid)
     return (lax_sort_seconds(n, ops1, stable=False)
             + scan_seconds(n, max(n_aggs - 1, 1))
