@@ -77,15 +77,17 @@ def sort_sol_seconds(n: int, num_passes: int, payload_cols: int = 1,
 #   lax.sort    VPU comparison-sort envelope. BASELINE.md measured table:
 #               flat 3-operand 64M stable sort = 343 ms -> the n*log2(n)^2
 #               per-operand constant below; unstable measures ~0.8x.
-#   scan        cummax / associative_scan full-stream sweeps. Calibrated
-#               from the v5e microbench (tools/calibrate_sol.py).
+#   scan        cummax / strided-fill full-stream sweeps. _SCAN_C is an
+#               operator-level FIT (remote compiles made the dedicated
+#               microbench impractical this round; tools/calibrate_sol.py
+#               measures it directly when compile budget allows).
 #   elementwise streaming pass at HBM peak (read + write per operand).
 # --------------------------------------------------------------------------
 
 _SORT_C = 2.6e-12        # s per element * log2(n)^2 * operand (v5e)
 _SORT_UNSTABLE = 0.8     # measured stable->unstable ratio (BASELINE.md)
 _SCAN_C = 60.0e-12       # s per element * operand for one cummax-class
-                         # scan sweep (v5e, tools/calibrate_sol.py)
+                         # scan sweep (v5e; operator-level fit, see note)
 
 
 def lax_sort_seconds(n: int, num_operands: int, stable: bool = True) -> float:

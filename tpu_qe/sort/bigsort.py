@@ -327,6 +327,11 @@ def sort_big(n: int, run_size: int = 1 << 26, n_buckets: int | None = None,
     all_hash = True
     boundary_ok = True
     prev_last = None
+    # launch ALL bucket merges before reading any scalar back: the device
+    # queues them and per-call dispatch round trips (~35-70 ms over this
+    # tunnel) stop serializing the merge phase; the scalar readbacks
+    # below fence everything.
+    pending = []
     for b in range(n_buckets):
         raw = starts[:, b].astype(np.int64)
         clamped = np.minimum(raw, max(run_size - cap_seg, 0))
@@ -334,7 +339,8 @@ def sort_big(n: int, run_size: int = 1 << 26, n_buckets: int | None = None,
         st = jnp.asarray(clamped.astype(np.int32))
         dl = jnp.asarray(deltas)
         sz = jnp.asarray(sizes[:, b].astype(np.int32))
-        out = merge_exec(st, dl, sz, *flat_runs)
+        pending.append(merge_exec(st, dl, sz, *flat_runs))
+    for b, out in enumerate(pending):
         (s_ok, h_ok, cnt, psum, psq, flo, fhi, llo, lhi) = \
             [np.asarray(x) for x in out]       # scalar readbacks fence
         all_sorted &= bool(s_ok)
