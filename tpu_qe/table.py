@@ -189,6 +189,12 @@ class Table:
         from tpu_qe.ops.join import join_inner
         return join_inner(self, right, key=key, out_budget=out_budget)
 
+    def top_k(self, k: int, key: str = "key", largest: bool = False):
+        """k rows with the smallest/largest u64 key, best first
+        (sampled-threshold prune + exact fallback; ops.topk)."""
+        from tpu_qe.ops.topk import top_k
+        return top_k(self, k, key=key, largest=largest)
+
     def __repr__(self) -> str:
         parts = ", ".join(
             f"{k}: {'u64' if isinstance(v, U64) else v.dtype}"
