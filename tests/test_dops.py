@@ -278,3 +278,32 @@ class TestDistributedInnerJoin:
                 lkeys, [], rkeys, [np.arange(1 << 8, dtype=np.uint32)],
                 mesh, capacity_factor=float(n_dev),
                 capacity_factor_right=float(n_dev), out_budget_factor=2.0)
+
+
+class TestDistributedTopK:
+    @pytest.mark.parametrize("n_dev", [2, 8])
+    @pytest.mark.parametrize("largest", [False, True])
+    def test_matches_single_machine(self, n_dev, largest):
+        from tpu_qe.exchange.dops import distributed_top_k_numpy
+        mesh = _mesh(n_dev)
+        rng = np.random.default_rng(n_dev + 7 * largest)
+        n = 1 << 12
+        keys = rng.integers(0, 1 << 40, n, dtype=np.uint64)
+        keys[::9] = keys[3]  # duplicates exercise the global tiebreak
+        vals = np.arange(n, dtype=np.uint32) * 3
+        k = 37
+        ks, g, (v,) = distributed_top_k_numpy(keys, [vals], mesh, k,
+                                              largest=largest)
+        order = (np.lexsort((np.arange(n), ~keys)) if largest
+                 else np.argsort(keys, kind="stable"))[:k]
+        np.testing.assert_array_equal(ks, keys[order])
+        np.testing.assert_array_equal(g, order.astype(np.uint32))
+        np.testing.assert_array_equal(v, vals[order])
+
+    def test_hot_key_everywhere(self, n_dev=4):
+        from tpu_qe.exchange.dops import distributed_top_k_numpy
+        mesh = _mesh(n_dev)
+        n = 1 << 10
+        keys = np.full(n, 5, dtype=np.uint64)
+        ks, g, _ = distributed_top_k_numpy(keys, [], mesh, 8)
+        np.testing.assert_array_equal(g, np.arange(8))

@@ -9,6 +9,10 @@ from tpu_qe.exchange.dops import (  # noqa: F401
     distributed_aggregate_numpy,
     distributed_join_fk,
     distributed_join_fk_numpy,
+    distributed_join_inner,
+    distributed_join_inner_numpy,
+    distributed_top_k,
+    distributed_top_k_numpy,
 )
 from tpu_qe.exchange.shuffle import (  # noqa: F401
     AXIS,

@@ -400,6 +400,67 @@ def distributed_join_inner_numpy(lkeys, lvals, rkeys, rvals, mesh, **kw):
 
 
 # --------------------------------------------------------------------------
+# distributed top-k
+# --------------------------------------------------------------------------
+
+def _dtopk_shard(lo, hi, *cols, n_dev, k, largest):
+    """Local top-k per shard, then all_gather the k*D candidate rows and
+    reduce — communication is k*D rows (tiny), no keyed exchange needed.
+    Global original order rides along as the tiebreak so the result is
+    bit-identical to a single-machine stable top-k."""
+    n_local = lo.shape[0]
+    my = jax.lax.axis_index(AXIS).astype(jnp.uint32)
+    gidx = my * jnp.uint32(n_local) + jnp.arange(n_local, dtype=jnp.uint32)
+    wlo = ~lo if largest else lo
+    whi = ~hi if largest else hi
+    res = jax.lax.sort([whi, wlo, gidx] + list(cols), num_keys=3,
+                       is_stable=False)
+    cand = [r[:k] for r in res]  # local k best (sorted)
+    g = [jax.lax.all_gather(c, AXIS).reshape(-1) for c in cand]
+    res2 = jax.lax.sort(g, num_keys=3, is_stable=False)
+    out = [r[:k] for r in res2]
+    o_lo = ~out[1] if largest else out[1]
+    o_hi = ~out[0] if largest else out[0]
+    return (o_lo, o_hi, out[2], *out[3:])
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "k", "largest"))
+def distributed_top_k(key: U64, cols: tuple, mesh: Mesh, k: int,
+                      largest: bool = False):
+    """k globally best rows of a mesh-sharded table, replicated on every
+    device. Returns (lo, hi, global_row_index, *value cols), best first;
+    ties break by global original row order (bit-identical to the
+    single-chip ops.topk result)."""
+    n_dev = mesh.shape[AXIS]
+    n = key.lo.shape[0]
+    assert n % n_dev == 0 and n < (1 << 32)
+    assert 0 < k <= n // n_dev, (k, n // n_dev)
+    spec = P(AXIS)
+    rep = P()
+    fn = shard_map(
+        functools.partial(_dtopk_shard, n_dev=n_dev, k=k, largest=largest),
+        mesh=mesh,
+        in_specs=tuple([spec] * (2 + len(cols))),
+        out_specs=tuple([rep] * (3 + len(cols))),
+        check_vma=False,
+    )
+    return fn(key.lo, key.hi, *cols)
+
+
+def distributed_top_k_numpy(keys, vals, mesh, k, largest=False):
+    """Host wrapper: (keys_k, global_indices_k, value_cols_k)."""
+    sh = NamedSharding(mesh, P(AXIS))
+    u = U64.from_numpy(keys)
+    key = U64(jax.device_put(u.lo, sh), jax.device_put(u.hi, sh))
+    cols = tuple(jax.device_put(jnp.asarray(v, dtype=jnp.uint32), sh)
+                 for v in vals)
+    out = distributed_top_k(key, cols, mesh=mesh, k=k, largest=largest)
+    lo, hi, g = (np.asarray(out[0]), np.asarray(out[1]), np.asarray(out[2]))
+    ks = lo.astype(np.uint64) | (hi.astype(np.uint64) << np.uint64(32))
+    return ks, g, [np.asarray(c) for c in out[3:]]
+
+
+# --------------------------------------------------------------------------
 # distributed GROUP BY aggregate
 # --------------------------------------------------------------------------
 
