@@ -226,3 +226,52 @@ class TestOverlappedExchange:
         with pytest.raises(RuntimeError, match="capacity"):
             distributed_sort_numpy(keys, None, mesh, capacity_factor=1.0,
                                    overlap=k)
+
+
+@pytest.mark.parametrize("n_dev,overlap", [(2, 1), (8, 2)])
+def test_distributed_flagship_pipeline(n_dev, overlap):
+    """Mesh-sharded morton encode + distributed sort equals the
+    single-machine pipeline result exactly."""
+    import jax.numpy as jnp
+
+    from tpu_qe import morton
+    from tpu_qe.pipeline import sorted_morton_index_distributed
+    from tpu_qe.sort import sort_u64
+
+    mesh = _mesh(n_dev)
+    rng = np.random.default_rng(n_dev)
+    n = 1 << 13
+    x = rng.uniform(-50, 50, n).astype(np.float32)
+    y = rng.uniform(-50, 50, n).astype(np.float32)
+    z = rng.uniform(-50, 50, n).astype(np.float32)
+    params = morton.MortonParams.for_scene(
+        np.array([-50.0] * 3, np.float32), np.array([50.0] * 3, np.float32))
+
+    res, overflow = sorted_morton_index_distributed(
+        x, y, z, params, mesh, overlap=overlap)
+    assert int(np.asarray(overflow).max()) == 0
+
+    # single-machine oracle: the JITTED pipeline (eager-mode encode
+    # rounds differently under the x64-enabled test config — only
+    # jit-vs-jit is the meaningful bit-exactness contract)
+    import jax
+
+    @jax.jit
+    def local_pipeline(x, y, z):
+        code = morton.encode_points(x, y, z, params)
+        return sort_u64(code, jnp.arange(n, dtype=jnp.uint32))
+
+    skey, (sidx,) = local_pipeline(jnp.asarray(x), jnp.asarray(y),
+                                   jnp.asarray(z))
+
+    # compact the distributed result and compare
+    lo = np.asarray(res.key.lo).reshape(n_dev, -1)
+    hi = np.asarray(res.key.hi).reshape(n_dev, -1)
+    pay = np.asarray(res.payloads[0]).reshape(n_dev, -1)
+    valid = np.asarray(res.valid).reshape(n_dev)
+    got_lo = np.concatenate([lo[d, :valid[d]] for d in range(n_dev)])
+    got_hi = np.concatenate([hi[d, :valid[d]] for d in range(n_dev)])
+    got_pay = np.concatenate([pay[d, :valid[d]] for d in range(n_dev)])
+    np.testing.assert_array_equal(got_lo, np.asarray(skey.lo))
+    np.testing.assert_array_equal(got_hi, np.asarray(skey.hi))
+    np.testing.assert_array_equal(got_pay, np.asarray(sidx))

@@ -36,7 +36,8 @@ def _enable_compile_cache() -> None:
         if jax.config.jax_compilation_cache_dir is None:
             cache = _os.environ.get(
                 "TPU_QE_COMPILE_CACHE_DIR",
-                _os.path.expanduser("~/.cache/tpu_qe_xla"))
+                _os.path.join(_os.path.dirname(_os.path.dirname(
+                    _os.path.abspath(__file__))), ".cache", "xla"))
             jax.config.update("jax_compilation_cache_dir", cache)
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     except Exception:  # cache is an optimization; never block import

@@ -85,16 +85,26 @@ def quantize(verts: jnp.ndarray, tris: jnp.ndarray,
 
     Returns (q (T,3) u32 cell coords, j (T,) u32 size index).
     """
+    import jax
+
     v0 = jnp.take(verts, tris[:, 0], axis=0)
     v1 = jnp.take(verts, tris[:, 1], axis=0)
     v2 = jnp.take(verts, tris[:, 2], axis=0)
     mn = jnp.minimum(jnp.minimum(v0, v1), v2)
     mx = jnp.maximum(jnp.maximum(v0, v1), v2)
     c = (mn + mx) * jnp.float32(0.5)
-    val = (c - params.offset) * params.multiplier - jnp.float32(0.001)
+    # optimization_barrier pins the float op order ACROSS compiles:
+    # without it XLA may contract x*m - 0.001 into an FMA in one program
+    # and not another (observed: SPMD vs single-device compiles disagreed
+    # on ~0.3% of cells at quantization boundaries), breaking the
+    # bit-exactness contract with the -ffp-contract=off C++ oracle.
+    prod = jax.lax.optimization_barrier((c - params.offset)
+                                        * params.multiplier)
+    val = prod - jnp.float32(0.001)
     q = jnp.clip(val, 0.0, float(_COORD_MAX)).astype(jnp.uint32)
     ext = mx - mn
-    length = jnp.sqrt(jnp.sum(ext * ext, axis=-1))
+    sq = jax.lax.optimization_barrier(ext * ext)
+    length = jnp.sqrt(sq[..., 0] + sq[..., 1] + sq[..., 2])
     j = jnp.clip(length * params.size_multiplier, 0.0,
                  float(_SIZE_INDEX_MAX)).astype(jnp.uint32)
     return q, j
@@ -169,8 +179,13 @@ def quantize_points(x: jnp.ndarray, y: jnp.ndarray, z: jnp.ndarray,
     with the point itself as the centroid and `size` as the AABB diagonal
     length (0 when None).
     """
+    import jax
+
     c = jnp.stack([x, y, z], axis=-1)
-    val = (c - params.offset) * params.multiplier - jnp.float32(0.001)
+    # same cross-compile FMA pinning as quantize() above
+    prod = jax.lax.optimization_barrier((c - params.offset)
+                                        * params.multiplier)
+    val = prod - jnp.float32(0.001)
     q = jnp.clip(val, 0.0, float(_COORD_MAX)).astype(jnp.uint32)
     if size is None:
         j = jnp.zeros(x.shape[0], dtype=jnp.uint32)

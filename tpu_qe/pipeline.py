@@ -45,6 +45,54 @@ def sorted_morton_index(verts: jnp.ndarray, tris: jnp.ndarray,
     return MortonIndex(skey, sidx)
 
 
+def sorted_morton_index_distributed(x, y, z, params: morton.MortonParams,
+                                    mesh, size=None,
+                                    capacity_factor="auto",
+                                    overlap: int = 1):
+    """Mesh-sharded flagship: encode columnar points + distributed sort.
+
+    The multi-chip generalization of sorted_morton_index for point data:
+    morton encoding is elementwise (zero communication — each shard
+    encodes its rows), and the sorted index comes from the splitter-based
+    distributed sample sort (exchange.dsort), optionally with demand-
+    sized capacity planning ("auto") and k-way exchange/compute overlap.
+
+    Args:
+      x, y, z (+optional size): (n,) f32 numpy or jax arrays; n divisible
+        by the mesh size.
+    Returns (DistSortResult, overflow) — see exchange.dsort: device d's
+    run holds the d-th quantile of the global code order with the
+    original row index as payload.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tpu_qe.exchange.dsort import auto_capacity, distributed_sort
+
+    sharding = NamedSharding(mesh, P("x"))
+    xd = jax.device_put(jnp.asarray(x, jnp.float32), sharding)
+    yd = jax.device_put(jnp.asarray(y, jnp.float32), sharding)
+    zd = jax.device_put(jnp.asarray(z, jnp.float32), sharding)
+    sd = (None if size is None
+          else jax.device_put(jnp.asarray(size, jnp.float32), sharding))
+    n = xd.shape[0]
+
+    @jax.jit
+    def encode(xd, yd, zd, sd):
+        code = morton.encode_points(xd, yd, zd, params, size=sd)
+        idx = jax.lax.with_sharding_constraint(
+            jnp.arange(n, dtype=jnp.uint32), sharding)
+        return code, idx
+
+    code, idx = encode(xd, yd, zd, sd)
+    kw = {}
+    if capacity_factor == "auto":
+        if mesh.shape["x"] > 1:
+            kw["capacity"] = auto_capacity(code, mesh)
+    else:
+        kw["capacity_factor"] = capacity_factor
+    return distributed_sort(code, idx, mesh=mesh, overlap=overlap, **kw)
+
+
 def build_scene_index(scene: SceneConfig | None = None,
                       sort: SortConfig | None = None) -> MortonIndex:
     """Generate the seeded reference scene and build its sorted index.
