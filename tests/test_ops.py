@@ -660,3 +660,29 @@ class TestInnerJoin:
             rk_sorted = np.sort(rkeys)
             ri = np.asarray(res.right_index)[:m]
             np.testing.assert_array_equal(got_keys, rk_sorted[ri])
+
+
+class TestSemiAntiJoin:
+    def test_semi_and_anti_vs_oracle(self):
+        rng = np.random.default_rng(15)
+        n_l, n_r = 1 << 11, 1 << 9
+        lkeys = rng.integers(0, 1500, n_l).astype(np.uint64)
+        rkeys = np.unique(rng.integers(0, 1500, n_r).astype(np.uint64))
+        left = Table.from_numpy({
+            "key": lkeys, "v": np.arange(n_l, dtype=np.uint32)})
+        right = Table.from_numpy({
+            "key": rkeys,
+            "r": np.arange(len(rkeys), dtype=np.uint32)})
+        rset = set(int(k) for k in rkeys)
+        want_semi = np.array([i for i, k in enumerate(lkeys)
+                              if int(k) in rset], dtype=np.uint32)
+        sem, c_s = left.join_semi(right)
+        assert int(c_s) == len(want_semi)
+        np.testing.assert_array_equal(
+            np.asarray(sem["v"])[:len(want_semi)], want_semi)
+        ant, c_a = left.join_anti(right)
+        want_anti = np.array([i for i, k in enumerate(lkeys)
+                              if int(k) not in rset], dtype=np.uint32)
+        assert int(c_a) == len(want_anti)
+        np.testing.assert_array_equal(
+            np.asarray(ant["v"])[:len(want_anti)], want_anti)

@@ -189,6 +189,20 @@ class Table:
         from tpu_qe.ops.join import join_inner
         return join_inner(self, right, key=key, out_budget=out_budget)
 
+    def join_semi(self, right: "Table", key: str = "key"):
+        """Semi join: my rows whose key appears in `right`, stably
+        compacted to the front. Returns (table, count)."""
+        _, matched = self.join(right, key=key)
+        from tpu_qe.ops.filter import compact
+        return compact(self, matched)
+
+    def join_anti(self, right: "Table", key: str = "key"):
+        """Anti join: my rows whose key does NOT appear in `right`,
+        stably compacted to the front. Returns (table, count)."""
+        _, matched = self.join(right, key=key)
+        from tpu_qe.ops.filter import compact
+        return compact(self, ~matched)
+
     def top_k(self, k: int, key: str = "key", largest: bool = False):
         """k rows with the smallest/largest u64 key, best first
         (sampled-threshold prune + exact fallback; ops.topk)."""
