@@ -686,3 +686,30 @@ class TestSemiAntiJoin:
         assert int(c_a) == len(want_anti)
         np.testing.assert_array_equal(
             np.asarray(ant["v"])[:len(want_anti)], want_anti)
+
+
+def test_group_aggregate_mean():
+    from tpu_qe.ops import group_aggregate
+    rng = np.random.default_rng(9)
+    n = 4096
+    keys = rng.integers(0, 30, n).astype(np.uint64)
+    # float path
+    fvals = rng.random(n).astype(np.float32) * 10
+    res = group_aggregate(U64.from_numpy(keys), jnp.asarray(fvals),
+                          aggs=("mean", "count"))
+    g = int(res.num_groups)
+    uk = np.unique(keys)
+    assert g == len(uk)
+    want = [fvals[keys == k].astype(np.float64).mean() for k in uk]
+    np.testing.assert_allclose(np.asarray(res.aggs["mean"])[:g], want,
+                               rtol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(res.aggs["count"])[:g],
+        [int((keys == k).sum()) for k in uk])
+    # integer path (sums fit u32)
+    ivals = rng.integers(0, 1000, n, dtype=np.uint32)
+    res = group_aggregate(U64.from_numpy(keys), jnp.asarray(ivals),
+                          aggs=("mean",))
+    want = [ivals[keys == k].astype(np.float64).mean() for k in uk]
+    np.testing.assert_allclose(np.asarray(res.aggs["mean"])[:g], want,
+                               rtol=1e-5)

@@ -80,10 +80,35 @@ def segmented_reduce(values: jnp.ndarray, is_new: jnp.ndarray,
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("aggs",))
 def group_aggregate(key: U64, value: jnp.ndarray | None = None,
                     aggs: Sequence[str] = ("count",),
                     valid: jnp.ndarray | None = None) -> GroupResult:
+    """GROUP BY `key` computing `aggs` over `value`.
+
+    "mean" is a derived aggregate: computed as float32 sum/count (for
+    integer values the sum wraps mod 2^32, so integer means are exact
+    only while each group's sum fits u32; float values use the
+    per-segment float sum). Other aggs pass straight through.
+    """
+    aggs = tuple(aggs)
+    if "mean" in aggs:
+        inner = tuple(dict.fromkeys(
+            [a for a in aggs if a != "mean"] + ["sum", "count"]))
+        res = _group_aggregate(key, value, aggs=inner, valid=valid)
+        s = res.aggs["sum"]
+        c = res.aggs["count"]
+        sf = s.astype(jnp.float32) if s.dtype != jnp.float32 else s
+        mean = sf / jnp.maximum(c, jnp.uint32(1)).astype(jnp.float32)
+        out = {a: res.aggs[a] for a in aggs if a != "mean"}
+        out["mean"] = mean
+        return GroupResult(res.key, out, res.num_groups)
+    return _group_aggregate(key, value, aggs=aggs, valid=valid)
+
+
+@functools.partial(jax.jit, static_argnames=("aggs",))
+def _group_aggregate(key: U64, value: jnp.ndarray | None = None,
+                     aggs: Sequence[str] = ("count",),
+                     valid: jnp.ndarray | None = None) -> GroupResult:
     """GROUP BY `key` computing `aggs` over `value`.
 
     Args:

@@ -1,9 +1,13 @@
-"""Bitonic merge of pre-sorted runs (shared by dsort overlap + bigsort).
+"""Bitonic merge of pre-sorted runs (used by the dsort overlap path).
 
 Merging k sorted runs pairwise costs O(log n) compare-exchange passes per
-round instead of the O(log^2 n) of re-sorting — the reason both the
-overlapped distributed sort and the out-of-core bucket merge use a merge
-TREE over pre-sorted inputs rather than one big lax.sort.
+round instead of the O(log^2 n) of re-sorting. The overlapped distributed
+sort uses this as its non-overlappable tail. NOTE the measured limit
+(BASELINE.md): at >=64M elements on v5e the jnp-level stages pay
+relayout copies that make the network SLOWER than one fused lax.sort —
+the out-of-core bucket combine therefore uses lax.sort, and this network
+is only worth it where pipelining against collectives (not stage count)
+is the objective.
 """
 
 from __future__ import annotations
