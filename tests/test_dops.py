@@ -307,3 +307,16 @@ class TestDistributedTopK:
         keys = np.full(n, 5, dtype=np.uint64)
         ks, g, _ = distributed_top_k_numpy(keys, [], mesh, 8)
         np.testing.assert_array_equal(g, np.arange(8))
+
+
+def test_distributed_topk_k_exceeds_shard_size(n_dev=8):
+    from tpu_qe.exchange.dops import distributed_top_k_numpy
+    mesh = _mesh(n_dev)
+    rng = np.random.default_rng(4)
+    n = 1 << 9  # 64 rows/shard
+    keys = rng.permutation(n).astype(np.uint64)
+    k = 200     # > 64 per shard
+    ks, g, _ = distributed_top_k_numpy(keys, [], mesh, k)
+    order = np.argsort(keys, kind="stable")[:k]
+    np.testing.assert_array_equal(g, order.astype(np.uint32))
+    np.testing.assert_array_equal(ks, keys[order])

@@ -415,7 +415,8 @@ def _dtopk_shard(lo, hi, *cols, n_dev, k, largest):
     whi = ~hi if largest else hi
     res = jax.lax.sort([whi, wlo, gidx] + list(cols), num_keys=3,
                        is_stable=False)
-    cand = [r[:k] for r in res]  # local k best (sorted)
+    kk = min(k, n_local)  # a shard can contribute at most all its rows
+    cand = [r[:kk] for r in res]  # local best (sorted)
     g = [jax.lax.all_gather(c, AXIS).reshape(-1) for c in cand]
     res2 = jax.lax.sort(g, num_keys=3, is_stable=False)
     out = [r[:k] for r in res2]
@@ -434,7 +435,7 @@ def distributed_top_k(key: U64, cols: tuple, mesh: Mesh, k: int,
     n_dev = mesh.shape[AXIS]
     n = key.lo.shape[0]
     assert n % n_dev == 0 and n < (1 << 32)
-    assert 0 < k <= n // n_dev, (k, n // n_dev)
+    assert 0 < k <= n, (k, n)
     spec = P(AXIS)
     rep = P()
     fn = shard_map(
