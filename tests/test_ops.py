@@ -713,3 +713,72 @@ def test_group_aggregate_mean():
     want = [ivals[keys == k].astype(np.float64).mean() for k in uk]
     np.testing.assert_allclose(np.asarray(res.aggs["mean"])[:g], want,
                                rtol=1e-5)
+
+
+class TestMaxGroupsExtraction:
+    """group_aggregate(max_groups=...): gather-based group extraction must
+    equal the sort-based default on the valid prefix."""
+
+    @pytest.mark.parametrize("dtype", ["uint32", "float32"])
+    def test_matches_default_path(self, dtype):
+        from tpu_qe.ops import group_aggregate
+        rng = np.random.default_rng(31)
+        n = 1 << 13
+        keys = _u64(rng, n, hi=200)
+        if dtype == "uint32":
+            vals = rng.integers(0, 1000, n, dtype=np.uint32)
+        else:
+            vals = (rng.standard_normal(n) * 5).astype(np.float32)
+        aggs = ("count", "sum", "min", "max")
+        base = group_aggregate(U64.from_numpy(keys), jnp.asarray(vals),
+                               aggs=aggs)
+        fast = group_aggregate(U64.from_numpy(keys), jnp.asarray(vals),
+                               aggs=aggs, max_groups=256)
+        g = int(base.num_groups)
+        assert int(fast.num_groups) == g
+        assert int(fast.overflow) == 0
+        np.testing.assert_array_equal(fast.key.to_numpy()[:g],
+                                      base.key.to_numpy()[:g])
+        for a in aggs:
+            np.testing.assert_array_equal(
+                np.asarray(fast.aggs[a])[:g], np.asarray(base.aggs[a])[:g],
+                err_msg=a)
+
+    def test_valid_mask(self):
+        from tpu_qe.ops import group_aggregate
+        rng = np.random.default_rng(32)
+        n = 1 << 12
+        keys = _u64(rng, n, hi=64)
+        vals = rng.integers(0, 100, n, dtype=np.uint32)
+        valid = rng.random(n) < 0.6
+        base = group_aggregate(U64.from_numpy(keys), jnp.asarray(vals),
+                               aggs=("count", "sum"),
+                               valid=jnp.asarray(valid))
+        fast = group_aggregate(U64.from_numpy(keys), jnp.asarray(vals),
+                               aggs=("count", "sum"),
+                               valid=jnp.asarray(valid), max_groups=128)
+        g = int(base.num_groups)
+        assert int(fast.num_groups) == g and int(fast.overflow) == 0
+        np.testing.assert_array_equal(fast.key.to_numpy()[:g],
+                                      base.key.to_numpy()[:g])
+        np.testing.assert_array_equal(np.asarray(fast.aggs["sum"])[:g],
+                                      np.asarray(base.aggs["sum"])[:g])
+
+    def test_overflow_exact_count(self):
+        from tpu_qe.ops import group_aggregate
+        keys = np.arange(100, dtype=np.uint64)
+        res = group_aggregate(U64.from_numpy(keys), max_groups=16)
+        assert int(res.num_groups) == 100  # exact despite truncation
+        assert int(res.overflow) == 1
+        # the first 16 groups are still correct
+        np.testing.assert_array_equal(res.key.to_numpy()[:16],
+                                      np.arange(16, dtype=np.uint64))
+
+    def test_mean_with_max_groups(self):
+        from tpu_qe.ops import group_aggregate
+        keys = np.array([1, 1, 2, 2, 2], dtype=np.uint64)
+        vals = np.array([2, 4, 3, 6, 9], dtype=np.uint32)
+        res = group_aggregate(U64.from_numpy(keys), jnp.asarray(vals),
+                              aggs=("mean",), max_groups=8)
+        np.testing.assert_allclose(np.asarray(res.aggs["mean"])[:2],
+                                   [3.0, 6.0])

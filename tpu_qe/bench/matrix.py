@@ -61,7 +61,11 @@ def bench_filter_agg(n: int = 1 << 28, groups: int = 1 << 20,
     @jax.jit
     def run(key, val):
         # filter fused into the aggregation sort (valid mask) — one sort
-        # instead of compact + sort (measured 1.5x on v5e at 256M rows)
+        # instead of compact + sort (measured 1.5x on v5e at 256M rows).
+        # NOTE: max_groups=2M was measured SLOWER here (3.24 s vs 2.84 s:
+        # 28 binary-search rounds over 2M queries out-cost the compaction
+        # sort at this cardinality); the gather extraction wins only for
+        # low-cardinality GROUP BY — see ops/aggregate.py.
         res = group_aggregate(key, val, aggs=("count", "sum"),
                               valid=val < jnp.uint32(1 << 30))
         return res.num_groups, res.aggs["sum"][:8]

