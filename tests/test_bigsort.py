@@ -26,15 +26,16 @@ def test_small_end_to_end_all_checks_pass():
 
 
 def test_bucket_contents_match_numpy_oracle():
-    # independent oracle: the verified quantities (counts per bucket via
-    # closed-form permutation sums) match a full numpy sort of the same
-    # hash-generated keys
+    # INDEPENDENT oracle: collect the sorted bucket contents and compare
+    # against a numpy argsort of the same hash-generated key stream
     n = 1 << 13
-    res = sort_big(n, run_size=1 << 11, n_buckets=2)
+    res, (got_keys, got_pay) = sort_big(n, run_size=1 << 11, n_buckets=2,
+                                        collect=True)
     assert res.all_ok
     keys = keygen_hash_numpy(np.arange(n, dtype=np.uint32))
-    # sortedness of the oracle stream sanity (hash distribution sane)
-    assert len(np.unique(keys)) == n
+    order = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(got_keys, keys[order])
+    np.testing.assert_array_equal(got_pay, order.astype(np.uint32))
 
 
 def test_uneven_bucket_sizes():

@@ -252,7 +252,11 @@ def main(argv=None) -> int:
         i = argv.index("--")
         argv, tail = argv[:i], argv[i + 1:]
     args = parser.parse_args(argv)
-    if tail is not None and hasattr(args, "rest"):
+    if tail is not None:
+        if not hasattr(args, "rest"):
+            parser.error(
+                f"subcommand {args.cmd!r} takes its options directly "
+                f"(no '--' separator); got trailing args {tail}")
         args.rest = [a for a in (args.rest or []) if a != "--"] + tail
     logging.basicConfig(
         level=logging.DEBUG if args.verbose else logging.INFO,

@@ -171,9 +171,7 @@ def plan_join_capacity(lkey: U64, rkey: U64, mesh: Mesh,
     return fn(lkey.lo, lkey.hi, rkey.lo, rkey.hi)
 
 
-def _pow2_capacity(demand: int, slack: float = 1.05) -> int:
-    need = max(int(np.ceil(demand * slack)), 16)
-    return 1 << int(np.ceil(np.log2(need)))
+from tpu_qe.exchange.shuffle import pow2_capacity as _pow2_capacity
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "samples_per_dev",

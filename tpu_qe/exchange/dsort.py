@@ -55,7 +55,7 @@ from tpu_qe.bits import U64
 from tpu_qe.exchange.shuffle import (AXIS, exchange,
                                      route_by_splitters_pos,
                                      sample_splitters_pos)
-from tpu_qe.sort.merge import bitonic_merge_cols as _bitonic_merge_cols
+from tpu_qe.sort.merge import merge_tree as _merge_tree
 
 _ONES = jnp.uint32(0xFFFFFFFF)
 
@@ -72,9 +72,11 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
 class DistSortResult(NamedTuple):
     """Padded per-device sorted runs.
 
-    ``lo/hi/payloads`` are (D * capacity,) per device (sharded global shape
-    (D, D * capacity) flattened); ``valid`` (per device) counts the real
-    elements at the front of each device's run.
+    Per-device run length depends on the path: D*capacity + n_local for
+    the monolithic exchange (off-diagonal blocks + local tail), and
+    k * next_pow2(D*capacity + n_local/k) with overlap=k. Don't assume a
+    layout — use ``valid`` (per device): the first valid[d] elements of
+    device d's run are the real rows, sorted.
     """
 
     key: U64
@@ -174,10 +176,7 @@ def _dsort_shard_overlap(lo, hi, *payloads, n_dev: int, samples_per_dev: int,
         valid = valid + jnp.sum(counts_j)
         ovf = ovf | ovf_j
 
-    while len(runs) > 1:
-        runs = [_bitonic_merge_cols(runs[i], runs[i + 1])
-                for i in range(0, len(runs), 2)]
-    res = runs[0]
+    res = _merge_tree(runs)
     out_hi, out_lo = res[0], res[1]
     out_pay = list(res[3:])
     return (out_lo, out_hi, *out_pay, valid.reshape(1), ovf.reshape(1))
@@ -305,18 +304,13 @@ def distributed_sort(key: U64, *payloads: jnp.ndarray, mesh: Mesh,
 
 def auto_capacity(key: U64, mesh: Mesh, samples_per_dev: int = 128,
                   slack: float = 1.05) -> int:
-    """Demand-sized off-diagonal capacity for distributed_sort.
-
-    Runs the planning pass, reads back the scalar demand, and rounds up to
-    the next power of two (so repeated runs on similar data reuse one
-    compiled executable instead of recompiling per exact demand). slack
-    guards the re-sample (the plan is deterministic, so 1.0 would do; the
-    margin is free because of the pow2 rounding).
-    """
+    """Demand-sized off-diagonal capacity for distributed_sort: run the
+    planning pass, read back the scalar demand, size via
+    shuffle.pow2_capacity."""
+    from tpu_qe.exchange.shuffle import pow2_capacity
     demand = int(np.asarray(
         plan_sort_capacity(key, mesh, samples_per_dev=samples_per_dev)).max())
-    need = max(int(np.ceil(demand * slack)), 16)
-    return 1 << int(np.ceil(np.log2(need)))
+    return pow2_capacity(demand, slack)
 
 
 def distributed_sort_numpy(keys: np.ndarray, payload: np.ndarray | None,

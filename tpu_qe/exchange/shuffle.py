@@ -128,6 +128,15 @@ def _partition_by_dest(dest, cols, n_dev: int):
     return cols_s, dest_s, counts, offsets
 
 
+def pow2_capacity(demand: int, slack: float = 1.05) -> int:
+    """Demand -> static exchange capacity: slack margin + next power of
+    two (so repeated runs on similar data reuse one compiled executable
+    instead of recompiling per exact demand). Single source of truth for
+    every plan-then-execute caller."""
+    need = max(int(np.ceil(demand * slack)), 16)
+    return 1 << int(np.ceil(np.log2(need)))
+
+
 def offdiag_demand(dest, n_dev: int, axis: str = AXIS):
     """Max off-diagonal (src,dst) bucket size across the mesh (scalar u32).
 

@@ -196,12 +196,14 @@ def _group_aggregate(key: U64, value: jnp.ndarray | None = None,
             jnp.float32)
 
     if n == 0:
-        empty32 = jnp.zeros(0, jnp.uint32)
+        pad_n = max_groups if max_groups is not None else 0
+        zeros32 = jnp.zeros(pad_n, jnp.uint32)
         return GroupResult(
-            U64(empty32, empty32),
-            {a: jnp.zeros(0, jnp.uint32 if a == "count" or value is None
+            U64(zeros32, zeros32),
+            {a: jnp.zeros(pad_n, jnp.uint32 if a == "count" or value is None
                           else value.dtype) for a in aggs},
-            jnp.uint32(0))
+            jnp.uint32(0),
+            jnp.uint32(0) if max_groups is not None else None)
     prev_lo = _shift_right_one(slo, 0)
     prev_hi = _shift_right_one(shi, 0)
     idx = jnp.arange(n, dtype=jnp.uint32)

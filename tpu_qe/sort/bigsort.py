@@ -128,8 +128,13 @@ def _plan_splitters(run_los, run_his, n_buckets: int, per_run: int):
     return sp.lo, sp.hi, jnp.stack(bounds)  # (R, B-1)
 
 
-def _merge_bucket_fn(n_runs: int, cap_seg: int, seed: int):
-    """Build the jitted phase-C body for one bucket (static capacity)."""
+def _merge_bucket_fn(n_runs: int, cap_seg: int, seed: int,
+                     collect: bool = False):
+    """Build the jitted phase-C body for one bucket (static capacity).
+
+    collect=True additionally returns the sorted bucket arrays (for
+    small-n oracle tests ONLY — at 1B keeping every bucket's output
+    alive through the pipelined dispatch loop would need ~15 GB)."""
 
     @jax.jit
     def merge(starts, deltas, sizes, *run_arrays):
@@ -173,9 +178,12 @@ def _merge_bucket_fn(n_runs: int, cap_seg: int, seed: int):
         first_lo, first_hi = slo[0], shi[0]
         li = jnp.maximum(n_valid, 1) - 1
         last_lo, last_hi = slo[li], shi[li]
-        return (sorted_ok.astype(jnp.uint32), hash_ok.astype(jnp.uint32),
+        outs = (sorted_ok.astype(jnp.uint32), hash_ok.astype(jnp.uint32),
                 n_valid, pay_sum, pay_sq,
                 first_lo, first_hi, last_lo, last_hi)
+        if collect:
+            outs = outs + (slo, shi, spay)
+        return outs
 
     return merge
 
@@ -246,7 +254,7 @@ def sort_big_incore(n: int, seed: int = 7) -> BigSortResult:
 
 def sort_big(n: int, run_size: int = 1 << 26, n_buckets: int | None = None,
              seed: int = 7, samples_per_run: int = 4096,
-             verbose: bool = False) -> BigSortResult:
+             verbose: bool = False, collect: bool = False):
     """Device-resident out-of-core sort + full verification of n rows.
 
     n must be a multiple of run_size. Peak HBM ~ n*12 bytes for the
@@ -306,11 +314,14 @@ def sort_big(n: int, run_size: int = 1 << 26, n_buckets: int | None = None,
     # turned a 33.5M demand into 64M and doubled every merge sort)
     quantum = 1 << 20 if run_size >= (1 << 22) else 256
     cap_seg = -(-max(int(sizes.max()), 1) // quantum) * quantum
+    # a segment is a subrange of one run: never request a slice larger
+    # than the run array (dynamic_slice would be a compile-time error)
+    cap_seg = min(cap_seg, run_size)
     if verbose:
         print(f"bigsort: {n_runs} runs x {run_size}, {n_buckets} buckets, "
               f"cap_seg={cap_seg} (max demand {int(sizes.max())})")
 
-    merge = _merge_bucket_fn(n_runs, cap_seg, seed)
+    merge = _merge_bucket_fn(n_runs, cap_seg, seed, collect=collect)
     flat_runs = [a for r in runs for a in r]
     tc1 = time.perf_counter()
     ex_st = jnp.zeros(n_runs, jnp.int32)
@@ -340,7 +351,13 @@ def sort_big(n: int, run_size: int = 1 << 26, n_buckets: int | None = None,
         dl = jnp.asarray(deltas)
         sz = jnp.asarray(sizes[:, b].astype(np.int32))
         pending.append(merge_exec(st, dl, sz, *flat_runs))
+    collected = []
     for b, out in enumerate(pending):
+        if collect:
+            out, bucket_arrays = out[:9], out[9:]
+            cnt_b = int(np.asarray(out[2]))
+            collected.append(tuple(
+                np.asarray(a)[:cnt_b] for a in bucket_arrays))
         (s_ok, h_ok, cnt, psum, psq, flo, fhi, llo, lhi) = \
             [np.asarray(x) for x in out]       # scalar readbacks fence
         all_sorted &= bool(s_ok)
@@ -371,8 +388,15 @@ def sort_big(n: int, run_size: int = 1 << 26, n_buckets: int | None = None,
     # total = runs + plan + merges; mid-stream compiles are excluded
     # (reported in compile_s)
     dt = t_a + t_b + t_c
-    return BigSortResult(
+    res = BigSortResult(
         n=n, seconds=dt, keys_per_s=n / dt,
         sorted_ok=all_sorted, hash_ok=all_hash, count_ok=count_ok,
         perm_ok=bool(perm_ok), boundary_ok=boundary_ok,
         phase_a_s=t_a, phase_c_s=t_c, compile_s=compile_s)
+    if collect:
+        lo = np.concatenate([c[0] for c in collected])
+        hi = np.concatenate([c[1] for c in collected])
+        pay = np.concatenate([c[2] for c in collected])
+        keys = lo.astype(np.uint64) | (hi.astype(np.uint64) << np.uint64(32))
+        return res, (keys, pay)
+    return res

@@ -191,21 +191,25 @@ class Table:
 
     def join_semi(self, right: "Table", key: str = "key"):
         """Semi join: my rows whose key appears in `right`, stably
-        compacted to the front. Returns (table, count)."""
-        _, matched = self.join(right, key=key)
+        compacted to the front. Returns (table, count). Only the right
+        KEY column enters the probe (value columns would ride two
+        full-stream sorts just to be discarded)."""
+        _, matched = self.join(right.select(key), key=key)
         from tpu_qe.ops.filter import compact
         return compact(self, matched)
 
     def join_anti(self, right: "Table", key: str = "key"):
         """Anti join: my rows whose key does NOT appear in `right`,
-        stably compacted to the front. Returns (table, count)."""
-        _, matched = self.join(right, key=key)
+        stably compacted to the front. Returns (table, count). Only the
+        right KEY column enters the probe."""
+        _, matched = self.join(right.select(key), key=key)
         from tpu_qe.ops.filter import compact
         return compact(self, ~matched)
 
     def top_k(self, k: int, key: str = "key", largest: bool = False):
-        """k rows with the smallest/largest u64 key, best first
-        (sampled-threshold prune + exact fallback; ops.topk)."""
+        """k rows with the smallest/largest u64 key, best first (stable
+        full sort + head — the measured-fastest formulation on this
+        hardware; see ops/topk.py for the rejected alternatives)."""
         from tpu_qe.ops.topk import top_k
         return top_k(self, k, key=key, largest=largest)
 
