@@ -14,7 +14,7 @@ generalized into a columnar query engine:
 - ``tpu_qe.bench``    — speed-of-light model + benchmark matrix
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 import os as _os
 
