@@ -44,15 +44,20 @@ def measure(fn: Callable[[], object], reps: int = 3, warmup: int = 1) -> float:
     """Wall-time fn() end to end (dispatch + compute + completion fence).
 
     Includes the fixed per-call round-trip latency; use measure_op for
-    per-op costs of things faster than ~100 ms.
+    per-op costs of things faster than ~100 ms. Reports the MINIMUM over
+    reps: device execution is deterministic, so spread across reps is
+    transport/host noise (tunnel contention inflated averaged reps by up
+    to ~7% run-to-run; the min is the stable estimator).
     """
     for _ in range(warmup):
         force_completion(fn())
-    t0 = time.perf_counter()
+    best = float("inf")
     for _ in range(reps):
+        t0 = time.perf_counter()
         out = fn()
         force_completion(out)
-    return (time.perf_counter() - t0) / reps
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def measure_chained(chain_fn: Callable[[int], Callable], k_small: int,
