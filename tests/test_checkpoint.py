@@ -69,3 +69,19 @@ def test_fuzz_sort_backends_vs_oracle(seed):
         got_k, got_p = sort_u64_numpy(keys, payload, backend=backend)
         np.testing.assert_array_equal(got_k, want_k, err_msg=backend)
         np.testing.assert_array_equal(got_p, want_p, err_msg=backend)
+
+
+def test_table_save_load_methods(tmp_path):
+    import numpy as np
+    from tpu_qe.table import Table
+    rng = np.random.default_rng(1)
+    t = Table.from_numpy({
+        "key": rng.integers(0, 1 << 64, 128, dtype=np.uint64),
+        "v": rng.random(128).astype(np.float32),
+    })
+    p = t.save(str(tmp_path / "t.npz"))
+    back = Table.load(p)
+    want = t.to_numpy()
+    got = back.to_numpy()
+    np.testing.assert_array_equal(got["key"], want["key"])
+    np.testing.assert_array_equal(got["v"], want["v"])

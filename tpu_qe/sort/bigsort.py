@@ -278,11 +278,14 @@ def sort_big(n: int, run_size: int = 1 << 26, n_buckets: int | None = None,
                                       seed=seed).compile()
     compile_s = time.perf_counter() - tc0
 
+    from tpu_qe.utils.profiling import marker
+
     t0 = time.perf_counter()
     runs = []
-    for r in range(n_runs):
-        lo, hi, pay = run_exec(jnp.uint32(r))
-        runs.append((lo, hi, pay))
+    with marker("bigsort phase A: run formation"):
+        for r in range(n_runs):
+            lo, hi, pay = run_exec(jnp.uint32(r))
+            runs.append((lo, hi, pay))
     # fence phase A (tiny readback per run tail)
     for lo, _, _ in runs:
         np.asarray(lo[-1:])

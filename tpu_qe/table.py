@@ -213,6 +213,25 @@ class Table:
         from tpu_qe.ops.topk import top_k
         return top_k(self, k, key=key, largest=largest)
 
+    def save(self, path: str, format: str = "npz") -> str:
+        """Persist to disk (format: 'npz' single-file or 'orbax' dir)."""
+        from tpu_qe.utils import checkpoint as ckpt
+        if format == "npz":
+            return ckpt.save_table_npz(self, path)
+        if format == "orbax":
+            return ckpt.save_table(self, path)
+        raise ValueError(f"unknown format {format!r}")
+
+    @staticmethod
+    def load(path: str, format: str = "npz") -> "Table":
+        """Load a Table persisted with save()."""
+        from tpu_qe.utils import checkpoint as ckpt
+        if format == "npz":
+            return ckpt.load_table_npz(path)
+        if format == "orbax":
+            return ckpt.load_table(path)
+        raise ValueError(f"unknown format {format!r}")
+
     def __repr__(self) -> str:
         parts = ", ".join(
             f"{k}: {'u64' if isinstance(v, U64) else v.dtype}"
