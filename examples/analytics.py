@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""End-to-end analytics walkthrough on the tpu_qe query engine.
+
+A miniature star-schema workload over spatial event data, exercising the
+whole operator surface on one chip (every step is the same machinery that
+runs at 100M-1B rows in BASELINE.md):
+
+  1. morton-encode event coordinates into u64 spatial cell keys
+  2. filter events by a predicate (stable compaction)
+  3. FK-join events against a dimension table (scan join)
+  4. GROUP BY spatial cell with count/sum/mean aggregates
+  5. top-k hottest cells
+  6. (optional, multi-device) the same sort distributed over a mesh
+
+Run: python examples/analytics.py [--n 1000000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import sys
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1 << 20)
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+
+    from tpu_qe import morton
+    from tpu_qe.table import Table
+
+    n = args.n
+    rng = np.random.default_rng(7)
+
+    # --- 1. events: positions + a sensor id + a measurement --------------
+    x = rng.uniform(-100, 100, n).astype(np.float32)
+    y = rng.uniform(-100, 100, n).astype(np.float32)
+    z = rng.uniform(-100, 100, n).astype(np.float32)
+    sensor = rng.integers(0, 1024, n).astype(np.uint64)
+    value = rng.integers(1, 100, n, dtype=np.uint32)
+
+    params = morton.MortonParams.for_scene(
+        np.array([-100.0] * 3, np.float32),
+        np.array([100.0] * 3, np.float32))
+    fine = morton.encode_points(jnp.asarray(x), jnp.asarray(y),
+                                jnp.asarray(z), params)
+    # coarsen to the top 12 key bits (~coarse spatial bucket) so cells
+    # hold many events — morton keys nest, so masking IS spatial coarsening
+    from tpu_qe.bits import U64
+    cell = U64(jnp.zeros_like(fine.lo), fine.hi & jnp.uint32(0xFFF00000))
+    coarse = Table({
+        "cell": cell, "value": jnp.asarray(value),
+        "sensor": Table.from_numpy({"s": sensor})["s"],
+    })
+
+    # --- 2. filter: keep high-value events -------------------------------
+    filtered, kept = coarse.filter(lambda t: t["value"] > jnp.uint32(20))
+    kept = int(kept)
+    print(f"filter:   {kept}/{n} events kept")
+
+    # --- 3. join: attach sensor calibration from a dimension table -------
+    sensors = Table.from_numpy({
+        "sensor": np.arange(1024, dtype=np.uint64),
+        "gain": np.arange(1024, dtype=np.uint32) % 7 + 1,
+    })
+    joined, matched = filtered.head(kept).join(sensors, key="sensor")
+    assert bool(jnp.all(matched))
+    print(f"join:     all {kept} events matched a sensor")
+
+    # --- 4. GROUP BY spatial cell ----------------------------------------
+    res = joined.group_by("cell", value="gain", aggs=("count", "sum", "mean"))
+    g = int(res.num_groups)
+    print(f"group_by: {g} occupied cells; "
+          f"mean gain of first cell = {float(np.asarray(res.aggs['mean'])[0]):.3f}")
+
+    # --- 5. top-k: densest cells (count packed into a sortable u64 key) --
+    cnt = res.aggs["count"]
+    cells = Table({"key": U64(cnt, jnp.zeros_like(cnt)),
+                   "cell_hi": res.key.hi}).head(g)
+    top = cells.top_k(5, largest=True)
+    print("top_k:    densest cells hold",
+          top.table.to_numpy()["key"][:5].tolist(), "events")
+
+    # --- 6. distributed: same sort over every local device ---------------
+    import jax
+
+    from tpu_qe.exchange import distributed_sort_numpy, make_mesh
+    mesh = make_mesh()
+    d = mesh.shape["x"]
+    keys = fine.to_numpy()[: (n // d) * d]
+    skeys = distributed_sort_numpy(keys, None, mesh,
+                                   capacity_factor="auto")
+    assert (np.diff(skeys.astype(np.int64).view(np.uint64)) >= 0).all() \
+        or (np.sort(keys) == skeys).all()
+    print(f"dsort:    {len(keys)} keys globally sorted over {d} device(s)")
+    print("done.")
+
+
+if __name__ == "__main__":
+    main()
