@@ -57,16 +57,28 @@ def main() -> None:
                     if kind == "cummax":
                         y = jax.lax.cummax(x)
                         z = z
-                    else:  # 3-operand segmented last-valid scan
+                    else:
+                        # 3-operand segmented last-valid scan, strided-
+                        # loop formulation as shipped in ops/join.py
+                        # (tuple-carrier associative_scan stalls the
+                        # remote TPU compiler — CLAUDE.md)
                         s = (x & 1).astype(bool)
                         f = (x & 2).astype(bool)
-
-                        def comb(p, q):
-                            sp, fp, vp = p
-                            sq, fq, vq = q
-                            return (sp | sq, fq | (fp & ~sq),
-                                    jnp.where(fq, vq, vp))
-                        _, _, y = jax.lax.associative_scan(comb, (s, f, z))
+                        v = z
+                        stride = 1
+                        while stride < n:
+                            sa = jnp.concatenate(
+                                [jnp.zeros(stride, bool), s[:-stride]])
+                            fa = jnp.concatenate(
+                                [jnp.zeros(stride, bool), f[:-stride]])
+                            va = jnp.concatenate(
+                                [jnp.zeros(stride, v.dtype), v[:-stride]])
+                            sb, fb = s, f
+                            s = sa | sb
+                            f = fb | (fa & ~sb)
+                            v = jnp.where(fb, v, va)
+                            stride *= 2
+                        y = v
                     # keep all live without fusing across iterations
                     x = jax.lax.optimization_barrier(x ^ y)
                     return (x, y, z)

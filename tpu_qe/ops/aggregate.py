@@ -76,6 +76,15 @@ def _shift_right_one(x: jnp.ndarray, fill) -> jnp.ndarray:
     return jnp.concatenate([jnp.full((1,), fill, dtype=x.dtype), x[:-1]])
 
 
+def _op_identity(kind: str, dtype) -> jnp.ndarray:
+    if kind == "sum":
+        return jnp.zeros((), dtype)
+    if jnp.issubdtype(dtype, jnp.floating):
+        return jnp.array(jnp.inf if kind == "min" else -jnp.inf, dtype)
+    info = jnp.iinfo(dtype)
+    return jnp.array(info.max if kind == "min" else info.min, dtype)
+
+
 def segmented_reduce(values: jnp.ndarray, is_new: jnp.ndarray,
                      kind: str) -> jnp.ndarray:
     """Inclusive per-segment running reduction (scan with segment reset).
@@ -86,20 +95,32 @@ def segmented_reduce(values: jnp.ndarray, is_new: jnp.ndarray,
     cumsum differences instead (exact mod 2^32, cheaper), but FLOAT sums
     must use this (kind="sum") so rounding error stays proportional to
     each segment's own magnitude rather than the global prefix.
-    Implemented with jax.lax.associative_scan over (segment-start flag,
-    value) pairs.
+
+    Implemented as an explicit Hillis-Steele strided loop over the
+    (segment-start flag, value) monoid — combine(a, b) with a earlier:
+    (fa|fb, fb ? vb : op(va, vb)). The equivalent tuple-carrier
+    jax.lax.associative_scan STALLS the remote TPU compiler (28+ min at
+    4M rows; same finding as the join fill loop, ops/join.py:218-242) —
+    the strided loop is the same O(n log n) work and compiles instantly.
     """
     ops = {"min": jnp.minimum, "max": jnp.maximum,
            "sum": lambda a, b: a + b}
     op = ops[kind]
-
-    def combine(a, b):
-        fa, va = a
-        fb, vb = b
-        return fb | fa, jnp.where(fb, vb, op(va, vb))
-
-    _, out = jax.lax.associative_scan(combine, (is_new, values))
-    return out
+    n = values.shape[0]
+    ident = _op_identity(kind, values.dtype)
+    f, v = is_new, values
+    stride = 1
+    while stride < n:
+        # a = element shifted by stride (identity-padded at the front),
+        # b = self: f = fa|fb, v = fb ? vb : op(va, vb)
+        fa = jnp.concatenate([jnp.zeros(stride, f.dtype), f[:-stride]])
+        va = jnp.concatenate([jnp.full(stride, ident, v.dtype),
+                              v[:-stride]])
+        fb, vb = f, v
+        f = fa | fb
+        v = jnp.where(fb, vb, op(va, vb))
+        stride *= 2
+    return v
 
 
 def group_aggregate(key: U64, value: jnp.ndarray | None = None,
