@@ -1,0 +1,88 @@
+"""Distributed + out-of-core sort (sort/dbigsort.py) on the CPU mesh.
+
+The SURVEY-mandated composition: data larger than one device's sortable
+set, sorted across the mesh. Tests validate bit-exactness against numpy
+oracles at reduced scale — the same fake-backend strategy as the other
+distributed suites (SURVEY.md §4).
+"""
+
+import numpy as np
+import pytest
+
+from tpu_qe.exchange.dsort import make_mesh
+from tpu_qe.sort.bigsort import keygen_hash_numpy
+from tpu_qe.sort.dbigsort import keygen_masked_numpy, sort_big_distributed
+
+
+def _oracle(n, key_bits=64):
+    keys = keygen_masked_numpy(np.arange(n, dtype=np.uint32),
+                               key_bits=key_bits)
+    order = np.argsort(keys, kind="stable")
+    return keys[order], order.astype(np.uint32)
+
+
+def _run(n_dev, n_runs, run_size, buckets_per_dev, key_bits=64, **kw):
+    mesh = make_mesh(n_dev)
+    n = n_dev * n_runs * run_size
+    res, (keys, pay) = sort_big_distributed(
+        n, mesh, run_size=run_size, buckets_per_dev=buckets_per_dev,
+        key_bits=key_bits, collect=True, **kw)
+    assert res.all_ok, res
+    want_keys, want_pay = _oracle(n, key_bits)
+    np.testing.assert_array_equal(keys, want_keys)
+    np.testing.assert_array_equal(pay, want_pay)
+    return res
+
+
+def test_8dev_bit_exact():
+    _run(n_dev=8, n_runs=4, run_size=2048, buckets_per_dev=2)
+
+
+def test_8dev_single_bucket_per_dev():
+    _run(n_dev=8, n_runs=2, run_size=1024, buckets_per_dev=1)
+
+
+def test_2dev_many_buckets():
+    _run(n_dev=2, n_runs=3, run_size=1536, buckets_per_dev=5)
+
+
+def test_4dev_single_run_per_dev():
+    _run(n_dev=4, n_runs=1, run_size=4096, buckets_per_dev=3)
+
+
+def test_1dev_degenerate_path():
+    # the single-chip path the real-TPU bench measures: identity
+    # all_to_all, everything else identical
+    _run(n_dev=1, n_runs=4, run_size=2048, buckets_per_dev=4)
+
+
+def test_adversarial_duplicates_16_keys():
+    # 2^4 distinct keys over 64K rows: every key is hot; whole-bucket
+    # skew. Exact demand-sized capacities must absorb it (imbalance, not
+    # overflow) and ties must come back payload-ordered (stability).
+    _run(n_dev=8, n_runs=4, run_size=2048, buckets_per_dev=2, key_bits=4)
+
+
+def test_adversarial_duplicates_2_keys():
+    _run(n_dev=4, n_runs=2, run_size=2048, buckets_per_dev=2, key_bits=1)
+
+
+def test_few_samples_still_exact():
+    # sampling only affects balance, never correctness: capacities are
+    # sized from exact searchsorted boundaries, not from the samples
+    _run(n_dev=8, n_runs=4, run_size=2048, buckets_per_dev=2,
+         samples_per_run=4)
+
+
+def test_matches_unmasked_keygen():
+    # key_bits=64 is plain keygen_hash (bigsort parity of the generator)
+    n = 1 << 12
+    np.testing.assert_array_equal(
+        keygen_masked_numpy(np.arange(n, dtype=np.uint32), key_bits=64),
+        keygen_hash_numpy(np.arange(n, dtype=np.uint32)))
+
+
+def test_rejects_indivisible_n():
+    mesh = make_mesh(4)
+    with pytest.raises(AssertionError):
+        sort_big_distributed(4 * 2048 + 1, mesh, run_size=2048)

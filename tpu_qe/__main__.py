@@ -145,12 +145,25 @@ def _cmd_bench_big(args) -> int:
     if args.in_core:
         res = sort_big_incore(args.n)
         kind = "in-core"
+        where = "1 chip"
+    elif args.distributed:
+        from tpu_qe.exchange.dsort import make_mesh
+        from tpu_qe.sort.dbigsort import sort_big_distributed
+
+        mesh = make_mesh(args.devices)
+        d = int(mesh.devices.size)
+        res = sort_big_distributed(
+            args.n, mesh, run_size=args.run_size,
+            buckets_per_dev=args.buckets, verbose=args.verbose_big)
+        kind = "distributed out-of-core"
+        where = f"{d} device(s)"
     else:
         res = sort_big(args.n, run_size=args.run_size,
                        n_buckets=args.buckets, verbose=args.verbose_big)
         kind = "out-of-core"
+        where = "1 chip"
     out = {
-        "metric": f"{kind} sort {res.n} u64 keys + u32 payload, 1 chip",
+        "metric": f"{kind} sort {res.n} u64 keys + u32 payload, {where}",
         "value": round(res.keys_per_s),
         "unit": "keys/s",
         "time_s": round(res.seconds, 3),
@@ -238,6 +251,12 @@ def main(argv=None) -> int:
     pg.add_argument("--in-core", action="store_true",
                     help="single resident sort+verify program (fits up to "
                          "~512M rows on a 16 GB chip)")
+    pg.add_argument("--distributed", action="store_true",
+                    help="distributed out-of-core sort over the device "
+                         "mesh (sort/dbigsort.py); --buckets is then "
+                         "buckets PER DEVICE")
+    pg.add_argument("--devices", type=int, default=None,
+                    help="mesh size for --distributed (default: all)")
     pg.set_defaults(fn=_cmd_bench_big)
 
     pi = sub.add_parser("info", help="device + config report")
