@@ -78,7 +78,23 @@ class TestDistributedAggregate:
         assert set(got) == set(want_cnt)
         for k in want_cnt:
             assert got[k]["count"] == want_cnt[k]
-            assert got[k]["sum"] == want_sum[k] % (1 << 32)
+            assert got[k]["sum"] == want_sum[k]  # exact u64, not mod 2^32
+
+    def test_sums_past_2_32_exact(self, n_dev=4):
+        # partial sums overflow u32 on every shard AND the phase-3
+        # combine must add the u64 pairs with carry — end-to-end exact
+        mesh = _mesh(n_dev)
+        rng = np.random.default_rng(21)
+        n = 1 << 12
+        keys = rng.integers(0, 4, n).astype(np.uint64)
+        vals = np.full(n, 0xF0000000, dtype=np.uint32)
+        got = distributed_aggregate_numpy(keys, vals, mesh,
+                                          aggs=("sum", "count"),
+                                          capacity_factor=4.0)
+        for k in np.unique(keys):
+            want = int((keys == k).sum()) * 0xF0000000
+            assert want > (1 << 32)
+            assert got[int(k)]["sum"] == want
 
     def test_min_max(self, n_dev=4):
         mesh = _mesh(n_dev)
@@ -155,7 +171,9 @@ def test_signed_negative_min_max_rejected(n_dev=2):
                                       aggs=("count", "sum"),
                                       capacity_factor=4.0)
     assert got[1]["count"] == 2 and got[2]["count"] == 2
-    assert np.uint32(got[1]["sum"]) == np.uint32(4)
+    # int32 columns sum their two's-complement bit patterns; the low
+    # 32 bits are the familiar mod-2^32 signed result
+    assert got[1]["sum"] & 0xFFFFFFFF == 4
     # non-negative signed min/max still allowed
     got = distributed_aggregate_numpy(
         keys, np.abs(vals), mesh, aggs=("min",), capacity_factor=4.0)

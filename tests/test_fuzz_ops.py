@@ -69,7 +69,7 @@ def test_fuzz_sort_and_groupby(trial):
     for i, k in enumerate(gk):
         sel = vm[km == k]
         assert int(np.asarray(g.aggs["count"])[i]) == len(sel)
-        assert int(np.asarray(g.aggs["sum"])[i]) == int(sel.sum()) % (1 << 32)
+        assert int(g.aggs["sum"].to_numpy()[i]) == int(sel.sum())  # exact
         assert int(np.asarray(g.aggs["min"])[i]) == sel.min()
         assert int(np.asarray(g.aggs["max"])[i]) == sel.max()
 
@@ -131,7 +131,7 @@ def test_fuzz_distributed(trial):
     assert set(got) == set(want)
     for kk in want:
         assert got[kk]["count"] == want[kk]
-        assert got[kk]["sum"] == want_sum[kk] % (1 << 32)
+        assert got[kk]["sum"] == want_sum[kk]  # exact u64, not mod 2^32
 
 
 @pytest.mark.parametrize("trial", range(6))

@@ -14,6 +14,11 @@ def _u64(rng, n, hi=1 << 64):
     return rng.integers(0, hi, size=n, dtype=np.uint64)
 
 
+def _agg_np(x):
+    """Aggregate column to numpy: U64 pair sums -> uint64, else asarray."""
+    return x.to_numpy() if isinstance(x, U64) else np.asarray(x)
+
+
 class TestTable:
     def test_roundtrip_and_pytree(self):
         import jax
@@ -95,9 +100,10 @@ class TestGroupAggregate:
         np.testing.assert_array_equal(
             np.asarray(res.aggs["count"])[:g], ends - starts)
         want_sum = np.asarray(
-            [v[s:e].sum(dtype=np.uint32) for s, e in zip(starts, ends)],
-            dtype=np.uint32)
-        np.testing.assert_array_equal(np.asarray(res.aggs["sum"])[:g], want_sum)
+            [v[s:e].sum(dtype=np.uint64) for s, e in zip(starts, ends)],
+            dtype=np.uint64)  # EXACT u64 sums, not mod 2^32
+        np.testing.assert_array_equal(res.aggs["sum"].to_numpy()[:g],
+                                      want_sum)
         np.testing.assert_array_equal(
             np.asarray(res.aggs["min"])[:g],
             [v[s:e].min() for s, e in zip(starts, ends)])
@@ -414,8 +420,8 @@ class TestFusedFilterAggregate:
         ng = int(fused.num_groups)
         assert ng == int(ref.num_groups)
         for a in ("count", "sum", "min", "max"):
-            np.testing.assert_array_equal(np.asarray(fused.aggs[a])[:ng],
-                                          np.asarray(ref.aggs[a])[:ng])
+            np.testing.assert_array_equal(_agg_np(fused.aggs[a])[:ng],
+                                          _agg_np(ref.aggs[a])[:ng])
         np.testing.assert_array_equal(fused.key.to_numpy()[:ng],
                                       ref.key.to_numpy()[:ng])
 
@@ -443,8 +449,8 @@ class TestFusedFilterAggregate:
                             aggs=("sum",))
         ng = int(a.num_groups)
         assert ng == int(b.num_groups)
-        np.testing.assert_array_equal(np.asarray(a.aggs["sum"])[:ng],
-                                      np.asarray(b.aggs["sum"])[:ng])
+        np.testing.assert_array_equal(a.aggs["sum"].to_numpy()[:ng],
+                                      b.aggs["sum"].to_numpy()[:ng])
 
 
 def test_searchsorted_all_ones_query_right_side():
@@ -501,8 +507,8 @@ class TestMultiAggregate:
         np.testing.assert_array_equal(m.key.to_numpy()[:ng],
                                       ra.key.to_numpy()[:ng])
         for agg in ("count", "sum", "min", "max"):
-            np.testing.assert_array_equal(np.asarray(m.aggs[f"a_{agg}"])[:ng],
-                                          np.asarray(ra.aggs[agg])[:ng])
+            np.testing.assert_array_equal(_agg_np(m.aggs[f"a_{agg}"])[:ng],
+                                          _agg_np(ra.aggs[agg])[:ng])
         for agg in ("min", "max"):
             np.testing.assert_array_equal(np.asarray(m.aggs[f"b_{agg}"])[:ng],
                                           np.asarray(rb.aggs[agg])[:ng])
@@ -546,7 +552,7 @@ def test_table_group_by_multi():
     for i in range(ng):
         k = m.key.to_numpy()[i]
         sel = keys == k
-        assert int(np.asarray(m.aggs["a_sum"])[i]) == a[sel].sum() % (1 << 32)
+        assert int(m.aggs["a_sum"].to_numpy()[i]) == a[sel].sum()  # exact
         assert float(np.asarray(m.aggs["b_max"])[i]) == b[sel].max()
 
 
@@ -715,6 +721,67 @@ def test_group_aggregate_mean():
                                rtol=1e-5)
 
 
+class TestExactU64Sums:
+    """Integer GROUP BY sums past 2^32 must be exact (repo convention:
+    never silently truncate). Values near u32 max so a handful of rows
+    overflows a 32-bit accumulator many times over."""
+
+    def test_group_sums_past_2_32(self):
+        rng = np.random.default_rng(77)
+        n = 4096
+        keys = rng.integers(0, 8, n).astype(np.uint64)
+        vals = (rng.integers(1 << 31, 1 << 32, n).astype(np.uint64)
+                .astype(np.uint32))
+        res = group_aggregate(U64.from_numpy(keys), jnp.asarray(vals),
+                              aggs=("sum", "count"))
+        g = int(res.num_groups)
+        got = res.aggs["sum"].to_numpy()[:g]
+        gk = res.key.to_numpy()[:g]
+        for i, k in enumerate(gk):
+            want = int(vals[keys == k].astype(np.uint64).sum())
+            assert want > (1 << 32)  # the test is vacuous otherwise
+            assert int(got[i]) == want
+
+    def test_max_groups_path_past_2_32(self):
+        rng = np.random.default_rng(78)
+        n = 2048
+        keys = rng.integers(0, 4, n).astype(np.uint64)
+        vals = np.full(n, 0xF0000000, dtype=np.uint32)
+        res = group_aggregate(U64.from_numpy(keys), jnp.asarray(vals),
+                              aggs=("sum",), max_groups=8)
+        g = int(res.num_groups)
+        got = res.aggs["sum"].to_numpy()[:g]
+        gk = res.key.to_numpy()[:g]
+        for i, k in enumerate(gk):
+            want = int((keys == k).sum()) * 0xF0000000
+            assert want > (1 << 32)
+            assert int(got[i]) == want
+
+    def test_multi_column_past_2_32(self):
+        from tpu_qe.ops.aggregate import group_aggregate_multi
+        rng = np.random.default_rng(79)
+        n = 2048
+        keys = rng.integers(0, 4, n).astype(np.uint64)
+        a = np.full(n, 0xE0000000, dtype=np.uint32)
+        m = group_aggregate_multi(U64.from_numpy(keys),
+                                  {"a": jnp.asarray(a)}, {"a": ("sum",)})
+        g = int(m.num_groups)
+        got = m.aggs["a_sum"].to_numpy()[:g]
+        gk = m.key.to_numpy()[:g]
+        for i, k in enumerate(gk):
+            want = int((keys == k).sum()) * 0xE0000000
+            assert want > (1 << 32)
+            assert int(got[i]) == want
+
+    def test_mean_uses_exact_sum(self):
+        keys = np.zeros(1024, dtype=np.uint64)
+        vals = np.full(1024, 0xF0000000, dtype=np.uint32)
+        res = group_aggregate(U64.from_numpy(keys), jnp.asarray(vals),
+                              aggs=("mean",))
+        got = float(np.asarray(res.aggs["mean"])[0])
+        np.testing.assert_allclose(got, float(0xF0000000), rtol=1e-6)
+
+
 class TestMaxGroupsExtraction:
     """group_aggregate(max_groups=...): gather-based group extraction must
     equal the sort-based default on the valid prefix."""
@@ -741,7 +808,7 @@ class TestMaxGroupsExtraction:
                                       base.key.to_numpy()[:g])
         for a in aggs:
             np.testing.assert_array_equal(
-                np.asarray(fast.aggs[a])[:g], np.asarray(base.aggs[a])[:g],
+                _agg_np(fast.aggs[a])[:g], _agg_np(base.aggs[a])[:g],
                 err_msg=a)
 
     def test_valid_mask(self):
@@ -761,8 +828,8 @@ class TestMaxGroupsExtraction:
         assert int(fast.num_groups) == g and int(fast.overflow) == 0
         np.testing.assert_array_equal(fast.key.to_numpy()[:g],
                                       base.key.to_numpy()[:g])
-        np.testing.assert_array_equal(np.asarray(fast.aggs["sum"])[:g],
-                                      np.asarray(base.aggs["sum"])[:g])
+        np.testing.assert_array_equal(fast.aggs["sum"].to_numpy()[:g],
+                                      base.aggs["sum"].to_numpy()[:g])
 
     def test_overflow_exact_count(self):
         from tpu_qe.ops import group_aggregate

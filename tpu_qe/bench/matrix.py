@@ -68,7 +68,7 @@ def bench_filter_agg(n: int = 1 << 28, groups: int = 1 << 20,
         # low-cardinality GROUP BY — see ops/aggregate.py.
         res = group_aggregate(key, val, aggs=("count", "sum"),
                               valid=val < jnp.uint32(1 << 30))
-        return res.num_groups, res.aggs["sum"][:8]
+        return res.num_groups, res.aggs["sum"].lo[:8]
 
     secs = measure(lambda: run(key, val), reps=reps)
     sol = group_aggregate_sol_seconds(n, n_aggs=2, has_valid=True)

@@ -492,12 +492,25 @@ def _dagg_shard(lo, hi, val, *, n_dev, samples_per_dev, capacity,
     # per-agg value dtypes (count is always u32; sum/min/max follow val)
     dtypes = {a: (jnp.uint32 if a == "count" else val.dtype)
               for a in inner_aggs}
+    is_int_sum = val.dtype != jnp.float32
+    # flattened exchange planes: an integer sum is an exact u64 U64 pair
+    # (two u32 planes, neutral 0/0); everything else is one plane
     partials = []
+    pad_vals = []
+    plane_spec = []  # (agg, number of planes)
     for a in inner_aggs:
         col = part.aggs[a]
-        neutral = _neutral(a, dtypes[a])
-        bits = col.view(jnp.uint32) if col.dtype != jnp.uint32 else col
-        partials.append(jnp.where(is_real, bits, neutral))
+        if a == "sum" and is_int_sum:
+            planes = [col.lo, col.hi]
+            neutrals = [jnp.uint32(0), jnp.uint32(0)]
+        else:
+            bits = col.view(jnp.uint32) if col.dtype != jnp.uint32 else col
+            planes = [bits]
+            neutrals = [_neutral(a, dtypes[a])]
+        plane_spec.append((a, len(planes)))
+        for p, nv in zip(planes, neutrals):
+            partials.append(jnp.where(is_real, p, nv))
+            pad_vals.append(nv)
 
     # Phase 2: shuffle partial groups by key. Padding slots carry neutral
     # values, so spread them round-robin instead of letting them all route
@@ -510,16 +523,19 @@ def _dagg_shard(lo, hi, val, *, n_dev, samples_per_dev, capacity,
     dest = route_by_splitters(klo, khi, sp_lo, sp_hi)
     dest = jnp.where(is_real, dest,
                      (idx % jnp.uint32(n_dev)).astype(jnp.uint32))
-    pads = [_ONES, _ONES] + [_neutral(a, dtypes[a]) for a in inner_aggs]
+    pads = [_ONES, _ONES] + pad_vals
     recv, _, _, _, overflow = exchange(dest, [klo, khi] + partials, pads,
                                        n_dev, capacity)
 
     # Phase 3: combine received partials per key with ONE key sort shared
-    # across all agg columns (count/sum combine by cumsum differences at
-    # group ends; min/max by an inclusive segmented scan read at ends),
-    # then one packed-position compaction — two sorts total instead of two
-    # per agg.
-    from tpu_qe.ops.aggregate import _shift_right_one, segmented_reduce
+    # across all agg columns (count/sum by inclusive segmented sums read
+    # at group ends — integer sums as carried u64 pairs; min/max by an
+    # inclusive segmented scan read at ends), then one packed-position
+    # compaction — two sorts total instead of two per agg. All segmented
+    # scans are the strided-loop formulation (tuple-carrier
+    # associative_scan stalls the remote TPU compiler — CLAUDE.md).
+    from tpu_qe.ops.aggregate import (_shift_right_one, segmented_reduce,
+                                      segmented_sum_u64)
 
     rklo, rkhi = recv[0], recv[1]
     m = rklo.shape[0]
@@ -535,21 +551,19 @@ def _dagg_shard(lo, hi, val, *, n_dev, samples_per_dev, capacity,
     num_groups_all = jnp.sum(is_end.astype(jnp.uint32))
 
     reduced = []
-    for a, col in zip(inner_aggs, scols):
+    j = 0
+    for a, n_planes in plane_spec:
+        if a == "sum" and is_int_sum:
+            rl, rh = segmented_sum_u64(scols[j], scols[j + 1], is_new)
+            reduced += [rl, rh]
+            j += 2
+            continue
         dt = dtypes[a]
-        v = col.view(dt) if dt != jnp.uint32 else col
-        if a in ("count", "sum"):
-            # inclusive per-segment running sum via associative scan
-            # (exact for u32 wraparound; floats accept running-sum
-            # rounding like the local operator)
-            def comb(x, y):
-                fx, vx = x
-                fy, vy = y
-                return fy | fx, jnp.where(fy, vy, vx + vy)
-            _, run_sum = jax.lax.associative_scan(comb, (is_new, v))
-            reduced.append(run_sum)
-        else:
-            reduced.append(segmented_reduce(v, is_new, a))
+        v = scols[j].view(dt) if dt != jnp.uint32 else scols[j]
+        j += 1
+        kind = "sum" if a == "count" else a
+        r = segmented_reduce(v, is_new, kind)
+        reduced.append(r.view(jnp.uint32) if r.dtype != jnp.uint32 else r)
 
     # compact group-end rows to the front (keep/drop packed over position)
     packed = jnp.where(is_end, pos, pos | jnp.uint32(1 << 31))
@@ -572,7 +586,8 @@ def distributed_aggregate(key: U64, value: jnp.ndarray, mesh: Mesh,
 
     Returns (klo, khi, *agg_columns_in_inner_order, num_groups, overflow)
     where inner order = requested aggs plus a trailing 'count' if it was
-    not requested (used to identify padding groups).
+    not requested (used to identify padding groups). An integer "sum"
+    contributes TWO u32 columns (lo, hi) — the exact u64 pair sum.
     """
     n_dev = mesh.shape[AXIS]
     n = key.lo.shape[0]
@@ -580,7 +595,10 @@ def distributed_aggregate(key: U64, value: jnp.ndarray, mesh: Mesh,
     inner_aggs = tuple(aggs) if "count" in aggs else tuple(aggs) + ("count",)
     capacity = max(int(np.ceil(capacity_factor * (n // n_dev) / n_dev)), 16)
     spec = P(AXIS)
-    n_out = 2 + len(inner_aggs) + 2
+    is_int_sum = value.dtype != jnp.float32
+    n_agg_cols = sum(2 if (a == "sum" and is_int_sum) else 1
+                     for a in inner_aggs)
+    n_out = 2 + n_agg_cols + 2
     fn = shard_map(
         functools.partial(_dagg_shard, n_dev=n_dev,
                           samples_per_dev=samples_per_dev,
@@ -597,8 +615,9 @@ def distributed_aggregate_numpy(keys, values, mesh, aggs=("count", "sum"),
                                 **kw):
     """Host wrapper: returns {key -> {agg -> value}} over all shards.
 
-    Value dtype is preserved: uint32/int32 aggregate in u32 wraparound
-    arithmetic; float32 values aggregate as floats.
+    Integer sums are EXACT (u64 pair-summed end to end — no mod-2^32
+    truncation); min/max aggregate u32 bit patterns; float32 values
+    aggregate as floats.
     """
     sh = NamedSharding(mesh, P(AXIS))
     u = U64.from_numpy(keys)
@@ -626,8 +645,18 @@ def distributed_aggregate_numpy(keys, values, mesh, aggs=("count", "sum"),
     inner = tuple(aggs) if "count" in aggs else tuple(aggs) + ("count",)
     is_f32 = values.dtype == np.float32
     cols = []
-    for a, c in zip(inner, res[2:-2]):
-        c = np.asarray(c).reshape(n_dev, -1)
+    res_cols = res[2:-2]
+    j = 0
+    for a in inner:
+        if a == "sum" and not is_f32:
+            lo_c = np.asarray(res_cols[j]).reshape(n_dev, -1)
+            hi_c = np.asarray(res_cols[j + 1]).reshape(n_dev, -1)
+            j += 2
+            cols.append(lo_c.astype(np.uint64)
+                        | (hi_c.astype(np.uint64) << np.uint64(32)))
+            continue
+        c = np.asarray(res_cols[j]).reshape(n_dev, -1)
+        j += 1
         if is_f32 and a != "count":
             c = c.view(np.float32)
         cols.append(c)

@@ -5,8 +5,10 @@ neither scatters nor atomics worth using, but it has a world-class sorter —
 so GROUP BY is sort-based: sort rows by group key, find group boundaries,
 and reduce each run. All reductions are formulated scatter-free:
 
-- count / integer sum: difference of an inclusive running sum at group-end
-  rows (wraparound arithmetic, so the difference is exact mod 2^32);
+- count: difference of row positions at group-end rows;
+- integer sum: EXACT u64 (lo, hi) pair — the wrapping u32 cumsum plus a
+  cumsum of wrap flags reconstructs the exact 64-bit prefix sum with two
+  u32 sweeps (no silent mod-2^32 truncation; x64 stays off on TPU);
 - float sum: per-SEGMENT inclusive scan (associative_scan with reset at
   group starts), so rounding stays proportional to each group's own
   values — NOT a global-cumsum difference, whose error scales with the
@@ -123,16 +125,74 @@ def segmented_reduce(values: jnp.ndarray, is_new: jnp.ndarray,
     return v
 
 
+def _cumsum_u64(v: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Inclusive EXACT u64 running sum of u32 values, as (lo, hi) planes.
+
+    lo is the wrapping u32 cumsum; hi counts the wraps: since each added
+    value is < 2^32, an add wraps at most once, and it wrapped iff
+    lo[i] < lo[i-1] — so hi = cumsum(wrap flags) reconstructs the exact
+    64-bit prefix sum (exact while n < 2^32, guaranteed by the u32 row
+    positions). This is how integer GROUP BY sums stay exact past 2^32
+    without 64-bit arithmetic (x64 is disabled on TPU): two u32 sweeps.
+    """
+    lo = jnp.cumsum(v.astype(jnp.uint32), dtype=jnp.uint32)
+    prev = _shift_right_one(lo, jnp.uint32(0))
+    hi = jnp.cumsum((lo < prev).astype(jnp.uint32), dtype=jnp.uint32)
+    return lo, hi
+
+
+def _diff_u64(end_lo, end_hi):
+    """Adjacent u64 differences with borrow: pair[i] - pair[i-1] (pair[-1]
+    = 0) over (lo, hi) u32 plane arrays — turns inclusive u64 prefix sums
+    at group-end rows into exact per-group u64 sums."""
+    prev_lo = _shift_right_one(end_lo, jnp.uint32(0))
+    prev_hi = _shift_right_one(end_hi, jnp.uint32(0))
+    borrow = (end_lo < prev_lo).astype(jnp.uint32)
+    return U64(end_lo - prev_lo, end_hi - prev_hi - borrow)
+
+
+def segmented_sum_u64(vlo: jnp.ndarray, vhi: jnp.ndarray,
+                      is_new: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Inclusive per-segment u64 pair sum (Hillis-Steele strided loop).
+
+    Sums (lo, hi) u32-pair values with carry propagation, resetting at
+    segment starts — the distributed aggregate's phase-3 combine for
+    exact u64 partial sums. Same strided-loop formulation as
+    segmented_reduce (tuple-carrier associative_scan stalls the remote
+    TPU compiler)."""
+    n = vlo.shape[0]
+    f, lo, hi = is_new, vlo, vhi
+    stride = 1
+    while stride < n:
+        fa = jnp.concatenate([jnp.zeros(stride, f.dtype), f[:-stride]])
+        la = jnp.concatenate([jnp.zeros(stride, jnp.uint32), lo[:-stride]])
+        ha = jnp.concatenate([jnp.zeros(stride, jnp.uint32), hi[:-stride]])
+        slo = la + lo
+        carry = (slo < lo).astype(jnp.uint32)
+        fb = f
+        f = fa | fb
+        lo = jnp.where(fb, lo, slo)
+        hi = jnp.where(fb, hi, ha + hi + carry)
+        stride *= 2
+    return lo, hi
+
+
 def group_aggregate(key: U64, value: jnp.ndarray | None = None,
                     aggs: Sequence[str] = ("count",),
                     valid: jnp.ndarray | None = None,
                     max_groups: int | None = None) -> GroupResult:
     """GROUP BY `key` computing `aggs` over `value`.
 
-    "mean" is a derived aggregate: computed as float32 sum/count (for
-    integer values the sum wraps mod 2^32, so integer means are exact
-    only while each group's sum fits u32; float values use the
-    per-segment float sum). Other aggs pass straight through.
+    Integer "sum" returns an EXACT u64 result as a U64 (lo, hi) pair —
+    sums never silently wrap mod 2^32 (the repo convention: padded/static
+    paths detect or avoid overflow, never truncate). For int32 columns
+    the pair sums the two's-complement bit patterns: `lo` is the familiar
+    mod-2^32 value; the exactness guarantee applies to unsigned values.
+    Float "sum" stays float32 (per-segment scan, see segmented_reduce).
+
+    "mean" is a derived aggregate: float32 sum/count (integer values use
+    the exact u64 sum widened to f32; float values the per-segment float
+    sum). Other aggs pass straight through.
 
     max_groups (optional): when the caller can bound the group count,
     outputs are padded to max_groups instead of n and the second
@@ -153,7 +213,11 @@ def group_aggregate(key: U64, value: jnp.ndarray | None = None,
                                max_groups=max_groups)
         s = res.aggs["sum"]
         c = res.aggs["count"]
-        sf = s.astype(jnp.float32) if s.dtype != jnp.float32 else s
+        if isinstance(s, U64):  # exact integer pair sum -> float
+            sf = (s.hi.astype(jnp.float32) * jnp.float32(2.0**32)
+                  + s.lo.astype(jnp.float32))
+        else:
+            sf = s.astype(jnp.float32) if s.dtype != jnp.float32 else s
         mean = sf / jnp.maximum(c, jnp.uint32(1)).astype(jnp.float32)
         out = {a: res.aggs[a] for a in aggs if a != "mean"}
         out["mean"] = mean
@@ -219,10 +283,16 @@ def _group_aggregate(key: U64, value: jnp.ndarray | None = None,
     if n == 0:
         pad_n = max_groups if max_groups is not None else 0
         zeros32 = jnp.zeros(pad_n, jnp.uint32)
+
+        def empty(a):
+            if a == "count" or value is None:
+                return zeros32
+            if a == "sum" and value.dtype != jnp.float32:
+                return U64(zeros32, zeros32)
+            return jnp.zeros(pad_n, value.dtype)
+
         return GroupResult(
-            U64(zeros32, zeros32),
-            {a: jnp.zeros(pad_n, jnp.uint32 if a == "count" or value is None
-                          else value.dtype) for a in aggs},
+            U64(zeros32, zeros32), {a: empty(a) for a in aggs},
             jnp.uint32(0),
             jnp.uint32(0) if max_groups is not None else None)
     prev_lo = _shift_right_one(slo, 0)
@@ -267,12 +337,12 @@ def _group_aggregate(key: U64, value: jnp.ndarray | None = None,
                 ce = jnp.take(csum_f, posc)
                 out["sum"] = jnp.where(valid_g, ce, jnp.float32(0))
             else:
-                csum_i = jnp.cumsum(sval.astype(jnp.uint32),
-                                    dtype=jnp.uint32)
-                ce = jnp.take(csum_i, posc)
-                out["sum"] = jnp.where(
-                    valid_g, ce - _shift_right_one(
-                        jnp.where(valid_g, ce, 0), jnp.uint32(0)), 0)
+                clo, chi = _cumsum_u64(sval)
+                ce_lo = jnp.where(valid_g, jnp.take(clo, posc), 0)
+                ce_hi = jnp.where(valid_g, jnp.take(chi, posc), 0)
+                s = _diff_u64(ce_lo, ce_hi)
+                out["sum"] = U64(jnp.where(valid_g, s.lo, 0),
+                                 jnp.where(valid_g, s.hi, 0))
         if "max" in aggs:
             # rows are value-sorted within a group: the end row IS the max
             mx = jnp.take(sval, posc)
@@ -301,10 +371,13 @@ def _group_aggregate(key: U64, value: jnp.ndarray | None = None,
             # group's error scale with the global prefix magnitude — at
             # 256M rows that can wipe out the group's significant digits.
             seg_start = is_new if sinvalid is None else (is_new | sinvalid)
-            csum = segmented_reduce(sval, seg_start, "sum").view(jnp.uint32)
+            operands.append(
+                segmented_reduce(sval, seg_start, "sum").view(jnp.uint32))
         else:
-            csum = jnp.cumsum(sval.astype(jnp.uint32), dtype=jnp.uint32)
-        operands.append(csum)
+            # exact u64 (lo, hi) pair prefix sums: one extra sort operand
+            # buys sums that never silently wrap mod 2^32
+            clo, chi = _cumsum_u64(sval)
+            operands += [clo, chi]
     if "max" in aggs:
         operands.append(sval.view(jnp.uint32)
                         if sval.dtype == jnp.float32 else sval)
@@ -318,13 +391,13 @@ def _group_aggregate(key: U64, value: jnp.ndarray | None = None,
     if "count" in aggs:
         out["count"] = pos_end - prev_pos
     if "sum" in aggs:
-        ce = res2[i]
-        i += 1
         if sval.dtype == jnp.float32:
             # segmented sum: the value at a group-end row IS the group sum
-            out["sum"] = ce.view(jnp.float32)
+            out["sum"] = res2[i].view(jnp.float32)
+            i += 1
         else:
-            out["sum"] = ce - _shift_right_one(ce, jnp.zeros((), ce.dtype))
+            out["sum"] = _diff_u64(res2[i], res2[i + 1])
+            i += 2
     if "max" in aggs:
         mx = res2[i]
         i += 1
@@ -375,8 +448,11 @@ def _group_aggregate_multi(key: U64, cols: tuple, spec: tuple,
         out = {}
         for nm in names:
             for a in per_col_aggs[nm]:
-                dt = jnp.uint32 if a == "count" else dtypes[nm]
-                out[f"{nm}_{a}"] = jnp.zeros(0, dt)
+                if a == "sum" and dtypes[nm] != jnp.float32:
+                    out[f"{nm}_{a}"] = U64(empty32, empty32)
+                else:
+                    dt = jnp.uint32 if a == "count" else dtypes[nm]
+                    out[f"{nm}_{a}"] = jnp.zeros(0, dt)
         return MultiGroupResult(U64(empty32, empty32), out, jnp.uint32(0))
 
     idx = jnp.arange(n, dtype=jnp.uint32)
@@ -391,24 +467,34 @@ def _group_aggregate_multi(key: U64, cols: tuple, spec: tuple,
         is_end = jnp.concatenate([is_new[1:], jnp.ones((1,), dtype=bool)])
 
     # inclusive per-segment reductions in stream order (value columns are
-    # NOT sort keys here — segmented scans handle min/max directly)
-    reduced = {}
+    # NOT sort keys here — segmented scans handle min/max directly).
+    # Each entry is (out_name, agg, dtype, plane arrays): integer sums
+    # carry TWO u32 planes (exact u64 pair, see _cumsum_u64); counts carry
+    # none (derived from the packed positions after compaction).
+    reduced = []
     pos1 = idx + 1
     for nm in names:
         v = scols[nm]
         for a in per_col_aggs[nm]:
+            name = f"{nm}_{a}"
             if a == "count":
-                reduced[f"{nm}_{a}"] = pos1  # diffed after compaction
+                reduced.append((name, a, jnp.uint32, []))
             elif a == "sum":
-                reduced[f"{nm}_{a}"] = jnp.cumsum(v, dtype=v.dtype)
+                if v.dtype == jnp.float32:
+                    reduced.append((name, a, v.dtype,
+                                    [jnp.cumsum(v, dtype=v.dtype)]))
+                else:
+                    reduced.append((name, a, v.dtype,
+                                    list(_cumsum_u64(v))))
             else:
-                reduced[f"{nm}_{a}"] = segmented_reduce(v, is_new, a)
+                reduced.append((name, a, v.dtype,
+                                [segmented_reduce(v, is_new, a)]))
 
     assert n < (1 << 31), n
     packed = jnp.where(is_end, pos1, pos1 | jnp.uint32(1 << 31))
     ops2 = [packed, slo, shi] + [
-        (r.view(jnp.uint32) if r.dtype != jnp.uint32 else r)
-        for r in reduced.values()]
+        (p.view(jnp.uint32) if p.dtype != jnp.uint32 else p)
+        for (_, _, _, ps) in reduced for p in ps]
     res2 = jax.lax.sort(ops2, num_keys=1, is_stable=False)
     pos_end = res2[0] & jnp.uint32(0x7FFFFFFF)
     klo, khi = res2[1], res2[2]
@@ -416,15 +502,19 @@ def _group_aggregate_multi(key: U64, cols: tuple, spec: tuple,
     prev_pos = _shift_right_one(pos_end, 0)
 
     out = {}
-    for (name, r_in), r_sorted in zip(reduced.items(), res2[3:]):
-        nm, a = name.rsplit("_", 1)
-        dt = jnp.uint32 if a == "count" else dtypes[nm]
-        rv = r_sorted.view(dt) if dt != jnp.uint32 else r_sorted
+    j = 3
+    for name, a, dt, ps in reduced:
         if a == "count":
             out[name] = pos_end - prev_pos
-        elif a == "sum":
-            prev = _shift_right_one(rv, jnp.zeros((), dt))
-            out[name] = rv - prev
+            continue
+        if a == "sum" and dt != jnp.float32:
+            out[name] = _diff_u64(res2[j], res2[j + 1])
+            j += 2
+            continue
+        rv = res2[j].view(dt) if dt != jnp.uint32 else res2[j]
+        j += 1
+        if a == "sum":
+            out[name] = rv - _shift_right_one(rv, jnp.zeros((), dt))
         else:
             out[name] = rv
     return MultiGroupResult(U64(klo, khi), out, num_groups)
@@ -446,8 +536,11 @@ def group_aggregate_multi(key: U64, values: dict, aggs: dict,
       aggs: {column_name: tuple of "count"/"sum"/"min"/"max"}.
       valid: optional bool row mask (fused filter, see group_aggregate).
     Returns:
-      MultiGroupResult; aggs dict keyed "column_agg". Note float sums use
-      a running-cumsum difference (same rounding caveat as group_aggregate).
+      MultiGroupResult; aggs dict keyed "column_agg". Integer sums are
+      EXACT u64 U64 (lo, hi) pairs (see group_aggregate); float sums use
+      a running-cumsum difference (rounding scales with the global
+      prefix — group_aggregate's per-segment scan is the accurate path
+      for a single float column).
     """
     names = tuple(sorted(values))
     for nm in names:
