@@ -80,6 +80,37 @@ class TestDistributedAggregate:
             assert got[k]["count"] == want_cnt[k]
             assert got[k]["sum"] == want_sum[k]  # exact u64, not mod 2^32
 
+    def test_auto_capacity_all_rows_one_key(self, n_dev=8):
+        # adversarial skew: EVERY row shares one key. Phase 1 reduces each
+        # shard to a single partial group, so the planned off-diagonal
+        # demand is ~1 — "auto" must pass with no n_dev-factor crutch.
+        mesh = _mesh(n_dev)
+        n = 1 << 12
+        keys = np.full(n, 0xDEADBEEF, dtype=np.uint64)
+        vals = np.arange(n, dtype=np.uint32)
+        got = distributed_aggregate_numpy(keys, vals, mesh,
+                                          aggs=("count", "sum"),
+                                          capacity_factor="auto")
+        assert got == {0xDEADBEEF: {
+            "count": n, "sum": n * (n - 1) // 2}}
+
+    def test_auto_capacity_many_groups(self, n_dev=4):
+        mesh = _mesh(n_dev)
+        rng = np.random.default_rng(31)
+        n = 1 << 12
+        keys = rng.integers(0, 200, n).astype(np.uint64)
+        vals = rng.integers(0, 1000, n, dtype=np.uint32)
+        got = distributed_aggregate_numpy(keys, vals, mesh,
+                                          aggs=("count", "sum"),
+                                          capacity_factor="auto")
+        import collections
+        want_cnt = collections.Counter(int(k) for k in keys)
+        assert set(got) == set(want_cnt)
+        for k in want_cnt:
+            assert got[k]["count"] == want_cnt[k]
+            sel = vals[keys == k]
+            assert got[k]["sum"] == int(sel.sum())
+
     def test_sums_past_2_32_exact(self, n_dev=4):
         # partial sums overflow u32 on every shard AND the phase-3
         # combine must add the u64 pairs with carry — end-to-end exact

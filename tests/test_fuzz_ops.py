@@ -114,8 +114,11 @@ def test_fuzz_distributed(trial):
     n = int(rng.integers(1, 40)) * n_dev * 8
     keys = _keys(rng, n)
     pay = np.arange(n, dtype=np.uint32)
-    k, p = distributed_sort_numpy(keys, pay, mesh,
-                                  capacity_factor=float(n_dev))
+    # alternate the demand-planned "auto" path with the explicit factor:
+    # both must agree with the oracle (plan-vs-execute divergence would
+    # surface here as overflow or wrong answers)
+    cf = "auto" if trial % 2 == 0 else float(n_dev)
+    k, p = distributed_sort_numpy(keys, pay, mesh, capacity_factor=cf)
     order = np.argsort(keys, kind="stable")
     np.testing.assert_array_equal(k, keys[order], err_msg=str(trial))
     np.testing.assert_array_equal(p, order.astype(np.uint32))
@@ -123,7 +126,7 @@ def test_fuzz_distributed(trial):
     vals = rng.integers(0, 1000, n, dtype=np.uint32)
     got = distributed_aggregate_numpy(keys, vals, mesh,
                                       aggs=("count", "sum"),
-                                      capacity_factor=float(n_dev))
+                                      capacity_factor=cf)
     want = collections.Counter(int(x) for x in keys)
     want_sum = collections.defaultdict(int)
     for kk, v in zip(keys, vals):
@@ -154,9 +157,13 @@ def test_fuzz_distributed_join(trial):
     lkeys = np.where(hit, rkeys[rng.integers(0, n_r, n_l)],
                      rng.integers(0, 1 << 40, n_l, dtype=np.uint64)
                      | (np.uint64(1) << np.uint64(41)))
-    matched, (rv,) = distributed_join_fk_numpy(
-        lkeys, [], rkeys, [rvals], mesh,
-        capacity_factor=float(n_dev), capacity_factor_right=float(n_dev))
+    if trial % 2 == 0:  # alternate demand-planned path with the factor
+        matched, (rv,) = distributed_join_fk_numpy(
+            lkeys, [], rkeys, [rvals], mesh, capacity_factor="auto")
+    else:
+        matched, (rv,) = distributed_join_fk_numpy(
+            lkeys, [], rkeys, [rvals], mesh,
+            capacity_factor=float(n_dev), capacity_factor_right=float(n_dev))
     pos = {int(k): i for i, k in enumerate(rkeys)}
     for i, k in enumerate(lkeys):
         if int(k) in pos:

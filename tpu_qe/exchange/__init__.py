@@ -7,6 +7,7 @@ from tpu_qe.exchange.dsort import (  # noqa: F401
 from tpu_qe.exchange.dops import (  # noqa: F401
     distributed_aggregate,
     distributed_aggregate_numpy,
+    plan_aggregate_capacity,
     distributed_join_fk,
     distributed_join_fk_numpy,
     distributed_join_inner,

@@ -513,16 +513,20 @@ def _dagg_shard(lo, hi, val, *, n_dev, samples_per_dev, capacity,
             pad_vals.append(nv)
 
     # Phase 2: shuffle partial groups by key. Padding slots carry neutral
-    # values, so spread them round-robin instead of letting them all route
-    # to the top device (where key=all-ones would overflow its capacity).
+    # values and route to their OWN device: the two-tier exchange keeps
+    # diagonal rows out of the all_to_all entirely, so pads cost zero
+    # interconnect AND zero off-diagonal capacity (the earlier round-robin
+    # spread moved ~n_local pad rows across the wire per shard and made
+    # off-diagonal demand pad-dominated — letting them all route to the
+    # top device would have overflowed its capacity instead).
     # Sample only the REAL group prefix ([0, num_groups)) — a strided
     # sample over the padded array would be dominated by all-ones pads
     # whenever groups are few, collapsing every real group onto device 0.
     sp_lo, sp_hi = sample_splitters(klo, khi, n_dev, samples_per_dev,
                                     n_valid=part.num_groups)
+    my = jax.lax.axis_index(AXIS).astype(jnp.uint32)
     dest = route_by_splitters(klo, khi, sp_lo, sp_hi)
-    dest = jnp.where(is_real, dest,
-                     (idx % jnp.uint32(n_dev)).astype(jnp.uint32))
+    dest = jnp.where(is_real, dest, my)
     pads = [_ONES, _ONES] + pad_vals
     recv, _, _, _, overflow = exchange(dest, [klo, khi] + partials, pads,
                                        n_dev, capacity)
@@ -577,23 +581,69 @@ def _dagg_shard(lo, hi, val, *, n_dev, samples_per_dev, capacity,
             num_groups_all.reshape(1), overflow.reshape(1))
 
 
+def _dagg_plan_shard(lo, hi, *, n_dev, samples_per_dev):
+    """Planning pass for the aggregate exchange: run phase 1 on keys only
+    and route the partial groups EXACTLY like _dagg_shard (same
+    group_aggregate key stream, same splitter sampling over the real
+    prefix, pads to own device), returning the max off-diagonal bucket.
+    Only real partial groups crossing devices count — the demand is the
+    post-reduction group traffic, usually tiny next to n_local."""
+    from tpu_qe.exchange.shuffle import offdiag_demand
+    from tpu_qe.ops.aggregate import group_aggregate
+
+    part = group_aggregate(U64(lo, hi), aggs=("count",))
+    idx = jnp.arange(part.key.lo.shape[0], dtype=jnp.uint32)
+    is_real = idx < part.num_groups
+    klo = jnp.where(is_real, part.key.lo, _ONES)
+    khi = jnp.where(is_real, part.key.hi, _ONES)
+    sp_lo, sp_hi = sample_splitters(klo, khi, n_dev, samples_per_dev,
+                                    n_valid=part.num_groups)
+    my = jax.lax.axis_index(AXIS).astype(jnp.uint32)
+    dest = route_by_splitters(klo, khi, sp_lo, sp_hi)
+    dest = jnp.where(is_real, dest, my)
+    return offdiag_demand(dest, n_dev).reshape(1)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "samples_per_dev"))
+def plan_aggregate_capacity(key: U64, mesh: Mesh,
+                            samples_per_dev: int = 128):
+    """Measured off-diagonal partial-group exchange demand for
+    distributed_aggregate (plan-then-execute, like sort/join)."""
+    n_dev = mesh.shape[AXIS]
+    spec = P(AXIS)
+    fn = shard_map(
+        functools.partial(_dagg_plan_shard, n_dev=n_dev,
+                          samples_per_dev=samples_per_dev),
+        mesh=mesh, in_specs=(spec, spec), out_specs=spec, check_vma=False)
+    return fn(key.lo, key.hi)
+
+
 @functools.partial(jax.jit, static_argnames=("mesh", "samples_per_dev",
-                                             "capacity_factor", "aggs"))
+                                             "capacity_factor", "aggs",
+                                             "capacity"))
 def distributed_aggregate(key: U64, value: jnp.ndarray, mesh: Mesh,
                           aggs=("count", "sum"), samples_per_dev: int = 128,
-                          capacity_factor: float = 2.0):
+                          capacity_factor: float = 2.0,
+                          capacity: int | None = None):
     """GROUP BY over mesh-sharded rows (two-phase aggregation).
 
     Returns (klo, khi, *agg_columns_in_inner_order, num_groups, overflow)
     where inner order = requested aggs plus a trailing 'count' if it was
     not requested (used to identify padding groups). An integer "sum"
     contributes TWO u32 columns (lo, hi) — the exact u64 pair sum.
+
+    capacity: explicit off-diagonal partial-group bucket capacity (e.g.
+    from plan_aggregate_capacity — demand-sized); overrides
+    capacity_factor. Pads never consume it (they stay on the diagonal).
     """
     n_dev = mesh.shape[AXIS]
     n = key.lo.shape[0]
     assert n % n_dev == 0
     inner_aggs = tuple(aggs) if "count" in aggs else tuple(aggs) + ("count",)
-    capacity = max(int(np.ceil(capacity_factor * (n // n_dev) / n_dev)), 16)
+    if capacity is None:
+        capacity = max(int(np.ceil(capacity_factor * (n // n_dev) / n_dev)),
+                       16)
+    capacity = max(capacity, 16)
     spec = P(AXIS)
     is_int_sum = value.dtype != jnp.float32
     n_agg_cols = sum(2 if (a == "sum" and is_int_sum) else 1
@@ -618,10 +668,22 @@ def distributed_aggregate_numpy(keys, values, mesh, aggs=("count", "sum"),
     Integer sums are EXACT (u64 pair-summed end to end — no mod-2^32
     truncation); min/max aggregate u32 bit patterns; float32 values
     aggregate as floats.
+
+    capacity_factor="auto" plans the partial-group exchange first
+    (plan_aggregate_capacity) and sizes the receive layout to measured
+    off-diagonal demand — no n_dev-factor guess needed even when every
+    row shares one key (the plan measures the post-reduction traffic).
     """
     sh = NamedSharding(mesh, P(AXIS))
     u = U64.from_numpy(keys)
     key = U64(jax.device_put(u.lo, sh), jax.device_put(u.hi, sh))
+    if kw.get("capacity_factor") == "auto":
+        kw = dict(kw)
+        del kw["capacity_factor"]
+        if mesh.shape[AXIS] > 1:
+            d = plan_aggregate_capacity(
+                key, mesh, samples_per_dev=kw.get("samples_per_dev", 128))
+            kw["capacity"] = _pow2_capacity(int(np.asarray(d).max()))
     values = np.asarray(values)
     if values.dtype == np.float32:
         val = jax.device_put(jnp.asarray(values), sh)
