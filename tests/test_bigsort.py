@@ -1,6 +1,7 @@
 """Out-of-core device-resident sample sort (sort/bigsort.py)."""
 
 import numpy as np
+import pytest
 
 from tpu_qe.sort.bigsort import (keygen_hash, keygen_hash_numpy, sort_big)
 
@@ -47,3 +48,72 @@ def test_incore_small():
     from tpu_qe.sort.bigsort import sort_big_incore
     res = sort_big_incore(1 << 13)
     assert res.all_ok, res
+
+
+class TestCheckpointResume:
+    """Kill-between-phases resume: the checkpoint persists the splitter
+    plan + per-bucket completion; a restarted run regenerates phase A,
+    loads the plan, skips completed buckets, and produces the identical
+    verified result."""
+
+    def test_resume_after_partial_merge(self, tmp_path, monkeypatch):
+        import tpu_qe.sort.bigsort as bs
+
+        n, run_size, n_buckets = 1 << 13, 1 << 11, 4
+        ckdir = str(tmp_path)
+
+        # full run WITHOUT checkpointing = the reference result
+        want = bs.sort_big(n, run_size=run_size, n_buckets=n_buckets)
+        assert want.all_ok
+
+        # killed run: crash after 2 bucket readbacks
+        real_record = bs._RunState.record
+        calls = {"n": 0}
+
+        def crashing_record(self, b, vals):
+            real_record(self, b, vals)
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise RuntimeError("simulated kill")
+
+        monkeypatch.setattr(bs._RunState, "record", crashing_record)
+        with pytest.raises(RuntimeError, match="simulated kill"):
+            bs.sort_big(n, run_size=run_size, n_buckets=n_buckets,
+                        checkpoint_dir=ckdir)
+        monkeypatch.setattr(bs._RunState, "record", real_record)
+
+        st = bs._RunState.load(
+            ckdir, np.asarray([n, run_size, n_buckets, 7, 4096], np.int64))
+        assert st is not None and int(st.done.sum()) == 2
+
+        # resume: only the 2 remaining buckets merge; result identical
+        res = bs.sort_big(n, run_size=run_size, n_buckets=n_buckets,
+                          checkpoint_dir=ckdir)
+        assert res.all_ok
+        for f in ("n", "sorted_ok", "hash_ok", "count_ok", "perm_ok",
+                  "boundary_ok"):
+            assert getattr(res, f) == getattr(want, f), f
+        st = bs._RunState.load(
+            ckdir, np.asarray([n, run_size, n_buckets, 7, 4096], np.int64))
+        assert int(st.done.sum()) == n_buckets
+
+        # a fully-completed checkpoint replays without any merge work and
+        # with collect=True still reproduces the exact sorted stream
+        res2, (keys, pay) = bs.sort_big(n, run_size=run_size,
+                                        n_buckets=n_buckets,
+                                        checkpoint_dir=ckdir, collect=True)
+        assert res2.all_ok
+        want_keys = np.sort(keygen_hash_numpy(np.arange(n, dtype=np.uint32)))
+        np.testing.assert_array_equal(keys, want_keys)
+
+    def test_mismatched_meta_ignored(self, tmp_path):
+        import tpu_qe.sort.bigsort as bs
+
+        ckdir = str(tmp_path)
+        res = bs.sort_big(1 << 12, run_size=1 << 10, n_buckets=2,
+                          checkpoint_dir=ckdir)
+        assert res.all_ok
+        # a different configuration must NOT reuse the stale plan
+        res2 = bs.sort_big(1 << 12, run_size=1 << 10, n_buckets=4,
+                           checkpoint_dir=ckdir)
+        assert res2.all_ok
