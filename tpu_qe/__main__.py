@@ -184,6 +184,32 @@ def _cmd_bench_big(args) -> int:
     return 0 if res.all_ok else 1
 
 
+def _cmd_bench_bigjoin(args) -> int:
+    import json
+
+    from tpu_qe.bench.sol import device_kind
+    from tpu_qe.ops.bigjoin import join_big
+
+    res = join_big(args.n_left, args.n_right, n_buckets=args.buckets,
+                   verbose=args.verbose_big)
+    out = {
+        "metric": f"out-of-core FK join {res.n_l} x {res.n_r} rows, 1 chip",
+        "value": round(res.rows_per_s),
+        "unit": "left rows/s",
+        "time_s": round(res.seconds, 3),
+        "matched": res.matched,
+        "phase_sort_s": round(res.phase_a_s, 3),
+        "phase_join_s": round(res.phase_c_s, 3),
+        "compile_s": round(res.compile_s, 3),
+        "verified": res.all_ok,
+        "checks": {"match_flags": res.match_ok, "values": res.val_ok,
+                   "counts": res.count_ok},
+        "device": device_kind(),
+    }
+    print(json.dumps(out))
+    return 0 if res.all_ok else 1
+
+
 def _cmd_info(args) -> int:
     import jax
 
@@ -258,6 +284,15 @@ def main(argv=None) -> int:
     pg.add_argument("--devices", type=int, default=None,
                     help="mesh size for --distributed (default: all)")
     pg.set_defaults(fn=_cmd_bench_big)
+
+    pj = sub.add_parser("bench-bigjoin",
+                        help="out-of-core FK join (lifts the 2^30 "
+                             "combined-row cap by key-space bucketing)")
+    pj.add_argument("--n-left", type=int, default=1 << 29)
+    pj.add_argument("--n-right", type=int, default=1 << 29)
+    pj.add_argument("--buckets", type=int, default=None)
+    pj.add_argument("--verbose-big", action="store_true")
+    pj.set_defaults(fn=_cmd_bench_bigjoin)
 
     pi = sub.add_parser("info", help="device + config report")
     pi.set_defaults(fn=_cmd_info)
