@@ -849,3 +849,127 @@ class TestMaxGroupsExtraction:
                               aggs=("mean",), max_groups=8)
         np.testing.assert_allclose(np.asarray(res.aggs["mean"])[:2],
                                    [3.0, 6.0])
+
+
+class TestStreamJoinAndSortedAggregate:
+    """join_fk_scan(output="stream") + group_aggregate_sorted: the fused
+    join -> GROUP BY pipeline (two large sorts instead of four)."""
+
+    @staticmethod
+    def _mk(rng, n_l, n_r):
+        rkeys = np.unique(rng.integers(0, 1 << 48, 2 * n_r,
+                                       dtype=np.uint64))[:n_r]
+        rvals = rng.integers(1, 1000, len(rkeys), dtype=np.uint32)
+        hit = rng.random(n_l) < 0.6
+        lkeys = np.where(hit, rkeys[rng.integers(0, len(rkeys), n_l)],
+                         rng.integers(0, 1 << 48, n_l, dtype=np.uint64)
+                         | (np.uint64(1) << np.uint64(49)))
+        return lkeys, rkeys, rvals
+
+    def test_stream_matches_left_output(self):
+        from tpu_qe.ops.join import join_fk_scan
+        rng = np.random.default_rng(41)
+        lkeys, rkeys, rvals = self._mk(rng, 3000, 500)
+        lk, rk = U64.from_numpy(lkeys), U64.from_numpy(rkeys)
+        left = Table({"lv": jnp.arange(len(lkeys), dtype=jnp.uint32)})
+        right = Table({"rv": jnp.asarray(rvals)})
+        out, matched = join_fk_scan(left, right, lk, rk)
+        st = join_fk_scan(left, right, lk, rk, output="stream")
+        # the stream's left rows, restored by lidx, must agree row-for-row
+        lidx = np.asarray(st.lidx)
+        is_left = np.asarray(st.is_left)
+        m_s = np.asarray(st.matched)[is_left]
+        rv_s = np.asarray(st.values["rv"])[is_left]
+        order = lidx[is_left]
+        got_m = np.zeros(len(lkeys), bool)
+        got_rv = np.zeros(len(lkeys), np.uint32)
+        got_m[order] = m_s
+        got_rv[order] = rv_s
+        np.testing.assert_array_equal(got_m, np.asarray(matched))
+        np.testing.assert_array_equal(got_rv, np.asarray(out["rv"]))
+        # and the stream keys must be sorted
+        sk = st.key.to_numpy()
+        assert (np.sort(sk) == sk).all()
+
+    def test_sorted_aggregate_matches_group_aggregate(self):
+        from tpu_qe.ops.aggregate import group_aggregate_sorted
+        rng = np.random.default_rng(42)
+        n = 6000
+        keys = np.sort(rng.integers(0, 64, n).astype(np.uint64) * 977)
+        vals = rng.integers(0, 100000, n, dtype=np.uint32)
+        valid = rng.random(n) < 0.7
+        a = group_aggregate_sorted(U64.from_numpy(keys), jnp.asarray(vals),
+                                   aggs=("count", "sum", "min", "max"),
+                                   valid=jnp.asarray(valid))
+        b = group_aggregate(U64.from_numpy(keys[valid]),
+                            jnp.asarray(vals[valid]),
+                            aggs=("count", "sum", "min", "max"))
+        ng = int(a.num_groups)
+        assert ng == int(b.num_groups)
+        np.testing.assert_array_equal(a.key.to_numpy()[:ng],
+                                      b.key.to_numpy()[:ng])
+        for agg in ("count", "sum", "min", "max"):
+            np.testing.assert_array_equal(_agg_np(a.aggs[agg])[:ng],
+                                          _agg_np(b.aggs[agg])[:ng],
+                                          err_msg=agg)
+
+    def test_sorted_aggregate_float_and_mean(self):
+        from tpu_qe.ops.aggregate import group_aggregate_sorted
+        rng = np.random.default_rng(43)
+        n = 4096
+        keys = np.sort(rng.integers(0, 16, n).astype(np.uint64))
+        vals = rng.standard_normal(n).astype(np.float32)
+        res = group_aggregate_sorted(U64.from_numpy(keys),
+                                     jnp.asarray(vals),
+                                     aggs=("sum", "mean", "count"))
+        ng = int(res.num_groups)
+        gk = res.key.to_numpy()[:ng]
+        for i, k in enumerate(gk):
+            sel = vals[keys == k]
+            np.testing.assert_allclose(float(np.asarray(res.aggs["sum"])[i]),
+                                       sel.sum(dtype=np.float64), rtol=1e-4)
+            np.testing.assert_allclose(
+                float(np.asarray(res.aggs["mean"])[i]), sel.mean(), rtol=1e-4)
+
+    def test_fused_join_groupby_pipeline(self):
+        # SELECT lkey, count(*), sum(rv) FROM left JOIN right GROUP BY
+        # lkey — fused via the stream, oracled via numpy
+        from tpu_qe.ops.aggregate import group_aggregate_sorted
+        from tpu_qe.ops.join import join_fk_scan
+        rng = np.random.default_rng(44)
+        lkeys, rkeys, rvals = self._mk(rng, 5000, 800)
+        lk, rk = U64.from_numpy(lkeys), U64.from_numpy(rkeys)
+        st = join_fk_scan(Table({"z": jnp.zeros(len(lkeys), jnp.uint32)}),
+                          Table({"rv": jnp.asarray(rvals)}), lk, rk,
+                          output="stream")
+        res = group_aggregate_sorted(st.key, st.values["rv"],
+                                     aggs=("count", "sum"),
+                                     valid=st.matched)
+        ng = int(res.num_groups)
+        gk = res.key.to_numpy()[:ng]
+        pos = {int(k): int(v) for k, v in zip(rkeys, rvals)}
+        import collections
+        want_cnt = collections.Counter()
+        want_sum = collections.defaultdict(int)
+        for k in lkeys:
+            if int(k) in pos:
+                want_cnt[int(k)] += 1
+                want_sum[int(k)] += pos[int(k)]
+        assert ng == len(want_cnt)
+        assert sorted(int(x) for x in gk) == sorted(want_cnt)
+        for i, k in enumerate(gk):
+            assert int(np.asarray(res.aggs["count"])[i]) == want_cnt[int(k)]
+            assert int(res.aggs["sum"].to_numpy()[i]) == want_sum[int(k)]
+
+    def test_sorted_aggregate_empty_and_all_invalid(self):
+        from tpu_qe.ops.aggregate import group_aggregate_sorted
+        e = group_aggregate_sorted(
+            U64.from_numpy(np.array([], dtype=np.uint64)),
+            jnp.array([], dtype=jnp.uint32), aggs=("count", "sum"))
+        assert int(e.num_groups) == 0
+        keys = np.sort(np.arange(64, dtype=np.uint64) % 8)
+        z = group_aggregate_sorted(U64.from_numpy(keys),
+                                   jnp.ones(64, jnp.uint32),
+                                   aggs=("count",),
+                                   valid=jnp.zeros(64, bool))
+        assert int(z.num_groups) == 0

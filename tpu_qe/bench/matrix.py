@@ -128,6 +128,57 @@ def bench_join(n: int = 100_000_000, reps: int = 2):
                  {"sol_fraction": round(sol / secs, 3)})
 
 
+def bench_join_agg(n: int = 100_000_000, groups: int | None = None,
+                   reps: int = 2):
+    """Join -> GROUP BY sum, fused via the key-sorted stream vs unfused.
+
+    The fused path (join_fk_scan(output="stream") +
+    group_aggregate_sorted) runs TWO large sorts — the join's combined
+    sort and the aggregate compaction — where the unfused path runs four
+    (those two plus the join restore sort and the aggregate's own key
+    sort). Emits both configs so the saving is measured, not claimed.
+    """
+    from tpu_qe.ops.aggregate import group_aggregate, group_aggregate_sorted
+    from tpu_qe.ops.join import join_fk_scan
+    from tpu_qe.table import Table
+
+    if groups is None:
+        groups = max(n // 64, 1)
+    k0, k1 = jax.random.split(jax.random.PRNGKey(9))
+    r = jnp.arange(n, dtype=jnp.uint32)
+    rkey = U64(r * jnp.uint32(2654435761) ^ jnp.uint32(0x9E3779B9), r)
+    rval = _rand_u32(k0, n)
+    pick = jax.random.randint(k1, (n,), 0, groups, dtype=jnp.int32)
+    lkey = U64(jnp.take(rkey.lo, pick), jnp.take(rkey.hi, pick))
+    dummy = jnp.zeros(n, jnp.uint32)
+
+    @jax.jit
+    def run_fused(lkey, rkey, rval, dummy):
+        st = join_fk_scan(Table({"z": dummy}), Table({"rval": rval}),
+                          lkey, rkey, output="stream")
+        res = group_aggregate_sorted(st.key, st.values["rval"],
+                                     aggs=("count", "sum"),
+                                     valid=st.matched)
+        return res.num_groups, res.aggs["sum"].lo[:8]
+
+    @jax.jit
+    def run_unfused(lkey, rkey, rval, dummy):
+        out, matched = join_fk_scan(Table({"z": dummy}),
+                                    Table({"rval": rval}), lkey, rkey)
+        res = group_aggregate(lkey, out["rval"], aggs=("count", "sum"),
+                              valid=matched)
+        return res.num_groups, res.aggs["sum"].lo[:8]
+
+    s_f = measure(lambda: run_fused(lkey, rkey, rval, dummy), reps=reps)
+    s_u = measure(lambda: run_unfused(lkey, rkey, rval, dummy), reps=reps)
+    _emit(f"join + GROUP BY sum (unfused), {n} x {n} rows, 1 chip", n, s_u,
+          {"groups": groups})
+    return _emit(f"join + GROUP BY sum (fused stream), {n} x {n} rows, "
+                 "1 chip", n, s_f,
+                 {"groups": groups, "speedup_vs_unfused":
+                  round(s_u / s_f, 3)})
+
+
 def bench_dsort(n: int = 1 << 26, zipf: bool = True, reps: int = 2):
     """Distributed sample-sort over all local devices (skewed keys)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -164,7 +215,7 @@ def main(argv=None) -> None:
     import argparse
     p = argparse.ArgumentParser()
     p.add_argument("--configs", type=str,
-                   default="pipeline,filter_agg,join,dsort")
+                   default="pipeline,filter_agg,join,join_agg,dsort")
     p.add_argument("--scale", type=float, default=1.0,
                    help="row-count multiplier (e.g. 0.1 for smoke runs)")
     a = p.parse_args(argv)
@@ -176,6 +227,8 @@ def main(argv=None) -> None:
             bench_filter_agg(n=max(int((1 << 28) * s), 1 << 12))
         elif c == "join":
             bench_join(n=max(int(100e6 * s), 1 << 12))
+        elif c == "join_agg":
+            bench_join_agg(n=max(int(100e6 * s), 1 << 12))
         elif c == "dsort":
             bench_dsort(n=max(int((1 << 26) * s) // 8 * 8, 1 << 12))
         else:

@@ -74,20 +74,26 @@ def sort_sol_seconds(n: int, num_passes: int, payload_cols: int = 1,
 # signal (the round-1 join measured 0.6 before the gather was removed;
 # 0.82 after):
 #
-#   lax.sort    VPU comparison-sort envelope. BASELINE.md measured table:
-#               flat 3-operand 64M stable sort = 343 ms -> the n*log2(n)^2
-#               per-operand constant below; unstable measures ~0.8x.
-#   scan        cummax / strided-fill full-stream sweeps. _SCAN_C is an
-#               operator-level FIT (remote compiles made the dedicated
-#               microbench impractical this round; tools/calibrate_sol.py
-#               measures it directly when compile budget allows).
+#   lax.sort    VPU comparison-sort envelope. MEASURED on chip
+#               (tools/calibrate_sol.py, 2026-08-17, chained differential
+#               timing at 64M): stable 3-op 345 ms -> _SORT_C 2.54e-12;
+#               unstable/stable ratio 0.750.
+#   scan        cummax / segmented strided-fill full scans. MEASURED
+#               (same run): 64M 1-op cummax 54.2 ms, 3-op segmented
+#               last-valid fill 62.5 ms -> cost = n*(BASE + PER_OP*ops):
+#               the log2(n) strided sweeps dominate (BASE ~7.5e-10 s/elem)
+#               and extra operand planes ride along nearly free
+#               (~0.6e-10 s/elem/op). The round-2 fit (60e-12 per op)
+#               underpriced full scans ~10x; two-point fit, +-15%.
 #   elementwise streaming pass at HBM peak (read + write per operand).
 # --------------------------------------------------------------------------
 
-_SORT_C = 2.6e-12        # s per element * log2(n)^2 * operand (v5e)
-_SORT_UNSTABLE = 0.8     # measured stable->unstable ratio (BASELINE.md)
-_SCAN_C = 60.0e-12       # s per element * operand for one cummax-class
-                         # scan sweep (v5e; operator-level fit, see note)
+_SORT_C = 2.54e-12       # s per element * log2(n)^2 * operand (v5e,
+                         # measured 2026-08-17)
+_SORT_UNSTABLE = 0.75    # measured stable->unstable ratio (2026-08-17)
+_SCAN_BASE = 7.5e-10     # s per element: the full log2(n)-sweep scan's
+                         # fixed cost (v5e, measured 2026-08-17)
+_SCAN_PER_OP = 0.6e-10   # s per element per additional operand plane
 
 
 def lax_sort_seconds(n: int, num_operands: int, stable: bool = True) -> float:
@@ -98,8 +104,9 @@ def lax_sort_seconds(n: int, num_operands: int, stable: bool = True) -> float:
 
 
 def scan_seconds(n: int, num_operands: int = 1) -> float:
-    """Envelope of one cummax/associative_scan sweep over n elements."""
-    return float(n * _SCAN_C * num_operands)
+    """Envelope of one full cummax/segmented-fill scan over n elements
+    (all log2(n) sweeps; measured model, see module note)."""
+    return float(n * (_SCAN_BASE + _SCAN_PER_OP * num_operands))
 
 
 def elementwise_seconds(n: int, num_operands: int = 1) -> float:
@@ -119,12 +126,12 @@ def join_scan_sol_seconds(n_l: int, n_r: int, value_planes: int = 1) -> float:
 
 def group_aggregate_sol_seconds(n: int, n_aggs: int = 2,
                                 has_valid: bool = False) -> float:
-    """Envelope of group_aggregate: one value sort, boundary sweeps, one
-    running-sum scan per agg, one compaction sort. Measured 2026-08-17:
-    the real operator at 256M runs at 1.24x this model (payload operands
-    in variadic sorts are cheaper than key operands; see module note)."""
+    """Envelope of group_aggregate with count+sum-class aggs: one value
+    sort, boundary sweeps, the exact-u64 pair cumsums (two one-plane
+    scans), and one compaction sort carrying the (lo, hi) pair
+    (count derives from packed positions — no plane)."""
     ops1 = 3 + (1 if has_valid else 0)   # khi, klo, value (+valid)
     return (lax_sort_seconds(n, ops1, stable=False)
-            + scan_seconds(n, max(n_aggs - 1, 1))
+            + 2 * scan_seconds(n, 1)
             + elementwise_seconds(n, 3)
-            + lax_sort_seconds(n, 2 + n_aggs, stable=False))
+            + lax_sort_seconds(n, 3 + n_aggs, stable=False))

@@ -410,6 +410,134 @@ def _group_aggregate(key: U64, value: jnp.ndarray | None = None,
     return GroupResult(U64(klo, khi), out, num_groups)
 
 
+def group_aggregate_sorted(key: U64, value: jnp.ndarray | None = None,
+                           aggs: Sequence[str] = ("count",),
+                           valid: jnp.ndarray | None = None) -> GroupResult:
+    """GROUP BY over an ALREADY key-sorted stream — no input sort.
+
+    The consumer of join_fk_scan(output="stream"): the join's merged
+    stream is key-sorted with interspersed non-left/padding rows, so a
+    join + GROUP BY pipeline pays ONE compaction sort here instead of
+    the restore sort + full aggregation sort of the unfused path (two
+    large sorts saved; see ops/join.py StreamJoinResult).
+
+    Requirements: key ascending (rows of equal keys contiguous); `valid`
+    marks aggregated rows and may be interspersed freely — key runs with
+    zero valid rows produce no group. Same exact-u64 integer sums and
+    per-segment float sums as group_aggregate. Unlike group_aggregate,
+    min/max use segmented scans (values are not sort keys here).
+    """
+    aggs = tuple(aggs)
+    if "mean" in aggs:
+        inner = tuple(dict.fromkeys(
+            [a for a in aggs if a != "mean"] + ["sum", "count"]))
+        res = _group_aggregate_sorted(key, value, aggs=inner, valid=valid)
+        s = res.aggs["sum"]
+        c = res.aggs["count"]
+        if isinstance(s, U64):
+            sf = (s.hi.astype(jnp.float32) * jnp.float32(2.0**32)
+                  + s.lo.astype(jnp.float32))
+        else:
+            sf = s
+        mean = sf / jnp.maximum(c, jnp.uint32(1)).astype(jnp.float32)
+        out = {a: res.aggs[a] for a in aggs if a != "mean"}
+        out["mean"] = mean
+        return GroupResult(res.key, out, res.num_groups, res.overflow)
+    return _group_aggregate_sorted(key, value, aggs=aggs, valid=valid)
+
+
+@functools.partial(jax.jit, static_argnames=("aggs",))
+def _group_aggregate_sorted(key: U64, value: jnp.ndarray | None = None,
+                            aggs: Sequence[str] = ("count",),
+                            valid: jnp.ndarray | None = None
+                            ) -> GroupResult:
+    aggs = tuple(aggs)
+    for a in aggs:
+        if a not in _VALID_AGGS:
+            raise ValueError(f"unknown agg {a!r}")
+    need_value = any(a != "count" for a in aggs)
+    if need_value and value is None:
+        raise ValueError("value column required for sum/min/max")
+    n = key.lo.shape[0]
+    if n == 0:
+        zeros32 = jnp.zeros(0, jnp.uint32)
+
+        def empty(a):
+            if a == "count" or value is None:
+                return zeros32
+            if a == "sum" and value.dtype != jnp.float32:
+                return U64(zeros32, zeros32)
+            return jnp.zeros(0, value.dtype)
+
+        return GroupResult(U64(zeros32, zeros32),
+                           {a: empty(a) for a in aggs}, jnp.uint32(0))
+    if valid is None:
+        valid = jnp.ones(n, dtype=bool)
+
+    slo, shi = key.lo, key.hi
+    idx = jnp.arange(n, dtype=jnp.uint32)
+    is_new = ((idx == 0) | (slo != _shift_right_one(slo, 0))
+              | (shi != _shift_right_one(shi, 0)))
+    is_end = jnp.concatenate([is_new[1:], jnp.ones((1,), bool)])
+
+    v32 = valid.astype(jnp.uint32)
+    vcnt = jnp.cumsum(v32, dtype=jnp.uint32)
+    # per-run inclusive valid count WITHOUT a gather: forward-fill the
+    # before-run total (vcnt - valid at run starts is non-decreasing
+    # across runs, so one cummax fills it to every row of the run)
+    base = jax.lax.cummax(jnp.where(is_new, vcnt - v32, jnp.uint32(0)))
+    run_count = vcnt - base
+    keep = is_end & (run_count > 0)   # zero-valid key runs drop out
+    num_groups = jnp.sum(keep.astype(jnp.uint32))
+
+    assert n < (1 << 31), n
+    pos1 = idx + 1
+    packed = jnp.where(keep, pos1, pos1 | jnp.uint32(1 << 31))
+    operands = [packed, slo, shi]
+    if "count" in aggs:
+        operands.append(run_count)
+    mval = None
+    if need_value:
+        mval = value
+    if "sum" in aggs:
+        if mval.dtype == jnp.float32:
+            operands.append(segmented_reduce(
+                jnp.where(valid, mval, jnp.float32(0)), is_new,
+                "sum").view(jnp.uint32))
+        else:
+            # masked exact u64 pair cumsum: dropped runs contribute zero,
+            # so differencing consecutive KEPT ends stays exact
+            clo, chi = _cumsum_u64(jnp.where(valid, mval, 0))
+            operands += [clo, chi]
+    for a in ("min", "max"):
+        if a in aggs:
+            mv = jnp.where(valid, mval, _op_identity(a, mval.dtype))
+            r = segmented_reduce(mv, is_new, a)
+            operands.append(r.view(jnp.uint32)
+                            if r.dtype != jnp.uint32 else r)
+    res2 = jax.lax.sort(operands, num_keys=1, is_stable=False)
+    klo, khi = res2[1], res2[2]
+    i = 3
+    out: dict = {}
+    if "count" in aggs:
+        out["count"] = res2[i]
+        i += 1
+    if "sum" in aggs:
+        if mval.dtype == jnp.float32:
+            out["sum"] = res2[i].view(jnp.float32)
+            i += 1
+        else:
+            out["sum"] = _diff_u64(res2[i], res2[i + 1])
+            i += 2
+    for a in ("min", "max"):
+        if a in aggs:
+            r = res2[i]
+            i += 1
+            out[a] = (r.view(mval.dtype)
+                      if mval.dtype != jnp.uint32 else r)
+    return GroupResult(U64(klo, khi), out, num_groups)
+
+
 class MultiGroupResult(NamedTuple):
     """Padded multi-column GROUP BY result."""
 

@@ -109,10 +109,31 @@ def join_fk(left: Table, right: Table, key: str = "key") -> FkJoinResult:
     return FkJoinResult(out.with_column(key, lkey), matched)
 
 
-@functools.partial(jax.jit, static_argnames=())
+class StreamJoinResult(NamedTuple):
+    """join_fk_scan's key-ordered STREAM output (output="stream").
+
+    The merged (right + left) stream in global key order, n_l + n_r rows:
+      key:      U64 stream keys (sorted ascending)
+      lidx:     original left row index (valid only where is_left)
+      values:   Table of right value columns, forward-filled (valid only
+                where matched; zeroed elsewhere)
+      matched:  this row is a VALID left row with a right match
+      is_left:  this row is a valid left row (the aggregate-mask to use
+                for COUNT over all left rows; matched for joined rows)
+    """
+
+    key: U64
+    lidx: jnp.ndarray
+    values: Table
+    matched: jnp.ndarray
+    is_left: jnp.ndarray
+
+
+@functools.partial(jax.jit, static_argnames=("output",))
 def join_fk_scan(left: Table, right: Table, lkey: U64, rkey: U64,
                  l_valid: jnp.ndarray | None = None,
-                 r_valid: jnp.ndarray | None = None):
+                 r_valid: jnp.ndarray | None = None,
+                 output: str = "left"):
     """Foreign-key equi-join via one sort + cumulative sweeps.
 
     At scale the probe loop of ``join_fk`` (log2(m) sequential gather
@@ -138,8 +159,22 @@ def join_fk_scan(left: Table, right: Table, lkey: U64, rkey: U64,
     exchange's padding slots): invalid right rows never fill; invalid left
     rows report matched=False.
 
-    Returns (Table with left cols + right value cols, matched bool mask).
+    output="left" (default) returns (Table with left cols + right value
+    cols, matched bool mask) aligned to the ORIGINAL left row order —
+    step 3's restore sort pays for that alignment.
+
+    output="stream" skips the restore sort entirely and returns the
+    key-sorted merged stream (StreamJoinResult) — the TPU-native join
+    output: downstream key-keyed operators (GROUP BY via
+    group_aggregate_sorted, merge into a sorted pipeline, top-k by key
+    range) consume the stream with its validity masks directly, so a
+    join + GROUP BY runs TWO large sorts (this one + the aggregate
+    compaction) instead of four (restore + aggregate re-sort both
+    vanish). left columns are NOT in the stream (only lidx); gather them
+    on demand or keep aggregations to right/key columns. Requires
+    output="stream" callers to accept key order.
     """
+    assert output in ("left", "stream"), output
     n_l = lkey.lo.shape[0]
     n_r = rkey.lo.shape[0]
     n = n_l + n_r
@@ -240,6 +275,24 @@ def join_fk_scan(left: Table, right: Table, lkey: U64, rkey: U64,
         fill_f = fb | (fa & ~sb)
         fills = [jnp.where(fb, vb, va) for va, vb in zip(vas, fills)]
         stride *= 2
+
+    if output == "stream":
+        is_left = (~side_right) & valid_s
+        matched_s = fill_f & is_left
+        cols = {}
+        i = 0
+        for nm, kind in r_planes:
+            def m(c):
+                return jnp.where(matched_s, c, jnp.uint32(0))
+            if kind == "u64":
+                cols[nm] = U64(m(fills[i]), m(fills[i + 1]))
+                i += 2
+            else:
+                v = m(fills[i])
+                cols[nm] = v.view(kind) if kind != "uint32" else v
+                i += 1
+        return StreamJoinResult(U64(slo, shi), slidx, Table(cols),
+                                matched_s, is_left)
 
     # deliver (matched, values) back in original left order: among left
     # rows, slidx is a permutation of [0, n_l), so sorting by it (right
