@@ -973,3 +973,62 @@ class TestStreamJoinAndSortedAggregate:
                                    aggs=("count",),
                                    valid=jnp.zeros(64, bool))
         assert int(z.num_groups) == 0
+
+
+class TestMultiMaxGroups:
+    """max_groups extraction for group_aggregate_multi (the SQL-shaped
+    multi-column path gains the measured low-cardinality trade)."""
+
+    def test_matches_default_path(self):
+        from tpu_qe.ops.aggregate import group_aggregate_multi
+        rng = np.random.default_rng(91)
+        n = 8192
+        keys = rng.integers(0, 60, n).astype(np.uint64) * np.uint64(131)
+        a = rng.integers(0, 1 << 31, n, dtype=np.uint32)
+        b = rng.standard_normal(n).astype(np.float32)
+        k = U64.from_numpy(keys)
+        spec = {"a": ("count", "sum", "min", "max"), "b": ("sum", "max")}
+        vals = {"a": jnp.asarray(a), "b": jnp.asarray(b)}
+        base = group_aggregate_multi(k, vals, spec)
+        fast = group_aggregate_multi(k, vals, spec, max_groups=128)
+        g = int(base.num_groups)
+        assert int(fast.num_groups) == g and int(fast.overflow) == 0
+        np.testing.assert_array_equal(fast.key.to_numpy()[:g],
+                                      base.key.to_numpy()[:g])
+        for name in ("a_count", "a_sum", "a_min", "a_max", "b_max"):
+            np.testing.assert_array_equal(_agg_np(fast.aggs[name])[:g],
+                                          _agg_np(base.aggs[name])[:g],
+                                          err_msg=name)
+        np.testing.assert_allclose(np.asarray(fast.aggs["b_sum"])[:g],
+                                   np.asarray(base.aggs["b_sum"])[:g],
+                                   rtol=1e-5)
+
+    def test_valid_mask_and_exact_u64(self):
+        from tpu_qe.ops.aggregate import group_aggregate_multi
+        rng = np.random.default_rng(92)
+        n = 4096
+        keys = rng.integers(0, 8, n).astype(np.uint64)
+        a = np.full(n, 0xF0000000, dtype=np.uint32)
+        mask = rng.random(n) < 0.5
+        res = group_aggregate_multi(U64.from_numpy(keys),
+                                    {"a": jnp.asarray(a)},
+                                    {"a": ("count", "sum")},
+                                    valid=jnp.asarray(mask),
+                                    max_groups=16)
+        g = int(res.num_groups)
+        gk = res.key.to_numpy()[:g]
+        for i, k in enumerate(gk):
+            cnt = int(((keys == k) & mask).sum())
+            assert int(np.asarray(res.aggs["a_count"])[i]) == cnt
+            want = cnt * 0xF0000000
+            assert want > (1 << 32)
+            assert int(res.aggs["a_sum"].to_numpy()[i]) == want
+
+    def test_overflow_flag(self):
+        from tpu_qe.ops.aggregate import group_aggregate_multi
+        keys = np.arange(100, dtype=np.uint64)
+        res = group_aggregate_multi(U64.from_numpy(keys),
+                                    {"a": jnp.ones(100, jnp.uint32)},
+                                    {"a": ("count",)}, max_groups=16)
+        assert int(res.num_groups) == 100   # exact past the bound
+        assert int(res.overflow) == 1

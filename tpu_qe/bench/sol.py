@@ -115,12 +115,13 @@ def elementwise_seconds(n: int, num_operands: int = 1) -> float:
 
 def join_scan_sol_seconds(n_l: int, n_r: int, value_planes: int = 1) -> float:
     """Envelope of join_fk_scan: one (3+P)-operand sort of the combined
-    stream, one segmented forward-fill scan, one (2+P)-operand restore
-    sort, plus boundary-detect sweeps."""
+    stream, one segmented forward-fill scan, one (1+P)-operand restore
+    sort (the match flag rides bit 0 of the restore key), plus
+    boundary-detect sweeps."""
     m = n_l + n_r
     return (lax_sort_seconds(m, 3 + value_planes, stable=False)
             + scan_seconds(m, 2 + value_planes)
-            + lax_sort_seconds(m, 2 + value_planes, stable=False)
+            + lax_sort_seconds(m, 1 + value_planes, stable=False)
             + elementwise_seconds(m, 3))
 
 

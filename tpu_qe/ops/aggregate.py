@@ -543,12 +543,14 @@ class MultiGroupResult(NamedTuple):
 
     key: U64                 # unique group keys, ascending
     aggs: dict               # "column_agg" -> array (padded like key)
-    num_groups: jnp.ndarray  # scalar
+    num_groups: jnp.ndarray  # scalar (exact, even past max_groups)
+    overflow: jnp.ndarray | None = None  # u32, only when max_groups set
 
 
-@functools.partial(jax.jit, static_argnames=("spec",))
+@functools.partial(jax.jit, static_argnames=("spec", "max_groups"))
 def _group_aggregate_multi(key: U64, cols: tuple, spec: tuple,
-                           valid: jnp.ndarray | None):
+                           valid: jnp.ndarray | None,
+                           max_groups: int | None = None):
     n = key.lo.shape[0]
     names = [s[0] for s in spec]
     per_col_aggs = {s[0]: s[1] for s in spec}
@@ -572,16 +574,19 @@ def _group_aggregate_multi(key: U64, cols: tuple, spec: tuple,
              for nm, c in zip(names, res[2:])}
 
     if n == 0:
-        empty32 = jnp.zeros(0, jnp.uint32)
+        pad_n = max_groups if max_groups is not None else 0
+        zeros32 = jnp.zeros(pad_n, jnp.uint32)
         out = {}
         for nm in names:
             for a in per_col_aggs[nm]:
                 if a == "sum" and dtypes[nm] != jnp.float32:
-                    out[f"{nm}_{a}"] = U64(empty32, empty32)
+                    out[f"{nm}_{a}"] = U64(zeros32, zeros32)
                 else:
                     dt = jnp.uint32 if a == "count" else dtypes[nm]
-                    out[f"{nm}_{a}"] = jnp.zeros(0, dt)
-        return MultiGroupResult(U64(empty32, empty32), out, jnp.uint32(0))
+                    out[f"{nm}_{a}"] = jnp.zeros(pad_n, dt)
+        return MultiGroupResult(
+            U64(zeros32, zeros32), out, jnp.uint32(0),
+            jnp.uint32(0) if max_groups is not None else None)
 
     idx = jnp.arange(n, dtype=jnp.uint32)
     is_new = ((idx == 0) | (slo != _shift_right_one(slo, 0))
@@ -618,6 +623,46 @@ def _group_aggregate_multi(key: U64, cols: tuple, spec: tuple,
                 reduced.append((name, a, v.dtype,
                                 [segmented_reduce(v, is_new, a)]))
 
+    if max_groups is not None:
+        # gather-based extraction (same design as group_aggregate's
+        # max_groups path): binary search over the boundary cumsum +
+        # max_groups-sized gathers of every reduced plane replace the
+        # full-stream compaction sort. Measured crossover ~100K groups.
+        assert max_groups >= 1
+        cum_end = jnp.cumsum(is_end.astype(jnp.uint32))
+        num_groups = cum_end[-1]
+        overflow = (num_groups > jnp.uint32(max_groups)).astype(jnp.uint32)
+        j1 = jnp.arange(1, max_groups + 1, dtype=jnp.uint32)
+        posc = jnp.minimum(_searchsorted_u32(cum_end, j1),
+                           n - 1).astype(jnp.uint32)
+        valid_g = jnp.arange(max_groups, dtype=jnp.uint32) < num_groups
+        klo = jnp.where(valid_g, jnp.take(slo, posc), jnp.uint32(0xFFFFFFFF))
+        khi = jnp.where(valid_g, jnp.take(shi, posc), jnp.uint32(0xFFFFFFFF))
+        pos_end = jnp.where(valid_g, posc + 1, jnp.uint32(0))
+        prev_pos = _shift_right_one(pos_end, 0)
+        out = {}
+        for name, a, dt, ps in reduced:
+            if a == "count":
+                out[name] = jnp.where(valid_g, pos_end - prev_pos, 0)
+            elif a == "sum" and dt != jnp.float32:
+                ce_lo = jnp.where(valid_g, jnp.take(ps[0], posc), 0)
+                ce_hi = jnp.where(valid_g, jnp.take(ps[1], posc), 0)
+                s = _diff_u64(ce_lo, ce_hi)
+                out[name] = U64(jnp.where(valid_g, s.lo, 0),
+                                jnp.where(valid_g, s.hi, 0))
+            elif a == "sum":
+                ce = jnp.where(valid_g, jnp.take(ps[0], posc),
+                               jnp.float32(0))
+                out[name] = jnp.where(
+                    valid_g, ce - _shift_right_one(ce, jnp.float32(0)),
+                    jnp.float32(0))
+            else:
+                rv = jnp.take(ps[0], posc)
+                out[name] = jnp.where(
+                    valid_g, rv,
+                    jnp.zeros((), dt) if dt == jnp.float32 else 0)
+        return MultiGroupResult(U64(klo, khi), out, num_groups, overflow)
+
     assert n < (1 << 31), n
     packed = jnp.where(is_end, pos1, pos1 | jnp.uint32(1 << 31))
     ops2 = [packed, slo, shi] + [
@@ -649,7 +694,8 @@ def _group_aggregate_multi(key: U64, cols: tuple, spec: tuple,
 
 
 def group_aggregate_multi(key: U64, values: dict, aggs: dict,
-                          valid: jnp.ndarray | None = None
+                          valid: jnp.ndarray | None = None,
+                          max_groups: int | None = None
                           ) -> MultiGroupResult:
     """Multi-column GROUP BY: one key sort shared across all aggregations.
 
@@ -663,6 +709,11 @@ def group_aggregate_multi(key: U64, values: dict, aggs: dict,
       values: {column_name: (n,) uint32/int32/float32 array}.
       aggs: {column_name: tuple of "count"/"sum"/"min"/"max"}.
       valid: optional bool row mask (fused filter, see group_aggregate).
+      max_groups: optional low-cardinality extraction — outputs pad to
+        max_groups and the compaction sort is replaced by a binary
+        search + tiny gathers over EVERY reduced plane (same measured
+        trade-off as group_aggregate: faster up to ~100K groups, exact
+        num_groups + overflow flag past the bound).
     Returns:
       MultiGroupResult; aggs dict keyed "column_agg". Integer sums are
       EXACT u64 U64 (lo, hi) pairs (see group_aggregate); float sums use
@@ -677,4 +728,5 @@ def group_aggregate_multi(key: U64, values: dict, aggs: dict,
                 raise ValueError(f"unknown agg {a!r} for column {nm!r}")
     spec = tuple((nm, tuple(aggs[nm])) for nm in names if nm in aggs)
     cols = tuple(values[nm] for nm, _ in spec)
-    return _group_aggregate_multi(key, cols, spec, valid)
+    return _group_aggregate_multi(key, cols, spec, valid,
+                                  max_groups=max_groups)

@@ -297,13 +297,15 @@ def join_fk_scan(left: Table, right: Table, lkey: U64, rkey: U64,
     # deliver (matched, values) back in original left order: among left
     # rows, slidx is a permutation of [0, n_l), so sorting by it (right
     # rows keyed to the end) puts row i of the result at original left
-    # row i.
-    key_order = jnp.where(side_right, jnp.uint32(0xFFFFFFFF), slidx)
-    res2 = jax.lax.sort(
-        [key_order, fill_f.astype(jnp.uint32)] + fills,
-        num_keys=1, is_stable=False)
-    matched = res2[1][:n_l] > 0
-    vals_l = [c[:n_l] for c in res2[2:]]
+    # row i. The match flag rides BIT 0 of the restore key (slidx << 1 |
+    # matched): index-major order is preserved and one whole sort operand
+    # disappears (measured model: ~10% of the join at P=1).
+    key_order = jnp.where(side_right, jnp.uint32(0xFFFFFFFF),
+                          (slidx << jnp.uint32(1))
+                          | fill_f.astype(jnp.uint32))
+    res2 = jax.lax.sort([key_order] + fills, num_keys=1, is_stable=False)
+    matched = (res2[0][:n_l] & jnp.uint32(1)) > 0
+    vals_l = [c[:n_l] for c in res2[1:]]
     if l_valid is not None:
         matched = matched & l_valid
 

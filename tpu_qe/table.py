@@ -164,14 +164,15 @@ class Table:
         return group_aggregate(k, v, aggs=tuple(aggs))
 
     def group_by_multi(self, key: str, aggs: dict,
-                       valid=None):
+                       valid=None, max_groups: int | None = None):
         """Multi-column GROUP BY: aggs = {column_name: (agg, ...)}."""
         from tpu_qe.ops.aggregate import group_aggregate_multi
         k = self._cols[key]
         if not isinstance(k, U64):
             raise TypeError(f"group key {key!r} must be u64")
         values = {nm: self._cols[nm] for nm in aggs}
-        return group_aggregate_multi(k, values, aggs, valid=valid)
+        return group_aggregate_multi(k, values, aggs, valid=valid,
+                                     max_groups=max_groups)
 
     def join(self, right: "Table", key: str = "key"):
         """FK equi-join against `right` on a shared u64 key column."""
