@@ -86,3 +86,44 @@ def test_rejects_indivisible_n():
     mesh = make_mesh(4)
     with pytest.raises(AssertionError):
         sort_big_distributed(4 * 2048 + 1, mesh, run_size=2048)
+
+
+def test_checkpoint_resume(tmp_path, monkeypatch):
+    """Kill after one bucket round; resume completes identically."""
+    import tpu_qe.sort.bigsort as bs
+
+    mesh = make_mesh(4)
+    n = 4 * 2 * 2048
+    kw = dict(run_size=2048, buckets_per_dev=2)
+    ckdir = str(tmp_path)
+
+    want = sort_big_distributed(n, mesh, **kw)
+    assert want.all_ok
+
+    real_record = bs._RunState.record
+    calls = {"n": 0}
+
+    def crashing_record(self, b, vals):
+        real_record(self, b, vals)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated kill")
+
+    monkeypatch.setattr(bs._RunState, "record", crashing_record)
+    with pytest.raises(RuntimeError, match="simulated kill"):
+        sort_big_distributed(n, mesh, checkpoint_dir=ckdir, **kw)
+    monkeypatch.setattr(bs._RunState, "record", real_record)
+
+    res = sort_big_distributed(n, mesh, checkpoint_dir=ckdir, **kw)
+    assert res.all_ok
+    for f in ("n", "sorted_ok", "hash_ok", "count_ok", "perm_ok",
+              "boundary_ok"):
+        assert getattr(res, f) == getattr(want, f), f
+
+    # a completed checkpoint replays; collect re-merges bit-exactly
+    res2, (keys, pay) = sort_big_distributed(
+        n, mesh, checkpoint_dir=ckdir, collect=True, **kw)
+    assert res2.all_ok
+    want_keys, want_pay = _oracle(n)
+    np.testing.assert_array_equal(keys, want_keys)
+    np.testing.assert_array_equal(pay, want_pay)

@@ -216,10 +216,11 @@ class _RunState:
 
     @classmethod
     def fresh(cls, directory: str, meta: np.ndarray, bounds: np.ndarray,
-              n_buckets: int) -> "_RunState":
+              n_buckets: int, n_scalars: int | None = None) -> "_RunState":
         st = cls(cls._path(directory), meta, bounds,
                  np.zeros(n_buckets, np.int64),
-                 np.zeros((n_buckets, cls.N_SCALARS), np.int64))
+                 np.zeros((n_buckets, n_scalars or cls.N_SCALARS),
+                          np.int64))
         st.save()
         return st
 

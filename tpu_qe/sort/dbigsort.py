@@ -264,7 +264,8 @@ def _quantize(demand: int, quantum: int, ceiling: int) -> int:
 def sort_big_distributed(n: int, mesh: Mesh, run_size: int = 1 << 26,
                          buckets_per_dev: int | None = None, seed: int = 7,
                          samples_per_run: int = 4096, key_bits: int = 64,
-                         verbose: bool = False, collect: bool = False):
+                         verbose: bool = False, collect: bool = False,
+                         checkpoint_dir: str | None = None):
     """Distributed + out-of-core sort of n generated rows over `mesh`.
 
     n must be divisible by D * run_size (D = mesh size). Rows are
@@ -282,6 +283,12 @@ def sort_big_distributed(n: int, mesh: Mesh, run_size: int = 1 << 26,
     AOT, outside the timed region). With collect=True additionally
     returns (keys, payload) assembled on host in global order — small-n
     oracle tests only.
+
+    checkpoint_dir: same resume contract as sort_big — the splitter plan
+    and per-bucket completion scalars persist (phases A and X regenerate
+    deterministically); completed bucket-merge rounds skip and replay
+    their recorded per-device scalars. collect=True re-merges but reuses
+    the persisted plan.
     """
     n_dev = int(mesh.shape[AXIS])
     assert n % (n_dev * run_size) == 0, (n, n_dev, run_size)
@@ -294,6 +301,12 @@ def sort_big_distributed(n: int, mesh: Mesh, run_size: int = 1 << 26,
     S = n_dev * n_b
     per_run = min(samples_per_run, run_size)
     quantum = 1 << 20 if run_size >= (1 << 22) else 256
+    from tpu_qe.sort.bigsort import _RunState
+    n_scal = 9
+    meta = np.asarray([n, n_dev, run_size, n_b, seed, per_run, key_bits],
+                      dtype=np.int64)
+    state = (_RunState.load(checkpoint_dir, meta)
+             if checkpoint_dir is not None else None)
 
     # explicit shardings for host-built inputs: AOT executables pin input
     # shardings at lower time, so every call must match exactly
@@ -322,16 +335,24 @@ def sort_big_distributed(n: int, mesh: Mesh, run_size: int = 1 << 26,
         np.asarray(jax.device_get(lo[-1:]))  # fence
     t_a = time.perf_counter() - t0
 
-    # ---- phase B: global splitters + exact per-run boundaries ----
-    tcp = time.perf_counter()
-    planner = _planner_fn(mesh, n_runs, S, per_run, run_size)
-    flat_keys = tuple(a for (lo, hi, _) in runs for a in (lo, hi))
-    plan_exec = planner.lower(*flat_keys).compile()
-    compile_s += time.perf_counter() - tcp
-    t_b0 = time.perf_counter()
-    _, _, bounds = plan_exec(*flat_keys)
-    bounds = np.asarray(bounds).reshape(n_dev, n_runs, S - 1)
-    t_b = time.perf_counter() - t_b0
+    # ---- phase B: global splitters + exact per-run boundaries (a
+    # resumed run reuses the persisted plan, see sort_big) ----
+    if state is not None:
+        bounds = state.bounds.reshape(n_dev, n_runs, S - 1)
+        t_b = 0.0
+    else:
+        tcp = time.perf_counter()
+        planner = _planner_fn(mesh, n_runs, S, per_run, run_size)
+        flat_keys = tuple(a for (lo, hi, _) in runs for a in (lo, hi))
+        plan_exec = planner.lower(*flat_keys).compile()
+        compile_s += time.perf_counter() - tcp
+        t_b0 = time.perf_counter()
+        _, _, bounds = plan_exec(*flat_keys)
+        bounds = np.asarray(bounds).reshape(n_dev, n_runs, S - 1)
+        t_b = time.perf_counter() - t_b0
+        if checkpoint_dir is not None:
+            state = _RunState.fresh(checkpoint_dir, meta, bounds, n_b,
+                                    n_scalars=n_dev * n_scal)
     # pos[d, r, g] for g in 0..S inclusive
     zeros = np.zeros((n_dev, n_runs, 1), dtype=np.int64)
     full = np.full((n_dev, n_runs, 1), run_size, dtype=np.int64)
@@ -388,8 +409,20 @@ def sort_big_distributed(n: int, mesh: Mesh, run_size: int = 1 << 26,
     blk_clamped = np.minimum(blk_start, ceiling)          # (D, R, D)
     blk_delta = blk_start - blk_clamped
     seg_ceiling = max(cap_blk - cap_seg, 0)
-    pending = []
+    scal = np.zeros((n_b, n_dev, n_scal), np.int64)
+    skip = set()
+    if state is not None and not collect:
+        for b in range(n_b):
+            if state.done[b]:
+                scal[b] = state.scalars[b].reshape(n_dev, n_scal)
+                skip.add(b)
+        if verbose and skip:
+            print(f"dbigsort: resuming — {len(skip)}/{n_b} bucket rounds "
+                  "already merged")
+    pending = {}
     for b in range(n_b):
+        if b in skip:
+            continue
         # device t's bucket b is global bucket g = t*B + b; plan arrays
         # indexed [t][r, s] = segment of (src s, run r) inside block
         # (s, r, t).
@@ -407,8 +440,25 @@ def sort_big_distributed(n: int, mesh: Mesh, run_size: int = 1 << 26,
         def _plan(x):
             return _plan_put(
                 x.transpose(0, 2, 1).reshape(n_dev * n_runs, n_dev))
-        pending.append(merge_exec(_plan(ws_c), _plan(dl), _plan(zs),
-                                  *flat_blocks))
+        pending[b] = merge_exec(_plan(ws_c), _plan(dl), _plan(zs),
+                                *flat_blocks)
+
+    collected = {}
+    for b, out in pending.items():
+        if collect:
+            out, bucket_arrays = out[:9], out[9:]
+        vals = [np.asarray(x) for x in out]   # (D,) each; readback fences
+        scal[b] = np.stack(vals, axis=1)      # (D, 9)
+        if state is not None:
+            state.record(b, scal[b].reshape(-1))
+        if collect:
+            ba = [np.asarray(a).reshape(n_dev, -1) for a in bucket_arrays]
+            for t in range(n_dev):
+                c = int(vals[2][t])
+                collected[t * n_b + b] = tuple(a[t, :c] for a in ba)
+        if verbose:
+            print(f"  bucket {b}: counts={vals[2].tolist()} "
+                  f"sorted={bool(vals[0].all())} hash={bool(vals[1].all())}")
 
     total_count = 0
     sum_pay = 0
@@ -419,12 +469,8 @@ def sort_big_distributed(n: int, mesh: Mesh, run_size: int = 1 << 26,
     firsts = {}
     lasts = {}
     counts = np.zeros((n_dev, n_b), np.int64)
-    collected = {}
-    for b, out in enumerate(pending):
-        if collect:
-            out, bucket_arrays = out[:9], out[9:]
-        vals = [np.asarray(x) for x in out]   # (D,) each; readback fences
-        s_ok, h_ok, cnt, psum, psq, flo, fhi, llo, lhi = vals
+    for b in range(n_b):
+        s_ok, h_ok, cnt, psum, psq, flo, fhi, llo, lhi = scal[b].T
         all_sorted &= bool(s_ok.all())
         all_hash &= bool(h_ok.all())
         total_count += int(cnt.sum())
@@ -435,14 +481,6 @@ def sort_big_distributed(n: int, mesh: Mesh, run_size: int = 1 << 26,
             g = t * n_b + b
             firsts[g] = (int(flo[t]), int(fhi[t]))
             lasts[g] = (int(llo[t]), int(lhi[t]))
-        if collect:
-            ba = [np.asarray(a).reshape(n_dev, -1) for a in bucket_arrays]
-            for t in range(n_dev):
-                c = int(cnt[t])
-                collected[t * n_b + b] = tuple(a[t, :c] for a in ba)
-        if verbose:
-            print(f"  bucket {b}: counts={cnt.tolist()} "
-                  f"sorted={bool(s_ok.all())} hash={bool(h_ok.all())}")
     t_c = time.perf_counter() - t_c0
 
     # cross-bucket boundary order in GLOBAL bucket order g = t*B + b
