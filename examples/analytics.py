@@ -88,7 +88,30 @@ def main() -> None:
     print("top_k:    densest cells hold",
           top.table.to_numpy()["key"][:5].tolist(), "events")
 
-    # --- 6. distributed: same sort over every local device ---------------
+    # --- 6. fused join -> GROUP BY via the key-sorted stream -------------
+    # the join's natural TPU output is the merged key-sorted stream;
+    # aggregating it directly (group_aggregate_sorted) skips both the
+    # join restore sort and the aggregate's own key sort — two of the
+    # four large sorts of the unfused pipeline. Integer sums are exact
+    # u64 pairs.
+    from tpu_qe.ops.aggregate import group_aggregate_sorted
+    from tpu_qe.ops.join import join_fk_scan
+
+    ev = filtered.head(kept)
+    st = join_fk_scan(Table({"z": jnp.zeros(ev.num_rows, jnp.uint32)}),
+                      sensors.drop("sensor"),
+                      ev["sensor"], sensors["sensor"], output="stream")
+    agg = group_aggregate_sorted(st.key, st.values["gain"],
+                                 aggs=("count", "sum"), valid=st.matched)
+    ng = int(agg.num_groups)
+    total = int(agg.aggs["sum"].to_numpy()[:ng].sum())
+    gains = np.arange(1024, dtype=np.uint64) % 7 + 1
+    want = int(gains[ev.to_numpy()["sensor"]].sum())
+    assert total == want, (total, want)
+    print(f"fused:    join+GROUP BY sensor in one sorted stream -> "
+          f"{ng} sensors, total gain {total} (exact u64, verified)")
+
+    # --- 7. distributed: same sort over every local device ---------------
     import jax
 
     from tpu_qe.exchange import distributed_sort_numpy, make_mesh
