@@ -1032,3 +1032,20 @@ class TestMultiMaxGroups:
                                     {"a": ("count",)}, max_groups=16)
         assert int(res.num_groups) == 100   # exact past the bound
         assert int(res.overflow) == 1
+
+
+def test_stream_with_u64_right_column():
+    from tpu_qe.ops.join import join_fk_scan
+    rng = np.random.default_rng(45)
+    lkeys, rkeys, _ = TestStreamJoinAndSortedAggregate._mk(rng, 2000, 300)
+    rpay = rng.integers(0, 1 << 64, len(rkeys), dtype=np.uint64)
+    lk, rk = U64.from_numpy(lkeys), U64.from_numpy(rkeys)
+    right = Table({"rp": U64.from_numpy(rpay)})
+    left = Table({"z": jnp.zeros(len(lkeys), jnp.uint32)})
+    out, matched = join_fk_scan(left, right, lk, rk)
+    st = join_fk_scan(left, right, lk, rk, output="stream")
+    is_left = np.asarray(st.is_left)
+    order = np.asarray(st.lidx)[is_left]
+    got = np.zeros(len(lkeys), np.uint64)
+    got[order] = st.values["rp"].to_numpy()[is_left]
+    np.testing.assert_array_equal(got, out["rp"].to_numpy())
