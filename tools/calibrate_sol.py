@@ -21,16 +21,111 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
 def main() -> None:
+    import sys as _sys
+
     import jax
     import jax.numpy as jnp
 
     from tpu_qe.utils.timing import measure_chained
 
+    section = _sys.argv[1] if len(_sys.argv) > 1 else "all"
     n = 1 << 26
     rng = np.random.default_rng(0)
     a = jnp.asarray(rng.integers(0, 1 << 32, n, dtype=np.uint32))
     b = jnp.asarray(rng.integers(0, 1 << 32, n, dtype=np.uint32))
     c = jnp.arange(n, dtype=jnp.uint32)
+
+    if section in ("all", "sort_ops"):
+        # marginal cost of PAYLOAD operands in a variadic sort: num_keys
+        # fixed at 2, payload count p varied. The SOL model prices key
+        # operands (comparisons + movement) and payload operands
+        # (movement only) differently; this measures the ratio.
+        def chain_sort_p(p):
+            pays = [jnp.asarray(rng.integers(0, 1 << 32, n,
+                                             dtype=np.uint32))
+                    for _ in range(p)]
+
+            def make(k):
+                @jax.jit
+                def run(a, b, *pays):
+                    def body(i, carry):
+                        x, y = carry[0], carry[1]
+                        x = x ^ i.astype(jnp.uint32)
+                        r = jax.lax.sort([x, y] + list(carry[2:]),
+                                         num_keys=2, is_stable=True)
+                        return tuple(r)
+                    return jax.lax.fori_loop(0, k, body, (a, b) + tuple(pays))
+                import functools
+                return functools.partial(run, a, b, *pays)
+            return make
+
+        times = {}
+        for p in (0, 1, 2, 3):
+            times[p] = measure_chained(chain_sort_p(p), 1, 5, reps=2)
+            print(f"stable 2-key sort + {p} payload ops: {times[p]:.4f} s",
+                  flush=True)
+        # linear fit of payload marginal vs the 0-payload baseline
+        marg = np.polyfit(list(times), [times[p] for p in times], 1)[0]
+        per_key_op = times[0] / 2
+        print(f"payload marginal: {marg:.4f} s/op = "
+              f"{marg / per_key_op:.3f} of a key operand")
+        if section == "sort_ops":
+            return
+
+    if section in ("all", "sort_keys"):
+        # KEY-count scaling: every operand a comparison key. The model's
+        # linear-in-keys assumption is what this checks (a 4-key sort's
+        # comparator may amortize against movement).
+        def chain_sort_k(nk):
+            cols = [jnp.asarray(rng.integers(0, 1 << 32, n,
+                                             dtype=np.uint32))
+                    for _ in range(nk)]
+
+            def make(k):
+                @jax.jit
+                def run(*cols):
+                    def body(i, carry):
+                        x = carry[0] ^ i.astype(jnp.uint32)
+                        r = jax.lax.sort([x] + list(carry[1:]),
+                                         num_keys=nk, is_stable=False)
+                        return tuple(r)
+                    return jax.lax.fori_loop(0, k, body, tuple(cols))
+                import functools
+                return functools.partial(run, *cols)
+            return make
+
+        for nk in (1, 2, 3, 4):
+            t = measure_chained(chain_sort_k(nk), 1, 5, reps=2)
+            print(f"unstable {nk}-key sort ({nk} ops): {t:.4f} s "
+                  f"({t / nk:.4f} s/op)", flush=True)
+        if section == "sort_keys":
+            return
+
+    if section in ("all", "sort_scale"):
+        # n-scaling of one fixed shape (2-key + 1 payload): does cost
+        # track n*log2(n)^2 from 64M to 256M?
+        for nn in (1 << 26, 1 << 28):
+            aa = jnp.asarray(rng.integers(0, 1 << 32, nn, dtype=np.uint32))
+            bb = jnp.asarray(rng.integers(0, 1 << 32, nn, dtype=np.uint32))
+            cc = jnp.arange(nn, dtype=jnp.uint32)
+
+            def make(k, aa=aa, bb=bb, cc=cc):
+                @jax.jit
+                def run(a, b, c):
+                    def body(i, carry):
+                        x, y, z = carry
+                        x = x ^ i.astype(jnp.uint32)
+                        r = jax.lax.sort([x, y, z], num_keys=2,
+                                         is_stable=False)
+                        return tuple(r)
+                    return jax.lax.fori_loop(0, k, body, (a, b, c))
+                import functools
+                return functools.partial(run, aa, bb, cc)
+            t = measure_chained(make, 1, 3, reps=2)
+            print(f"unstable 2-key+1 sort, n={nn}: {t:.4f} s "
+                  f"({t / nn * 1e9:.3f} ns/elem)", flush=True)
+        if section == "sort_scale":
+            return
 
     def chain_sort(stable):
         def make(k):

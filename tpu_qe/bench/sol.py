@@ -88,19 +88,31 @@ def sort_sol_seconds(n: int, num_passes: int, payload_cols: int = 1,
 #   elementwise streaming pass at HBM peak (read + write per operand).
 # --------------------------------------------------------------------------
 
-_SORT_C = 2.54e-12       # s per element * log2(n)^2 * operand (v5e,
-                         # measured 2026-08-17)
+_SORT_C = 2.94e-12       # s per element * log2(n)^2 * KEY operand (v5e,
+                         # measured 2026-08-17: stable 2-key+1-payload
+                         # 64M sort = 345 ms with payload weight 0.59)
+_SORT_PAYLOAD = 0.59     # payload-operand cost as a fraction of a key
+                         # operand (measured 2026-08-17: 2-key sorts with
+                         # 0-3 payloads -> 79.8 ms marginal vs 135 ms/key)
 _SORT_UNSTABLE = 0.75    # measured stable->unstable ratio (2026-08-17)
 _SCAN_BASE = 7.5e-10     # s per element: the full log2(n)-sweep scan's
                          # fixed cost (v5e, measured 2026-08-17)
 _SCAN_PER_OP = 0.6e-10   # s per element per additional operand plane
 
 
-def lax_sort_seconds(n: int, num_operands: int, stable: bool = True) -> float:
-    """Envelope of one flat variadic lax.sort on this hardware class."""
+def lax_sort_seconds(n: int, num_operands: int, stable: bool = True,
+                     num_keys: int | None = None) -> float:
+    """Envelope of one flat variadic lax.sort on this hardware class.
+
+    num_keys (default: all operands are keys): key operands pay
+    comparison + movement; payload operands pay movement only, measured
+    at 0.59x a key operand on v5e."""
     import numpy as np
+    if num_keys is None:
+        num_keys = num_operands
+    eff = num_keys + _SORT_PAYLOAD * (num_operands - num_keys)
     f = 1.0 if stable else _SORT_UNSTABLE
-    return float(n * np.log2(max(n, 2)) ** 2 * _SORT_C * num_operands * f)
+    return float(n * np.log2(max(n, 2)) ** 2 * _SORT_C * eff * f)
 
 
 def scan_seconds(n: int, num_operands: int = 1) -> float:
@@ -119,9 +131,10 @@ def join_scan_sol_seconds(n_l: int, n_r: int, value_planes: int = 1) -> float:
     sort (the match flag rides bit 0 of the restore key), plus
     boundary-detect sweeps."""
     m = n_l + n_r
-    return (lax_sort_seconds(m, 3 + value_planes, stable=False)
+    return (lax_sort_seconds(m, 3 + value_planes, stable=False, num_keys=3)
             + scan_seconds(m, 2 + value_planes)
-            + lax_sort_seconds(m, 1 + value_planes, stable=False)
+            + lax_sort_seconds(m, 1 + value_planes, stable=False,
+                               num_keys=1)
             + elementwise_seconds(m, 3))
 
 
@@ -131,8 +144,8 @@ def group_aggregate_sol_seconds(n: int, n_aggs: int = 2,
     sort, boundary sweeps, the exact-u64 pair cumsums (two one-plane
     scans), and one compaction sort carrying the (lo, hi) pair
     (count derives from packed positions — no plane)."""
-    ops1 = 3 + (1 if has_valid else 0)   # khi, klo, value (+valid)
+    ops1 = 3 + (1 if has_valid else 0)   # khi, klo, value (+valid): ALL keys
     return (lax_sort_seconds(n, ops1, stable=False)
             + 2 * scan_seconds(n, 1)
             + elementwise_seconds(n, 3)
-            + lax_sort_seconds(n, 3 + n_aggs, stable=False))
+            + lax_sort_seconds(n, 3 + n_aggs, stable=False, num_keys=1))
