@@ -72,10 +72,15 @@ def test_fuzz_distributed_inner_join(trial):
         where[int(k)].append(int(rvals[j]))
     want = sorted((i, v) for i, k in enumerate(lkeys)
                   for v in where.get(int(k), ()))
-    g, _, (rv,) = distributed_join_inner_numpy(
-        lkeys, [], rkeys, [rvals], mesh, capacity_factor=float(n_dev),
-        capacity_factor_right=float(n_dev),
-        out_budget_factor=max(4.0, 8.0 * len(want) / max(n_l, 1)))
+    ob = max(4.0, 8.0 * len(want) / max(n_l, 1))
+    if trial % 2 == 0:  # alternate the demand-planned path
+        g, _, (rv,) = distributed_join_inner_numpy(
+            lkeys, [], rkeys, [rvals], mesh, capacity_factor="auto",
+            out_budget_factor=ob)
+    else:
+        g, _, (rv,) = distributed_join_inner_numpy(
+            lkeys, [], rkeys, [rvals], mesh, capacity_factor=float(n_dev),
+            capacity_factor_right=float(n_dev), out_budget_factor=ob)
     got = sorted(zip(g.tolist(), rv.tolist()))
     assert got == want, trial
 

@@ -12,6 +12,7 @@ from tpu_qe.exchange.dops import (  # noqa: F401
     distributed_join_fk_numpy,
     distributed_join_inner,
     distributed_join_inner_numpy,
+    plan_join_inner_capacity,
     distributed_top_k,
     distributed_top_k_numpy,
 )

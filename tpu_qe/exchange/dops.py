@@ -323,16 +323,50 @@ def _djoin_inner_shard(llo, lhi, lval_cols, rlo, rhi, rval_cols, *, n_dev,
     return (*outs, res.num_out.reshape(1), overflow)
 
 
+def _djoin_inner_plan_shard(llo, lhi, rlo, rhi, *, n_dev, samples_per_dev):
+    """Planning pass for the inner join: bare-key union splitters, both
+    sides routed exactly like _djoin_inner_shard."""
+    from tpu_qe.exchange.shuffle import offdiag_demand
+
+    sp_lo, sp_hi = sample_splitters(jnp.concatenate([rlo, llo]),
+                                    jnp.concatenate([rhi, lhi]),
+                                    n_dev, samples_per_dev)
+    dest_l = route_by_splitters(llo, lhi, sp_lo, sp_hi)
+    dest_r = route_by_splitters(rlo, rhi, sp_lo, sp_hi)
+    return (offdiag_demand(dest_l, n_dev).reshape(1),
+            offdiag_demand(dest_r, n_dev).reshape(1))
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "samples_per_dev"))
+def plan_join_inner_capacity(lkey: U64, rkey: U64, mesh: Mesh,
+                             samples_per_dev: int = 128):
+    """Measured off-diagonal exchange demand (left, right) for the inner
+    join. The OUTPUT budget stays a factor (match counts are data-
+    dependent and overflow-detected exactly)."""
+    n_dev = mesh.shape[AXIS]
+    spec = P(AXIS)
+    fn = shard_map(
+        functools.partial(_djoin_inner_plan_shard, n_dev=n_dev,
+                          samples_per_dev=samples_per_dev),
+        mesh=mesh, in_specs=(spec,) * 4, out_specs=(spec, spec),
+        check_vma=False)
+    return fn(lkey.lo, lkey.hi, rkey.lo, rkey.hi)
+
+
 @functools.partial(jax.jit, static_argnames=("mesh", "samples_per_dev",
                                              "capacity_factor",
                                              "capacity_factor_right",
-                                             "out_budget_factor"))
+                                             "out_budget_factor",
+                                             "capacity_left",
+                                             "capacity_right"))
 def distributed_join_inner(lkey: U64, left_cols: tuple, rkey: U64,
                            right_cols: tuple, mesh: Mesh,
                            samples_per_dev: int = 128,
                            capacity_factor: float = 2.0,
                            capacity_factor_right: float | None = None,
-                           out_budget_factor: float = 4.0):
+                           out_budget_factor: float = 4.0,
+                           capacity_left: int | None = None,
+                           capacity_right: int | None = None):
     """One-to-many inner equi-join of mesh-sharded tables.
 
     Both sides route by the same bare-key splitters so equal keys
@@ -347,8 +381,11 @@ def distributed_join_inner(lkey: U64, left_cols: tuple, rkey: U64,
     assert n_l < (1 << 32), n_l
     cf_r = (capacity_factor if capacity_factor_right is None
             else capacity_factor_right)
-    cap_l = max(int(np.ceil(capacity_factor * (n_l // n_dev) / n_dev)), 16)
-    cap_r = max(int(np.ceil(cf_r * (n_r // n_dev) / n_dev)), 16)
+    cap_l = (capacity_left if capacity_left is not None
+             else max(int(np.ceil(capacity_factor * (n_l // n_dev)
+                                  / n_dev)), 16))
+    cap_r = (capacity_right if capacity_right is not None
+             else max(int(np.ceil(cf_r * (n_r // n_dev) / n_dev)), 16))
     out_budget = max(int(np.ceil(out_budget_factor * (n_l // n_dev))), 16)
     spec = P(AXIS)
     n_out = 1 + len(left_cols) + len(right_cols) + 2
@@ -369,7 +406,11 @@ def distributed_join_inner(lkey: U64, left_cols: tuple, rkey: U64,
 
 def distributed_join_inner_numpy(lkeys, lvals, rkeys, rvals, mesh, **kw):
     """Host wrapper: returns (left_index, left value cols, right value
-    cols) over all real output rows, in no particular global order."""
+    cols) over all real output rows, in no particular global order.
+
+    capacity_factor="auto" plans both exchanges (plan_join_inner_capacity)
+    and sizes the receive layouts to measured off-diagonal demand; the
+    output budget stays out_budget_factor (exact overflow detection)."""
     n_dev = mesh.shape[AXIS]
     sh = NamedSharding(mesh, P(AXIS))
 
@@ -380,9 +421,20 @@ def distributed_join_inner_numpy(lkeys, lvals, rkeys, rvals, mesh, **kw):
     def put32(x):
         return jax.device_put(jnp.asarray(x, dtype=jnp.uint32), sh)
 
+    lk, rk = put64(lkeys), put64(rkeys)
+    if kw.get("capacity_factor") == "auto":
+        kw = dict(kw)
+        del kw["capacity_factor"]
+        kw.pop("capacity_factor_right", None)
+        if n_dev > 1:
+            dl, dr = plan_join_inner_capacity(
+                lk, rk, mesh,
+                samples_per_dev=kw.get("samples_per_dev", 128))
+            kw["capacity_left"] = _pow2_capacity(int(np.asarray(dl).max()))
+            kw["capacity_right"] = _pow2_capacity(int(np.asarray(dr).max()))
     res = distributed_join_inner(
-        put64(lkeys), tuple(put32(v) for v in lvals),
-        put64(rkeys), tuple(put32(v) for v in rvals), mesh=mesh, **kw)
+        lk, tuple(put32(v) for v in lvals),
+        rk, tuple(put32(v) for v in rvals), mesh=mesh, **kw)
     if int(np.asarray(res[-1]).max()):
         raise RuntimeError(
             "exchange capacity or output budget overflow; raise "
