@@ -47,3 +47,61 @@ def test_combined_cap_would_reject_single_program():
     # stand-in at test size: caps shrink ~1/B)
     res = join_big(1 << 14, 1 << 14, n_buckets=8, verbose=False)
     assert res.all_ok
+
+
+def _np_fmix32(h):
+    h = h.astype(np.uint64)
+    h ^= h >> np.uint64(16)
+    h = (h * np.uint64(0x85EBCA6B)) & np.uint64(0xFFFFFFFF)
+    h ^= h >> np.uint64(13)
+    h = (h * np.uint64(0xC2B2AE35)) & np.uint64(0xFFFFFFFF)
+    h ^= h >> np.uint64(16)
+    return h.astype(np.uint32)
+
+
+def _np_lkeys(n_l, n_r, seed=7):
+    j = np.arange(n_l, dtype=np.uint32)
+    i = (j * np.uint32(2654435761)) % np.uint32(n_r)
+    hit = keygen_hash_numpy(i, seed) & ~np.uint64(1)
+    miss = keygen_hash_numpy(j, seed + 1) | np.uint64(1)
+    return np.where(j % 2 == 0, hit, miss)
+
+
+def test_join_big_collect_matches_oracle():
+    # materialized bucket stream: every valid left row appears exactly
+    # once, in global key order, with the construction-oracle match flag
+    # and value
+    n_l, n_r, seed = 1 << 12, 1 << 12, 7
+    res, out = join_big(n_l, n_r, n_buckets=4, collect=True)
+    assert res.all_ok
+    keys, lidx, value, matched = (out["key"], out["lidx"], out["value"],
+                                  out["matched"])
+    assert keys.shape == (n_l,)
+    # key order across the assembled stream (buckets are key ranges)
+    assert (keys[1:] >= keys[:-1]).all()
+    # permutation of left rows
+    assert np.array_equal(np.sort(lidx), np.arange(n_l, dtype=np.uint32))
+    want_keys = _np_lkeys(n_l, n_r, seed)
+    assert np.array_equal(keys, want_keys[lidx])
+    assert np.array_equal(matched, lidx % 2 == 0)
+    want_val = _np_fmix32((want_keys[lidx] ^ (want_keys[lidx] >> np.uint64(32))
+                           ^ np.uint64(0xABCD1234)) & np.uint64(0xFFFFFFFF))
+    assert np.array_equal(value[matched], want_val[matched])
+
+
+def test_join_big_consume_device_arrays():
+    # the consumer callback sees one call per bucket with device arrays;
+    # summing matched flags on device must reproduce the exact count
+    import jax.numpy as jnp
+    n_l, n_r = 1 << 12, 1 << 12
+    got = []
+
+    def consume(b, bucket):
+        got.append((b, int(jnp.sum(bucket["matched"])),
+                    int(jnp.sum(bucket["valid"]))))
+
+    res = join_big(n_l, n_r, n_buckets=4, consume=consume)
+    assert res.all_ok
+    assert [b for b, _, _ in got] == [0, 1, 2, 3]
+    assert sum(m for _, m, _ in got) == res.matched
+    assert sum(v for _, _, v in got) == n_l

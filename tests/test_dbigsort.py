@@ -127,3 +127,53 @@ def test_checkpoint_resume(tmp_path, monkeypatch):
     want_keys, want_pay = _oracle(n)
     np.testing.assert_array_equal(keys, want_keys)
     np.testing.assert_array_equal(pay, want_pay)
+
+
+def test_two_tier_exchange_unequal_caps():
+    # Direct unit test of the two-tier segment exchange with a hand-built
+    # plan where the DIAGONAL share is much larger than any off-diagonal
+    # segment (cap_blk=1024 vs cap_off=16) — the condition the hash-keyed
+    # end-to-end tests cannot produce. Both clamp windows are active:
+    # device 1's diagonal start (1014) must clamp against run - cap_blk
+    # and carry a delta, while its off-diagonal start uses the cap_off
+    # ceiling.
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from tpu_qe.sort.dbigsort import _exchange_fn
+    from tpu_qe.exchange.shuffle import AXIS
+
+    mesh = make_mesh(2)
+    run = 2048
+    cap_blk, cap_off = 1024, 16
+    # device d's run column: value = d*10000 + position (distinct, traceable)
+    col = np.concatenate([d * 10000 + np.arange(run, dtype=np.uint32)
+                          for d in range(2)]).astype(np.uint32)
+    # plan[s, t]: device 0 keeps [0, 1000) local, sends [1000, 1010) to 1;
+    # device 1 sends [4, 14) to 0, keeps [14, 1038) local.
+    starts = np.array([[0, 1000], [4, 14]], np.int64)
+    sizes = np.array([[1000, 10], [10, 1024]], np.int64)
+    off_ceiling, diag_ceiling = run - cap_off, run - cap_blk
+    st = np.minimum(starts, off_ceiling)
+    dl = starts - st
+    st_d = np.minimum(starts, diag_ceiling)
+    dl_d = starts - st_d
+
+    sh = NamedSharding(mesh, P(AXIS, None))
+    put = lambda x: jax.device_put(jnp.asarray(x, jnp.int32), sh)
+    data = jax.device_put(jnp.asarray(col),
+                          NamedSharding(mesh, P(AXIS)))
+    fn = _exchange_fn(mesh, 2, cap_blk, cap_off)
+    blo, bhi, bpay = fn(put(st), put(dl), put(sizes), put(st_d), put(dl_d),
+                        data, data, data)
+    blo = np.asarray(blo).reshape(2, 2, cap_blk)  # [dest, src, slot]
+    ONES = 0xFFFFFFFF
+
+    def valid(dest, src):
+        row = blo[dest, src]
+        return row[row != ONES]
+
+    np.testing.assert_array_equal(valid(0, 0), np.arange(0, 1000))
+    np.testing.assert_array_equal(valid(0, 1), 10000 + np.arange(4, 14))
+    np.testing.assert_array_equal(valid(1, 0), np.arange(1000, 1010))
+    np.testing.assert_array_equal(valid(1, 1), 10000 + np.arange(14, 1038))

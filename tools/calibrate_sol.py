@@ -153,27 +153,22 @@ def main() -> None:
                         y = jax.lax.cummax(x)
                         z = z
                     else:
-                        # 3-operand segmented last-valid scan, strided-
-                        # loop formulation as shipped in ops/join.py
-                        # (tuple-carrier associative_scan stalls the
-                        # remote TPU compiler — CLAUDE.md)
+                        # 3-operand segmented last-valid scan — the
+                        # SHIPPED blocked formulation (ops/segscan.py),
+                        # same monoid as the join forward-fill
+                        from tpu_qe.ops.segscan import scan_assoc
+
                         s = (x & 1).astype(bool)
                         f = (x & 2).astype(bool)
-                        v = z
-                        stride = 1
-                        while stride < n:
-                            sa = jnp.concatenate(
-                                [jnp.zeros(stride, bool), s[:-stride]])
-                            fa = jnp.concatenate(
-                                [jnp.zeros(stride, bool), f[:-stride]])
-                            va = jnp.concatenate(
-                                [jnp.zeros(stride, v.dtype), v[:-stride]])
-                            sb, fb = s, f
-                            s = sa | sb
-                            f = fb | (fa & ~sb)
-                            v = jnp.where(fb, v, va)
-                            stride *= 2
-                        y = v
+
+                        def comb(aa_, bb_):
+                            sa, fa, va = aa_
+                            sb, fb, vb = bb_
+                            return (sa | sb, fb | (fa & ~sb),
+                                    jnp.where(fb, vb, va))
+
+                        _, _, y = scan_assoc(
+                            comb, (False, False, 0), (s, f, z))
                     # keep all live without fusing across iterations
                     x = jax.lax.optimization_barrier(x ^ y)
                     return (x, y, z)
@@ -183,23 +178,28 @@ def main() -> None:
         return make
 
     k = 6
+    if section in ("all", "scans"):
+        t_cummax = measure_chained(chain_scan("cummax"), 1, k, reps=2)
+        t_seg = measure_chained(chain_scan("seg"), 1, k, reps=2)
+        print(f"n = {n}")
+        print(f"cummax sweep:       {t_cummax:.4f} s")
+        print(f"seg 3-op blocked scan: {t_seg:.4f} s")
+        print(f"_SCAN_C(cummax, 1 op) = {t_cummax / n:.3e}")
+        print(f"_SCAN_C(seg, 3 op -> per-op) = {t_seg / n / 3:.3e}")
+        if section == "scans":
+            return
+
     t_stable = measure_chained(chain_sort(True), 1, k, reps=2)
     t_unstable = measure_chained(chain_sort(False), 1, k, reps=2)
-    t_cummax = measure_chained(chain_scan("cummax"), 1, k, reps=2)
-    t_seg = measure_chained(chain_scan("seg"), 1, k, reps=2)
 
     log2n2 = np.log2(n) ** 2
     sort_c = t_stable / (n * log2n2 * 3)
     print(f"n = {n}")
     print(f"stable 3-op sort:   {t_stable:.4f} s")
     print(f"unstable 3-op sort: {t_unstable:.4f} s")
-    print(f"cummax sweep:       {t_cummax:.4f} s")
-    print(f"seg 3-op scan:      {t_seg:.4f} s")
     print()
     print(f"_SORT_C = {sort_c:.3e}")
     print(f"_SORT_UNSTABLE = {t_unstable / t_stable:.3f}")
-    print(f"_SCAN_C(cummax, 1 op) = {t_cummax / n:.3e}")
-    print(f"_SCAN_C(seg, 3 op -> per-op) = {t_seg / n / 3:.3e}")
 
 
 if __name__ == "__main__":

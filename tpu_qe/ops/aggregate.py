@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from tpu_qe.bits import U64
+from tpu_qe.ops.segscan import scan_assoc
 
 _VALID_AGGS = ("count", "sum", "min", "max")
 
@@ -98,30 +99,28 @@ def segmented_reduce(values: jnp.ndarray, is_new: jnp.ndarray,
     must use this (kind="sum") so rounding error stays proportional to
     each segment's own magnitude rather than the global prefix.
 
-    Implemented as an explicit Hillis-Steele strided loop over the
+    Implemented as a blocked two-level scan (ops/segscan.py) over the
     (segment-start flag, value) monoid — combine(a, b) with a earlier:
     (fa|fb, fb ? vb : op(va, vb)). The equivalent tuple-carrier
     jax.lax.associative_scan STALLS the remote TPU compiler (28+ min at
-    4M rows; same finding as the join fill loop, ops/join.py:218-242) —
-    the strided loop is the same O(n log n) work and compiles instantly.
+    4M rows; same finding as the join fill loop) — the blocked scan
+    compiles instantly and runs ~log2(C)+1 full passes instead of
+    log2(n). Float sums: the blocked association order may round
+    differently from a strict left fold, but every order keeps error
+    proportional to per-segment magnitude (the property this path
+    exists for).
     """
     ops = {"min": jnp.minimum, "max": jnp.maximum,
            "sum": lambda a, b: a + b}
     op = ops[kind]
-    n = values.shape[0]
     ident = _op_identity(kind, values.dtype)
-    f, v = is_new, values
-    stride = 1
-    while stride < n:
-        # a = element shifted by stride (identity-padded at the front),
-        # b = self: f = fa|fb, v = fb ? vb : op(va, vb)
-        fa = jnp.concatenate([jnp.zeros(stride, f.dtype), f[:-stride]])
-        va = jnp.concatenate([jnp.full(stride, ident, v.dtype),
-                              v[:-stride]])
-        fb, vb = f, v
-        f = fa | fb
-        v = jnp.where(fb, vb, op(va, vb))
-        stride *= 2
+
+    def combine(a, b):
+        fa, va = a
+        fb, vb = b
+        return (fa | fb, jnp.where(fb, vb, op(va, vb)))
+
+    _, v = scan_assoc(combine, (False, ident), (is_new, values))
     return v
 
 
@@ -157,23 +156,21 @@ def segmented_sum_u64(vlo: jnp.ndarray, vhi: jnp.ndarray,
 
     Sums (lo, hi) u32-pair values with carry propagation, resetting at
     segment starts — the distributed aggregate's phase-3 combine for
-    exact u64 partial sums. Same strided-loop formulation as
+    exact u64 partial sums. Same blocked-scan formulation as
     segmented_reduce (tuple-carrier associative_scan stalls the remote
-    TPU compiler)."""
-    n = vlo.shape[0]
-    f, lo, hi = is_new, vlo, vhi
-    stride = 1
-    while stride < n:
-        fa = jnp.concatenate([jnp.zeros(stride, f.dtype), f[:-stride]])
-        la = jnp.concatenate([jnp.zeros(stride, jnp.uint32), lo[:-stride]])
-        ha = jnp.concatenate([jnp.zeros(stride, jnp.uint32), hi[:-stride]])
-        slo = la + lo
-        carry = (slo < lo).astype(jnp.uint32)
-        fb = f
-        f = fa | fb
-        lo = jnp.where(fb, lo, slo)
-        hi = jnp.where(fb, hi, ha + hi + carry)
-        stride *= 2
+    TPU compiler); u64 addition is exactly associative, so the blocked
+    association order is bit-identical to the flat loop's."""
+
+    def combine(a, b):
+        fa, la, ha = a
+        fb, lb, hb = b
+        slo = la + lb
+        carry = (slo < lb).astype(jnp.uint32)
+        return (fa | fb, jnp.where(fb, lb, slo),
+                jnp.where(fb, hb, ha + hb + carry))
+
+    _, lo, hi = scan_assoc(
+        combine, (False, jnp.uint32(0), jnp.uint32(0)), (is_new, vlo, vhi))
     return lo, hi
 
 

@@ -120,9 +120,12 @@ def _plan_buckets(llo, lhi, rlo, rhi, n_buckets: int, per_side: int):
     return bl, br  # (B-1,) positions per side
 
 
-def _join_bucket_fn(cap_l: int, cap_r: int):
+def _join_bucket_fn(cap_l: int, cap_r: int, emit: bool = False):
     """Jitted phase-C body: slice one bucket from each sorted side, join,
-    verify on device, return scalars only."""
+    verify on device, return scalars (and, with emit, the joined bucket
+    stream: per left-slot key/lidx/value/matched/valid device arrays —
+    the consumer contract; left slots are key-sorted within the bucket
+    because the left side was key-sorted in phase A)."""
 
     @jax.jit
     def run(st_l, dl_l, sz_l, st_r, dl_r, sz_r,
@@ -159,9 +162,14 @@ def _join_bucket_fn(cap_l: int, cap_r: int):
         val_ok = jnp.all(~matched | (out["rv"] == want_rv))
         n_matched = jnp.sum((matched & l_valid).astype(jnp.uint32))
         n_even = jnp.sum((l_valid & expect).astype(jnp.uint32))
-        return (match_ok.astype(jnp.uint32), val_ok.astype(jnp.uint32),
-                n_matched, n_even, jnp.sum(sz_l.astype(jnp.uint32)),
-                jnp.sum(sz_r.astype(jnp.uint32)))
+        scalars = (match_ok.astype(jnp.uint32), val_ok.astype(jnp.uint32),
+                   n_matched, n_even, jnp.sum(sz_l.astype(jnp.uint32)),
+                   jnp.sum(sz_r.astype(jnp.uint32)))
+        if not emit:
+            return scalars
+        return scalars + (s_llo, s_lhi, s_lidx, out["rv"],
+                          (matched & l_valid).astype(jnp.uint32),
+                          l_valid.astype(jnp.uint32))
 
     return run
 
@@ -187,13 +195,26 @@ class BigJoinResult:
 
 def join_big(n_l: int, n_r: int, n_buckets: int | None = None,
              seed: int = 7, samples_per_side: int = 8192,
-             verbose: bool = False) -> BigJoinResult:
+             verbose: bool = False, consume=None, collect: bool = False):
     """Out-of-core FK join of n_l x n_r device-generated rows.
 
     Lifts join_fk_scan's 2^30 combined-row cap by key-space bucketing;
     every bucket's matches and values are verified on device (exact, by
     construction — see module docstring). Peak HBM ~ (n_l + n_r) * 12 B
     resident plus one bucket's join working set.
+
+    Output materialization (the bigsort bucket-stream contract):
+      consume: optional callable consume(b, bucket) invoked per bucket,
+        in GLOBAL KEY ORDER, with DEVICE arrays (no host transfer):
+        bucket = dict(key=U64 left keys, lidx=original left row index,
+        value=joined right value, matched=u32 flag, valid=u32 slot-valid
+        flag); slots are the bucket's key-sorted left rows, padded to the
+        static left capacity — mask with `valid`. Downstream on-device
+        pipelines (e.g. group_aggregate_sorted per bucket) chain from
+        here; this is how join output larger than HBM leaves the engine.
+      collect: assemble all buckets' VALID left rows on host (small-n
+        tests only) — returns (result, dict(key, lidx, value, matched))
+        in global key order.
     """
     assert n_l < (1 << 32) and n_r < (1 << 32)
     if n_buckets is None:
@@ -243,7 +264,8 @@ def join_big(n_l: int, n_r: int, n_buckets: int | None = None,
               f"(max {int(sz_r.max())})")
 
     tcm = time.perf_counter()
-    bucket = _join_bucket_fn(cap_l, cap_r)
+    emit = consume is not None or collect
+    bucket = _join_bucket_fn(cap_l, cap_r, emit=emit)
     z = jnp.int32(0)
     bucket_exec = bucket.lower(z, z, z, z, z, z, llo, lhi, lidx,
                                rlo, rhi).compile()
@@ -265,7 +287,21 @@ def join_big(n_l: int, n_r: int, n_buckets: int | None = None,
     rows_r = 0
     m_ok = True
     v_ok = True
+    collected = []
     for b, out in enumerate(pending):
+        if emit:
+            out, stream = out[:6], out[6:]
+            s_llo, s_lhi, s_lidx, s_val, s_m, s_v = stream
+            if consume is not None:
+                consume(b, dict(key=U64(s_llo, s_lhi), lidx=s_lidx,
+                                value=s_val, matched=s_m, valid=s_v))
+            if collect:
+                keep = np.asarray(s_v).astype(bool)
+                k64 = (np.asarray(s_lhi).astype(np.uint64) << np.uint64(32)) \
+                    | np.asarray(s_llo).astype(np.uint64)
+                collected.append((k64[keep], np.asarray(s_lidx)[keep],
+                                  np.asarray(s_val)[keep],
+                                  np.asarray(s_m)[keep]))
         mo, vo, nm, ne, nl_b, nr_b = [int(np.asarray(x)) for x in out]
         m_ok &= bool(mo)
         v_ok &= bool(vo)
@@ -283,7 +319,15 @@ def join_big(n_l: int, n_r: int, n_buckets: int | None = None,
     count_ok = (rows_l == n_l and rows_r == n_r
                 and matched == expected == (n_l + 1) // 2)
     dt = t_a + t_b + t_c
-    return BigJoinResult(
+    res = BigJoinResult(
         n_l=n_l, n_r=n_r, seconds=dt, rows_per_s=n_l / dt,
         matched=matched, match_ok=m_ok, val_ok=v_ok, count_ok=count_ok,
         phase_a_s=t_a, phase_c_s=t_c, compile_s=compile_s)
+    if collect:
+        return res, {
+            "key": np.concatenate([c[0] for c in collected]),
+            "lidx": np.concatenate([c[1] for c in collected]),
+            "value": np.concatenate([c[2] for c in collected]),
+            "matched": np.concatenate([c[3] for c in collected]).astype(bool),
+        }
+    return res

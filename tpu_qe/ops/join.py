@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from tpu_qe.bits import U64
+from tpu_qe.ops.segscan import scan_assoc
 from tpu_qe.table import Table
 
 
@@ -242,39 +243,32 @@ def join_fk_scan(left: Table, right: Table, lkey: U64, rkey: U64,
     # Only VALID right rows may fill.
     is_right = side_right & valid_s
 
-    # Segmented LAST-VALID forward fill: one log2(n)-step Hillis-Steele
-    # sweep delivers, at every stream row, (a) whether a valid right row
-    # precedes it within its key segment — which IS the match flag — and
-    # (b) that right row's value columns, directly. This replaces the
-    # round-1 design (cummax of right positions + one jnp.take per column
-    # after the restore sort): XLA's flat gather runs at ~68 M elem/s on
-    # v5e and was ~40% of the whole join; the sweep streams at memory
-    # speed. (An 8-piece nibble-wise cummax fill was also tried in round 1
-    # and measured slower, and jax.lax.associative_scan with a tuple
-    # carrier was tried in round 2 but its lowering stalled the remote TPU
-    # compiler for tens of minutes — the explicit strided loop compiles
-    # instantly and is the same O(n log n) work.)
+    # Segmented LAST-VALID forward fill: a blocked two-level sweep
+    # (ops/segscan.py) delivers, at every stream row, (a) whether a valid
+    # right row precedes it within its key segment — which IS the match
+    # flag — and (b) that right row's value columns, directly. This
+    # replaces the round-1 design (cummax of right positions + one
+    # jnp.take per column after the restore sort): XLA's flat gather runs
+    # at ~68 M elem/s on v5e and was ~40% of the whole join; the sweep
+    # streams at memory speed. Round 3 replaced the flat log2(n)-pass
+    # Hillis-Steele loop with the blocked scan — log2(C)+1 ≈ 11 full
+    # passes instead of 28 at 200M rows. (An 8-piece nibble-wise cummax
+    # fill was tried in round 1 and measured slower; associative_scan
+    # with a tuple carrier stalled the remote TPU compiler in round 2.)
     # Monoid element (s, f, v*): s = "segment boundary inside this span",
     # f = "valid right after the span's last boundary", v = its values.
     # Associative up to don't-care values (v is only consumed when f=1).
-    fill_s = is_new
-    fill_f = is_right
-    fills = list(srv)
-    stride = 1
-    while stride < n:
-        # combine a = element shifted by stride (identity-padded at the
-        # front) with b = self: s=sa|sb, f=fb|(fa&~sb), v=fb?vb:va
-        sa = jnp.concatenate([jnp.zeros(stride, fill_s.dtype),
-                              fill_s[:-stride]])
-        fa = jnp.concatenate([jnp.zeros(stride, fill_f.dtype),
-                              fill_f[:-stride]])
-        vas = [jnp.concatenate([jnp.zeros(stride, v.dtype), v[:-stride]])
-               for v in fills]
-        sb, fb = fill_s, fill_f
-        fill_s = sa | sb
-        fill_f = fb | (fa & ~sb)
-        fills = [jnp.where(fb, vb, va) for va, vb in zip(vas, fills)]
-        stride *= 2
+    def _fill_combine(a, b):
+        sa, fa = a[0], a[1]
+        sb, fb = b[0], b[1]
+        return (sa | sb, fb | (fa & ~sb)) + tuple(
+            jnp.where(fb, vb, va) for va, vb in zip(a[2:], b[2:]))
+
+    state = scan_assoc(
+        _fill_combine, (False, False) + (0,) * len(srv),
+        (is_new, is_right) + tuple(srv))
+    fill_f = state[1]
+    fills = list(state[2:])
 
     if output == "stream":
         is_left = (~side_right) & valid_s

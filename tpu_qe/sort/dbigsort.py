@@ -152,31 +152,59 @@ def _planner_fn(mesh: Mesh, n_runs: int, n_buckets_total: int,
 
 # ----------------------------------------------------------------- phase X
 
-def _exchange_fn(mesh: Mesh, n_dev: int, cap_blk: int):
+def _exchange_fn(mesh: Mesh, n_dev: int, cap_blk: int, cap_off: int):
     """Per-run segment exchange: device s sends run-slice t to device t.
 
+    Two-tier (diagonal-bypass, same model as exchange/shuffle.py): only
+    OFF-diagonal segments enter the all_to_all, at `cap_off` sized to the
+    off-diagonal demand; each device's own (diagonal) share is patched
+    into its row of the received block with one local dynamic_update_slice
+    — zero interconnect for the 1/D stay-local share, and a skewed local
+    share (pre-partitioned data) no longer inflates the exchange buffers.
+    With D == 1 the collective disappears entirely.
+
     starts/deltas/sizes are per-device (D,) plans (host-computed from the
-    exact phase-B boundaries). Output blocks: per device, (D, cap_blk) per
-    column — row s holds the segment received from source s, with
-    sentinel keys / zero payloads outside [delta, delta+size).
+    exact phase-B boundaries; starts_d/deltas_d re-clamped for the wider
+    diagonal window). Output blocks: per device, (D, cap_blk) per column —
+    row s holds the segment received from source s, with sentinel keys /
+    zero payloads outside [delta, delta+size).
     """
 
-    def body(starts, deltas, sizes, lo, hi, pay):
+    def body(starts, deltas, sizes, starts_d, deltas_d, lo, hi, pay):
         # plans arrive per-shard as (1, D) slices of the (D, D) host plan
         starts = starts.reshape(-1)
         deltas = deltas.reshape(-1)
         sizes = sizes.reshape(-1)
-        ar = jnp.arange(cap_blk, dtype=jnp.uint32)
+        starts_d = starts_d.reshape(-1)
+        deltas_d = deltas_d.reshape(-1)
+        me = jax.lax.axis_index(AXIS)
+        ar_off = jnp.arange(cap_off, dtype=jnp.uint32)
+        ar_blk = jnp.arange(cap_blk, dtype=jnp.uint32)
 
         def blocks(col, fill):
-            outs = []
-            for t in range(n_dev):
-                sl = jax.lax.dynamic_slice(col, (starts[t],), (cap_blk,))
-                d = deltas[t].astype(jnp.uint32)
-                in_seg = (ar >= d) & (ar < d + sizes[t].astype(jnp.uint32))
-                outs.append(jnp.where(in_seg, sl, fill))
-            x = jnp.stack(outs)                       # (D, cap_blk)
-            return jax.lax.all_to_all(x, AXIS, 0, 0)  # row s <- source s
+            if n_dev > 1:
+                outs = []
+                for t in range(n_dev):
+                    sl = jax.lax.dynamic_slice(col, (starts[t],),
+                                               (cap_off,))
+                    d = deltas[t].astype(jnp.uint32)
+                    in_seg = (ar_off >= d) & (
+                        ar_off < d + sizes[t].astype(jnp.uint32))
+                    outs.append(jnp.where(in_seg, sl, fill))
+                x = jnp.stack(outs)                      # (D, cap_off)
+                y = jax.lax.all_to_all(x, AXIS, 0, 0)    # row s <- src s
+                y = jnp.pad(y, ((0, 0), (0, cap_blk - cap_off)),
+                            constant_values=fill)
+            else:
+                y = jnp.full((1, cap_blk), fill, col.dtype)
+            # patch own row with the local (diagonal) share
+            st = jnp.take(starts_d, me)
+            dl = jnp.take(deltas_d, me).astype(jnp.uint32)
+            sz = jnp.take(sizes, me).astype(jnp.uint32)
+            sl = jax.lax.dynamic_slice(col, (st,), (cap_blk,))
+            sl = jnp.where((ar_blk >= dl) & (ar_blk < dl + sz), sl, fill)
+            return jax.lax.dynamic_update_slice(
+                y, sl[None, :], (me.astype(jnp.int32), jnp.int32(0)))
 
         return (blocks(lo, _ONES), blocks(hi, _ONES),
                 blocks(pay, jnp.uint32(0)))
@@ -184,7 +212,7 @@ def _exchange_fn(mesh: Mesh, n_dev: int, cap_blk: int):
     plan = P(AXIS, None)
     fn = shard_map(
         body, mesh=mesh,
-        in_specs=(plan, plan, plan, P(AXIS), P(AXIS), P(AXIS)),
+        in_specs=(plan, plan, plan, plan, plan, P(AXIS), P(AXIS), P(AXIS)),
         out_specs=(plan, plan, plan), check_vma=False)
     return jax.jit(fn)
 
@@ -363,30 +391,42 @@ def sort_big_distributed(n: int, mesh: Mesh, run_size: int = 1 << 26,
     blk_end = pos[:, :, 0:S + 1:n_b][:, :, 1:]
     blk_size = blk_end - blk_start
     cap_blk = _quantize(int(blk_size.max()), quantum, run_size)
+    # two-tier capacities: only OFF-diagonal (src != dest) blocks enter
+    # the all_to_all; the stay-local diagonal share is patched in locally
+    # at full cap_blk width (see _exchange_fn)
+    eye = np.eye(n_dev, dtype=bool)[:, None, :]          # (D, 1, D)
+    off_max = int(np.where(eye, 0, blk_size).max()) if n_dev > 1 else 0
+    cap_off = _quantize(off_max, quantum, cap_blk) if n_dev > 1 else 16
     # per-(src d, run r, global bucket g) segment, relative to its block
     seg_size = pos[:, :, 1:] - pos[:, :, :-1]            # (D, R, S)
     cap_seg = _quantize(int(seg_size.max()), quantum, cap_blk)
     if verbose:
         print(f"dbigsort: D={n_dev} R={n_runs} B={n_b} run={run_size} "
               f"cap_blk={cap_blk} (max {int(blk_size.max())}) "
+              f"cap_off={cap_off} (max {off_max}) "
               f"cap_seg={cap_seg} (max {int(seg_size.max())})")
 
     # ---- phase X: per-run segment exchange ----
     tcx = time.perf_counter()
-    exchanger = _exchange_fn(mesh, n_dev, cap_blk)
+    exchanger = _exchange_fn(mesh, n_dev, cap_blk, cap_off)
     iplan = _plan_put(np.zeros((n_dev, n_dev), np.int32))
-    ex_exec = exchanger.lower(iplan, iplan, iplan, *runs[0]).compile()
+    ex_exec = exchanger.lower(iplan, iplan, iplan, iplan, iplan,
+                              *runs[0]).compile()
     compile_s += time.perf_counter() - tcx
     t_x0 = time.perf_counter()
     blocks = []
-    ceiling = max(run_size - cap_blk, 0)
+    off_ceiling = max(run_size - cap_off, 0)
+    diag_ceiling = max(run_size - cap_blk, 0)
     for r in range(n_runs):
         raw = blk_start[:, r, :]                          # (D, D)
-        clamped = np.minimum(raw, ceiling)
+        clamped = np.minimum(raw, off_ceiling)
         st = _plan_put(clamped)
         dl = _plan_put(raw - clamped)
         sz = _plan_put(blk_size[:, r, :])
-        blocks.append(ex_exec(st, dl, sz, *runs[r]))
+        clamped_d = np.minimum(raw, diag_ceiling)
+        st_d = _plan_put(clamped_d)
+        dl_d = _plan_put(raw - clamped_d)
+        blocks.append(ex_exec(st, dl, sz, st_d, dl_d, *runs[r]))
         runs[r] = None  # free run r once its exchange is dispatched
     del runs
     for blo, _, _ in blocks:
@@ -406,7 +446,11 @@ def sort_big_distributed(n: int, mesh: Mesh, run_size: int = 1 << 26,
     compile_s += time.perf_counter() - tcm
 
     t_c0 = time.perf_counter()
-    blk_clamped = np.minimum(blk_start, ceiling)          # (D, R, D)
+    # per-entry clamp ceiling mirrors the exchange's two-tier packing:
+    # diagonal (src == dest) blocks were placed with the cap_blk window,
+    # off-diagonal ones with the cap_off window
+    ceil_mat = np.where(eye, diag_ceiling, off_ceiling)   # (D, 1, D)
+    blk_clamped = np.minimum(blk_start, ceil_mat)         # (D, R, D)
     blk_delta = blk_start - blk_clamped
     seg_ceiling = max(cap_blk - cap_seg, 0)
     scal = np.zeros((n_b, n_dev, n_scal), np.int64)
