@@ -31,7 +31,8 @@ import jax
 import jax.numpy as jnp
 
 from tpu_qe.bits import U64
-from tpu_qe.ops.segscan import scan_assoc
+from tpu_qe.ops.segscan import (scan_assoc, cumsum_u32,
+                               cumsum_u64_pair, cummax_u32)
 
 _VALID_AGGS = ("count", "sum", "min", "max")
 
@@ -132,12 +133,11 @@ def _cumsum_u64(v: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     lo[i] < lo[i-1] — so hi = cumsum(wrap flags) reconstructs the exact
     64-bit prefix sum (exact while n < 2^32, guaranteed by the u32 row
     positions). This is how integer GROUP BY sums stay exact past 2^32
-    without 64-bit arithmetic (x64 is disabled on TPU): two u32 sweeps.
+    without 64-bit arithmetic (x64 is disabled on TPU) — one blocked
+    carry-monoid scan (ops/segscan.py), bit-identical to the two-pass
+    wrapping-cumsum + wrap-flag formulation it replaced.
     """
-    lo = jnp.cumsum(v.astype(jnp.uint32), dtype=jnp.uint32)
-    prev = _shift_right_one(lo, jnp.uint32(0))
-    hi = jnp.cumsum((lo < prev).astype(jnp.uint32), dtype=jnp.uint32)
-    return lo, hi
+    return cumsum_u64_pair(v)
 
 
 def _diff_u64(end_lo, end_hi):
@@ -312,7 +312,7 @@ def _group_aggregate(key: U64, value: jnp.ndarray | None = None,
         # rounds of max_groups-sized gathers replace the second
         # full-stream sort entirely.
         assert max_groups >= 1
-        cum_end = jnp.cumsum(is_end.astype(jnp.uint32))
+        cum_end = cumsum_u32(is_end.astype(jnp.uint32))
         num_groups = cum_end[-1]
         overflow = (num_groups > jnp.uint32(max_groups)).astype(jnp.uint32)
         j1 = jnp.arange(1, max_groups + 1, dtype=jnp.uint32)
@@ -478,11 +478,11 @@ def _group_aggregate_sorted(key: U64, value: jnp.ndarray | None = None,
     is_end = jnp.concatenate([is_new[1:], jnp.ones((1,), bool)])
 
     v32 = valid.astype(jnp.uint32)
-    vcnt = jnp.cumsum(v32, dtype=jnp.uint32)
+    vcnt = cumsum_u32(v32)
     # per-run inclusive valid count WITHOUT a gather: forward-fill the
     # before-run total (vcnt - valid at run starts is non-decreasing
     # across runs, so one cummax fills it to every row of the run)
-    base = jax.lax.cummax(jnp.where(is_new, vcnt - v32, jnp.uint32(0)))
+    base = cummax_u32(jnp.where(is_new, vcnt - v32, jnp.uint32(0)))
     run_count = vcnt - base
     keep = is_end & (run_count > 0)   # zero-valid key runs drop out
     num_groups = jnp.sum(keep.astype(jnp.uint32))
@@ -626,7 +626,7 @@ def _group_aggregate_multi(key: U64, cols: tuple, spec: tuple,
         # max_groups-sized gathers of every reduced plane replace the
         # full-stream compaction sort. Measured crossover ~100K groups.
         assert max_groups >= 1
-        cum_end = jnp.cumsum(is_end.astype(jnp.uint32))
+        cum_end = cumsum_u32(is_end.astype(jnp.uint32))
         num_groups = cum_end[-1]
         overflow = (num_groups > jnp.uint32(max_groups)).astype(jnp.uint32)
         j1 = jnp.arange(1, max_groups + 1, dtype=jnp.uint32)

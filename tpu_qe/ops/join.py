@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from tpu_qe.bits import U64
-from tpu_qe.ops.segscan import scan_assoc
+from tpu_qe.ops.segscan import scan_assoc, cumsum_u32, cummax_u32
 from tpu_qe.table import Table
 
 
@@ -383,7 +383,7 @@ def expand_ranges(ranges: SortedJoinIndex, out_budget: int):
     # float32 shadow sum monotonically detects that regime so overflow is
     # still flagged even when the exact counter has wrapped.
     total_f = jnp.sum(c.astype(jnp.float32))
-    offsets = jnp.cumsum(c) - c
+    offsets = cumsum_u32(c) - c
 
     # markers for rows with c>0; empty rows key to the sentinel tail
     big = jnp.uint32((1 << 31) - 1)
@@ -397,8 +397,8 @@ def expand_ranges(ranges: SortedJoinIndex, out_budget: int):
                              jnp.zeros(out_budget, jnp.uint32)])
     res = jax.lax.sort([keys, ivals, ovals], num_keys=1, is_stable=False)
     skeys, sivals, sovals = res
-    fill_i = jax.lax.cummax(sivals)    # i+1, monotone along the stream
-    fill_o = jax.lax.cummax(sovals)    # offsets[i]+1, monotone too
+    fill_i = cummax_u32(sivals)        # i+1, monotone along the stream
+    fill_o = cummax_u32(sovals)        # offsets[i]+1, monotone too
     # compact slots (odd stream keys) to the front in j order
     pos = jnp.arange(n_l + out_budget, dtype=jnp.uint32)
     keep = (skeys & jnp.uint32(1)) == 1
@@ -460,7 +460,7 @@ def join_inner_padded(left: Table, right: Table, lkey: U64, rkey: U64,
     ranges = join_sorted(lkey, rkey_s)
     # P[i] = number of valid right rows in sorted positions [0, i)
     pfx = jnp.concatenate([jnp.zeros(1, jnp.uint32),
-                           jnp.cumsum(valid_s.astype(jnp.uint32))])
+                           cumsum_u32(valid_s.astype(jnp.uint32))])
     c = jnp.take(pfx, ranges.end) - jnp.take(pfx, ranges.start)
     c = jnp.where(l_valid, c, jnp.uint32(0))
     li, ri, num_out, overflow = expand_ranges(
