@@ -210,6 +210,32 @@ def _cmd_bench_bigjoin(args) -> int:
     return 0 if res.all_ok else 1
 
 
+def _cmd_bench_bigagg(args) -> int:
+    import json
+
+    from tpu_qe.bench.sol import device_kind
+    from tpu_qe.ops.bigagg import aggregate_big
+
+    res = aggregate_big(args.n, n_groups=args.groups,
+                        run_size=args.run_size, verbose=args.verbose_big)
+    out = {
+        "metric": f"out-of-core GROUP BY {res.n} rows -> "
+                  f"{res.n_groups} groups, 1 chip",
+        "value": round(res.rows_per_s),
+        "unit": "rows/s",
+        "time_s": round(res.seconds, 3),
+        "phase_partial_s": round(res.phase_a_s, 3),
+        "phase_combine_s": round(res.phase_b_s, 3),
+        "compile_s": round(res.compile_s, 3),
+        "verified": res.all_ok,
+        "checks": {"count": res.count_ok, "sum": res.sum_ok,
+                   "keys": res.keys_ok, "groups": res.groups_ok},
+        "device": device_kind(),
+    }
+    print(json.dumps(out))
+    return 0 if res.all_ok else 1
+
+
 def _cmd_info(args) -> int:
     import jax
 
@@ -293,6 +319,15 @@ def main(argv=None) -> int:
     pj.add_argument("--buckets", type=int, default=None)
     pj.add_argument("--verbose-big", action="store_true")
     pj.set_defaults(fn=_cmd_bench_bigjoin)
+
+    pa = sub.add_parser("bench-bigagg",
+                        help="out-of-core GROUP BY (partial-aggregate "
+                             "runs + one in-core combine)")
+    pa.add_argument("--n", type=int, default=1 << 30)
+    pa.add_argument("--groups", type=int, default=1 << 20)
+    pa.add_argument("--run-size", type=int, default=1 << 26)
+    pa.add_argument("--verbose-big", action="store_true")
+    pa.set_defaults(fn=_cmd_bench_bigagg)
 
     pi = sub.add_parser("info", help="device + config report")
     pi.set_defaults(fn=_cmd_info)

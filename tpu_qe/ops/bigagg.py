@@ -1,0 +1,239 @@
+"""Out-of-core GROUP BY: aggregate more rows than one program can sort.
+
+group_aggregate (ops/aggregate.py) is one resident program — its sort
+working set caps it near 256M rows on a 16 GB v5e. This module scales the
+aggregation to bigsort's regime (1B rows) with the classic two-phase
+shape, TPU-first:
+
+  phase A   per run of `run_size` rows: generate on device (regenerable
+            index hash — the ~25-30 MB/s tunnel forbids host streaming,
+            see sort/bigsort.py) and PARTIALLY aggregate the run in the
+            same program. Only the run's padded group table (key, count,
+            exact u64 sum pair) leaves the program: with G groups and R
+            runs the data shrinks run_size/G-fold before anything is
+            retained — aggregation IS compression, so the out-of-core
+            problem collapses to an in-core combine.
+  phase B   one resident combine program: sort the R partial tables by
+            group key, merge equal keys (counts: u32 cumsum differences,
+            exact while total < 2^32; sums: u64 pair cumsum with wrap
+            carries), compact group ends, and VERIFY on device — total
+            count, total u64 value sum against the closed form
+            n(n-1)/2, group-key sortedness/uniqueness.
+
+Padding discipline: phase-A tables are padded to partial_cap =
+min(n_groups, run_size) with all-ones sentinel keys and zero counts/sums;
+sentinels collapse into one zero-count tail group in the combine and are
+dropped by the count>0 rule (a real group key is < n_groups << 2^32, so
+collision with the sentinel is impossible). Both phases are
+plan-free (no sampling, no capacities): the partial-table bound is
+structural (num_groups <= distinct keys in run <= partial_cap).
+
+The combine's M = R * partial_cap rows must fit one program; for G so
+large that M exceeds the in-core cap, the partials would be key-range
+bucketed exactly like sort/bigsort.py — asserted, not silently wrong.
+
+Reference contrast: the reference has no aggregation at all; this is
+SURVEY.md §7 step 6's GROUP BY mandate at data sizes beyond single-pass
+reach, composed from the same verified machinery as the 1B-row sort.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_qe.bits import U64
+from tpu_qe.ops.aggregate import _diff_u64, _shift_right_one, group_aggregate
+from tpu_qe.ops.segscan import cumsum_u32, cumsum_u64_pair
+from tpu_qe.sort.bigsort import _murmur_fmix32
+
+_ONES = jnp.uint32(0xFFFFFFFF)
+_GSALT = jnp.uint32(0x9E3779B9)
+
+
+def _group_of_index(idx: jnp.ndarray, n_groups: int, seed: int):
+    """Group id in [0, n_groups) for row idx (device + numpy-mirrorable)."""
+    return _murmur_fmix32(idx ^ (_GSALT + jnp.uint32(seed))) \
+        % jnp.uint32(n_groups)
+
+
+def group_of_index_numpy(idx: np.ndarray, n_groups: int,
+                         seed: int = 7) -> np.ndarray:
+    h = (idx.astype(np.uint64) ^ np.uint64((0x9E3779B9 + seed)
+                                           & 0xFFFFFFFF))
+    h &= np.uint64(0xFFFFFFFF)
+    h ^= h >> np.uint64(16)
+    h = (h * np.uint64(0x85EBCA6B)) & np.uint64(0xFFFFFFFF)
+    h ^= h >> np.uint64(13)
+    h = (h * np.uint64(0xC2B2AE35)) & np.uint64(0xFFFFFFFF)
+    h ^= h >> np.uint64(16)
+    return (h % np.uint64(n_groups)).astype(np.uint32)
+
+
+@functools.partial(jax.jit, static_argnames=("run_size", "n_groups",
+                                             "seed", "partial_cap"))
+def _partial_run(r: jnp.ndarray, run_size: int, n_groups: int, seed: int,
+                 partial_cap: int):
+    """One phase-A program: generate run r, aggregate it, emit the padded
+    partial group table (klo sentinel-padded; counts/sums zero-padded)."""
+    idx = r * jnp.uint32(run_size) + jnp.arange(run_size, dtype=jnp.uint32)
+    g = _group_of_index(idx, n_groups, seed)
+    res = group_aggregate(U64(g, jnp.zeros_like(g)), idx,
+                          aggs=("count", "sum"))
+    valid = jnp.arange(partial_cap, dtype=jnp.uint32) < res.num_groups
+    s = res.aggs["sum"]
+
+    def cut(a, fill):
+        return jnp.where(valid, jax.lax.slice(a, (0,), (partial_cap,)),
+                         fill)
+
+    return (cut(res.key.lo, _ONES), cut(res.key.hi, _ONES),
+            cut(res.aggs["count"], jnp.uint32(0)),
+            cut(s.lo, jnp.uint32(0)), cut(s.hi, jnp.uint32(0)))
+
+
+@functools.partial(jax.jit, static_argnames=("collect",))
+def _combine(parts, collect: bool):
+    """Phase B: merge R partial tables, verify on device, emit scalars.
+
+    parts: tuple of (klo, khi, cnt, slo, shi) per run."""
+    klo = jnp.concatenate([p[0] for p in parts])
+    khi = jnp.concatenate([p[1] for p in parts])
+    cnt = jnp.concatenate([p[2] for p in parts])
+    vlo = jnp.concatenate([p[3] for p in parts])
+    vhi = jnp.concatenate([p[4] for p in parts])
+    m = klo.shape[0]
+    assert m < (1 << 28), ("combine exceeds the in-core cap; bucket the "
+                           "partials (see module docstring)", m)
+    skhi, sklo, scnt, svlo, svhi = jax.lax.sort(
+        [khi, klo, cnt, vlo, vhi], num_keys=2, is_stable=False)
+    idx = jnp.arange(m, dtype=jnp.uint32)
+    is_new = ((idx == 0) | (sklo != _shift_right_one(sklo, jnp.uint32(0)))
+              | (skhi != _shift_right_one(skhi, jnp.uint32(0))))
+    is_end = jnp.concatenate([is_new[1:], jnp.ones((1,), bool)])
+    # per-group totals by prefix differences at group ends: counts via a
+    # plain u32 cumsum (global total == n < 2^32, so no wrap anywhere);
+    # value sums via the exact u64 pair cumsum with wrap carries
+    ccnt = cumsum_u32(scnt)
+    plo, wraps = cumsum_u64_pair(svlo)
+    phi = cumsum_u32(svhi) + wraps
+    # compact group-end rows to the front (packed-position sort, same
+    # discipline as group_aggregate)
+    pos1 = idx + 1
+    packed = jnp.where(is_end, pos1, pos1 | jnp.uint32(1 << 31))
+    res = jax.lax.sort([packed, sklo, skhi, ccnt, plo, phi], num_keys=1,
+                       is_stable=False)
+    pos_end = res[0] & jnp.uint32(0x7FFFFFFF)
+    gklo, gkhi = res[1], res[2]
+    gcnt = res[3] - _shift_right_one(res[3], jnp.uint32(0))
+    gsum = _diff_u64(res[4], res[5])
+    n_all = jnp.sum(is_end.astype(jnp.uint32))      # incl. sentinel group
+    gvalid = (jnp.arange(m, dtype=jnp.uint32) < n_all) & (gcnt > 0)
+    num_groups = jnp.sum(gvalid.astype(jnp.uint32))
+    # device-side verification
+    total_cnt = jnp.sum(jnp.where(gvalid, gcnt, 0), dtype=jnp.uint32)
+    tlo, tw = cumsum_u64_pair(jnp.where(gvalid, gsum.lo, 0))
+    thi = cumsum_u32(jnp.where(gvalid, gsum.hi, 0))[-1] + tw[-1]
+    gt = ((gkhi[1:] > gkhi[:-1])
+          | ((gkhi[1:] == gkhi[:-1]) & (gklo[1:] > gklo[:-1])))
+    keys_sorted = jnp.all(gt | ~gvalid[1:])          # strict: unique keys
+    scalars = (num_groups, total_cnt, tlo[-1], thi,
+               keys_sorted.astype(jnp.uint32))
+    if not collect:
+        return scalars
+    z = jnp.uint32(0)
+    return scalars + (jnp.where(gvalid, gklo, _ONES),
+                      jnp.where(gvalid, gcnt, z),
+                      jnp.where(gvalid, gsum.lo, z),
+                      jnp.where(gvalid, gsum.hi, z))
+
+
+@dataclasses.dataclass(frozen=True)
+class BigAggResult:
+    n: int
+    n_groups: int              # groups found (count > 0)
+    seconds: float
+    rows_per_s: float
+    count_ok: bool             # sum of group counts == n
+    sum_ok: bool               # total u64 value sum == n(n-1)/2
+    keys_ok: bool              # group keys strictly ascending (unique)
+    groups_ok: bool            # group count within the structural bound
+    #   (exact per-group counts/sums are oracle-checked in tests via
+    #   collect=True + numpy bincount; the closed-form count/sum totals
+    #   above are the at-scale on-device checks)
+    phase_a_s: float
+    phase_b_s: float
+    compile_s: float = 0.0
+
+    @property
+    def all_ok(self) -> bool:
+        return (self.count_ok and self.sum_ok and self.keys_ok
+                and self.groups_ok)
+
+
+def aggregate_big(n: int, n_groups: int = 1 << 20, run_size: int = 1 << 26,
+                  seed: int = 7, verbose: bool = False,
+                  collect: bool = False):
+    """Out-of-core GROUP BY count+sum of n device-generated rows.
+
+    Row i: group key = hash(i) mod n_groups, value = i — so the global
+    invariants are closed-form exact: counts sum to n and the u64 value
+    total equals n(n-1)/2, both checked on device. Peak HBM ~ one run's
+    aggregation working set + R * partial_cap * 20 B of partial tables.
+
+    collect=True additionally returns the assembled host group table
+    dict(key, count, sum) in key order (small-n oracle tests only).
+    """
+    assert n % run_size == 0, (n, run_size)
+    assert n < (1 << 32), "values travel as u32 global index"
+    n_runs = n // run_size
+    partial_cap = min(n_groups, run_size)
+
+    tc0 = time.perf_counter()
+    np.asarray(jnp.zeros(8, jnp.uint32)[:1])  # tunnel warmup
+    run_exec = _partial_run.lower(
+        jnp.uint32(0), run_size=run_size, n_groups=n_groups, seed=seed,
+        partial_cap=partial_cap).compile()
+    compile_s = time.perf_counter() - tc0
+
+    t0 = time.perf_counter()
+    parts = [run_exec(jnp.uint32(r)) for r in range(n_runs)]
+    np.asarray(parts[-1][0][-1:])  # fence after queueing ALL dispatches
+    t_a = time.perf_counter() - t0
+
+    tcb = time.perf_counter()
+    comb_exec = _combine.lower(tuple(parts), collect=collect).compile()
+    compile_s += time.perf_counter() - tcb
+
+    t1 = time.perf_counter()
+    out = comb_exec(tuple(parts))
+    scal = [np.asarray(x) for x in out[:5]]
+    t_b = time.perf_counter() - t1
+    ng, total_cnt, tlo, thi, ks = (int(x) for x in scal)
+    want = n * (n - 1) // 2
+    got_sum = (thi << 32) | tlo
+    dt = t_a + t_b
+    res = BigAggResult(
+        n=n, n_groups=ng, seconds=dt, rows_per_s=n / dt,
+        count_ok=(total_cnt == n), sum_ok=(got_sum == want),
+        keys_ok=bool(ks), groups_ok=(ng <= min(n_groups, n)),
+        phase_a_s=t_a, phase_b_s=t_b, compile_s=compile_s)
+    if verbose:
+        print(f"bigagg: n={n} R={n_runs} G={n_groups} "
+              f"partial_cap={partial_cap} groups={ng} "
+              f"A={t_a:.2f}s B={t_b:.2f}s ok={res.all_ok}")
+    if collect:
+        gk, gc, gl, gh = (np.asarray(x) for x in out[5:])
+        keep = gc > 0
+        return res, {
+            "key": gk[keep],
+            "count": gc[keep],
+            "sum": (gh[keep].astype(np.uint64) << np.uint64(32))
+            | gl[keep].astype(np.uint64),
+        }
+    return res
