@@ -73,6 +73,27 @@ def test_seed_changes_grouping():
     assert np.array_equal(t11["sum"], osum)
 
 
+def test_minmax_oracle():
+    n, g, rs = 1 << 14, 1 << 9, 1 << 12
+    res, table = aggregate_big(n, n_groups=g, run_size=rs, collect=True,
+                               minmax=True)
+    assert res.all_ok, res
+    assert res.minmax_ok
+    idx = np.arange(n, dtype=np.uint32)
+    gid = group_of_index_numpy(idx, g)
+    okey, ocnt, osum = _oracle(n, g)
+    assert np.array_equal(table["key"], okey)
+    assert np.array_equal(table["count"], ocnt)
+    assert np.array_equal(table["sum"], osum)
+    omin = np.full(g, np.iinfo(np.uint32).max, dtype=np.uint32)
+    omax = np.zeros(g, dtype=np.uint32)
+    np.minimum.at(omin, gid, idx)
+    np.maximum.at(omax, gid, idx)
+    keep = np.bincount(gid, minlength=g) > 0
+    assert np.array_equal(table["min"], omin[keep])
+    assert np.array_equal(table["max"], omax[keep])
+
+
 def test_combine_cap_asserts():
     # the structural M < 2^28 guard on the in-core combine must fire, not
     # silently truncate (house overflow-detection rule)

@@ -217,7 +217,8 @@ def _cmd_bench_bigagg(args) -> int:
     from tpu_qe.ops.bigagg import aggregate_big
 
     res = aggregate_big(args.n, n_groups=args.groups,
-                        run_size=args.run_size, verbose=args.verbose_big)
+                        run_size=args.run_size, minmax=args.minmax,
+                        verbose=args.verbose_big)
     out = {
         "metric": f"out-of-core GROUP BY {res.n} rows -> "
                   f"{res.n_groups} groups, 1 chip",
@@ -229,7 +230,8 @@ def _cmd_bench_bigagg(args) -> int:
         "compile_s": round(res.compile_s, 3),
         "verified": res.all_ok,
         "checks": {"count": res.count_ok, "sum": res.sum_ok,
-                   "keys": res.keys_ok, "groups": res.groups_ok},
+                   "keys": res.keys_ok, "groups": res.groups_ok,
+                   "minmax": res.minmax_ok},
         "device": device_kind(),
     }
     print(json.dumps(out))
@@ -326,6 +328,8 @@ def main(argv=None) -> int:
     pa.add_argument("--n", type=int, default=1 << 30)
     pa.add_argument("--groups", type=int, default=1 << 20)
     pa.add_argument("--run-size", type=int, default=1 << 26)
+    pa.add_argument("--minmax", action="store_true",
+                    help="also aggregate per-group min+max")
     pa.add_argument("--verbose-big", action="store_true")
     pa.set_defaults(fn=_cmd_bench_bigagg)
 

@@ -48,7 +48,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpu_qe.bits import U64
-from tpu_qe.ops.aggregate import _diff_u64, _shift_right_one, group_aggregate
+from tpu_qe.ops.aggregate import (_diff_u64, _shift_right_one,
+                                  group_aggregate, segmented_reduce)
 from tpu_qe.ops.segscan import cumsum_u32, cumsum_u64_pair
 from tpu_qe.sort.bigsort import _murmur_fmix32
 
@@ -76,15 +77,18 @@ def group_of_index_numpy(idx: np.ndarray, n_groups: int,
 
 
 @functools.partial(jax.jit, static_argnames=("run_size", "n_groups",
-                                             "seed", "partial_cap"))
+                                             "seed", "partial_cap",
+                                             "minmax"))
 def _partial_run(r: jnp.ndarray, run_size: int, n_groups: int, seed: int,
-                 partial_cap: int):
+                 partial_cap: int, minmax: bool):
     """One phase-A program: generate run r, aggregate it, emit the padded
-    partial group table (klo sentinel-padded; counts/sums zero-padded)."""
+    partial group table (klo sentinel-padded; counts/sums zero-padded;
+    min/max padded with their identities so cross-run merging stays a
+    plain segmented min/max)."""
     idx = r * jnp.uint32(run_size) + jnp.arange(run_size, dtype=jnp.uint32)
     g = _group_of_index(idx, n_groups, seed)
-    res = group_aggregate(U64(g, jnp.zeros_like(g)), idx,
-                          aggs=("count", "sum"))
+    aggs = ("count", "sum") + (("min", "max") if minmax else ())
+    res = group_aggregate(U64(g, jnp.zeros_like(g)), idx, aggs=aggs)
     valid = jnp.arange(partial_cap, dtype=jnp.uint32) < res.num_groups
     s = res.aggs["sum"]
 
@@ -92,16 +96,20 @@ def _partial_run(r: jnp.ndarray, run_size: int, n_groups: int, seed: int,
         return jnp.where(valid, jax.lax.slice(a, (0,), (partial_cap,)),
                          fill)
 
-    return (cut(res.key.lo, _ONES), cut(res.key.hi, _ONES),
-            cut(res.aggs["count"], jnp.uint32(0)),
-            cut(s.lo, jnp.uint32(0)), cut(s.hi, jnp.uint32(0)))
+    out = (cut(res.key.lo, _ONES), cut(res.key.hi, _ONES),
+           cut(res.aggs["count"], jnp.uint32(0)),
+           cut(s.lo, jnp.uint32(0)), cut(s.hi, jnp.uint32(0)))
+    if minmax:
+        out += (cut(res.aggs["min"], _ONES),
+                cut(res.aggs["max"], jnp.uint32(0)))
+    return out
 
 
-@functools.partial(jax.jit, static_argnames=("collect",))
-def _combine(parts, collect: bool):
+@functools.partial(jax.jit, static_argnames=("collect", "minmax"))
+def _combine(parts, collect: bool, minmax: bool):
     """Phase B: merge R partial tables, verify on device, emit scalars.
 
-    parts: tuple of (klo, khi, cnt, slo, shi) per run."""
+    parts: tuple of (klo, khi, cnt, slo, shi[, vmin, vmax]) per run."""
     klo = jnp.concatenate([p[0] for p in parts])
     khi = jnp.concatenate([p[1] for p in parts])
     cnt = jnp.concatenate([p[2] for p in parts])
@@ -110,8 +118,12 @@ def _combine(parts, collect: bool):
     m = klo.shape[0]
     assert m < (1 << 28), ("combine exceeds the in-core cap; bucket the "
                            "partials (see module docstring)", m)
-    skhi, sklo, scnt, svlo, svhi = jax.lax.sort(
-        [khi, klo, cnt, vlo, vhi], num_keys=2, is_stable=False)
+    ops = [khi, klo, cnt, vlo, vhi]
+    if minmax:
+        ops += [jnp.concatenate([p[5] for p in parts]),
+                jnp.concatenate([p[6] for p in parts])]
+    sorted_ops = jax.lax.sort(ops, num_keys=2, is_stable=False)
+    skhi, sklo, scnt, svlo, svhi = sorted_ops[:5]
     idx = jnp.arange(m, dtype=jnp.uint32)
     is_new = ((idx == 0) | (sklo != _shift_right_one(sklo, jnp.uint32(0)))
               | (skhi != _shift_right_one(skhi, jnp.uint32(0))))
@@ -126,9 +138,14 @@ def _combine(parts, collect: bool):
     # discipline as group_aggregate)
     pos1 = idx + 1
     packed = jnp.where(is_end, pos1, pos1 | jnp.uint32(1 << 31))
-    res = jax.lax.sort([packed, sklo, skhi, ccnt, plo, phi], num_keys=1,
-                       is_stable=False)
-    pos_end = res[0] & jnp.uint32(0x7FFFFFFF)
+    cops = [packed, sklo, skhi, ccnt, plo, phi]
+    if minmax:
+        # cross-run group min/max: segmented running min/max over the
+        # key-sorted partial rows, read at group-end rows (identities on
+        # sentinel pads make partial rows safe to fold)
+        cops += [segmented_reduce(sorted_ops[5], is_new, "min"),
+                 segmented_reduce(sorted_ops[6], is_new, "max")]
+    res = jax.lax.sort(cops, num_keys=1, is_stable=False)
     gklo, gkhi = res[1], res[2]
     gcnt = res[3] - _shift_right_one(res[3], jnp.uint32(0))
     gsum = _diff_u64(res[4], res[5])
@@ -142,15 +159,28 @@ def _combine(parts, collect: bool):
     gt = ((gkhi[1:] > gkhi[:-1])
           | ((gkhi[1:] == gkhi[:-1]) & (gklo[1:] > gklo[:-1])))
     keys_sorted = jnp.all(gt | ~gvalid[1:])          # strict: unique keys
+    if minmax:
+        gmin, gmax = res[6], res[7]
+        # values are the global row indices 0..n-1, so min-of-mins == 0,
+        # max-of-maxes == n-1, and every group's min <= max
+        mm_ok = (jnp.all(jnp.where(gvalid, gmin <= gmax, True))
+                 & (jnp.min(jnp.where(gvalid, gmin, _ONES)) == 0)
+                 & (jnp.max(jnp.where(gvalid, gmax, jnp.uint32(0)))
+                    == total_cnt - 1))
+    else:
+        mm_ok = jnp.bool_(True)
     scalars = (num_groups, total_cnt, tlo[-1], thi,
-               keys_sorted.astype(jnp.uint32))
+               keys_sorted.astype(jnp.uint32), mm_ok.astype(jnp.uint32))
     if not collect:
         return scalars
     z = jnp.uint32(0)
-    return scalars + (jnp.where(gvalid, gklo, _ONES),
-                      jnp.where(gvalid, gcnt, z),
-                      jnp.where(gvalid, gsum.lo, z),
-                      jnp.where(gvalid, gsum.hi, z))
+    out = scalars + (jnp.where(gvalid, gklo, _ONES),
+                     jnp.where(gvalid, gcnt, z),
+                     jnp.where(gvalid, gsum.lo, z),
+                     jnp.where(gvalid, gsum.hi, z))
+    if minmax:
+        out += (jnp.where(gvalid, gmin, z), jnp.where(gvalid, gmax, z))
+    return out
 
 
 @dataclasses.dataclass(frozen=True)
@@ -169,25 +199,30 @@ class BigAggResult:
     phase_a_s: float
     phase_b_s: float
     compile_s: float = 0.0
+    minmax_ok: bool = True     # min<=max per group, global min 0 / max n-1
+    #   (vacuously true unless minmax aggregation was requested)
 
     @property
     def all_ok(self) -> bool:
         return (self.count_ok and self.sum_ok and self.keys_ok
-                and self.groups_ok)
+                and self.groups_ok and self.minmax_ok)
 
 
 def aggregate_big(n: int, n_groups: int = 1 << 20, run_size: int = 1 << 26,
                   seed: int = 7, verbose: bool = False,
-                  collect: bool = False):
-    """Out-of-core GROUP BY count+sum of n device-generated rows.
+                  collect: bool = False, minmax: bool = False):
+    """Out-of-core GROUP BY count+sum (optionally min+max) of n
+    device-generated rows.
 
     Row i: group key = hash(i) mod n_groups, value = i — so the global
     invariants are closed-form exact: counts sum to n and the u64 value
-    total equals n(n-1)/2, both checked on device. Peak HBM ~ one run's
-    aggregation working set + R * partial_cap * 20 B of partial tables.
+    total equals n(n-1)/2, both checked on device (minmax adds per-group
+    min<=max plus global-min==0 / global-max==n-1). Peak HBM ~ one run's
+    aggregation working set + R * partial_cap * 20-28 B of partial tables.
 
     collect=True additionally returns the assembled host group table
-    dict(key, count, sum) in key order (small-n oracle tests only).
+    dict(key, count, sum[, min, max]) in key order (small-n oracle tests
+    only).
     """
     assert n % run_size == 0, (n, run_size)
     assert n < (1 << 32), "values travel as u32 global index"
@@ -198,7 +233,7 @@ def aggregate_big(n: int, n_groups: int = 1 << 20, run_size: int = 1 << 26,
     np.asarray(jnp.zeros(8, jnp.uint32)[:1])  # tunnel warmup
     run_exec = _partial_run.lower(
         jnp.uint32(0), run_size=run_size, n_groups=n_groups, seed=seed,
-        partial_cap=partial_cap).compile()
+        partial_cap=partial_cap, minmax=minmax).compile()
     compile_s = time.perf_counter() - tc0
 
     t0 = time.perf_counter()
@@ -207,14 +242,15 @@ def aggregate_big(n: int, n_groups: int = 1 << 20, run_size: int = 1 << 26,
     t_a = time.perf_counter() - t0
 
     tcb = time.perf_counter()
-    comb_exec = _combine.lower(tuple(parts), collect=collect).compile()
+    comb_exec = _combine.lower(tuple(parts), collect=collect,
+                               minmax=minmax).compile()
     compile_s += time.perf_counter() - tcb
 
     t1 = time.perf_counter()
     out = comb_exec(tuple(parts))
-    scal = [np.asarray(x) for x in out[:5]]
+    scal = [np.asarray(x) for x in out[:6]]
     t_b = time.perf_counter() - t1
-    ng, total_cnt, tlo, thi, ks = (int(x) for x in scal)
+    ng, total_cnt, tlo, thi, ks, mm = (int(x) for x in scal)
     want = n * (n - 1) // 2
     got_sum = (thi << 32) | tlo
     dt = t_a + t_b
@@ -222,18 +258,24 @@ def aggregate_big(n: int, n_groups: int = 1 << 20, run_size: int = 1 << 26,
         n=n, n_groups=ng, seconds=dt, rows_per_s=n / dt,
         count_ok=(total_cnt == n), sum_ok=(got_sum == want),
         keys_ok=bool(ks), groups_ok=(ng <= min(n_groups, n)),
-        phase_a_s=t_a, phase_b_s=t_b, compile_s=compile_s)
+        phase_a_s=t_a, phase_b_s=t_b, compile_s=compile_s,
+        minmax_ok=bool(mm))
     if verbose:
         print(f"bigagg: n={n} R={n_runs} G={n_groups} "
               f"partial_cap={partial_cap} groups={ng} "
               f"A={t_a:.2f}s B={t_b:.2f}s ok={res.all_ok}")
     if collect:
-        gk, gc, gl, gh = (np.asarray(x) for x in out[5:])
+        cols = [np.asarray(x) for x in out[6:]]
+        gk, gc, gl, gh = cols[:4]
         keep = gc > 0
-        return res, {
+        table = {
             "key": gk[keep],
             "count": gc[keep],
             "sum": (gh[keep].astype(np.uint64) << np.uint64(32))
             | gl[keep].astype(np.uint64),
         }
+        if minmax:
+            table["min"] = cols[4][keep]
+            table["max"] = cols[5][keep]
+        return res, table
     return res
