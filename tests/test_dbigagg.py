@@ -1,0 +1,58 @@
+"""Distributed out-of-core GROUP BY (ops/dbigagg.py): two-level combine."""
+
+import numpy as np
+import pytest
+
+from tpu_qe.exchange.dsort import make_mesh
+from tpu_qe.ops.bigagg import aggregate_big
+from tpu_qe.ops.dbigagg import aggregate_big_distributed
+
+
+@pytest.mark.parametrize("n_dev,n,n_groups,run_size", [
+    (1, 1 << 14, 1 << 9, 1 << 12),     # degenerate single-device path
+    (2, 1 << 14, 1 << 9, 1 << 12),
+    (4, 1 << 15, 1 << 10, 1 << 12),    # 8 runs across 4 devices
+    (8, 1 << 15, 1 << 16, 1 << 12),    # more groups than rows per run
+])
+def test_matches_single_chip_bit_exact(n_dev, n, n_groups, run_size):
+    mesh = make_mesh(n_dev)
+    res, table = aggregate_big_distributed(
+        n, mesh, n_groups=n_groups, run_size=run_size, collect=True)
+    assert res.all_ok, res
+    res1, t1 = aggregate_big(n, n_groups=n_groups, run_size=run_size,
+                             collect=True)
+    assert res1.all_ok
+    for k in t1:
+        assert np.array_equal(table[k], t1[k]), k
+    assert res.n_groups == res1.n_groups
+
+
+def test_minmax_matches_single_chip():
+    mesh = make_mesh(4)
+    res, table = aggregate_big_distributed(
+        1 << 14, mesh, n_groups=1 << 8, run_size=1 << 12, collect=True,
+        minmax=True)
+    assert res.all_ok and res.minmax_ok
+    _, t1 = aggregate_big(1 << 14, n_groups=1 << 8, run_size=1 << 12,
+                          collect=True, minmax=True)
+    for k in ("key", "count", "sum", "min", "max"):
+        assert np.array_equal(table[k], t1[k]), k
+
+
+def test_single_group_adversarial():
+    # every row in ONE group: local tables are 1 valid row each; the
+    # combine tree must still produce the exact global count and sum
+    mesh = make_mesh(8)
+    n = 1 << 15
+    res, table = aggregate_big_distributed(
+        n, mesh, n_groups=1, run_size=1 << 12, collect=True)
+    assert res.all_ok, res
+    assert res.n_groups == 1
+    assert table["count"][0] == n
+    assert int(table["sum"][0]) == n * (n - 1) // 2
+
+
+def test_divisibility_asserts():
+    mesh = make_mesh(8)
+    with pytest.raises(AssertionError):
+        aggregate_big_distributed(1 << 14, mesh, run_size=1 << 12)

@@ -216,12 +216,23 @@ def _cmd_bench_bigagg(args) -> int:
     from tpu_qe.bench.sol import device_kind
     from tpu_qe.ops.bigagg import aggregate_big
 
-    res = aggregate_big(args.n, n_groups=args.groups,
-                        run_size=args.run_size, minmax=args.minmax,
-                        verbose=args.verbose_big)
+    if args.distributed:
+        from tpu_qe.exchange.dsort import make_mesh
+        from tpu_qe.ops.dbigagg import aggregate_big_distributed
+        mesh = make_mesh(args.devices)
+        d = int(mesh.devices.size)
+        res = aggregate_big_distributed(
+            args.n, mesh, n_groups=args.groups, run_size=args.run_size,
+            minmax=args.minmax, verbose=args.verbose_big)
+        where = f"{d} devices"
+    else:
+        res = aggregate_big(args.n, n_groups=args.groups,
+                            run_size=args.run_size, minmax=args.minmax,
+                            verbose=args.verbose_big)
+        where = "1 chip"
     out = {
         "metric": f"out-of-core GROUP BY {res.n} rows -> "
-                  f"{res.n_groups} groups, 1 chip",
+                  f"{res.n_groups} groups, {where}",
         "value": round(res.rows_per_s),
         "unit": "rows/s",
         "time_s": round(res.seconds, 3),
@@ -330,6 +341,11 @@ def main(argv=None) -> int:
     pa.add_argument("--run-size", type=int, default=1 << 26)
     pa.add_argument("--minmax", action="store_true",
                     help="also aggregate per-group min+max")
+    pa.add_argument("--distributed", action="store_true",
+                    help="distributed out-of-core aggregate over the "
+                         "device mesh (ops/dbigagg.py)")
+    pa.add_argument("--devices", type=int, default=None,
+                    help="mesh size for --distributed (default: all)")
     pa.add_argument("--verbose-big", action="store_true")
     pa.set_defaults(fn=_cmd_bench_bigagg)
 

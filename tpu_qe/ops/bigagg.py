@@ -105,24 +105,27 @@ def _partial_run(r: jnp.ndarray, run_size: int, n_groups: int, seed: int,
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("collect", "minmax"))
-def _combine(parts, collect: bool, minmax: bool):
-    """Phase B: merge R partial tables, verify on device, emit scalars.
+def _merge_partials(cols):
+    """Merge rows of sentinel-padded partial group tables (key-major sort
+    + segmented folds), compacting merged groups to the front.
 
-    parts: tuple of (klo, khi, cnt, slo, shi[, vmin, vmax]) per run."""
-    klo = jnp.concatenate([p[0] for p in parts])
-    khi = jnp.concatenate([p[1] for p in parts])
-    cnt = jnp.concatenate([p[2] for p in parts])
-    vlo = jnp.concatenate([p[3] for p in parts])
-    vhi = jnp.concatenate([p[4] for p in parts])
+    cols: (klo, khi, cnt, slo, shi[, vmin, vmax]) row-aligned arrays —
+    counts fold by sum (plain u32 cumsum differences: the global count
+    total is < 2^32 by the n < 2^32 contract), value sums by the exact
+    u64 pair cumsum with wrap carries, min/max by segmented reductions
+    (sentinel pads carry their identities, so they fold harmlessly).
+    Pure jnp/lax — runs identically in the single-chip combine and
+    inside shard_map bodies (ops/dbigagg.py).
+
+    Returns (gklo, gkhi, gcnt, gsum: U64, gmin, gmax, gvalid) with
+    invalid rows NOT yet masked (mask with gvalid); gmin/gmax are None
+    when cols carries no min/max planes.
+    """
+    klo, khi = cols[0], cols[1]
     m = klo.shape[0]
-    assert m < (1 << 28), ("combine exceeds the in-core cap; bucket the "
-                           "partials (see module docstring)", m)
-    ops = [khi, klo, cnt, vlo, vhi]
-    if minmax:
-        ops += [jnp.concatenate([p[5] for p in parts]),
-                jnp.concatenate([p[6] for p in parts])]
-    sorted_ops = jax.lax.sort(ops, num_keys=2, is_stable=False)
+    minmax = len(cols) == 7
+    sorted_ops = jax.lax.sort([khi, klo] + list(cols[2:]), num_keys=2,
+                              is_stable=False)
     skhi, sklo, scnt, svlo, svhi = sorted_ops[:5]
     idx = jnp.arange(m, dtype=jnp.uint32)
     is_new = ((idx == 0) | (sklo != _shift_right_one(sklo, jnp.uint32(0)))
@@ -140,9 +143,8 @@ def _combine(parts, collect: bool, minmax: bool):
     packed = jnp.where(is_end, pos1, pos1 | jnp.uint32(1 << 31))
     cops = [packed, sklo, skhi, ccnt, plo, phi]
     if minmax:
-        # cross-run group min/max: segmented running min/max over the
-        # key-sorted partial rows, read at group-end rows (identities on
-        # sentinel pads make partial rows safe to fold)
+        # cross-table group min/max: segmented running min/max over the
+        # key-sorted rows, read at group-end rows
         cops += [segmented_reduce(sorted_ops[5], is_new, "min"),
                  segmented_reduce(sorted_ops[6], is_new, "max")]
     res = jax.lax.sort(cops, num_keys=1, is_stable=False)
@@ -151,8 +153,17 @@ def _combine(parts, collect: bool, minmax: bool):
     gsum = _diff_u64(res[4], res[5])
     n_all = jnp.sum(is_end.astype(jnp.uint32))      # incl. sentinel group
     gvalid = (jnp.arange(m, dtype=jnp.uint32) < n_all) & (gcnt > 0)
+    gmin = res[6] if minmax else None
+    gmax = res[7] if minmax else None
+    return gklo, gkhi, gcnt, gsum, gmin, gmax, gvalid
+
+
+def _verify_and_emit(merged, collect: bool, minmax: bool):
+    """Device-side verification + output assembly over a merged table
+    (shared by the single-chip combine and the distributed combiner —
+    the closed-form invariants are the same at every tree level)."""
+    gklo, gkhi, gcnt, gsum, gmin, gmax, gvalid = merged
     num_groups = jnp.sum(gvalid.astype(jnp.uint32))
-    # device-side verification
     total_cnt = jnp.sum(jnp.where(gvalid, gcnt, 0), dtype=jnp.uint32)
     tlo, tw = cumsum_u64_pair(jnp.where(gvalid, gsum.lo, 0))
     thi = cumsum_u32(jnp.where(gvalid, gsum.hi, 0))[-1] + tw[-1]
@@ -160,7 +171,6 @@ def _combine(parts, collect: bool, minmax: bool):
           | ((gkhi[1:] == gkhi[:-1]) & (gklo[1:] > gklo[:-1])))
     keys_sorted = jnp.all(gt | ~gvalid[1:])          # strict: unique keys
     if minmax:
-        gmin, gmax = res[6], res[7]
         # values are the global row indices 0..n-1, so min-of-mins == 0,
         # max-of-maxes == n-1, and every group's min <= max
         mm_ok = (jnp.all(jnp.where(gvalid, gmin <= gmax, True))
@@ -181,6 +191,19 @@ def _combine(parts, collect: bool, minmax: bool):
     if minmax:
         out += (jnp.where(gvalid, gmin, z), jnp.where(gvalid, gmax, z))
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("collect", "minmax"))
+def _combine(parts, collect: bool, minmax: bool):
+    """Phase B: merge R partial tables, verify on device, emit scalars.
+
+    parts: tuple of (klo, khi, cnt, slo, shi[, vmin, vmax]) per run."""
+    cols = tuple(jnp.concatenate([p[i] for p in parts])
+                 for i in range(len(parts[0])))
+    m = cols[0].shape[0]
+    assert m < (1 << 28), ("combine exceeds the in-core cap; bucket the "
+                           "partials (see module docstring)", m)
+    return _verify_and_emit(_merge_partials(cols), collect, minmax)
 
 
 @dataclasses.dataclass(frozen=True)
