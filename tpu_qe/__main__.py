@@ -190,10 +190,23 @@ def _cmd_bench_bigjoin(args) -> int:
     from tpu_qe.bench.sol import device_kind
     from tpu_qe.ops.bigjoin import join_big
 
-    res = join_big(args.n_left, args.n_right, n_buckets=args.buckets,
-                   verbose=args.verbose_big)
+    if args.distributed:
+        from tpu_qe.exchange.dsort import make_mesh
+        from tpu_qe.ops.dbigjoin import join_big_distributed
+        mesh = make_mesh(args.devices)
+        d = int(mesh.devices.size)
+        res = join_big_distributed(
+            args.n_left, args.n_right, mesh,
+            run_size=args.run_size, buckets_per_dev=args.buckets,
+            verbose=args.verbose_big)
+        where = f"{d} devices"
+    else:
+        res = join_big(args.n_left, args.n_right, n_buckets=args.buckets,
+                       verbose=args.verbose_big)
+        where = "1 chip"
     out = {
-        "metric": f"out-of-core FK join {res.n_l} x {res.n_r} rows, 1 chip",
+        "metric": f"out-of-core FK join {res.n_l} x {res.n_r} rows, "
+                  f"{where}",
         "value": round(res.rows_per_s),
         "unit": "left rows/s",
         "time_s": round(res.seconds, 3),
@@ -329,7 +342,16 @@ def main(argv=None) -> int:
                              "combined-row cap by key-space bucketing)")
     pj.add_argument("--n-left", type=int, default=1 << 29)
     pj.add_argument("--n-right", type=int, default=1 << 29)
-    pj.add_argument("--buckets", type=int, default=None)
+    pj.add_argument("--buckets", type=int, default=None,
+                    help="bucket count; with --distributed, buckets PER "
+                         "DEVICE")
+    pj.add_argument("--run-size", type=int, default=1 << 26,
+                    help="per-device run size for --distributed")
+    pj.add_argument("--distributed", action="store_true",
+                    help="distributed out-of-core join over the device "
+                         "mesh (ops/dbigjoin.py)")
+    pj.add_argument("--devices", type=int, default=None,
+                    help="mesh size for --distributed (default: all)")
     pj.add_argument("--verbose-big", action="store_true")
     pj.set_defaults(fn=_cmd_bench_bigjoin)
 

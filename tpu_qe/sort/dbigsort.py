@@ -152,8 +152,13 @@ def _planner_fn(mesh: Mesh, n_runs: int, n_buckets_total: int,
 
 # ----------------------------------------------------------------- phase X
 
-def _exchange_fn(mesh: Mesh, n_dev: int, cap_blk: int, cap_off: int):
+def _exchange_fn(mesh: Mesh, n_dev: int, cap_blk: int, cap_off: int,
+                 fills=None):
     """Per-run segment exchange: device s sends run-slice t to device t.
+
+    Column-generic: `fills` gives the sentinel per exchanged column
+    (default: the sort's (key lo, key hi, payload) triple). ops/dbigjoin
+    reuses this with 3-column left and 2-column right layouts.
 
     Two-tier (diagonal-bypass, same model as exchange/shuffle.py): only
     OFF-diagonal segments enter the all_to_all, at `cap_off` sized to the
@@ -170,7 +175,10 @@ def _exchange_fn(mesh: Mesh, n_dev: int, cap_blk: int, cap_off: int):
     zero payloads outside [delta, delta+size).
     """
 
-    def body(starts, deltas, sizes, starts_d, deltas_d, lo, hi, pay):
+    if fills is None:
+        fills = (_ONES, _ONES, jnp.uint32(0))
+
+    def body(starts, deltas, sizes, starts_d, deltas_d, *cols):
         # plans arrive per-shard as (1, D) slices of the (D, D) host plan
         starts = starts.reshape(-1)
         deltas = deltas.reshape(-1)
@@ -206,14 +214,14 @@ def _exchange_fn(mesh: Mesh, n_dev: int, cap_blk: int, cap_off: int):
             return jax.lax.dynamic_update_slice(
                 y, sl[None, :], (me.astype(jnp.int32), jnp.int32(0)))
 
-        return (blocks(lo, _ONES), blocks(hi, _ONES),
-                blocks(pay, jnp.uint32(0)))
+        return tuple(blocks(c, fills[i]) for i, c in enumerate(cols))
 
     plan = P(AXIS, None)
+    nc = len(fills)
     fn = shard_map(
         body, mesh=mesh,
-        in_specs=(plan, plan, plan, plan, plan, P(AXIS), P(AXIS), P(AXIS)),
-        out_specs=(plan, plan, plan), check_vma=False)
+        in_specs=(plan,) * 5 + (P(AXIS),) * nc,
+        out_specs=(plan,) * nc, check_vma=False)
     return jax.jit(fn)
 
 
