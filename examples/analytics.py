@@ -122,6 +122,17 @@ def main() -> None:
                                    capacity_factor="auto")
     assert (np.sort(keys) == skeys).all()
     print(f"dsort:    {len(keys)} keys globally sorted over {d} device(s)")
+
+    # --- 8. out-of-core: GROUP BY more rows than one program sorts -------
+    # (miniature shapes here; the same call aggregates 1B rows on a chip
+    # — run-partial tables + one combine, exact u64 sums, device-verified)
+    from tpu_qe.ops.bigagg import aggregate_big
+    res = aggregate_big(1 << 16, n_groups=1 << 10, run_size=1 << 14,
+                        minmax=True)
+    assert res.all_ok, res
+    print(f"bigagg:   {res.n} rows -> {res.n_groups} groups across "
+          f"{res.n // (1 << 14)} out-of-core runs (count/sum/min/max "
+          f"verified on device)")
     print("done.")
 
 
