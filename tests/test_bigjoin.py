@@ -105,3 +105,63 @@ def test_join_big_consume_device_arrays():
     assert [b for b, _, _ in got] == [0, 1, 2, 3]
     assert sum(m for _, m, _ in got) == res.matched
     assert sum(v for _, _, v in got) == n_l
+
+
+class TestCheckpointResume:
+    """Kill-between-buckets resume: the checkpoint persists the bucket
+    plan + per-bucket scalars; a restarted run regenerates the sorted
+    sides, loads the plan, skips completed buckets, and reports the
+    identical verified result."""
+
+    def test_resume_after_partial_join(self, tmp_path, monkeypatch):
+        import tpu_qe.ops.bigjoin as bj
+
+        n_l, n_r, b = 1 << 12, 1 << 12, 4
+        ckdir = str(tmp_path)
+        want = bj.join_big(n_l, n_r, n_buckets=b)
+        assert want.all_ok
+
+        real_record = bj._JoinState.record
+        calls = {"n": 0}
+
+        def crashing_record(self, bb, vals):
+            real_record(self, bb, vals)
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise RuntimeError("simulated kill")
+
+        monkeypatch.setattr(bj._JoinState, "record", crashing_record)
+        with pytest.raises(RuntimeError, match="simulated kill"):
+            bj.join_big(n_l, n_r, n_buckets=b, checkpoint_dir=ckdir)
+        monkeypatch.setattr(bj._JoinState, "record", real_record)
+
+        meta = np.asarray([n_l, n_r, b, 7, 8192], np.int64)
+        st = bj._JoinState.load(ckdir, meta)
+        assert st is not None and int(st.done.sum()) == 2
+
+        res = bj.join_big(n_l, n_r, n_buckets=b, checkpoint_dir=ckdir)
+        assert res.all_ok
+        assert res.matched == want.matched
+        st = bj._JoinState.load(ckdir, meta)
+        assert int(st.done.sum()) == b
+
+        # collect=True on a completed checkpoint re-runs the buckets and
+        # still assembles the exact stream
+        res2, out = bj.join_big(n_l, n_r, n_buckets=b,
+                                checkpoint_dir=ckdir, collect=True)
+        assert res2.all_ok
+        assert out["matched"].sum() == want.matched
+
+    def test_state_files_do_not_collide_with_sort(self, tmp_path):
+        import tpu_qe.ops.bigjoin as bj
+        from tpu_qe.sort import bigsort as bs
+
+        ckdir = str(tmp_path)
+        r1 = bs.sort_big(1 << 12, run_size=1 << 10, n_buckets=2,
+                         checkpoint_dir=ckdir)
+        r2 = bj.join_big(1 << 11, 1 << 11, n_buckets=2,
+                         checkpoint_dir=ckdir)
+        assert r1.all_ok and r2.all_ok
+        import os
+        names = set(os.listdir(ckdir))
+        assert {"bigsort_state.npz", "bigjoin_state.npz"} <= names

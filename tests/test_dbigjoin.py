@@ -35,3 +35,41 @@ def test_divisibility_asserts():
     mesh = make_mesh(8)
     with pytest.raises(AssertionError):
         join_big_distributed(1 << 12, 1 << 13, mesh, run_size=1 << 11)
+
+
+def test_checkpoint_resume(tmp_path, monkeypatch):
+    import numpy as np
+
+    import tpu_qe.ops.dbigjoin as dj
+
+    mesh = make_mesh(4)
+    kw = dict(run_size=1 << 10, buckets_per_dev=3)
+    n = 4 * 2 * (1 << 10)
+    ckdir = str(tmp_path)
+    want = dj.join_big_distributed(n, n, mesh, **kw)
+    assert want.all_ok
+
+    real_record = dj._DJoinState.record
+    calls = {"n": 0}
+
+    def crashing_record(self, b, vals):
+        real_record(self, b, vals)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated kill")
+
+    monkeypatch.setattr(dj._DJoinState, "record", crashing_record)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="simulated kill"):
+        dj.join_big_distributed(n, n, mesh, checkpoint_dir=ckdir, **kw)
+    monkeypatch.setattr(dj._DJoinState, "record", real_record)
+
+    meta = np.asarray([n, n, 4, 1 << 10, 3, 7, 1 << 10], np.int64)
+    st = dj._DJoinState.load(ckdir, meta)
+    assert st is not None and int(st.done.sum()) == 1
+
+    res = dj.join_big_distributed(n, n, mesh, checkpoint_dir=ckdir, **kw)
+    assert res.all_ok
+    assert res.matched == want.matched
+    st = dj._DJoinState.load(ckdir, meta)
+    assert int(st.done.sum()) == 3

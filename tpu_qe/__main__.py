@@ -154,12 +154,14 @@ def _cmd_bench_big(args) -> int:
         d = int(mesh.devices.size)
         res = sort_big_distributed(
             args.n, mesh, run_size=args.run_size,
-            buckets_per_dev=args.buckets, verbose=args.verbose_big)
+            buckets_per_dev=args.buckets, verbose=args.verbose_big,
+            checkpoint_dir=args.checkpoint_dir)
         kind = "distributed out-of-core"
         where = f"{d} device(s)"
     else:
         res = sort_big(args.n, run_size=args.run_size,
-                       n_buckets=args.buckets, verbose=args.verbose_big)
+                       n_buckets=args.buckets, verbose=args.verbose_big,
+                       checkpoint_dir=args.checkpoint_dir)
         kind = "out-of-core"
         where = "1 chip"
     out = {
@@ -198,11 +200,13 @@ def _cmd_bench_bigjoin(args) -> int:
         res = join_big_distributed(
             args.n_left, args.n_right, mesh,
             run_size=args.run_size, buckets_per_dev=args.buckets,
-            verbose=args.verbose_big)
+            verbose=args.verbose_big,
+            checkpoint_dir=args.checkpoint_dir)
         where = f"{d} devices"
     else:
         res = join_big(args.n_left, args.n_right, n_buckets=args.buckets,
-                       verbose=args.verbose_big)
+                       verbose=args.verbose_big,
+                       checkpoint_dir=args.checkpoint_dir)
         where = "1 chip"
     out = {
         "metric": f"out-of-core FK join {res.n_l} x {res.n_r} rows, "
@@ -335,6 +339,9 @@ def main(argv=None) -> int:
                          "buckets PER DEVICE")
     pg.add_argument("--devices", type=int, default=None,
                     help="mesh size for --distributed (default: all)")
+    pg.add_argument("--checkpoint-dir", type=str, default=None,
+                    help="persist the plan + per-bucket completion here; "
+                         "a killed run resumes with identical output")
     pg.set_defaults(fn=_cmd_bench_big)
 
     pj = sub.add_parser("bench-bigjoin",
@@ -352,6 +359,9 @@ def main(argv=None) -> int:
                          "mesh (ops/dbigjoin.py)")
     pj.add_argument("--devices", type=int, default=None,
                     help="mesh size for --distributed (default: all)")
+    pj.add_argument("--checkpoint-dir", type=str, default=None,
+                    help="persist the bucket plan + completion here; a "
+                         "killed run resumes with identical output")
     pj.add_argument("--verbose-big", action="store_true")
     pj.set_defaults(fn=_cmd_bench_bigjoin)
 

@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 import time
 
 import jax
@@ -52,7 +53,7 @@ import numpy as np
 
 from tpu_qe.bits import U64
 from tpu_qe.ops.join import join_fk_scan, searchsorted_u64
-from tpu_qe.sort.bigsort import _murmur_fmix32, keygen_hash
+from tpu_qe.sort.bigsort import _murmur_fmix32, _RunState, keygen_hash
 from tpu_qe.table import Table
 
 _ONES = jnp.uint32(0xFFFFFFFF)
@@ -193,9 +194,23 @@ class BigJoinResult:
         return self.match_ok and self.val_ok and self.count_ok
 
 
+class _JoinState(_RunState):
+    """Checkpoint state for join_big: persists the bucket plan (both
+    sides' boundaries) + per-bucket verification scalars; the sorted
+    sides regenerate deterministically (same reasoning as the sort's
+    state — see sort/bigsort.py::_RunState)."""
+
+    N_SCALARS = 6  # match_ok, val_ok, n_matched, n_even, rows_l, rows_r
+
+    @staticmethod
+    def _path(directory: str) -> str:
+        return os.path.join(directory, "bigjoin_state.npz")
+
+
 def join_big(n_l: int, n_r: int, n_buckets: int | None = None,
              seed: int = 7, samples_per_side: int = 8192,
-             verbose: bool = False, consume=None, collect: bool = False):
+             verbose: bool = False, consume=None, collect: bool = False,
+             checkpoint_dir: str | None = None):
     """Out-of-core FK join of n_l x n_r device-generated rows.
 
     Lifts join_fk_scan's 2^30 combined-row cap by key-space bucketing;
@@ -215,12 +230,21 @@ def join_big(n_l: int, n_r: int, n_buckets: int | None = None,
       collect: assemble all buckets' VALID left rows on host (small-n
         tests only) — returns (result, dict(key, lidx, value, matched))
         in global key order.
+
+    checkpoint_dir: same resume contract as sort_big — the bucket plan
+    and per-bucket scalars persist (atomic npz); a restarted run
+    regenerates the sorted sides, loads the plan, and skips completed
+    buckets (unless consume/collect asks for their streams again).
     """
     assert n_l < (1 << 32) and n_r < (1 << 32)
     if n_buckets is None:
         # keep each bucket's combined segment well under the 2^30 cap and
         # its join working set bucket-sized
         n_buckets = max(2, int(np.ceil((n_l + n_r) / (1 << 26))))
+    meta = np.asarray([n_l, n_r, n_buckets, seed, samples_per_side],
+                      np.int64)
+    state = (_JoinState.load(checkpoint_dir, meta)
+             if checkpoint_dir is not None else None)
 
     tc0 = time.perf_counter()
     np.asarray(jnp.zeros(8, jnp.uint32)[:1])  # tunnel warmup
@@ -236,16 +260,23 @@ def join_big(n_l: int, n_r: int, n_buckets: int | None = None,
     np.asarray(llo[-1:]), np.asarray(rlo[-1:])  # fence
     t_a = time.perf_counter() - t0
 
-    tcp = time.perf_counter()
-    plan_exec = _plan_buckets.lower(
-        llo, lhi, rlo, rhi, n_buckets=n_buckets,
-        per_side=samples_per_side).compile()
-    compile_s += time.perf_counter() - tcp
-    t_b0 = time.perf_counter()
-    bl, br = plan_exec(llo, lhi, rlo, rhi)
-    bl = np.asarray(bl).astype(np.int64)
-    br = np.asarray(br).astype(np.int64)
-    t_b = time.perf_counter() - t_b0
+    if state is not None:
+        bl, br = state.bounds[0], state.bounds[1]
+        t_b = 0.0
+    else:
+        tcp = time.perf_counter()
+        plan_exec = _plan_buckets.lower(
+            llo, lhi, rlo, rhi, n_buckets=n_buckets,
+            per_side=samples_per_side).compile()
+        compile_s += time.perf_counter() - tcp
+        t_b0 = time.perf_counter()
+        bl, br = plan_exec(llo, lhi, rlo, rhi)
+        bl = np.asarray(bl).astype(np.int64)
+        br = np.asarray(br).astype(np.int64)
+        t_b = time.perf_counter() - t_b0
+        if checkpoint_dir is not None:
+            state = _JoinState.fresh(checkpoint_dir, meta,
+                                     np.stack([bl, br]), n_buckets)
 
     def seg_plan(bounds, n):
         starts = np.concatenate([[0], bounds])
@@ -272,15 +303,23 @@ def join_big(n_l: int, n_r: int, n_buckets: int | None = None,
     compile_s += time.perf_counter() - tcm
 
     t1 = time.perf_counter()
-    pending = []
+    skip = set()
+    if state is not None and not emit:
+        skip = {b for b in range(n_buckets) if state.done[b]}
+        if verbose and skip:
+            print(f"bigjoin: resuming — {len(skip)}/{n_buckets} buckets "
+                  "already joined")
+    pending = {}
     ceil_l, ceil_r = max(n_l - cap_l, 0), max(n_r - cap_r, 0)
     for b in range(n_buckets):
+        if b in skip:
+            continue
         cl = min(st_l[b], ceil_l)
         cr = min(st_r[b], ceil_r)
-        pending.append(bucket_exec(
+        pending[b] = bucket_exec(
             jnp.int32(cl), jnp.int32(st_l[b] - cl), jnp.int32(sz_l[b]),
             jnp.int32(cr), jnp.int32(st_r[b] - cr), jnp.int32(sz_r[b]),
-            llo, lhi, lidx, rlo, rhi))
+            llo, lhi, lidx, rlo, rhi)
     matched = 0
     expected = 0
     rows_l = 0
@@ -288,21 +327,28 @@ def join_big(n_l: int, n_r: int, n_buckets: int | None = None,
     m_ok = True
     v_ok = True
     collected = []
-    for b, out in enumerate(pending):
-        if emit:
-            out, stream = out[:6], out[6:]
-            s_llo, s_lhi, s_lidx, s_val, s_m, s_v = stream
-            if consume is not None:
-                consume(b, dict(key=U64(s_llo, s_lhi), lidx=s_lidx,
-                                value=s_val, matched=s_m, valid=s_v))
-            if collect:
-                keep = np.asarray(s_v).astype(bool)
-                k64 = (np.asarray(s_lhi).astype(np.uint64) << np.uint64(32)) \
-                    | np.asarray(s_llo).astype(np.uint64)
-                collected.append((k64[keep], np.asarray(s_lidx)[keep],
-                                  np.asarray(s_val)[keep],
-                                  np.asarray(s_m)[keep]))
-        mo, vo, nm, ne, nl_b, nr_b = [int(np.asarray(x)) for x in out]
+    for b in range(n_buckets):
+        if b in skip:
+            mo, vo, nm, ne, nl_b, nr_b = [int(v) for v in state.scalars[b]]
+        else:
+            out = pending[b]
+            if emit:
+                out, stream = out[:6], out[6:]
+                s_llo, s_lhi, s_lidx, s_val, s_m, s_v = stream
+                if consume is not None:
+                    consume(b, dict(key=U64(s_llo, s_lhi), lidx=s_lidx,
+                                    value=s_val, matched=s_m, valid=s_v))
+                if collect:
+                    keep = np.asarray(s_v).astype(bool)
+                    k64 = (np.asarray(s_lhi).astype(np.uint64)
+                           << np.uint64(32)) \
+                        | np.asarray(s_llo).astype(np.uint64)
+                    collected.append((k64[keep], np.asarray(s_lidx)[keep],
+                                      np.asarray(s_val)[keep],
+                                      np.asarray(s_m)[keep]))
+            mo, vo, nm, ne, nl_b, nr_b = [int(np.asarray(x)) for x in out]
+            if state is not None:
+                state.record(b, [mo, vo, nm, ne, nl_b, nr_b])
         m_ok &= bool(mo)
         v_ok &= bool(vo)
         matched += nm

@@ -40,6 +40,7 @@ past both the single-program and the single-device limits.
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 
 import jax
@@ -50,8 +51,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tpu_qe.bits import U64
 from tpu_qe.exchange.shuffle import AXIS
-from tpu_qe.ops.bigjoin import (_lkey_of_index, _rkey_of_index,
-                                _rval_of_key)
+from tpu_qe.ops.bigjoin import (_JoinState, _lkey_of_index,
+                                _rkey_of_index, _rval_of_key)
 from tpu_qe.ops.join import join_fk_scan, searchsorted_u64
 from tpu_qe.sort.dbigsort import _exchange_fn, _quantize
 from tpu_qe.table import Table
@@ -204,11 +205,20 @@ class DBigJoinResult:
         return self.match_ok and self.val_ok and self.count_ok
 
 
+class _DJoinState(_JoinState):
+    N_SCALARS = 6  # per device: match_ok, val_ok, n_matched, n_even, l, r
+
+    @staticmethod
+    def _path(directory: str) -> str:
+        return os.path.join(directory, "dbigjoin_state.npz")
+
+
 def join_big_distributed(n_l: int, n_r: int, mesh: Mesh,
                          run_size: int = 1 << 26,
                          buckets_per_dev: int | None = None, seed: int = 7,
                          samples_per_run: int = 4096,
-                         verbose: bool = False):
+                         verbose: bool = False,
+                         checkpoint_dir: str | None = None):
     """Distributed + out-of-core FK join of n_l x n_r generated rows.
 
     Both sides must be divisible by D * run_size. Bucket joins run on
@@ -217,6 +227,11 @@ def join_big_distributed(n_l: int, n_r: int, mesh: Mesh,
     closed form (ops/bigjoin.py data model: matches are exactly the even
     left indices). Peak per-device HBM ~ local runs of both sides + one
     bucket's join working set.
+
+    checkpoint_dir: same resume contract as the other big drivers — the
+    splitter bounds and per-bucket-round scalars persist; phases A and X
+    regenerate deterministically on restart, completed bucket rounds
+    replay their recorded per-device scalars.
     """
     n_dev = int(mesh.shape[AXIS])
     assert n_l % (n_dev * run_size) == 0, (n_l, n_dev, run_size)
@@ -258,16 +273,29 @@ def join_big_distributed(n_l: int, n_r: int, mesh: Mesh,
     np.asarray(jax.device_get(rruns[-1][0][-1:]))  # fence
     t_a = time.perf_counter() - t0
 
-    # ---- phase B ----
-    tcp = time.perf_counter()
-    planner = _planner_fn(mesh, n_runs_l, n_runs_r, S, per_run, run_size)
-    flat_keys = tuple(a for run in (lruns + rruns) for a in run[:2])
-    plan_exec = planner.lower(*flat_keys).compile()
-    compile_s += time.perf_counter() - tcp
-    t_b0 = time.perf_counter()
-    bounds = np.asarray(plan_exec(*flat_keys)).astype(np.int64)
-    bounds = bounds.reshape(n_dev, n_runs_l + n_runs_r, S - 1)
-    t_b = time.perf_counter() - t_b0
+    # ---- phase B (a resumed run reuses the persisted plan) ----
+    meta = np.asarray([n_l, n_r, n_dev, run_size, n_b, seed, per_run],
+                      np.int64)
+    state = (_DJoinState.load(checkpoint_dir, meta)
+             if checkpoint_dir is not None else None)
+    if state is not None:
+        bounds = state.bounds.reshape(n_dev, n_runs_l + n_runs_r, S - 1)
+        t_b = 0.0
+    else:
+        tcp = time.perf_counter()
+        planner = _planner_fn(mesh, n_runs_l, n_runs_r, S, per_run,
+                              run_size)
+        flat_keys = tuple(a for run in (lruns + rruns) for a in run[:2])
+        plan_exec = planner.lower(*flat_keys).compile()
+        compile_s += time.perf_counter() - tcp
+        t_b0 = time.perf_counter()
+        bounds = np.asarray(plan_exec(*flat_keys)).astype(np.int64)
+        bounds = bounds.reshape(n_dev, n_runs_l + n_runs_r, S - 1)
+        t_b = time.perf_counter() - t_b0
+        if checkpoint_dir is not None:
+            state = _DJoinState.fresh(
+                checkpoint_dir, meta, bounds, n_b,
+                n_scalars=n_dev * _DJoinState.N_SCALARS)
 
     zeros = np.zeros((n_dev, n_runs_l + n_runs_r, 1), dtype=np.int64)
     full = np.full_like(zeros, run_size)
@@ -371,8 +399,16 @@ def join_big_distributed(n_l: int, n_r: int, mesh: Mesh,
         return st, dl, sz
 
     t_c0 = time.perf_counter()
-    pending = []
+    skip = set()
+    if state is not None:
+        skip = {b for b in range(n_b) if state.done[b]}
+        if verbose and skip:
+            print(f"dbigjoin: resuming — {len(skip)}/{n_b} bucket rounds "
+                  "already joined")
+    pending = {}
     for b in range(n_b):
+        if b in skip:
+            continue
         stl, dll, szl = bucket_plans(pos_l, bs_l, cb_l, co_l, cs_l,
                                      n_runs_l, b)
         str_, dlr, szr = bucket_plans(pos_r, bs_r, cb_r, co_r, cs_r,
@@ -382,15 +418,22 @@ def join_big_distributed(n_l: int, n_r: int, mesh: Mesh,
             # (dest, r, src) -> per-dest (R, D) rows stacked: (D*R, D)
             return _plan_put(x.reshape(n_dev * n_runs, n_dev))
 
-        pending.append(join_exec(
+        pending[b] = join_exec(
             put_plan(stl, n_runs_l), put_plan(dll, n_runs_l),
             put_plan(szl, n_runs_l),
             put_plan(str_, n_runs_r), put_plan(dlr, n_runs_r),
-            put_plan(szr, n_runs_r), *flat_blocks))
+            put_plan(szr, n_runs_r), *flat_blocks)
     matched = expected = rows_l = rows_r = 0
     m_ok = v_ok = True
-    for out in pending:
-        mo, vo, nm, ne, nl_b, nr_b = [np.asarray(x) for x in out]
+    for b in range(n_b):
+        if b in skip:
+            vals = state.scalars[b].reshape(n_dev, _DJoinState.N_SCALARS)
+            mo, vo, nm, ne, nl_b, nr_b = vals.T
+        else:
+            out = [np.asarray(x) for x in pending[b]]
+            mo, vo, nm, ne, nl_b, nr_b = out
+            if state is not None:
+                state.record(b, np.stack(out, axis=1).reshape(-1))
         m_ok &= bool(mo.all())
         v_ok &= bool(vo.all())
         matched += int(nm.sum())
