@@ -104,3 +104,45 @@ def test_combine_cap_asserts():
         fake.lower.side_effect = AssertionError("cap")
         with pytest.raises(AssertionError):
             aggregate_big(1 << 13, n_groups=1 << 6, run_size=1 << 12)
+
+
+def test_checkpoint_resume(tmp_path, monkeypatch):
+    """Kill-between-runs resume: partial tables persist per run; a
+    restart loads them and computes only the missing runs, producing
+    the identical verified table."""
+    import tpu_qe.ops.bigagg as ba
+
+    n, g, rs = 1 << 14, 1 << 9, 1 << 12   # 4 runs
+    ckdir = str(tmp_path)
+    want, wtab = ba.aggregate_big(n, n_groups=g, run_size=rs, collect=True)
+    assert want.all_ok
+
+    real_save = ba._run_ck_save
+    calls = {"n": 0}
+
+    def crashing_save(directory, r, meta, part):
+        real_save(directory, r, meta, part)
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated kill")
+
+    monkeypatch.setattr(ba, "_run_ck_save", crashing_save)
+    with pytest.raises(RuntimeError, match="simulated kill"):
+        ba.aggregate_big(n, n_groups=g, run_size=rs, checkpoint_dir=ckdir)
+    monkeypatch.setattr(ba, "_run_ck_save", real_save)
+
+    meta = np.asarray([n, g, rs, 7, 0], np.int64)
+    assert ba._run_ck_load(ckdir, 0, meta) is not None
+    assert ba._run_ck_load(ckdir, 1, meta) is not None
+    assert ba._run_ck_load(ckdir, 2, meta) is None
+
+    res, table = ba.aggregate_big(n, n_groups=g, run_size=rs,
+                                  checkpoint_dir=ckdir, collect=True)
+    assert res.all_ok
+    for k in wtab:
+        assert np.array_equal(table[k], wtab[k]), k
+
+    # mismatched config must not reuse stale run tables
+    res2 = ba.aggregate_big(n, n_groups=g * 2, run_size=rs,
+                            checkpoint_dir=ckdir)
+    assert res2.all_ok

@@ -245,7 +245,8 @@ def _cmd_bench_bigagg(args) -> int:
     else:
         res = aggregate_big(args.n, n_groups=args.groups,
                             run_size=args.run_size, minmax=args.minmax,
-                            verbose=args.verbose_big)
+                            verbose=args.verbose_big,
+                            checkpoint_dir=args.checkpoint_dir)
         where = "1 chip"
     out = {
         "metric": f"out-of-core GROUP BY {res.n} rows -> "
@@ -378,6 +379,9 @@ def main(argv=None) -> int:
                          "device mesh (ops/dbigagg.py)")
     pa.add_argument("--devices", type=int, default=None,
                     help="mesh size for --distributed (default: all)")
+    pa.add_argument("--checkpoint-dir", type=str, default=None,
+                    help="persist per-run partial tables here (single-"
+                         "chip path); a killed run resumes from them")
     pa.add_argument("--verbose-big", action="store_true")
     pa.set_defaults(fn=_cmd_bench_bigagg)
 

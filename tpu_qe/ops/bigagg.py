@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 import time
 
 import jax
@@ -231,9 +232,33 @@ class BigAggResult:
                 and self.groups_ok and self.minmax_ok)
 
 
+def _run_ck_path(directory: str, r: int) -> str:
+    return os.path.join(directory, f"bigagg_run{r}.npz")
+
+
+def _run_ck_load(directory: str, r: int, meta: np.ndarray):
+    """Load run r's persisted partial table if it matches this config."""
+    p = _run_ck_path(directory, r)
+    if not os.path.exists(p):
+        return None
+    with np.load(p) as z:
+        if not np.array_equal(z["meta"], meta):
+            return None
+        return tuple(jnp.asarray(z[f"c{i}"])
+                     for i in range(int(z["ncols"])))
+
+
+def _run_ck_save(directory: str, r: int, meta: np.ndarray, part) -> None:
+    cols = {f"c{i}": np.asarray(a) for i, a in enumerate(part)}
+    tmp = _run_ck_path(directory, r) + ".tmp.npz"
+    np.savez(tmp, meta=meta, ncols=len(part), **cols)
+    os.replace(tmp, _run_ck_path(directory, r))
+
+
 def aggregate_big(n: int, n_groups: int = 1 << 20, run_size: int = 1 << 26,
                   seed: int = 7, verbose: bool = False,
-                  collect: bool = False, minmax: bool = False):
+                  collect: bool = False, minmax: bool = False,
+                  checkpoint_dir: str | None = None):
     """Out-of-core GROUP BY count+sum (optionally min+max) of n
     device-generated rows.
 
@@ -246,11 +271,20 @@ def aggregate_big(n: int, n_groups: int = 1 << 20, run_size: int = 1 << 26,
     collect=True additionally returns the assembled host group table
     dict(key, count, sum[, min, max]) in key order (small-n oracle tests
     only).
+
+    checkpoint_dir: unlike the bucketed drivers (whose plans are the
+    scarce state), here the PARTIAL TABLES are the checkpoint — they are
+    the entire surviving product of phase A and G-bounded-small. Each
+    run's table persists atomically after its readback; a restarted run
+    loads matching tables and computes only the missing runs. Opt-in
+    cost: persisting forces a per-run host readback (~partial_cap*20-28 B
+    over the ~25-30 MB/s tunnel) instead of fire-and-forget queueing.
     """
     assert n % run_size == 0, (n, run_size)
     assert n < (1 << 32), "values travel as u32 global index"
     n_runs = n // run_size
     partial_cap = min(n_groups, run_size)
+    meta = np.asarray([n, n_groups, run_size, seed, int(minmax)], np.int64)
 
     tc0 = time.perf_counter()
     np.asarray(jnp.zeros(8, jnp.uint32)[:1])  # tunnel warmup
@@ -260,8 +294,22 @@ def aggregate_big(n: int, n_groups: int = 1 << 20, run_size: int = 1 << 26,
     compile_s = time.perf_counter() - tc0
 
     t0 = time.perf_counter()
-    parts = [run_exec(jnp.uint32(r)) for r in range(n_runs)]
-    np.asarray(parts[-1][0][-1:])  # fence after queueing ALL dispatches
+    if checkpoint_dir is None:
+        parts = [run_exec(jnp.uint32(r)) for r in range(n_runs)]
+        np.asarray(parts[-1][0][-1:])  # fence after queueing ALL dispatches
+    else:
+        parts, resumed = [], 0
+        for r in range(n_runs):
+            part = _run_ck_load(checkpoint_dir, r, meta)
+            if part is not None:
+                resumed += 1
+            else:
+                part = run_exec(jnp.uint32(r))
+                _run_ck_save(checkpoint_dir, r, meta, part)
+            parts.append(part)
+        if verbose and resumed:
+            print(f"bigagg: resuming — {resumed}/{n_runs} run tables "
+                  "loaded from checkpoint")
     t_a = time.perf_counter() - t0
 
     tcb = time.perf_counter()
