@@ -267,6 +267,31 @@ def _cmd_bench_bigagg(args) -> int:
     return 0 if res.all_ok else 1
 
 
+def _cmd_bench_bigtopk(args) -> int:
+    import json
+
+    from tpu_qe.bench.sol import device_kind
+    from tpu_qe.ops.bigtopk import top_k_big
+
+    res = top_k_big(args.n, args.k, run_size=args.run_size,
+                    largest=args.largest, verbose=args.verbose_big)
+    out = {
+        "metric": f"out-of-core top-{res.k} of {res.n} rows, 1 chip",
+        "value": round(res.rows_per_s),
+        "unit": "rows/s",
+        "time_s": round(res.seconds, 3),
+        "phase_select_s": round(res.phase_a_s, 3),
+        "phase_combine_s": round(res.phase_b_s, 3),
+        "compile_s": round(res.compile_s, 3),
+        "verified": res.all_ok,
+        "checks": {"hash": res.hash_ok, "order": res.order_ok,
+                   "distinct": res.distinct_ok},
+        "device": device_kind(),
+    }
+    print(json.dumps(out))
+    return 0 if res.all_ok else 1
+
+
 def _cmd_info(args) -> int:
     import jax
 
@@ -384,6 +409,16 @@ def main(argv=None) -> int:
                          "chip path); a killed run resumes from them")
     pa.add_argument("--verbose-big", action="store_true")
     pa.set_defaults(fn=_cmd_bench_bigagg)
+
+    pt = sub.add_parser("bench-bigtopk",
+                        help="out-of-core top-k (per-run selection + "
+                             "one candidate combine)")
+    pt.add_argument("--n", type=int, default=1 << 30)
+    pt.add_argument("--k", type=int, default=1 << 10)
+    pt.add_argument("--run-size", type=int, default=1 << 26)
+    pt.add_argument("--largest", action="store_true")
+    pt.add_argument("--verbose-big", action="store_true")
+    pt.set_defaults(fn=_cmd_bench_bigtopk)
 
     pi = sub.add_parser("info", help="device + config report")
     pi.set_defaults(fn=_cmd_info)
