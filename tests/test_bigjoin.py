@@ -7,11 +7,6 @@ from tpu_qe.ops.bigjoin import join_big
 from tpu_qe.sort.bigsort import keygen_hash_numpy
 
 
-def _np_rkeys(n_r, seed=7):
-    return keygen_hash_numpy(np.arange(n_r, dtype=np.uint32),
-                             seed) & ~np.uint64(1 << 32)  # lo bit 0 of LOW word
-
-
 def test_generator_construction_oracle():
     # numpy mirror of the device generators: even left keys must be right
     # keys (bit 0 of the low word clear), odd left keys must be misses

@@ -236,6 +236,9 @@ def _cmd_bench_bigagg(args) -> int:
     if args.distributed:
         from tpu_qe.exchange.dsort import make_mesh
         from tpu_qe.ops.dbigagg import aggregate_big_distributed
+        assert args.checkpoint_dir is None, \
+            "--checkpoint-dir supports the single-chip bigagg path only " \
+            "(the distributed partial tables are sharded device arrays)"
         mesh = make_mesh(args.devices)
         d = int(mesh.devices.size)
         res = aggregate_big_distributed(

@@ -174,6 +174,26 @@ def plan_join_capacity(lkey: U64, rkey: U64, mesh: Mesh,
 from tpu_qe.exchange.shuffle import pow2_capacity as _pow2_capacity
 
 
+def _auto_capacity(kw, mesh, plan_fn, keys, out_names):
+    """Resolve capacity_factor="auto" into demand-sized capacities via a
+    plan pass (the shared plan-then-execute step of every numpy wrapper:
+    measure the off-diagonal demand, size the receive layout to the next
+    power of two). Returns kw unchanged unless "auto" was requested."""
+    if kw.get("capacity_factor") != "auto":
+        return kw
+    kw = dict(kw)
+    del kw["capacity_factor"]
+    kw.pop("capacity_factor_right", None)
+    if int(mesh.shape[AXIS]) > 1:
+        demands = plan_fn(*keys, mesh,
+                          samples_per_dev=kw.get("samples_per_dev", 128))
+        if not isinstance(demands, tuple):
+            demands = (demands,)
+        for name, d in zip(out_names, demands):
+            kw[name] = _pow2_capacity(int(np.asarray(d).max()))
+    return kw
+
+
 @functools.partial(jax.jit, static_argnames=("mesh", "samples_per_dev",
                                              "capacity_factor",
                                              "capacity_factor_right",
@@ -247,16 +267,8 @@ def distributed_join_fk_numpy(lkeys, lvals, rkeys, rvals, mesh, **kw):
         return jax.device_put(jnp.asarray(x, dtype=jnp.uint32), sh)
 
     lk, rk = put64(lkeys), put64(rkeys)
-    if kw.get("capacity_factor") == "auto":
-        kw = dict(kw)
-        del kw["capacity_factor"]
-        kw.pop("capacity_factor_right", None)
-        if n_dev > 1:
-            dl, dr = plan_join_capacity(
-                lk, rk, mesh,
-                samples_per_dev=kw.get("samples_per_dev", 128))
-            kw["capacity_left"] = _pow2_capacity(int(np.asarray(dl).max()))
-            kw["capacity_right"] = _pow2_capacity(int(np.asarray(dr).max()))
+    kw = _auto_capacity(kw, mesh, plan_join_capacity, (lk, rk),
+                        ("capacity_left", "capacity_right"))
     res = distributed_join_fk(lk, tuple(put32(v) for v in lvals),
                               rk, tuple(put32(v) for v in rvals),
                               mesh=mesh, **kw)
@@ -422,16 +434,8 @@ def distributed_join_inner_numpy(lkeys, lvals, rkeys, rvals, mesh, **kw):
         return jax.device_put(jnp.asarray(x, dtype=jnp.uint32), sh)
 
     lk, rk = put64(lkeys), put64(rkeys)
-    if kw.get("capacity_factor") == "auto":
-        kw = dict(kw)
-        del kw["capacity_factor"]
-        kw.pop("capacity_factor_right", None)
-        if n_dev > 1:
-            dl, dr = plan_join_inner_capacity(
-                lk, rk, mesh,
-                samples_per_dev=kw.get("samples_per_dev", 128))
-            kw["capacity_left"] = _pow2_capacity(int(np.asarray(dl).max()))
-            kw["capacity_right"] = _pow2_capacity(int(np.asarray(dr).max()))
+    kw = _auto_capacity(kw, mesh, plan_join_inner_capacity, (lk, rk),
+                        ("capacity_left", "capacity_right"))
     res = distributed_join_inner(
         lk, tuple(put32(v) for v in lvals),
         rk, tuple(put32(v) for v in rvals), mesh=mesh, **kw)
@@ -729,13 +733,8 @@ def distributed_aggregate_numpy(keys, values, mesh, aggs=("count", "sum"),
     sh = NamedSharding(mesh, P(AXIS))
     u = U64.from_numpy(keys)
     key = U64(jax.device_put(u.lo, sh), jax.device_put(u.hi, sh))
-    if kw.get("capacity_factor") == "auto":
-        kw = dict(kw)
-        del kw["capacity_factor"]
-        if mesh.shape[AXIS] > 1:
-            d = plan_aggregate_capacity(
-                key, mesh, samples_per_dev=kw.get("samples_per_dev", 128))
-            kw["capacity"] = _pow2_capacity(int(np.asarray(d).max()))
+    kw = _auto_capacity(kw, mesh, plan_aggregate_capacity, (key,),
+                        ("capacity",))
     values = np.asarray(values)
     if values.dtype == np.float32:
         val = jax.device_put(jnp.asarray(values), sh)

@@ -125,21 +125,6 @@ def segmented_reduce(values: jnp.ndarray, is_new: jnp.ndarray,
     return v
 
 
-def _cumsum_u64(v: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Inclusive EXACT u64 running sum of u32 values, as (lo, hi) planes.
-
-    lo is the wrapping u32 cumsum; hi counts the wraps: since each added
-    value is < 2^32, an add wraps at most once, and it wrapped iff
-    lo[i] < lo[i-1] — so hi = cumsum(wrap flags) reconstructs the exact
-    64-bit prefix sum (exact while n < 2^32, guaranteed by the u32 row
-    positions). This is how integer GROUP BY sums stay exact past 2^32
-    without 64-bit arithmetic (x64 is disabled on TPU) — one blocked
-    carry-monoid scan (ops/segscan.py), bit-identical to the two-pass
-    wrapping-cumsum + wrap-flag formulation it replaced.
-    """
-    return cumsum_u64_pair(v)
-
-
 def _diff_u64(end_lo, end_hi):
     """Adjacent u64 differences with borrow: pair[i] - pair[i-1] (pair[-1]
     = 0) over (lo, hi) u32 plane arrays — turns inclusive u64 prefix sums
@@ -334,7 +319,7 @@ def _group_aggregate(key: U64, value: jnp.ndarray | None = None,
                 ce = jnp.take(csum_f, posc)
                 out["sum"] = jnp.where(valid_g, ce, jnp.float32(0))
             else:
-                clo, chi = _cumsum_u64(sval)
+                clo, chi = cumsum_u64_pair(sval)
                 ce_lo = jnp.where(valid_g, jnp.take(clo, posc), 0)
                 ce_hi = jnp.where(valid_g, jnp.take(chi, posc), 0)
                 s = _diff_u64(ce_lo, ce_hi)
@@ -373,7 +358,7 @@ def _group_aggregate(key: U64, value: jnp.ndarray | None = None,
         else:
             # exact u64 (lo, hi) pair prefix sums: one extra sort operand
             # buys sums that never silently wrap mod 2^32
-            clo, chi = _cumsum_u64(sval)
+            clo, chi = cumsum_u64_pair(sval)
             operands += [clo, chi]
     if "max" in aggs:
         operands.append(sval.view(jnp.uint32)
@@ -504,7 +489,7 @@ def _group_aggregate_sorted(key: U64, value: jnp.ndarray | None = None,
         else:
             # masked exact u64 pair cumsum: dropped runs contribute zero,
             # so differencing consecutive KEPT ends stays exact
-            clo, chi = _cumsum_u64(jnp.where(valid, mval, 0))
+            clo, chi = cumsum_u64_pair(jnp.where(valid, mval, 0))
             operands += [clo, chi]
     for a in ("min", "max"):
         if a in aggs:
@@ -599,7 +584,7 @@ def _group_aggregate_multi(key: U64, cols: tuple, spec: tuple,
     # inclusive per-segment reductions in stream order (value columns are
     # NOT sort keys here — segmented scans handle min/max directly).
     # Each entry is (out_name, agg, dtype, plane arrays): integer sums
-    # carry TWO u32 planes (exact u64 pair, see _cumsum_u64); counts carry
+    # carry TWO u32 planes (exact u64 pair, see segscan.cumsum_u64_pair); counts carry
     # none (derived from the packed positions after compaction).
     reduced = []
     pos1 = idx + 1
@@ -615,7 +600,7 @@ def _group_aggregate_multi(key: U64, cols: tuple, spec: tuple,
                                     [jnp.cumsum(v, dtype=v.dtype)]))
                 else:
                     reduced.append((name, a, v.dtype,
-                                    list(_cumsum_u64(v))))
+                                    list(cumsum_u64_pair(v))))
             else:
                 reduced.append((name, a, v.dtype,
                                 [segmented_reduce(v, is_new, a)]))

@@ -77,16 +77,14 @@ def group_of_index_numpy(idx: np.ndarray, n_groups: int,
     return (h % np.uint64(n_groups)).astype(np.uint32)
 
 
-@functools.partial(jax.jit, static_argnames=("run_size", "n_groups",
-                                             "seed", "partial_cap",
-                                             "minmax"))
-def _partial_run(r: jnp.ndarray, run_size: int, n_groups: int, seed: int,
-                 partial_cap: int, minmax: bool):
-    """One phase-A program: generate run r, aggregate it, emit the padded
+def _aggregate_rows(idx: jnp.ndarray, n_groups: int, seed: int,
+                    partial_cap: int, minmax: bool):
+    """Aggregate rows with global indices `idx` and emit the padded
     partial group table (klo sentinel-padded; counts/sums zero-padded;
-    min/max padded with their identities so cross-run merging stays a
-    plain segmented min/max)."""
-    idx = r * jnp.uint32(run_size) + jnp.arange(run_size, dtype=jnp.uint32)
+    min/max padded with their identities so cross-table merging stays a
+    plain segmented min/max). The padding discipline here is load-bearing
+    for _merge_partials — the single-chip and distributed phase-A
+    programs both call this one function."""
     g = _group_of_index(idx, n_groups, seed)
     aggs = ("count", "sum") + (("min", "max") if minmax else ())
     res = group_aggregate(U64(g, jnp.zeros_like(g)), idx, aggs=aggs)
@@ -104,6 +102,33 @@ def _partial_run(r: jnp.ndarray, run_size: int, n_groups: int, seed: int,
         out += (cut(res.aggs["min"], _ONES),
                 cut(res.aggs["max"], jnp.uint32(0)))
     return out
+
+
+def _host_table(cols, minmax: bool):
+    """Assemble the collect=True host group table from emitted planes."""
+    cols = [np.asarray(x) for x in cols]
+    gk, gc, gl, gh = cols[:4]
+    keep = gc > 0
+    table = {
+        "key": gk[keep],
+        "count": gc[keep],
+        "sum": (gh[keep].astype(np.uint64) << np.uint64(32))
+        | gl[keep].astype(np.uint64),
+    }
+    if minmax:
+        table["min"] = cols[4][keep]
+        table["max"] = cols[5][keep]
+    return table
+
+
+@functools.partial(jax.jit, static_argnames=("run_size", "n_groups",
+                                             "seed", "partial_cap",
+                                             "minmax"))
+def _partial_run(r: jnp.ndarray, run_size: int, n_groups: int, seed: int,
+                 partial_cap: int, minmax: bool):
+    """One phase-A program: generate run r, aggregate it."""
+    idx = r * jnp.uint32(run_size) + jnp.arange(run_size, dtype=jnp.uint32)
+    return _aggregate_rows(idx, n_groups, seed, partial_cap, minmax)
 
 
 def _merge_partials(cols):
@@ -336,17 +361,5 @@ def aggregate_big(n: int, n_groups: int = 1 << 20, run_size: int = 1 << 26,
               f"partial_cap={partial_cap} groups={ng} "
               f"A={t_a:.2f}s B={t_b:.2f}s ok={res.all_ok}")
     if collect:
-        cols = [np.asarray(x) for x in out[6:]]
-        gk, gc, gl, gh = cols[:4]
-        keep = gc > 0
-        table = {
-            "key": gk[keep],
-            "count": gc[keep],
-            "sum": (gh[keep].astype(np.uint64) << np.uint64(32))
-            | gl[keep].astype(np.uint64),
-        }
-        if minmax:
-            table["min"] = cols[4][keep]
-            table["max"] = cols[5][keep]
-        return res, table
+        return res, _host_table(out[6:], minmax)
     return res

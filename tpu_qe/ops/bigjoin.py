@@ -121,6 +121,21 @@ def _plan_buckets(llo, lhi, rlo, rhi, n_buckets: int, per_side: int):
     return bl, br  # (B-1,) positions per side
 
 
+def _verify_construction(s_lidx, l_valid, s_llo, s_lhi, out_rv, matched):
+    """On-device check of one bucket's join against the generator's
+    closed form (shared by the single-chip and distributed bucket
+    joiners): matches are exactly the even left indices, and every
+    joined value equals f(key). Returns the 4 verification scalars."""
+    expect = (s_lidx & jnp.uint32(1)) == 0
+    match_ok = jnp.all(~l_valid | (matched == expect))
+    want_rv = _rval_of_key(U64(s_llo, s_lhi))
+    val_ok = jnp.all(~matched | (out_rv == want_rv))
+    n_matched = jnp.sum((matched & l_valid).astype(jnp.uint32))
+    n_even = jnp.sum((l_valid & expect).astype(jnp.uint32))
+    return (match_ok.astype(jnp.uint32), val_ok.astype(jnp.uint32),
+            n_matched, n_even)
+
+
 def _join_bucket_fn(cap_l: int, cap_r: int, emit: bool = False):
     """Jitted phase-C body: slice one bucket from each sorted side, join,
     verify on device, return scalars (and, with emit, the joined bucket
@@ -156,16 +171,10 @@ def _join_bucket_fn(cap_l: int, cap_r: int, emit: bool = False):
             Table({"lidx": s_lidx}), Table({"rv": rv}),
             U64(s_llo, s_lhi), rkey, l_valid=l_valid, r_valid=r_valid)
 
-        # on-device verification against the generator's closed form
-        expect = (s_lidx & jnp.uint32(1)) == 0
-        match_ok = jnp.all(~l_valid | (matched == expect))
-        want_rv = _rval_of_key(U64(s_llo, s_lhi))
-        val_ok = jnp.all(~matched | (out["rv"] == want_rv))
-        n_matched = jnp.sum((matched & l_valid).astype(jnp.uint32))
-        n_even = jnp.sum((l_valid & expect).astype(jnp.uint32))
-        scalars = (match_ok.astype(jnp.uint32), val_ok.astype(jnp.uint32),
-                   n_matched, n_even, jnp.sum(sz_l.astype(jnp.uint32)),
-                   jnp.sum(sz_r.astype(jnp.uint32)))
+        scalars = _verify_construction(
+            s_lidx, l_valid, s_llo, s_lhi, out["rv"], matched) + (
+            jnp.sum(sz_l.astype(jnp.uint32)),
+            jnp.sum(sz_r.astype(jnp.uint32)))
         if not emit:
             return scalars
         return scalars + (s_llo, s_lhi, s_lidx, out["rv"],

@@ -46,10 +46,8 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from tpu_qe.bits import U64
 from tpu_qe.exchange.shuffle import AXIS
-from tpu_qe.ops.aggregate import group_aggregate
-from tpu_qe.ops.bigagg import (BigAggResult, _group_of_index,
+from tpu_qe.ops.bigagg import (BigAggResult, _aggregate_rows, _host_table,
                                _merge_partials, _verify_and_emit, _ONES)
 
 
@@ -61,23 +59,7 @@ def _runner_fn(mesh: Mesh, n_local: int, run_size: int, n_groups: int,
         d = jax.lax.axis_index(AXIS).astype(jnp.uint32)
         base = d * jnp.uint32(n_local) + r * jnp.uint32(run_size)
         idx = base + jnp.arange(run_size, dtype=jnp.uint32)
-        g = _group_of_index(idx, n_groups, seed)
-        aggs = ("count", "sum") + (("min", "max") if minmax else ())
-        res = group_aggregate(U64(g, jnp.zeros_like(g)), idx, aggs=aggs)
-        valid = jnp.arange(partial_cap, dtype=jnp.uint32) < res.num_groups
-
-        def cut(a, fill):
-            return jnp.where(valid, jax.lax.slice(a, (0,), (partial_cap,)),
-                             fill)
-
-        s = res.aggs["sum"]
-        out = (cut(res.key.lo, _ONES), cut(res.key.hi, _ONES),
-               cut(res.aggs["count"], jnp.uint32(0)),
-               cut(s.lo, jnp.uint32(0)), cut(s.hi, jnp.uint32(0)))
-        if minmax:
-            out += (cut(res.aggs["min"], _ONES),
-                    cut(res.aggs["max"], jnp.uint32(0)))
-        return out
+        return _aggregate_rows(idx, n_groups, seed, partial_cap, minmax)
 
     ncols = 7 if minmax else 5
     fn = shard_map(body, mesh=mesh, in_specs=(P(),),
@@ -185,17 +167,5 @@ def aggregate_big_distributed(n: int, mesh: Mesh, n_groups: int = 1 << 20,
               f"local_cap={local_cap} groups={ng} "
               f"A={t_a:.2f}s B={t_b:.2f}s ok={res.all_ok}")
     if collect:
-        cols = [np.asarray(x) for x in out[6:]]
-        gk, gc, gl, gh = cols[:4]
-        keep = gc > 0
-        table = {
-            "key": gk[keep],
-            "count": gc[keep],
-            "sum": (gh[keep].astype(np.uint64) << np.uint64(32))
-            | gl[keep].astype(np.uint64),
-        }
-        if minmax:
-            table["min"] = cols[4][keep]
-            table["max"] = cols[5][keep]
-        return res, table
+        return res, _host_table(out[6:], minmax)
     return res

@@ -52,7 +52,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from tpu_qe.bits import U64
 from tpu_qe.exchange.shuffle import AXIS
 from tpu_qe.ops.bigjoin import (_JoinState, _lkey_of_index,
-                                _rkey_of_index, _rval_of_key)
+                                _rkey_of_index, _rval_of_key,
+                                _verify_construction)
 from tpu_qe.ops.join import join_fk_scan, searchsorted_u64
 from tpu_qe.sort.dbigsort import _exchange_fn, _quantize
 from tpu_qe.table import Table
@@ -162,17 +163,11 @@ def _joiner_fn(mesh: Mesh, n_runs_l: int, n_runs_r: int, n_dev: int,
             Table({"lidx": s_lidx}), Table({"rv": rv}),
             U64(s_llo, s_lhi), rkey, l_valid=l_valid, r_valid=r_valid)
 
-        expect = (s_lidx & jnp.uint32(1)) == 0
-        match_ok = jnp.all(~l_valid | (matched == expect))
-        want_rv = _rval_of_key(U64(s_llo, s_lhi))
-        val_ok = jnp.all(~matched | (out["rv"] == want_rv))
-        n_matched = jnp.sum((matched & l_valid).astype(jnp.uint32))
-        n_even = jnp.sum((l_valid & expect).astype(jnp.uint32))
-        return tuple(x.reshape(1) for x in (
-            match_ok.astype(jnp.uint32), val_ok.astype(jnp.uint32),
-            n_matched, n_even,
+        scalars = _verify_construction(
+            s_lidx, l_valid, s_llo, s_lhi, out["rv"], matched) + (
             jnp.sum(l_valid.astype(jnp.uint32)),
-            jnp.sum(r_valid.astype(jnp.uint32))))
+            jnp.sum(r_valid.astype(jnp.uint32)))
+        return tuple(x.reshape(1) for x in scalars)
 
     plan = P(AXIS, None)
     n_blk = 3 * n_runs_l + 2 * n_runs_r

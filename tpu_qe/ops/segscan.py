@@ -118,9 +118,14 @@ def cummax_u32(v: jnp.ndarray) -> jnp.ndarray:
 def cumsum_u64_pair(v: jnp.ndarray):
     """Inclusive EXACT u64 prefix sum of u32 values as (lo, hi) planes.
 
+    lo is the wrapping u32 cumsum; hi counts the wraps: each added value
+    is < 2^32 so an add wraps at most once, and it wrapped iff the new lo
+    is smaller than the addend — hi reconstructs the exact 64-bit prefix
+    sum (exact while n < 2^32). This is how integer GROUP BY sums stay
+    exact past 2^32 without 64-bit arithmetic (x64 is disabled on TPU).
     One blocked scan of the carry monoid replaces the two chained
-    jnp.cumsum passes (wrapping lo + wrap-flag hi) — u64 addition is
-    associative, so the result is bit-identical to the flat pair."""
+    jnp.cumsum passes — u64 addition is associative, so the result is
+    bit-identical to the flat pair."""
 
     def combine(a, b):
         lo = a[0] + b[0]
