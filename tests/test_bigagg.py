@@ -146,3 +146,43 @@ def test_checkpoint_resume(tmp_path, monkeypatch):
     res2 = ba.aggregate_big(n, n_groups=g * 2, run_size=rs,
                             checkpoint_dir=ckdir)
     assert res2.all_ok
+
+
+@pytest.mark.parametrize("value_cols,n,g,rs", [
+    (1, 1 << 14, 1 << 8, 1 << 12),
+    (3, 1 << 14, 1 << 9, 1 << 12),
+    (5, 1 << 13, 1 << 12, 1 << 12),   # wide + single-run-cap groups
+])
+def test_aggregate_big_multi_oracle(value_cols, n, g, rs):
+    from tpu_qe.ops.bigagg import aggregate_big_multi
+
+    res, table = aggregate_big_multi(n, n_groups=g, run_size=rs,
+                                     value_cols=value_cols, collect=True)
+    assert res.all_ok, res
+    idx = np.arange(n, dtype=np.uint32)
+    gid = group_of_index_numpy(idx, g)
+    cnt = np.bincount(gid, minlength=g)
+    keep = cnt > 0
+    assert np.array_equal(table["key"],
+                          np.nonzero(keep)[0].astype(np.uint32))
+    assert np.array_equal(table["count"], cnt[keep].astype(np.uint32))
+    for c in range(value_cols):
+        s = np.zeros(g, np.uint64)
+        np.add.at(s, gid, (idx + c).astype(np.uint64))
+        assert np.array_equal(table[f"sum{c}"], s[keep]), c
+
+
+def test_aggregate_big_multi_sums_past_u32():
+    from tpu_qe.ops.bigagg import aggregate_big_multi
+
+    n = 1 << 19
+    res, table = aggregate_big_multi(n, n_groups=8, run_size=1 << 16,
+                                     value_cols=2, collect=True)
+    assert res.all_ok
+    assert table["sum0"].max() > (1 << 32)
+    idx = np.arange(n, dtype=np.uint32)
+    gid = group_of_index_numpy(idx, 8)
+    for c in range(2):
+        s = np.zeros(8, np.uint64)
+        np.add.at(s, gid, (idx + c).astype(np.uint64))
+        assert np.array_equal(table[f"sum{c}"], s[np.bincount(gid, minlength=8) > 0]), c

@@ -239,12 +239,24 @@ def _cmd_bench_bigagg(args) -> int:
         assert args.checkpoint_dir is None, \
             "--checkpoint-dir supports the single-chip bigagg path only " \
             "(the distributed partial tables are sharded device arrays)"
+        assert args.value_cols == 1, \
+            "--value-cols applies to the single-chip path"
         mesh = make_mesh(args.devices)
         d = int(mesh.devices.size)
         res = aggregate_big_distributed(
             args.n, mesh, n_groups=args.groups, run_size=args.run_size,
             minmax=args.minmax, verbose=args.verbose_big)
         where = f"{d} devices"
+    elif args.value_cols > 1:
+        from tpu_qe.ops.bigagg import aggregate_big_multi
+        assert not args.minmax and args.checkpoint_dir is None, \
+            "--value-cols>1 composes with neither --minmax nor " \
+            "--checkpoint-dir yet"
+        res = aggregate_big_multi(args.n, n_groups=args.groups,
+                                  run_size=args.run_size,
+                                  value_cols=args.value_cols,
+                                  verbose=args.verbose_big)
+        where = f"1 chip, {args.value_cols} value cols"
     else:
         res = aggregate_big(args.n, n_groups=args.groups,
                             run_size=args.run_size, minmax=args.minmax,
@@ -402,6 +414,9 @@ def main(argv=None) -> int:
     pa.add_argument("--run-size", type=int, default=1 << 26)
     pa.add_argument("--minmax", action="store_true",
                     help="also aggregate per-group min+max")
+    pa.add_argument("--value-cols", type=int, default=1,
+                    help="SQL-shaped multi-column sums sharing one key "
+                         "sort per run (single-chip path)")
     pa.add_argument("--distributed", action="store_true",
                     help="distributed out-of-core aggregate over the "
                          "device mesh (ops/dbigagg.py)")

@@ -131,68 +131,82 @@ def _partial_run(r: jnp.ndarray, run_size: int, n_groups: int, seed: int,
     return _aggregate_rows(idx, n_groups, seed, partial_cap, minmax)
 
 
-def _merge_partials(cols):
+def _merge_partials(cols, n_sums: int = 1):
     """Merge rows of sentinel-padded partial group tables (key-major sort
     + segmented folds), compacting merged groups to the front.
 
-    cols: (klo, khi, cnt, slo, shi[, vmin, vmax]) row-aligned arrays —
-    counts fold by sum (plain u32 cumsum differences: the global count
-    total is < 2^32 by the n < 2^32 contract), value sums by the exact
-    u64 pair cumsum with wrap carries, min/max by segmented reductions
-    (sentinel pads carry their identities, so they fold harmlessly).
-    Pure jnp/lax — runs identically in the single-chip combine and
-    inside shard_map bodies (ops/dbigagg.py).
+    cols: (klo, khi, cnt, slo_0, shi_0, ..., slo_{n_sums-1},
+    shi_{n_sums-1}[, vmin, vmax]) row-aligned arrays — counts fold by sum
+    (plain u32 cumsum differences: the global count total is < 2^32 by
+    the n < 2^32 contract), each value-sum column by the exact u64 pair
+    cumsum with wrap carries, min/max by segmented reductions (sentinel
+    pads carry their identities, so they fold harmlessly). Pure jnp/lax —
+    runs identically in the single-chip combine and inside shard_map
+    bodies (ops/dbigagg.py).
 
-    Returns (gklo, gkhi, gcnt, gsum: U64, gmin, gmax, gvalid) with
-    invalid rows NOT yet masked (mask with gvalid); gmin/gmax are None
-    when cols carries no min/max planes.
+    Returns (gklo, gkhi, gcnt, gsums: tuple[U64], gmin, gmax, gvalid)
+    with invalid rows NOT yet masked (mask with gvalid); gmin/gmax are
+    None when cols carries no min/max planes.
     """
     klo, khi = cols[0], cols[1]
     m = klo.shape[0]
-    minmax = len(cols) == 7
+    base = 3 + 2 * n_sums
+    minmax = len(cols) == base + 2
+    assert len(cols) in (base, base + 2), (len(cols), n_sums)
     sorted_ops = jax.lax.sort([khi, klo] + list(cols[2:]), num_keys=2,
                               is_stable=False)
-    skhi, sklo, scnt, svlo, svhi = sorted_ops[:5]
+    skhi, sklo, scnt = sorted_ops[:3]
     idx = jnp.arange(m, dtype=jnp.uint32)
     is_new = ((idx == 0) | (sklo != _shift_right_one(sklo, jnp.uint32(0)))
               | (skhi != _shift_right_one(skhi, jnp.uint32(0))))
     is_end = jnp.concatenate([is_new[1:], jnp.ones((1,), bool)])
     # per-group totals by prefix differences at group ends: counts via a
     # plain u32 cumsum (global total == n < 2^32, so no wrap anywhere);
-    # value sums via the exact u64 pair cumsum with wrap carries
+    # each value-sum column via the exact u64 pair cumsum with carries
     ccnt = cumsum_u32(scnt)
-    plo, wraps = cumsum_u64_pair(svlo)
-    phi = cumsum_u32(svhi) + wraps
+    pairs = []
+    for j in range(n_sums):
+        plo, wraps = cumsum_u64_pair(sorted_ops[3 + 2 * j])
+        phi = cumsum_u32(sorted_ops[4 + 2 * j]) + wraps
+        pairs += [plo, phi]
     # compact group-end rows to the front (packed-position sort, same
     # discipline as group_aggregate)
     pos1 = idx + 1
     packed = jnp.where(is_end, pos1, pos1 | jnp.uint32(1 << 31))
-    cops = [packed, sklo, skhi, ccnt, plo, phi]
+    cops = [packed, sklo, skhi, ccnt] + pairs
     if minmax:
         # cross-table group min/max: segmented running min/max over the
         # key-sorted rows, read at group-end rows
-        cops += [segmented_reduce(sorted_ops[5], is_new, "min"),
-                 segmented_reduce(sorted_ops[6], is_new, "max")]
+        cops += [segmented_reduce(sorted_ops[base], is_new, "min"),
+                 segmented_reduce(sorted_ops[base + 1], is_new, "max")]
     res = jax.lax.sort(cops, num_keys=1, is_stable=False)
     gklo, gkhi = res[1], res[2]
     gcnt = res[3] - _shift_right_one(res[3], jnp.uint32(0))
-    gsum = _diff_u64(res[4], res[5])
+    gsums = tuple(_diff_u64(res[4 + 2 * j], res[5 + 2 * j])
+                  for j in range(n_sums))
     n_all = jnp.sum(is_end.astype(jnp.uint32))      # incl. sentinel group
     gvalid = (jnp.arange(m, dtype=jnp.uint32) < n_all) & (gcnt > 0)
-    gmin = res[6] if minmax else None
-    gmax = res[7] if minmax else None
-    return gklo, gkhi, gcnt, gsum, gmin, gmax, gvalid
+    gmin = res[base + 1] if minmax else None
+    gmax = res[base + 2] if minmax else None
+    return gklo, gkhi, gcnt, gsums, gmin, gmax, gvalid
 
 
 def _verify_and_emit(merged, collect: bool, minmax: bool):
     """Device-side verification + output assembly over a merged table
     (shared by the single-chip combine and the distributed combiner —
-    the closed-form invariants are the same at every tree level)."""
-    gklo, gkhi, gcnt, gsum, gmin, gmax, gvalid = merged
+    the closed-form invariants are the same at every tree level).
+
+    Scalars: num_groups, total_cnt, then (tlo, thi) PER sum column, then
+    keys_sorted, minmax_ok. Collect planes: key, count, per-column
+    (slo, shi)[, min, max]."""
+    gklo, gkhi, gcnt, gsums, gmin, gmax, gvalid = merged
     num_groups = jnp.sum(gvalid.astype(jnp.uint32))
     total_cnt = jnp.sum(jnp.where(gvalid, gcnt, 0), dtype=jnp.uint32)
-    tlo, tw = cumsum_u64_pair(jnp.where(gvalid, gsum.lo, 0))
-    thi = cumsum_u32(jnp.where(gvalid, gsum.hi, 0))[-1] + tw[-1]
+    totals = ()
+    for gsum in gsums:
+        tlo, tw = cumsum_u64_pair(jnp.where(gvalid, gsum.lo, 0))
+        thi = cumsum_u32(jnp.where(gvalid, gsum.hi, 0))[-1] + tw[-1]
+        totals += (tlo[-1], thi)
     gt = ((gkhi[1:] > gkhi[:-1])
           | ((gkhi[1:] == gkhi[:-1]) & (gklo[1:] > gklo[:-1])))
     keys_sorted = jnp.all(gt | ~gvalid[1:])          # strict: unique keys
@@ -205,15 +219,16 @@ def _verify_and_emit(merged, collect: bool, minmax: bool):
                     == total_cnt - 1))
     else:
         mm_ok = jnp.bool_(True)
-    scalars = (num_groups, total_cnt, tlo[-1], thi,
-               keys_sorted.astype(jnp.uint32), mm_ok.astype(jnp.uint32))
+    scalars = (num_groups, total_cnt) + totals + (
+        keys_sorted.astype(jnp.uint32), mm_ok.astype(jnp.uint32))
     if not collect:
         return scalars
     z = jnp.uint32(0)
     out = scalars + (jnp.where(gvalid, gklo, _ONES),
-                     jnp.where(gvalid, gcnt, z),
-                     jnp.where(gvalid, gsum.lo, z),
-                     jnp.where(gvalid, gsum.hi, z))
+                     jnp.where(gvalid, gcnt, z))
+    for gsum in gsums:
+        out += (jnp.where(gvalid, gsum.lo, z),
+                jnp.where(gvalid, gsum.hi, z))
     if minmax:
         out += (jnp.where(gvalid, gmin, z), jnp.where(gvalid, gmax, z))
     return out
@@ -230,6 +245,121 @@ def _combine(parts, collect: bool, minmax: bool):
     assert m < (1 << 28), ("combine exceeds the in-core cap; bucket the "
                            "partials (see module docstring)", m)
     return _verify_and_emit(_merge_partials(cols), collect, minmax)
+
+
+@functools.partial(jax.jit, static_argnames=("run_size", "n_groups",
+                                             "seed", "partial_cap",
+                                             "value_cols"))
+def _partial_run_multi(r: jnp.ndarray, run_size: int, n_groups: int,
+                       seed: int, partial_cap: int, value_cols: int):
+    """Phase-A program for the multi-column shape: one key sort shared
+    by all value columns (group_aggregate_multi); emits (klo, khi, cnt,
+    slo_0, shi_0, ..., slo_{V-1}, shi_{V-1}) with the same sentinel/zero
+    padding discipline as _aggregate_rows."""
+    from tpu_qe.ops.aggregate import group_aggregate_multi
+
+    idx = r * jnp.uint32(run_size) + jnp.arange(run_size, dtype=jnp.uint32)
+    g = _group_of_index(idx, n_groups, seed)
+    values = {f"v{c}": idx + jnp.uint32(c) for c in range(value_cols)}
+    aggs = {f"v{c}": (("count", "sum") if c == 0 else ("sum",))
+            for c in range(value_cols)}
+    res = group_aggregate_multi(U64(g, jnp.zeros_like(g)), values, aggs)
+    valid = jnp.arange(partial_cap, dtype=jnp.uint32) < res.num_groups
+
+    def cut(a, fill):
+        return jnp.where(valid, jax.lax.slice(a, (0,), (partial_cap,)),
+                         fill)
+
+    out = (cut(res.key.lo, _ONES), cut(res.key.hi, _ONES),
+           cut(res.aggs["v0_count"], jnp.uint32(0)))
+    for c in range(value_cols):
+        s = res.aggs[f"v{c}_sum"]
+        out += (cut(s.lo, jnp.uint32(0)), cut(s.hi, jnp.uint32(0)))
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("collect", "value_cols"))
+def _combine_multi(parts, collect: bool, value_cols: int):
+    """Phase B for the multi-column shape: same merge, V sum pairs."""
+    cols = tuple(jnp.concatenate([p[i] for p in parts])
+                 for i in range(len(parts[0])))
+    m = cols[0].shape[0]
+    assert m < (1 << 28), ("combine exceeds the in-core cap", m)
+    return _verify_and_emit(_merge_partials(cols, n_sums=value_cols),
+                            collect, minmax=False)
+
+
+def aggregate_big_multi(n: int, n_groups: int = 1 << 20,
+                        run_size: int = 1 << 26, value_cols: int = 4,
+                        seed: int = 7, verbose: bool = False,
+                        collect: bool = False):
+    """Multi-column out-of-core GROUP BY (the SQL shape:
+    SELECT count(*), sum(v0), ..., sum(v{V-1}) GROUP BY key) — all V
+    columns share each run's single key sort (group_aggregate_multi) and
+    the combine's single merge; partial tables just widen by 8 B/column.
+
+    Row i: column c's value is i + c, so every column total is closed-
+    form exact on device: sum_c == n(n-1)/2 + n*c, checked per column.
+    collect=True returns dict(key, count, sum0..sum{V-1}) (oracle tests).
+    The distributed combine tree (ops/dbigagg.py) generalizes column-
+    for-column the same way — the merge core is already V-ary.
+    """
+    assert n % run_size == 0, (n, run_size)
+    assert n + value_cols < (1 << 32), "values travel as u32 index + c"
+    assert value_cols >= 1
+    n_runs = n // run_size
+    partial_cap = min(n_groups, run_size)
+
+    tc0 = time.perf_counter()
+    np.asarray(jnp.zeros(8, jnp.uint32)[:1])  # tunnel warmup
+    run_exec = _partial_run_multi.lower(
+        jnp.uint32(0), run_size=run_size, n_groups=n_groups, seed=seed,
+        partial_cap=partial_cap, value_cols=value_cols).compile()
+    compile_s = time.perf_counter() - tc0
+
+    t0 = time.perf_counter()
+    parts = [run_exec(jnp.uint32(r)) for r in range(n_runs)]
+    np.asarray(parts[-1][0][-1:])  # fence after queueing ALL dispatches
+    t_a = time.perf_counter() - t0
+
+    tcb = time.perf_counter()
+    comb_exec = _combine_multi.lower(tuple(parts), collect=collect,
+                                     value_cols=value_cols).compile()
+    compile_s += time.perf_counter() - tcb
+
+    n_scal = 4 + 2 * value_cols
+    t1 = time.perf_counter()
+    out = comb_exec(tuple(parts))
+    scal = [int(np.asarray(x)) for x in out[:n_scal]]
+    t_b = time.perf_counter() - t1
+    ng, total_cnt = scal[0], scal[1]
+    ks = scal[-2]
+    sums_ok = all(
+        ((scal[3 + 2 * c] << 32) | scal[2 + 2 * c])
+        == n * (n - 1) // 2 + n * c
+        for c in range(value_cols))
+    dt = t_a + t_b
+    res = BigAggResult(
+        n=n, n_groups=ng, seconds=dt, rows_per_s=n / dt,
+        count_ok=(total_cnt == n), sum_ok=sums_ok, keys_ok=bool(ks),
+        groups_ok=(ng <= min(n_groups, n)),
+        phase_a_s=t_a, phase_b_s=t_b, compile_s=compile_s)
+    if verbose:
+        print(f"bigagg-multi: n={n} V={value_cols} R={n_runs} "
+              f"G={n_groups} groups={ng} A={t_a:.2f}s B={t_b:.2f}s "
+              f"ok={res.all_ok}")
+    if collect:
+        cols = [np.asarray(x) for x in out[n_scal:]]
+        gk, gc = cols[0], cols[1]
+        keep = gc > 0
+        table = {"key": gk[keep], "count": gc[keep]}
+        for c in range(value_cols):
+            lo, hi = cols[2 + 2 * c], cols[3 + 2 * c]
+            table[f"sum{c}"] = (hi[keep].astype(np.uint64)
+                                << np.uint64(32)) | lo[keep].astype(
+                np.uint64)
+        return res, table
+    return res
 
 
 @dataclasses.dataclass(frozen=True)

@@ -84,8 +84,8 @@ def _combiner_fn(mesh: Mesh, n_runs: int, local_cap: int,
         cols = tuple(
             jnp.concatenate([flat[r * ncols + c] for r in range(n_runs)])
             for c in range(ncols))
-        gklo, gkhi, gcnt, gsum, gmn, gmx, gvalid = _merge_partials(cols)
-        planes = [gklo, gkhi, gcnt, gsum.lo, gsum.hi] \
+        gklo, gkhi, gcnt, gsums, gmn, gmx, gvalid = _merge_partials(cols)
+        planes = [gklo, gkhi, gcnt, gsums[0].lo, gsums[0].hi] \
             + ([gmn, gmx] if minmax else [])
         loc = [jnp.where(gvalid, a, idents[c])[:local_cap]
                for c, a in enumerate(planes)]
