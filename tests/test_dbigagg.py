@@ -9,7 +9,7 @@ from tpu_qe.ops.dbigagg import aggregate_big_distributed
 
 
 @pytest.mark.parametrize("n_dev,n,n_groups,run_size", [
-    (1, 1 << 14, 1 << 9, 1 << 12),     # degenerate single-device path
+    (1, 1 << 14, 1 << 9, 1 << 12),     # D=1 delegates to aggregate_big
     (2, 1 << 14, 1 << 9, 1 << 12),
     (4, 1 << 15, 1 << 10, 1 << 12),    # 8 runs across 4 devices
     (8, 1 << 15, 1 << 16, 1 << 12),    # more groups than rows per run
@@ -36,6 +36,19 @@ def test_minmax_matches_single_chip():
     _, t1 = aggregate_big(1 << 14, n_groups=1 << 8, run_size=1 << 12,
                           collect=True, minmax=True)
     for k in ("key", "count", "sum", "min", "max"):
+        assert np.array_equal(table[k], t1[k]), k
+
+
+def test_1dev_forced_composed_matches():
+    # keep the shard_map machinery covered at D=1 (identity all_gather)
+    mesh = make_mesh(1)
+    res, table = aggregate_big_distributed(
+        1 << 14, mesh, n_groups=1 << 9, run_size=1 << 12, collect=True,
+        force_composed=True)
+    assert res.all_ok, res
+    _, t1 = aggregate_big(1 << 14, n_groups=1 << 9, run_size=1 << 12,
+                          collect=True)
+    for k in t1:
         assert np.array_equal(table[k], t1[k]), k
 
 

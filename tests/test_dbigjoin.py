@@ -7,7 +7,7 @@ from tpu_qe.ops.dbigjoin import join_big_distributed
 
 
 @pytest.mark.parametrize("n_dev,n_l,n_r,b", [
-    (1, 1 << 13, 1 << 13, 2),     # degenerate single-device path
+    (1, 1 << 13, 1 << 13, 2),     # D=1 delegates to join_big
     (2, 1 << 13, 1 << 13, 2),
     (4, 1 << 14, 1 << 12, 2),     # left-heavy (4 vs 1 runs/dev)
     (4, 1 << 12, 1 << 14, 3),     # right-heavy, odd bucket count
@@ -20,6 +20,15 @@ def test_join_big_distributed_all_checks(n_dev, n_l, n_r, b):
                                buckets_per_dev=b)
     assert res.all_ok, res
     assert res.matched == (n_l + 1) // 2
+
+
+def test_1dev_forced_composed_path():
+    # keep the full composed machinery covered at D=1
+    mesh = make_mesh(1)
+    res = join_big_distributed(1 << 13, 1 << 13, mesh, run_size=1 << 11,
+                               buckets_per_dev=2, force_composed=True)
+    assert res.all_ok, res
+    assert res.matched == 1 << 12
 
 
 def test_multiple_runs_per_device():

@@ -50,10 +50,17 @@ def test_4dev_single_run_per_dev():
     _run(n_dev=4, n_runs=1, run_size=4096, buckets_per_dev=3)
 
 
-def test_1dev_degenerate_path():
-    # the single-chip path the real-TPU bench measures: identity
-    # all_to_all, everything else identical
+def test_1dev_delegates_to_bigsort():
+    # D=1 default: the exchange has nothing to move, so the call
+    # delegates to single-chip sort_big (same data model + checks)
     _run(n_dev=1, n_runs=4, run_size=2048, buckets_per_dev=4)
+
+
+def test_1dev_forced_composed_path():
+    # force_composed=True keeps the full machinery at D=1 (identity
+    # all_to_all + block copies) — what the machinery measurement runs
+    _run(n_dev=1, n_runs=4, run_size=2048, buckets_per_dev=4,
+         force_composed=True)
 
 
 def test_adversarial_duplicates_16_keys():

@@ -155,7 +155,8 @@ def _cmd_bench_big(args) -> int:
         res = sort_big_distributed(
             args.n, mesh, run_size=args.run_size,
             buckets_per_dev=args.buckets, verbose=args.verbose_big,
-            checkpoint_dir=args.checkpoint_dir)
+            checkpoint_dir=args.checkpoint_dir,
+            force_composed=args.force_composed)
         kind = "distributed out-of-core"
         where = f"{d} device(s)"
     else:
@@ -383,6 +384,10 @@ def main(argv=None) -> int:
     pg.add_argument("--checkpoint-dir", type=str, default=None,
                     help="persist the plan + per-bucket completion here; "
                          "a killed run resumes with identical output")
+    pg.add_argument("--force-composed", action="store_true",
+                    help="keep the composed exchange machinery even at "
+                         "D=1 (default delegates to the single-chip "
+                         "driver — nothing to exchange)")
     pg.set_defaults(fn=_cmd_bench_big)
 
     pj = sub.add_parser("bench-bigjoin",

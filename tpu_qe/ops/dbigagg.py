@@ -103,7 +103,8 @@ def _combiner_fn(mesh: Mesh, n_runs: int, local_cap: int,
 def aggregate_big_distributed(n: int, mesh: Mesh, n_groups: int = 1 << 20,
                               run_size: int = 1 << 26, seed: int = 7,
                               verbose: bool = False, collect: bool = False,
-                              minmax: bool = False):
+                              minmax: bool = False,
+                              force_composed: bool = False):
     """Distributed out-of-core GROUP BY of n generated rows over `mesh`.
 
     n must be divisible by D * run_size. Row model identical to
@@ -111,14 +112,21 @@ def aggregate_big_distributed(n: int, mesh: Mesh, n_groups: int = 1 << 20,
     global index), so the result table is bit-identical to the
     single-chip path at equal n — asserted by the CPU-mesh tests.
 
-    With D == 1 this degenerates to aggregate_big through the shard_map
-    machinery (identity all_gather) — the measurable path on the one
-    real chip; multi-device runs are validated on the CPU mesh.
+    With D == 1 the combine tree has one leaf, so the call DELEGATES to
+    single-chip aggregate_big (same data model, same verification);
+    force_composed=True keeps the shard_map machinery at D=1 (identity
+    all_gather) for tests. Multi-device runs are validated on the CPU
+    mesh.
 
     Returns BigAggResult; collect=True additionally returns the
     replicated host group table dict (small-n oracle tests only).
     """
     n_dev = int(mesh.shape[AXIS])
+    if n_dev == 1 and not force_composed:
+        from tpu_qe.ops.bigagg import aggregate_big
+        return aggregate_big(n, n_groups=n_groups, run_size=run_size,
+                             seed=seed, verbose=verbose, collect=collect,
+                             minmax=minmax)
     assert n % (n_dev * run_size) == 0, (n, n_dev, run_size)
     assert n < (1 << 32), "values travel as u32 global index"
     n_local = n // n_dev

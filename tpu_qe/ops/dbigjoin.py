@@ -213,7 +213,8 @@ def join_big_distributed(n_l: int, n_r: int, mesh: Mesh,
                          buckets_per_dev: int | None = None, seed: int = 7,
                          samples_per_run: int = 4096,
                          verbose: bool = False,
-                         checkpoint_dir: str | None = None):
+                         checkpoint_dir: str | None = None,
+                         force_composed: bool = False):
     """Distributed + out-of-core FK join of n_l x n_r generated rows.
 
     Both sides must be divisible by D * run_size. Bucket joins run on
@@ -227,8 +228,17 @@ def join_big_distributed(n_l: int, n_r: int, mesh: Mesh,
     splitter bounds and per-bucket-round scalars persist; phases A and X
     regenerate deterministically on restart, completed bucket rounds
     replay their recorded per-device scalars.
+
+    With D == 1 the exchange has nothing to move, so the call DELEGATES
+    to the single-chip join_big (same data model and verification;
+    returns its BigJoinResult). force_composed=True keeps the composed
+    machinery at D=1 for tests/machinery measurements.
     """
     n_dev = int(mesh.shape[AXIS])
+    if n_dev == 1 and not force_composed:
+        from tpu_qe.ops.bigjoin import join_big
+        return join_big(n_l, n_r, n_buckets=buckets_per_dev, seed=seed,
+                        verbose=verbose, checkpoint_dir=checkpoint_dir)
     assert n_l % (n_dev * run_size) == 0, (n_l, n_dev, run_size)
     assert n_r % (n_dev * run_size) == 0, (n_r, n_dev, run_size)
     assert n_l < (1 << 32) and n_r < (1 << 32)

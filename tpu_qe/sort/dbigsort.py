@@ -301,7 +301,8 @@ def sort_big_distributed(n: int, mesh: Mesh, run_size: int = 1 << 26,
                          buckets_per_dev: int | None = None, seed: int = 7,
                          samples_per_run: int = 4096, key_bits: int = 64,
                          verbose: bool = False, collect: bool = False,
-                         checkpoint_dir: str | None = None):
+                         checkpoint_dir: str | None = None,
+                         force_composed: bool = False):
     """Distributed + out-of-core sort of n generated rows over `mesh`.
 
     n must be divisible by D * run_size (D = mesh size). Rows are
@@ -310,10 +311,13 @@ def sort_big_distributed(n: int, mesh: Mesh, run_size: int = 1 << 26,
     row is re-verified against on device). Device d's output, bucket by
     bucket, is the d-th quantile range of the global sorted order.
 
-    With D == 1 this degenerates to single-chip bigsort through the
-    exchange machinery (identity all_to_all) — the measurable path on the
-    one real chip in this environment; multi-device runs are validated on
-    the CPU mesh (tests) and the dryrun gate.
+    With D == 1 the exchange has nothing to move, so the call DELEGATES
+    to single-chip sort_big (same data model, same verification —
+    measured 3.43 s vs 4.91 s at 256M for the machinery-through path,
+    BASELINE.md). force_composed=True keeps the composed machinery at
+    D=1 (identity all_to_all + block copies) — tests and machinery
+    measurements; multi-device runs are validated on the CPU mesh
+    (tests) and the dryrun gate.
 
     Returns BigSortResult (wall time covers phases A+B+X+C; compiles are
     AOT, outside the timed region). With collect=True additionally
@@ -327,6 +331,12 @@ def sort_big_distributed(n: int, mesh: Mesh, run_size: int = 1 << 26,
     the persisted plan.
     """
     n_dev = int(mesh.shape[AXIS])
+    if n_dev == 1 and key_bits == 64 and not force_composed:
+        from tpu_qe.sort.bigsort import sort_big
+        return sort_big(n, run_size=run_size, n_buckets=buckets_per_dev,
+                        seed=seed, samples_per_run=samples_per_run,
+                        verbose=verbose, collect=collect,
+                        checkpoint_dir=checkpoint_dir)
     assert n % (n_dev * run_size) == 0, (n, n_dev, run_size)
     assert n < (1 << 32), "payload travels as u32 global index"
     n_local = n // n_dev
