@@ -202,7 +202,8 @@ def _cmd_bench_bigjoin(args) -> int:
             args.n_left, args.n_right, mesh,
             run_size=args.run_size, buckets_per_dev=args.buckets,
             verbose=args.verbose_big,
-            checkpoint_dir=args.checkpoint_dir)
+            checkpoint_dir=args.checkpoint_dir,
+            force_composed=args.force_composed)
         where = f"{d} devices"
     else:
         res = join_big(args.n_left, args.n_right, n_buckets=args.buckets,
@@ -246,7 +247,8 @@ def _cmd_bench_bigagg(args) -> int:
         d = int(mesh.devices.size)
         res = aggregate_big_distributed(
             args.n, mesh, n_groups=args.groups, run_size=args.run_size,
-            minmax=args.minmax, verbose=args.verbose_big)
+            minmax=args.minmax, verbose=args.verbose_big,
+            force_composed=args.force_composed)
         where = f"{d} devices"
     elif args.value_cols > 1:
         from tpu_qe.ops.bigagg import aggregate_big_multi
@@ -408,6 +410,8 @@ def main(argv=None) -> int:
     pj.add_argument("--checkpoint-dir", type=str, default=None,
                     help="persist the bucket plan + completion here; a "
                          "killed run resumes with identical output")
+    pj.add_argument("--force-composed", action="store_true",
+                    help="keep the exchange machinery even at D=1")
     pj.add_argument("--verbose-big", action="store_true")
     pj.set_defaults(fn=_cmd_bench_bigjoin)
 
@@ -430,6 +434,8 @@ def main(argv=None) -> int:
     pa.add_argument("--checkpoint-dir", type=str, default=None,
                     help="persist per-run partial tables here (single-"
                          "chip path); a killed run resumes from them")
+    pa.add_argument("--force-composed", action="store_true",
+                    help="keep the combine-tree machinery even at D=1")
     pa.add_argument("--verbose-big", action="store_true")
     pa.set_defaults(fn=_cmd_bench_bigagg)
 
