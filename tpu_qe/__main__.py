@@ -285,6 +285,33 @@ def _cmd_bench_bigagg(args) -> int:
     return 0 if res.all_ok else 1
 
 
+def _cmd_bench_bigpipe(args) -> int:
+    import json
+
+    from tpu_qe.bench.sol import device_kind
+    from tpu_qe.ops.bigpipe import join_aggregate_big
+
+    res = join_aggregate_big(args.n_left, args.n_right,
+                             n_groups=args.groups,
+                             n_buckets=args.buckets,
+                             verbose=args.verbose_big)
+    out = {
+        "metric": f"fused out-of-core join+GROUP BY {res.n_l} x "
+                  f"{res.n_r} rows -> {res.n_groups} groups, 1 chip",
+        "value": round(res.rows_per_s),
+        "unit": "left rows/s",
+        "time_s": round(res.seconds, 3),
+        "matched": res.matched,
+        "compile_s": round(res.compile_s, 3),
+        "verified": res.all_ok,
+        "checks": {"join": res.join_ok, "count": res.count_ok,
+                   "keys": res.keys_ok},
+        "device": device_kind(),
+    }
+    print(json.dumps(out))
+    return 0 if res.all_ok else 1
+
+
 def _cmd_bench_bigtopk(args) -> int:
     import json
 
@@ -438,6 +465,16 @@ def main(argv=None) -> int:
                     help="keep the combine-tree machinery even at D=1")
     pa.add_argument("--verbose-big", action="store_true")
     pa.set_defaults(fn=_cmd_bench_bigagg)
+
+    pp = sub.add_parser("bench-bigpipe",
+                        help="fused out-of-core join -> GROUP BY "
+                             "(join output never materialized)")
+    pp.add_argument("--n-left", type=int, default=1 << 29)
+    pp.add_argument("--n-right", type=int, default=1 << 29)
+    pp.add_argument("--groups", type=int, default=1 << 16)
+    pp.add_argument("--buckets", type=int, default=None)
+    pp.add_argument("--verbose-big", action="store_true")
+    pp.set_defaults(fn=_cmd_bench_bigpipe)
 
     pt = sub.add_parser("bench-bigtopk",
                         help="out-of-core top-k (per-run selection + "
