@@ -12,5 +12,6 @@ from tpu_qe.ops.bigagg import (aggregate_big,  # noqa: F401
                                aggregate_big_multi)
 from tpu_qe.ops.bigjoin import join_big  # noqa: F401
 from tpu_qe.ops.bigtopk import top_k_big  # noqa: F401
+from tpu_qe.ops.bigpipe import join_aggregate_big  # noqa: F401
 from tpu_qe.ops.dbigagg import aggregate_big_distributed  # noqa: F401
 from tpu_qe.ops.dbigjoin import join_big_distributed  # noqa: F401
