@@ -117,3 +117,29 @@ class TestCheckpointResume:
         res2 = bs.sort_big(1 << 12, run_size=1 << 10, n_buckets=4,
                            checkpoint_dir=ckdir)
         assert res2.all_ok
+
+
+def test_consume_stream_device_arrays():
+    # the consumer sees one call per bucket in global key order with
+    # device arrays; masked on-device payload sums must reproduce the
+    # global closed form sum(0..n-1) (mod 2^32)
+    import jax.numpy as jnp
+
+    from tpu_qe.sort.bigsort import sort_big
+
+    n = 1 << 13
+    got = []
+
+    def consume(b, bucket):
+        m = bucket["payload"].shape[0]
+        valid = jnp.arange(m, dtype=jnp.uint32) < bucket["count"]
+        got.append((b, int(bucket["count"]),
+                    int(jnp.sum(jnp.where(valid, bucket["payload"], 0),
+                                dtype=jnp.uint32))))
+
+    res = sort_big(n, run_size=1 << 11, n_buckets=4, consume=consume)
+    assert res.all_ok
+    assert [b for b, _, _ in got] == [0, 1, 2, 3]
+    assert sum(c for _, c, _ in got) == n
+    want = (n * (n - 1) // 2) & 0xFFFFFFFF
+    assert sum(s for _, _, s in got) & 0xFFFFFFFF == want

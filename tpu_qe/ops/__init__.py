@@ -7,11 +7,27 @@ from tpu_qe.ops.join import (join_fk, join_inner, join_sorted,  # noqa: F401
 from tpu_qe.ops.topk import top_k  # noqa: F401
 
 # out-of-core family (device-generated benchmark data models, fully
-# device-verified; see each module's docstring for the design)
-from tpu_qe.ops.bigagg import (aggregate_big,  # noqa: F401
-                               aggregate_big_multi)
-from tpu_qe.ops.bigjoin import join_big  # noqa: F401
-from tpu_qe.ops.bigtopk import top_k_big  # noqa: F401
-from tpu_qe.ops.bigpipe import join_aggregate_big  # noqa: F401
-from tpu_qe.ops.dbigagg import aggregate_big_distributed  # noqa: F401
-from tpu_qe.ops.dbigjoin import join_big_distributed  # noqa: F401
+# device-verified; see each module's docstring for the design). Exported
+# LAZILY (PEP 562): these modules import the sort drivers, which import
+# ops.join — eager imports here would cycle through this package init.
+_BIG_EXPORTS = {
+    "aggregate_big": "bigagg",
+    "aggregate_big_multi": "bigagg",
+    "join_big": "bigjoin",
+    "top_k_big": "bigtopk",
+    "join_aggregate_big": "bigpipe",
+    "aggregate_big_distributed": "dbigagg",
+    "join_big_distributed": "dbigjoin",
+}
+
+
+def __getattr__(name):
+    if name in _BIG_EXPORTS:
+        import importlib
+        mod = importlib.import_module(f"tpu_qe.ops.{_BIG_EXPORTS[name]}")
+        return getattr(mod, name)
+    raise AttributeError(f"module 'tpu_qe.ops' has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_BIG_EXPORTS))

@@ -52,7 +52,7 @@ from tpu_qe.bits import U64
 from tpu_qe.ops.aggregate import (_diff_u64, _shift_right_one,
                                   group_aggregate, segmented_reduce)
 from tpu_qe.ops.segscan import cumsum_u32, cumsum_u64_pair
-from tpu_qe.sort.bigsort import _murmur_fmix32
+from tpu_qe.hashing import murmur_fmix32 as _murmur_fmix32
 
 _ONES = jnp.uint32(0xFFFFFFFF)
 _GSALT = jnp.uint32(0x9E3779B9)

@@ -53,7 +53,8 @@ import numpy as np
 
 from tpu_qe.bits import U64
 from tpu_qe.ops.join import join_fk_scan, searchsorted_u64
-from tpu_qe.sort.bigsort import _murmur_fmix32, _RunState, keygen_hash
+from tpu_qe.hashing import keygen_hash, murmur_fmix32 as _murmur_fmix32
+from tpu_qe.utils.checkpoint import RunState as _RunState
 from tpu_qe.table import Table
 
 _ONES = jnp.uint32(0xFFFFFFFF)

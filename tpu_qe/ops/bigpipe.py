@@ -44,7 +44,7 @@ from tpu_qe.bits import U64
 from tpu_qe.ops.aggregate import group_aggregate
 from tpu_qe.ops.bigagg import _combine, _host_table, _ONES
 from tpu_qe.ops.bigjoin import join_big
-from tpu_qe.sort.bigsort import _murmur_fmix32
+from tpu_qe.hashing import murmur_fmix32 as _murmur_fmix32
 
 _GSALT = jnp.uint32(0x7F4A7C15)
 

@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpu_qe.sort.bigsort import keygen_hash
+from tpu_qe.hashing import keygen_hash
 
 _ONES = jnp.uint32(0xFFFFFFFF)
 

@@ -48,50 +48,16 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpu_qe.bits import U64
+from tpu_qe.hashing import keygen_hash, keygen_hash_numpy, murmur_fmix32
+from tpu_qe.utils.checkpoint import RunState
 from tpu_qe.ops.join import searchsorted_u64
 
 _ONES = jnp.uint32(0xFFFFFFFF)
 
 
-def _murmur_fmix32(h):
-    """murmur3 32-bit finalizer — a bijective avalanche mix on u32."""
-    h = h ^ (h >> jnp.uint32(16))
-    h = h * jnp.uint32(0x85EBCA6B)
-    h = h ^ (h >> jnp.uint32(13))
-    h = h * jnp.uint32(0xC2B2AE35)
-    h = h ^ (h >> jnp.uint32(16))
-    return h
-
-
-def keygen_hash(idx: jnp.ndarray, seed: int = 7) -> U64:
-    """Regenerable pseudorandom u64 key for global row index idx (u32).
-
-    Two independent murmur3 finalizer streams form (lo, hi): uniform
-    enough for sort benchmarking, and any (key, payload) output pair can
-    be re-validated ANYWHERE as key == keygen_hash(payload) — which is
-    what lets the out-of-core sort verify 1B rows on device without ever
-    materializing an input array.
-    """
-    s = jnp.uint32(seed)
-    lo = _murmur_fmix32(idx ^ (s * jnp.uint32(0x9E3779B9)))
-    hi = _murmur_fmix32(idx ^ (s * jnp.uint32(0x85EBCA77)) ^ jnp.uint32(0x5BD1E995))
-    return U64(lo, hi)
-
-
-def keygen_hash_numpy(idx: np.ndarray, seed: int = 7) -> np.ndarray:
-    """Numpy mirror of keygen_hash (for oracle checks in tests)."""
-    def fmix(h):
-        h = h ^ (h >> np.uint32(16))
-        h = (h * np.uint32(0x85EBCA6B)).astype(np.uint32)
-        h = h ^ (h >> np.uint32(13))
-        h = (h * np.uint32(0xC2B2AE35)).astype(np.uint32)
-        return h ^ (h >> np.uint32(16))
-    idx = idx.astype(np.uint32)
-    c1 = np.uint32((seed * 0x9E3779B9) & 0xFFFFFFFF)
-    c2 = np.uint32((seed * 0x85EBCA77) & 0xFFFFFFFF)
-    lo = fmix(idx ^ c1)
-    hi = fmix(idx ^ c2 ^ np.uint32(0x5BD1E995))
-    return lo.astype(np.uint64) | (hi.astype(np.uint64) << np.uint64(32))
+# moved to the leaf module tpu_qe.hashing (the out-of-core family imports
+# them there without cycling through tpu_qe.ops); legacy names kept
+_murmur_fmix32 = murmur_fmix32
 
 
 @functools.partial(jax.jit, static_argnames=("n_run", "seed"))
@@ -189,67 +155,10 @@ def _merge_bucket_fn(n_runs: int, cap_seg: int, seed: int,
     return merge
 
 
-class _RunState:
-    """Checkpoint/resume state for an out-of-core sort run.
-
-    The resident runs themselves are NOT persisted — they are 12 GB of
-    HBM behind a ~25-30 MB/s tunnel, and they are REGENERABLE: phase A is
-    a deterministic function of (n, run_size, seed). What a restart
-    cannot re-derive cheaply-and-identically is (a) the splitter plan
-    (bucket boundaries must match or completed buckets mean nothing) and
-    (b) which buckets already merged + their verification scalars. Both
-    are tiny and are persisted atomically (tmp + rename) after the plan
-    and after every bucket readback, so a kill at any point resumes with
-    identical output: phase A regenerates, phase B loads, completed
-    buckets skip straight to their recorded scalars.
-    """
-
-    N_SCALARS = 9  # s_ok, h_ok, cnt, psum, psq, flo, fhi, llo, lhi
-
-    def __init__(self, path: str, meta: np.ndarray, bounds: np.ndarray,
-                 done: np.ndarray, scalars: np.ndarray):
-        self.path = path
-        self.meta = meta
-        self.bounds = bounds
-        self.done = done
-        self.scalars = scalars
-
-    @classmethod
-    def fresh(cls, directory: str, meta: np.ndarray, bounds: np.ndarray,
-              n_buckets: int, n_scalars: int | None = None) -> "_RunState":
-        st = cls(cls._path(directory), meta, bounds,
-                 np.zeros(n_buckets, np.int64),
-                 np.zeros((n_buckets, n_scalars or cls.N_SCALARS),
-                          np.int64))
-        st.save()
-        return st
-
-    @staticmethod
-    def _path(directory: str) -> str:
-        return os.path.join(directory, "bigsort_state.npz")
-
-    @classmethod
-    def load(cls, directory: str, meta: np.ndarray) -> "_RunState | None":
-        """Load a matching checkpoint; None if absent or for another run
-        configuration (a mismatched plan must never be reused)."""
-        p = cls._path(directory)
-        if not os.path.exists(p):
-            return None
-        with np.load(p) as z:
-            if not np.array_equal(z["meta"], meta):
-                return None
-            return cls(p, meta, z["bounds"], z["done"], z["scalars"])
-
-    def save(self) -> None:
-        tmp = self.path + ".tmp.npz"  # np.savez appends .npz otherwise
-        np.savez(tmp, meta=self.meta, bounds=self.bounds, done=self.done,
-                 scalars=self.scalars)
-        os.replace(tmp, self.path)
-
-    def record(self, b: int, vals) -> None:
-        self.scalars[b] = [int(v) for v in vals]
-        self.done[b] = 1
-        self.save()
+# RunState moved to tpu_qe.utils.checkpoint (leaf module) so the
+# out-of-core join/aggregate drivers can subclass it without import
+# cycles through tpu_qe.ops; legacy name kept for tests/back-compat.
+_RunState = RunState
 
 
 @dataclasses.dataclass(frozen=True)
@@ -319,12 +228,20 @@ def sort_big_incore(n: int, seed: int = 7) -> BigSortResult:
 def sort_big(n: int, run_size: int = 1 << 26, n_buckets: int | None = None,
              seed: int = 7, samples_per_run: int = 4096,
              verbose: bool = False, collect: bool = False,
-             checkpoint_dir: str | None = None):
+             checkpoint_dir: str | None = None, consume=None):
     """Device-resident out-of-core sort + full verification of n rows.
 
     n must be a multiple of run_size. Peak HBM ~ n*12 bytes for the
     resident runs plus one bucket's sort working set (~3x bucket bytes) —
     1B rows (12 GB) fits a 16 GB v5e with run_size=64M, n_buckets=32.
+
+    consume: optional callable consume(b, bucket) invoked per bucket in
+    GLOBAL KEY ORDER with DEVICE arrays (no host transfer): bucket =
+    dict(key=U64 sorted keys, payload=u32 original row index, count=
+    device scalar of valid rows); slots past count hold sentinel keys.
+    Downstream on-device pipelines chain from here (the same stream
+    contract as ops/bigjoin.py) — this is how sorted output larger than
+    HBM leaves the engine without materializing.
 
     checkpoint_dir: persist the splitter plan and per-bucket completion
     state there (atomic npz, see _RunState) — a killed run resumes with
@@ -342,7 +259,7 @@ def sort_big(n: int, run_size: int = 1 << 26, n_buckets: int | None = None,
         n_buckets = max(2, int(np.ceil(n / (1 << 26))))
     meta = np.asarray([n, run_size, n_buckets, seed, samples_per_run],
                       dtype=np.int64)
-    state = (_RunState.load(checkpoint_dir, meta)
+    state = (RunState.load(checkpoint_dir, meta)
              if checkpoint_dir is not None else None)
 
     # Warm the tunnel and AOT-compile the phase-A executable OUTSIDE the
@@ -388,7 +305,7 @@ def sort_big(n: int, run_size: int = 1 << 26, n_buckets: int | None = None,
         bounds = np.asarray(bounds)      # (R, B-1) readback fences phase B
         t_b = time.perf_counter() - t_b0
         if checkpoint_dir is not None:
-            state = _RunState.fresh(checkpoint_dir, meta, bounds, n_buckets)
+            state = RunState.fresh(checkpoint_dir, meta, bounds, n_buckets)
     # per-(run, bucket) segment [start, end)
     zeros = np.zeros((n_runs, 1), dtype=bounds.dtype)
     full = np.full((n_runs, 1), run_size, dtype=bounds.dtype)
@@ -408,7 +325,8 @@ def sort_big(n: int, run_size: int = 1 << 26, n_buckets: int | None = None,
         print(f"bigsort: {n_runs} runs x {run_size}, {n_buckets} buckets, "
               f"cap_seg={cap_seg} (max demand {int(sizes.max())})")
 
-    merge = _merge_bucket_fn(n_runs, cap_seg, seed, collect=collect)
+    emit = collect or consume is not None
+    merge = _merge_bucket_fn(n_runs, cap_seg, seed, collect=emit)
     flat_runs = [a for r in runs for a in r]
     tc1 = time.perf_counter()
     ex_st = jnp.zeros(n_runs, jnp.int32)
@@ -420,9 +338,9 @@ def sort_big(n: int, run_size: int = 1 << 26, n_buckets: int | None = None,
     t1 = time.perf_counter()
     # completed buckets (from a resumed checkpoint) replay their recorded
     # scalars; with collect=True they still re-merge to materialize rows
-    scal = np.zeros((n_buckets, _RunState.N_SCALARS), np.int64)
+    scal = np.zeros((n_buckets, RunState.N_SCALARS), np.int64)
     skip = set()
-    if state is not None and not collect:
+    if state is not None and not emit:
         for b in range(n_buckets):
             if state.done[b]:
                 scal[b] = state.scalars[b]
@@ -447,11 +365,16 @@ def sort_big(n: int, run_size: int = 1 << 26, n_buckets: int | None = None,
         pending[b] = merge_exec(st, dl, sz, *flat_runs)
     collected = []
     for b, out in pending.items():
-        if collect:
+        if emit:
             out, bucket_arrays = out[:9], out[9:]
-            cnt_b = int(np.asarray(out[2]))
-            collected.append(tuple(
-                np.asarray(a)[:cnt_b] for a in bucket_arrays))
+            if consume is not None:
+                slo, shi, spay = bucket_arrays
+                consume(b, dict(key=U64(slo, shi), payload=spay,
+                                count=out[2]))
+            if collect:
+                cnt_b = int(np.asarray(out[2]))
+                collected.append(tuple(
+                    np.asarray(a)[:cnt_b] for a in bucket_arrays))
         vals = [np.asarray(x) for x in out]    # scalar readbacks fence
         scal[b] = [int(v) for v in vals]
         if state is not None:

@@ -77,3 +77,66 @@ def save_table_npz(table: Table, path: str) -> str:
 def load_table_npz(path: str) -> Table:
     with np.load(path) as z:
         return _unflatten({k: z[k] for k in z.files})
+
+
+class RunState:
+    """Checkpoint/resume state for an out-of-core sort run.
+
+    The resident runs themselves are NOT persisted — they are 12 GB of
+    HBM behind a ~25-30 MB/s tunnel, and they are REGENERABLE: phase A is
+    a deterministic function of (n, run_size, seed). What a restart
+    cannot re-derive cheaply-and-identically is (a) the splitter plan
+    (bucket boundaries must match or completed buckets mean nothing) and
+    (b) which buckets already merged + their verification scalars. Both
+    are tiny and are persisted atomically (tmp + rename) after the plan
+    and after every bucket readback, so a kill at any point resumes with
+    identical output: phase A regenerates, phase B loads, completed
+    buckets skip straight to their recorded scalars.
+    """
+
+    N_SCALARS = 9  # s_ok, h_ok, cnt, psum, psq, flo, fhi, llo, lhi
+
+    def __init__(self, path: str, meta: np.ndarray, bounds: np.ndarray,
+                 done: np.ndarray, scalars: np.ndarray):
+        self.path = path
+        self.meta = meta
+        self.bounds = bounds
+        self.done = done
+        self.scalars = scalars
+
+    @classmethod
+    def fresh(cls, directory: str, meta: np.ndarray, bounds: np.ndarray,
+              n_buckets: int, n_scalars: int | None = None) -> "_RunState":
+        st = cls(cls._path(directory), meta, bounds,
+                 np.zeros(n_buckets, np.int64),
+                 np.zeros((n_buckets, n_scalars or cls.N_SCALARS),
+                          np.int64))
+        st.save()
+        return st
+
+    @staticmethod
+    def _path(directory: str) -> str:
+        return os.path.join(directory, "bigsort_state.npz")
+
+    @classmethod
+    def load(cls, directory: str, meta: np.ndarray) -> "_RunState | None":
+        """Load a matching checkpoint; None if absent or for another run
+        configuration (a mismatched plan must never be reused)."""
+        p = cls._path(directory)
+        if not os.path.exists(p):
+            return None
+        with np.load(p) as z:
+            if not np.array_equal(z["meta"], meta):
+                return None
+            return cls(p, meta, z["bounds"], z["done"], z["scalars"])
+
+    def save(self) -> None:
+        tmp = self.path + ".tmp.npz"  # np.savez appends .npz otherwise
+        np.savez(tmp, meta=self.meta, bounds=self.bounds, done=self.done,
+                 scalars=self.scalars)
+        os.replace(tmp, self.path)
+
+    def record(self, b: int, vals) -> None:
+        self.scalars[b] = [int(v) for v in vals]
+        self.done[b] = 1
+        self.save()
