@@ -3,6 +3,7 @@
 import numpy as np
 import pytest
 
+from tpu_qe.hashing import murmur_fmix32_numpy as _shared_fmix32
 from tpu_qe.ops.bigjoin import join_big
 from tpu_qe.sort.bigsort import keygen_hash_numpy
 
@@ -44,14 +45,6 @@ def test_combined_cap_would_reject_single_program():
     assert res.all_ok
 
 
-def _np_fmix32(h):
-    h = h.astype(np.uint64)
-    h ^= h >> np.uint64(16)
-    h = (h * np.uint64(0x85EBCA6B)) & np.uint64(0xFFFFFFFF)
-    h ^= h >> np.uint64(13)
-    h = (h * np.uint64(0xC2B2AE35)) & np.uint64(0xFFFFFFFF)
-    h ^= h >> np.uint64(16)
-    return h.astype(np.uint32)
 
 
 def _np_lkeys(n_l, n_r, seed=7):
@@ -79,7 +72,7 @@ def test_join_big_collect_matches_oracle():
     want_keys = _np_lkeys(n_l, n_r, seed)
     assert np.array_equal(keys, want_keys[lidx])
     assert np.array_equal(matched, lidx % 2 == 0)
-    want_val = _np_fmix32((want_keys[lidx] ^ (want_keys[lidx] >> np.uint64(32))
+    want_val = _shared_fmix32((want_keys[lidx] ^ (want_keys[lidx] >> np.uint64(32))
                            ^ np.uint64(0xABCD1234)) & np.uint64(0xFFFFFFFF))
     assert np.array_equal(value[matched], want_val[matched])
 

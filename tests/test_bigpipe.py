@@ -4,17 +4,9 @@ import numpy as np
 import pytest
 
 from tpu_qe.ops.bigpipe import group_of_join_key_numpy, join_aggregate_big
-from tpu_qe.sort.bigsort import keygen_hash_numpy
+from tpu_qe.hashing import keygen_hash_numpy, murmur_fmix32_numpy
 
 
-def _fmix(h):
-    h = h.astype(np.uint64) & np.uint64(0xFFFFFFFF)
-    h ^= h >> np.uint64(16)
-    h = (h * np.uint64(0x85EBCA6B)) & np.uint64(0xFFFFFFFF)
-    h ^= h >> np.uint64(13)
-    h = (h * np.uint64(0xC2B2AE35)) & np.uint64(0xFFFFFFFF)
-    h ^= h >> np.uint64(16)
-    return h
 
 
 def _oracle(n_l, n_r, n_groups):
@@ -24,8 +16,10 @@ def _oracle(n_l, n_r, n_groups):
     i = (j * np.uint32(2654435761)) % np.uint32(n_r)
     lkeys = keygen_hash_numpy(i) & ~np.uint64(1)
     matched = (j % 2) == 0
-    vals = _fmix((lkeys & np.uint64(0xFFFFFFFF))
-                 ^ (lkeys >> np.uint64(32)) ^ np.uint64(0xABCD1234))
+    vals = murmur_fmix32_numpy(
+        (lkeys & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        ^ (lkeys >> np.uint64(32)).astype(np.uint32)
+        ^ np.uint32(0xABCD1234)).astype(np.uint64)
     g = group_of_join_key_numpy(lkeys, n_groups)
     cnt = np.zeros(n_groups, np.int64)
     np.add.at(cnt, g[matched], 1)

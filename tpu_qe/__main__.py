@@ -157,7 +157,11 @@ def _cmd_bench_big(args) -> int:
             buckets_per_dev=args.buckets, verbose=args.verbose_big,
             checkpoint_dir=args.checkpoint_dir,
             force_composed=args.force_composed)
-        kind = "distributed out-of-core"
+        # label which code path actually ran: at D=1 without
+        # --force-composed the call delegates to single-chip sort_big
+        composed = d > 1 or args.force_composed
+        kind = ("distributed out-of-core" if composed
+                else "out-of-core (D=1 delegated)")
         where = f"{d} device(s)"
     else:
         res = sort_big(args.n, run_size=args.run_size,
@@ -235,6 +239,7 @@ def _cmd_bench_bigagg(args) -> int:
     from tpu_qe.bench.sol import device_kind
     from tpu_qe.ops.bigagg import aggregate_big
 
+    assert args.value_cols >= 1, "--value-cols must be >= 1"
     if args.distributed:
         from tpu_qe.exchange.dsort import make_mesh
         from tpu_qe.ops.dbigagg import aggregate_big_distributed

@@ -40,17 +40,23 @@ def keygen_hash(idx: jnp.ndarray, seed: int = 7) -> U64:
     return U64(lo, hi)
 
 
+def murmur_fmix32_numpy(h: np.ndarray) -> np.ndarray:
+    """Numpy mirror of murmur_fmix32 (u32 in, u32 out) — the ONE copy
+    every oracle derives from (device/oracle parity depends on these
+    constants staying in lockstep)."""
+    h = h.astype(np.uint32)
+    h = h ^ (h >> np.uint32(16))
+    h = (h * np.uint32(0x85EBCA6B)).astype(np.uint32)
+    h = h ^ (h >> np.uint32(13))
+    h = (h * np.uint32(0xC2B2AE35)).astype(np.uint32)
+    return h ^ (h >> np.uint32(16))
+
+
 def keygen_hash_numpy(idx: np.ndarray, seed: int = 7) -> np.ndarray:
     """Numpy mirror of keygen_hash (for oracle checks in tests)."""
-    def fmix(h):
-        h = h ^ (h >> np.uint32(16))
-        h = (h * np.uint32(0x85EBCA6B)).astype(np.uint32)
-        h = h ^ (h >> np.uint32(13))
-        h = (h * np.uint32(0xC2B2AE35)).astype(np.uint32)
-        return h ^ (h >> np.uint32(16))
     idx = idx.astype(np.uint32)
     c1 = np.uint32((seed * 0x9E3779B9) & 0xFFFFFFFF)
     c2 = np.uint32((seed * 0x85EBCA77) & 0xFFFFFFFF)
-    lo = fmix(idx ^ c1)
-    hi = fmix(idx ^ c2 ^ np.uint32(0x5BD1E995))
+    lo = murmur_fmix32_numpy(idx ^ c1)
+    hi = murmur_fmix32_numpy(idx ^ c2 ^ np.uint32(0x5BD1E995))
     return lo.astype(np.uint64) | (hi.astype(np.uint64) << np.uint64(32))

@@ -66,15 +66,11 @@ def _group_of_index(idx: jnp.ndarray, n_groups: int, seed: int):
 
 def group_of_index_numpy(idx: np.ndarray, n_groups: int,
                          seed: int = 7) -> np.ndarray:
-    h = (idx.astype(np.uint64) ^ np.uint64((0x9E3779B9 + seed)
-                                           & 0xFFFFFFFF))
-    h &= np.uint64(0xFFFFFFFF)
-    h ^= h >> np.uint64(16)
-    h = (h * np.uint64(0x85EBCA6B)) & np.uint64(0xFFFFFFFF)
-    h ^= h >> np.uint64(13)
-    h = (h * np.uint64(0xC2B2AE35)) & np.uint64(0xFFFFFFFF)
-    h ^= h >> np.uint64(16)
-    return (h % np.uint64(n_groups)).astype(np.uint32)
+    """Numpy mirror of _group_of_index (for oracle tests)."""
+    from tpu_qe.hashing import murmur_fmix32_numpy
+    h = idx.astype(np.uint32) ^ np.uint32((0x9E3779B9 + seed) & 0xFFFFFFFF)
+    return (murmur_fmix32_numpy(h).astype(np.uint64)
+            % np.uint64(n_groups)).astype(np.uint32)
 
 
 def _aggregate_rows(idx: jnp.ndarray, n_groups: int, seed: int,

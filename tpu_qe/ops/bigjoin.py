@@ -326,10 +326,22 @@ def join_big(n_l: int, n_r: int, n_buckets: int | None = None,
             continue
         cl = min(st_l[b], ceil_l)
         cr = min(st_r[b], ceil_r)
-        pending[b] = bucket_exec(
+        out = bucket_exec(
             jnp.int32(cl), jnp.int32(st_l[b] - cl), jnp.int32(sz_l[b]),
             jnp.int32(cr), jnp.int32(st_r[b] - cr), jnp.int32(sz_r[b]),
             llo, lhi, lidx, rlo, rhi)
+        if emit:
+            out, stream = out[:6], out[6:]
+            if consume is not None:
+                # consume at dispatch time and drop our stream reference
+                # (same HBM-lifetime argument as sort_big): only the
+                # consumer's queued programs keep the bucket alive
+                s_llo, s_lhi, s_lidx, s_val, s_m, s_v = stream
+                consume(b, dict(key=U64(s_llo, s_lhi), lidx=s_lidx,
+                                value=s_val, matched=s_m, valid=s_v))
+            pending[b] = (out, stream if collect else None)
+        else:
+            pending[b] = (out, None)
     matched = 0
     expected = 0
     rows_l = 0
@@ -341,21 +353,16 @@ def join_big(n_l: int, n_r: int, n_buckets: int | None = None,
         if b in skip:
             mo, vo, nm, ne, nl_b, nr_b = [int(v) for v in state.scalars[b]]
         else:
-            out = pending[b]
-            if emit:
-                out, stream = out[:6], out[6:]
+            out, stream = pending[b]
+            if collect:
                 s_llo, s_lhi, s_lidx, s_val, s_m, s_v = stream
-                if consume is not None:
-                    consume(b, dict(key=U64(s_llo, s_lhi), lidx=s_lidx,
-                                    value=s_val, matched=s_m, valid=s_v))
-                if collect:
-                    keep = np.asarray(s_v).astype(bool)
-                    k64 = (np.asarray(s_lhi).astype(np.uint64)
-                           << np.uint64(32)) \
-                        | np.asarray(s_llo).astype(np.uint64)
-                    collected.append((k64[keep], np.asarray(s_lidx)[keep],
-                                      np.asarray(s_val)[keep],
-                                      np.asarray(s_m)[keep]))
+                keep = np.asarray(s_v).astype(bool)
+                k64 = (np.asarray(s_lhi).astype(np.uint64)
+                       << np.uint64(32)) \
+                    | np.asarray(s_llo).astype(np.uint64)
+                collected.append((k64[keep], np.asarray(s_lidx)[keep],
+                                  np.asarray(s_val)[keep],
+                                  np.asarray(s_m)[keep]))
             mo, vo, nm, ne, nl_b, nr_b = [int(np.asarray(x)) for x in out]
             if state is not None:
                 state.record(b, [mo, vo, nm, ne, nl_b, nr_b])

@@ -40,7 +40,6 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-import os
 import time
 
 import jax
@@ -362,19 +361,27 @@ def sort_big(n: int, run_size: int = 1 << 26, n_buckets: int | None = None,
         st = jnp.asarray(clamped.astype(np.int32))
         dl = jnp.asarray(deltas)
         sz = jnp.asarray(sizes[:, b].astype(np.int32))
-        pending[b] = merge_exec(st, dl, sz, *flat_runs)
-    collected = []
-    for b, out in pending.items():
+        out = merge_exec(st, dl, sz, *flat_runs)
         if emit:
             out, bucket_arrays = out[:9], out[9:]
             if consume is not None:
+                # hand the emitted arrays over AT DISPATCH TIME and drop
+                # our reference: only the consumer's queued programs keep
+                # them alive, so the device frees each bucket's stream as
+                # soon as its consumer executes — peak HBM stays runs +
+                # O(1) in-flight buckets, not runs + ALL emitted buckets
                 slo, shi, spay = bucket_arrays
                 consume(b, dict(key=U64(slo, shi), payload=spay,
                                 count=out[2]))
-            if collect:
-                cnt_b = int(np.asarray(out[2]))
-                collected.append(tuple(
-                    np.asarray(a)[:cnt_b] for a in bucket_arrays))
+            pending[b] = (out, bucket_arrays if collect else None)
+        else:
+            pending[b] = (out, None)
+    collected = []
+    for b, (out, bucket_arrays) in pending.items():
+        if collect:
+            cnt_b = int(np.asarray(out[2]))
+            collected.append(tuple(
+                np.asarray(a)[:cnt_b] for a in bucket_arrays))
         vals = [np.asarray(x) for x in out]    # scalar readbacks fence
         scal[b] = [int(v) for v in vals]
         if state is not None:
@@ -400,7 +407,7 @@ def sort_big(n: int, run_size: int = 1 << 26, n_buckets: int | None = None,
         if prev_last is not None and cnt > 0:
             pl_lo, pl_hi = prev_last
             le = (pl_hi < fhi or (pl_hi == fhi and pl_lo <= flo))
-            boundary_ok &= le
+            boundary_ok &= bool(le)  # numpy bool_ would poison JSON out
         if cnt > 0:
             prev_last = (llo, lhi)
     t_c = time.perf_counter() - t1

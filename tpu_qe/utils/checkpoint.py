@@ -106,7 +106,7 @@ class RunState:
 
     @classmethod
     def fresh(cls, directory: str, meta: np.ndarray, bounds: np.ndarray,
-              n_buckets: int, n_scalars: int | None = None) -> "_RunState":
+              n_buckets: int, n_scalars: int | None = None) -> "RunState":
         st = cls(cls._path(directory), meta, bounds,
                  np.zeros(n_buckets, np.int64),
                  np.zeros((n_buckets, n_scalars or cls.N_SCALARS),
@@ -119,7 +119,7 @@ class RunState:
         return os.path.join(directory, "bigsort_state.npz")
 
     @classmethod
-    def load(cls, directory: str, meta: np.ndarray) -> "_RunState | None":
+    def load(cls, directory: str, meta: np.ndarray) -> "RunState | None":
         """Load a matching checkpoint; None if absent or for another run
         configuration (a mismatched plan must never be reused)."""
         p = cls._path(directory)
