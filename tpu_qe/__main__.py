@@ -137,11 +137,22 @@ def _cmd_bench_kernels(args) -> int:
 
 
 def _cmd_bench_big(args) -> int:
+    import contextlib
     import json
 
     from tpu_qe.bench.sol import device_kind, sort_sol_seconds
     from tpu_qe.sort.bigsort import sort_big, sort_big_incore
+    from tpu_qe.utils.profiling import trace_session
 
+    ctx = (trace_session(args.trace_dir) if args.trace_dir
+           else contextlib.nullcontext())
+    with ctx:
+        return _bench_big_inner(args, json, device_kind, sort_sol_seconds,
+                                sort_big, sort_big_incore)
+
+
+def _bench_big_inner(args, json, device_kind, sort_sol_seconds, sort_big,
+                     sort_big_incore) -> int:
     if args.in_core:
         res = sort_big_incore(args.n)
         kind = "in-core"
@@ -422,6 +433,8 @@ def main(argv=None) -> int:
                     help="keep the composed exchange machinery even at "
                          "D=1 (default delegates to the single-chip "
                          "driver — nothing to exchange)")
+    pg.add_argument("--trace-dir", type=str, default=None,
+                    help="write an XProf trace of the whole run here")
     pg.set_defaults(fn=_cmd_bench_big)
 
     pj = sub.add_parser("bench-bigjoin",
