@@ -112,8 +112,6 @@ def main() -> None:
           f"{ng} sensors, total gain {total} (exact u64, verified)")
 
     # --- 7. distributed: same sort over every local device ---------------
-    import jax
-
     from tpu_qe.exchange import distributed_sort_numpy, make_mesh
     mesh = make_mesh()
     d = mesh.shape["x"]

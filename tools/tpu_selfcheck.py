@@ -34,8 +34,7 @@ def main() -> int:
     import jax.numpy as jnp
 
     from tpu_qe import morton, native
-    from tpu_qe.bits import U64
-    from tpu_qe.kernels.bitonic import sort_chunks
+        from tpu_qe.kernels.bitonic import sort_chunks
     from tpu_qe.kernels.histogram import (block_histogram,
                                           block_rank_and_histogram)
     from tpu_qe.kernels.morton import encode_quantized_lut as pallas_lut

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpu_qe.bench.sol import (device_kind, group_aggregate_sol_seconds,
-                              hbm_peak_bytes_per_s, join_scan_sol_seconds,
+                              join_scan_sol_seconds,
                               sort_sol_seconds)
 from tpu_qe.bits import U64
 from tpu_qe.utils.timing import measure

@@ -47,7 +47,6 @@ scaled sorted-key-stream — SURVEY.md §2c communication-backend row and
 
 from __future__ import annotations
 
-import functools
 import time
 
 import jax
