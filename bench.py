@@ -26,6 +26,39 @@ import functools
 import json
 
 
+def _probe_device_or_die(timeout_s: int = 600) -> None:
+    """Fail fast (clean JSON error) instead of hanging forever when the
+    TPU tunnel is down — jax initialization blocks uninterruptibly in
+    C++, so the probe runs in a subprocess with a generous timeout (a
+    COLD healthy tunnel can take minutes on its first transfer; an
+    outage hangs indefinitely — observed 2026-08-17)."""
+    import os
+    import subprocess
+    import sys
+
+    # honor JAX_PLATFORMS via jax.config: this container's site hook
+    # registers the TPU plugin at interpreter start and the env var alone
+    # does NOT redirect it (tests/conftest.py records the same trap)
+    code = ("import os, jax;"
+            "p = os.environ.get('JAX_PLATFORMS');"
+            "p and jax.config.update('jax_platforms', p);"
+            "import numpy as np, jax.numpy as jnp;"
+            "np.asarray(jnp.arange(8, dtype=jnp.uint32)[:2]);print('ok')")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, timeout=timeout_s,
+                           cwd=os.path.dirname(os.path.abspath(__file__)))
+        if r.returncode == 0:
+            return
+        detail = (r.stderr or b"").decode()[-200:]
+    except subprocess.TimeoutExpired:
+        detail = f"device probe hung > {timeout_s}s (tunnel down?)"
+    print(json.dumps({"metric": "headline sort", "value": 0,
+                      "unit": "keys/s", "vs_baseline": 0.0,
+                      "error": f"device unreachable: {detail}"}))
+    raise SystemExit(1)
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--n", type=int, default=1 << 26,
@@ -34,9 +67,21 @@ def main() -> None:
     parser.add_argument("--backend", type=str, default="best",
                         help="sort backend for the headline number "
                              "('best' picks the framework default)")
+    parser.add_argument("--no-probe", action="store_true",
+                        help="skip the fail-fast device probe")
     args = parser.parse_args()
 
+    if not args.no_probe:
+        _probe_device_or_die()
+
+    import os
+
     import jax
+
+    # same env-honoring workaround as the probe (site hook registers the
+    # TPU plugin regardless of JAX_PLATFORMS)
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import jax.numpy as jnp
     import numpy as np
 
