@@ -69,3 +69,44 @@ def test_divisibility_asserts():
     mesh = make_mesh(8)
     with pytest.raises(AssertionError):
         aggregate_big_distributed(1 << 14, mesh, run_size=1 << 12)
+
+
+def test_checkpoint_resume_distributed(tmp_path, monkeypatch):
+    """Kill-between-rounds resume for the distributed path: sharded
+    round tables persist; a restart loads + re-places them and computes
+    only the missing rounds, bit-identical result."""
+    import tpu_qe.ops.bigagg as ba
+
+    mesh = make_mesh(4)
+    n, g, rs = 1 << 14, 1 << 8, 1 << 11   # 2 rounds of 4-device runs
+    ckdir = str(tmp_path)
+    want, wtab = aggregate_big_distributed(
+        n, mesh, n_groups=g, run_size=rs, collect=True,
+        force_composed=True)
+    assert want.all_ok
+
+    real_save = ba._run_ck_save
+    calls = {"n": 0}
+
+    def crashing_save(directory, r, meta, part):
+        real_save(directory, r, meta, part)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated kill")
+
+    # dbigagg resolves the helpers from the bigagg module at call time
+    # (function-level import), so patching ba is enough
+    monkeypatch.setattr(ba, "_run_ck_save", crashing_save)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="simulated kill"):
+        aggregate_big_distributed(n, mesh, n_groups=g, run_size=rs,
+                                  checkpoint_dir=ckdir,
+                                  force_composed=True)
+    monkeypatch.setattr(ba, "_run_ck_save", real_save)
+
+    res, table = aggregate_big_distributed(
+        n, mesh, n_groups=g, run_size=rs, collect=True,
+        checkpoint_dir=ckdir, force_composed=True)
+    assert res.all_ok
+    for k in wtab:
+        assert np.array_equal(table[k], wtab[k]), k

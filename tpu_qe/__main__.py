@@ -254,9 +254,6 @@ def _cmd_bench_bigagg(args) -> int:
     if args.distributed:
         from tpu_qe.exchange.dsort import make_mesh
         from tpu_qe.ops.dbigagg import aggregate_big_distributed
-        assert args.checkpoint_dir is None, \
-            "--checkpoint-dir supports the single-chip bigagg path only " \
-            "(the distributed partial tables are sharded device arrays)"
         assert args.value_cols == 1, \
             "--value-cols applies to the single-chip path"
         mesh = make_mesh(args.devices)
@@ -264,7 +261,8 @@ def _cmd_bench_bigagg(args) -> int:
         res = aggregate_big_distributed(
             args.n, mesh, n_groups=args.groups, run_size=args.run_size,
             minmax=args.minmax, verbose=args.verbose_big,
-            force_composed=args.force_composed)
+            force_composed=args.force_composed,
+            checkpoint_dir=args.checkpoint_dir)
         where = f"{d} devices"
     elif args.value_cols > 1:
         from tpu_qe.ops.bigagg import aggregate_big_multi

@@ -44,7 +44,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import shard_map
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tpu_qe.exchange.shuffle import AXIS
 from tpu_qe.ops.bigagg import (BigAggResult, _aggregate_rows, _host_table,
@@ -104,7 +104,8 @@ def aggregate_big_distributed(n: int, mesh: Mesh, n_groups: int = 1 << 20,
                               run_size: int = 1 << 26, seed: int = 7,
                               verbose: bool = False, collect: bool = False,
                               minmax: bool = False,
-                              force_composed: bool = False):
+                              force_composed: bool = False,
+                              checkpoint_dir: str | None = None):
     """Distributed out-of-core GROUP BY of n generated rows over `mesh`.
 
     n must be divisible by D * run_size. Row model identical to
@@ -120,13 +121,18 @@ def aggregate_big_distributed(n: int, mesh: Mesh, n_groups: int = 1 << 20,
 
     Returns BigAggResult; collect=True additionally returns the
     replicated host group table dict (small-n oracle tests only).
+
+    checkpoint_dir: same per-run partial-table persistence contract as
+    aggregate_big (the tables ARE the checkpoint); sharded round tables
+    are gathered to host for the write and re-placed with their P(AXIS)
+    sharding on resume. Opt-in readback cost, like the single-chip path.
     """
     n_dev = int(mesh.shape[AXIS])
     if n_dev == 1 and not force_composed:
         from tpu_qe.ops.bigagg import aggregate_big
         return aggregate_big(n, n_groups=n_groups, run_size=run_size,
                              seed=seed, verbose=verbose, collect=collect,
-                             minmax=minmax)
+                             minmax=minmax, checkpoint_dir=checkpoint_dir)
     assert n % (n_dev * run_size) == 0, (n, n_dev, run_size)
     assert n < (1 << 32), "values travel as u32 global index"
     n_local = n // n_dev
@@ -146,8 +152,30 @@ def aggregate_big_distributed(n: int, mesh: Mesh, n_groups: int = 1 << 20,
     compile_s = time.perf_counter() - tc0
 
     t0 = time.perf_counter()
-    parts = [run_exec(jnp.uint32(r)) for r in range(n_runs)]
-    np.asarray(parts[-1][0][-1:])  # fence after queueing ALL dispatches
+    if checkpoint_dir is None:
+        parts = [run_exec(jnp.uint32(r)) for r in range(n_runs)]
+        np.asarray(parts[-1][0][-1:])  # fence after queueing ALL dispatches
+    else:
+        # per-run partial tables ARE the checkpoint (aggregate_big's
+        # contract); sharded planes round-trip through host npz
+        from tpu_qe.ops.bigagg import _run_ck_load, _run_ck_save
+        meta_ck = np.asarray([n, n_dev, n_groups, run_size, seed,
+                              int(minmax)], np.int64)
+        sh = NamedSharding(mesh, P(AXIS))
+        parts, resumed = [], 0
+        for r in range(n_runs):
+            part = _run_ck_load(checkpoint_dir, f"d{r}", meta_ck)
+            if part is not None:
+                part = tuple(jax.device_put(np.asarray(a), sh)
+                             for a in part)
+                resumed += 1
+            else:
+                part = run_exec(jnp.uint32(r))
+                _run_ck_save(checkpoint_dir, f"d{r}", meta_ck, part)
+            parts.append(part)
+        if verbose and resumed:
+            print(f"dbigagg: resuming — {resumed}/{n_runs} round tables "
+                  "loaded from checkpoint")
     t_a = time.perf_counter() - t0
 
     tcb = time.perf_counter()
