@@ -83,7 +83,7 @@ class TestCheckpointResume:
         monkeypatch.setattr(bs._RunState, "record", real_record)
 
         st = bs._RunState.load(
-            ckdir, np.asarray([n, run_size, n_buckets, 7, 4096], np.int64))
+            ckdir, np.asarray([n, run_size, n_buckets, 7, 4096, 1], np.int64))
         assert st is not None and int(st.done.sum()) == 2
 
         # resume: only the 2 remaining buckets merge; result identical
@@ -94,7 +94,7 @@ class TestCheckpointResume:
                   "boundary_ok"):
             assert getattr(res, f) == getattr(want, f), f
         st = bs._RunState.load(
-            ckdir, np.asarray([n, run_size, n_buckets, 7, 4096], np.int64))
+            ckdir, np.asarray([n, run_size, n_buckets, 7, 4096, 1], np.int64))
         assert int(st.done.sum()) == n_buckets
 
         # a fully-completed checkpoint replays without any merge work and
@@ -143,3 +143,22 @@ def test_consume_stream_device_arrays():
     assert sum(c for _, c, _ in got) == n
     want = (n * (n - 1) // 2) & 0xFFFFFFFF
     assert sum(s for _, _, s in got) & 0xFFFFFFFF == want
+
+
+def test_payload_cols_carried_and_verified():
+    # table-shaped rows: extra value columns move through every sort as
+    # real operands and arrive attached to their own row
+    from tpu_qe.sort.bigsort import _value_col_numpy, sort_big
+
+    n = 1 << 13
+    res, (keys, pay, vals) = sort_big(n, run_size=1 << 11, n_buckets=3,
+                                      payload_cols=4, collect=True)
+    assert res.all_ok, res
+    want = keygen_hash_numpy(np.arange(n, dtype=np.uint32))
+    order = np.argsort(want, kind="stable")
+    assert np.array_equal(keys, want[order])
+    assert np.array_equal(pay, order.astype(np.uint32))
+    assert len(vals) == 3
+    for j, v in enumerate(vals):
+        assert np.array_equal(v, _value_col_numpy(order.astype(np.uint32),
+                                                  j))

@@ -153,6 +153,9 @@ def _cmd_bench_big(args) -> int:
 
 def _bench_big_inner(args, json, device_kind, sort_sol_seconds, sort_big,
                      sort_big_incore) -> int:
+    assert args.payload_cols >= 1, "--payload-cols must be >= 1"
+    assert args.payload_cols == 1 or not (args.in_core or args.distributed), \
+        "--payload-cols > 1 supports the plain out-of-core path only"
     if args.in_core:
         res = sort_big_incore(args.n)
         kind = "in-core"
@@ -177,8 +180,11 @@ def _bench_big_inner(args, json, device_kind, sort_sol_seconds, sort_big,
     else:
         res = sort_big(args.n, run_size=args.run_size,
                        n_buckets=args.buckets, verbose=args.verbose_big,
-                       checkpoint_dir=args.checkpoint_dir)
+                       checkpoint_dir=args.checkpoint_dir,
+                       payload_cols=args.payload_cols)
         kind = "out-of-core"
+        if args.payload_cols > 1:
+            kind += f" ({args.payload_cols}-col rows)"
         where = "1 chip"
     out = {
         "metric": f"{kind} sort {res.n} u64 keys + u32 payload, {where}",
@@ -194,7 +200,8 @@ def _bench_big_inner(args, json, device_kind, sort_sol_seconds, sort_big,
             "count": res.count_ok, "perm": res.perm_ok,
             "boundary": res.boundary_ok},
         "sol_fraction": round(
-            sort_sol_seconds(res.n, num_passes=8, payload_cols=1)
+            sort_sol_seconds(res.n, num_passes=8,
+                             payload_cols=getattr(args, "payload_cols", 1))
             / res.seconds, 4),
         "device": device_kind(),
     }
@@ -433,6 +440,10 @@ def main(argv=None) -> int:
                          "driver — nothing to exchange)")
     pg.add_argument("--trace-dir", type=str, default=None,
                     help="write an XProf trace of the whole run here")
+    pg.add_argument("--payload-cols", type=int, default=1,
+                    help="u32 payload columns per row (>= 1): index + "
+                         "carried value columns (table-shaped rows; "
+                         "single-chip path)")
     pg.set_defaults(fn=_cmd_bench_big)
 
     pj = sub.add_parser("bench-bigjoin",

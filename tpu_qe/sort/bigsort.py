@@ -59,16 +59,37 @@ _ONES = jnp.uint32(0xFFFFFFFF)
 _murmur_fmix32 = murmur_fmix32
 
 
-@functools.partial(jax.jit, static_argnames=("n_run", "seed"))
-def _make_sorted_run(r: jnp.ndarray, n_run: int, seed: int):
-    """Generate chunk r's rows and sort them (phase A body)."""
+def _value_col(idx: jnp.ndarray, j: int, seed: int) -> jnp.ndarray:
+    """Extra payload column j for row idx — regenerable (verifiable as
+    a function of the carried index) but CARRIED through every sort and
+    exchange like real table data, so its bandwidth cost is honest."""
+    return murmur_fmix32(idx ^ jnp.uint32((0xA5A5A5A5 + 0x1003F * j)
+                                          ^ seed))
+
+
+def _value_col_numpy(idx: np.ndarray, j: int, seed: int = 7) -> np.ndarray:
+    from tpu_qe.hashing import murmur_fmix32_numpy
+    return murmur_fmix32_numpy(
+        idx.astype(np.uint32)
+        ^ np.uint32(((0xA5A5A5A5 + 0x1003F * j) ^ seed) & 0xFFFFFFFF))
+
+
+@functools.partial(jax.jit, static_argnames=("n_run", "seed",
+                                             "payload_cols"))
+def _make_sorted_run(r: jnp.ndarray, n_run: int, seed: int,
+                     payload_cols: int = 1):
+    """Generate chunk r's rows and sort them (phase A body).
+
+    payload_cols > 1 appends carried value columns (table-shaped rows):
+    operands 4..3+P ride the same 3-key tiebreak sort."""
     idx = r * jnp.uint32(n_run) + jnp.arange(n_run, dtype=jnp.uint32)
     key = keygen_hash(idx, seed)
+    vals = [_value_col(idx, j, seed) for j in range(payload_cols - 1)]
     # tiebreak sort: payload is the unique global index (driver.py
     # BEST_UNIQUE_PAYLOAD_BACKEND rationale)
-    hi, lo, pay = jax.lax.sort([key.hi, key.lo, idx], num_keys=3,
-                               is_stable=False)
-    return lo, hi, pay
+    out = jax.lax.sort([key.hi, key.lo, idx] + vals, num_keys=3,
+                       is_stable=False)
+    return (out[1], out[0], out[2]) + tuple(out[3:])
 
 
 @functools.partial(jax.jit, static_argnames=("n_buckets", "per_run"))
@@ -95,39 +116,41 @@ def _plan_splitters(run_los, run_his, n_buckets: int, per_run: int):
 
 
 def _merge_bucket_fn(n_runs: int, cap_seg: int, seed: int,
-                     collect: bool = False):
+                     collect: bool = False, payload_cols: int = 1):
     """Build the jitted phase-C body for one bucket (static capacity).
 
     collect=True additionally returns the sorted bucket arrays (for
     small-n oracle tests ONLY — at 1B keeping every bucket's output
     alive through the pipelined dispatch loop would need ~15 GB)."""
+    ncols = 2 + payload_cols      # key lo, key hi, index, value cols...
 
     @jax.jit
     def merge(starts, deltas, sizes, *run_arrays):
-        # run_arrays = lo0, hi0, pay0, lo1, hi1, pay1, ...
+        # run_arrays = ncols per run: lo, hi, pay[, v1, v2, ...] ...
         # starts are pre-clamped host-side so start+cap_seg stays in
         # bounds (dynamic_slice CLAMPS out-of-bounds starts downward,
         # which would silently substitute earlier — duplicate — rows);
         # deltas locate the real segment inside the clamped window.
-        segs_lo, segs_hi, segs_pay = [], [], []
+        segs = [[] for _ in range(ncols)]
         ar = jnp.arange(cap_seg, dtype=jnp.uint32)
         for r in range(n_runs):
-            lo, hi, pay = run_arrays[3 * r: 3 * r + 3]
-            sl = jax.lax.dynamic_slice(lo, (starts[r],), (cap_seg,))
-            sh = jax.lax.dynamic_slice(hi, (starts[r],), (cap_seg,))
-            sp = jax.lax.dynamic_slice(pay, (starts[r],), (cap_seg,))
+            cols = run_arrays[ncols * r: ncols * (r + 1)]
             d = deltas[r].astype(jnp.uint32)
             in_seg = (ar >= d) & (ar < d + sizes[r].astype(jnp.uint32))
-            segs_lo.append(jnp.where(in_seg, sl, _ONES))
-            segs_hi.append(jnp.where(in_seg, sh, _ONES))
-            segs_pay.append(jnp.where(in_seg, sp, jnp.uint32(0)))
-        lo = jnp.concatenate(segs_lo)
-        hi = jnp.concatenate(segs_hi)
-        pay = jnp.concatenate(segs_pay)
+            for c in range(ncols):
+                sl = jax.lax.dynamic_slice(cols[c], (starts[r],),
+                                           (cap_seg,))
+                fill = _ONES if c < 2 else jnp.uint32(0)
+                segs[c].append(jnp.where(in_seg, sl, fill))
+        lo, hi, pay = (jnp.concatenate(segs[0]), jnp.concatenate(segs[1]),
+                       jnp.concatenate(segs[2]))
+        vals = [jnp.concatenate(s) for s in segs[3:]]
         # sentinel pads sort after every real key; valid count masks them
         n_valid = jnp.sum(sizes).astype(jnp.uint32)
-        shi, slo, spay = jax.lax.sort([hi, lo, pay], num_keys=3,
-                                      is_stable=False)
+        sorted_all = jax.lax.sort([hi, lo, pay] + vals, num_keys=3,
+                                  is_stable=False)
+        shi, slo, spay = sorted_all[:3]
+        svals = sorted_all[3:]
         # ---- on-device verification (full, not sampled) ----
         m = slo.shape[0]
         pos = jnp.arange(m, dtype=jnp.uint32)
@@ -137,6 +160,12 @@ def _merge_bucket_fn(n_runs: int, cap_seg: int, seed: int,
         sorted_ok = jnp.all(ge | ~valid[1:])
         want = keygen_hash(spay, seed)
         hash_ok = jnp.all((~valid) | ((slo == want.lo) & (shi == want.hi)))
+        # carried value columns: every output row's values must still be
+        # the generator's closed form of ITS OWN carried index — rows
+        # (key, idx, v...) move as units or this fails
+        for j, sv in enumerate(svals):
+            hash_ok &= jnp.all((~valid)
+                               | (sv == _value_col(spay, j, seed)))
         # u32 wraparound sums (exact mod 2^32; x64 is disabled on TPU)
         pay_sum = jnp.sum(jnp.where(valid, spay, 0), dtype=jnp.uint32)
         pay_sq = jnp.sum(jnp.where(valid, spay * spay, 0),
@@ -148,7 +177,7 @@ def _merge_bucket_fn(n_runs: int, cap_seg: int, seed: int,
                 n_valid, pay_sum, pay_sq,
                 first_lo, first_hi, last_lo, last_hi)
         if collect:
-            outs = outs + (slo, shi, spay)
+            outs = outs + (slo, shi, spay) + tuple(svals)
         return outs
 
     return merge
@@ -227,12 +256,21 @@ def sort_big_incore(n: int, seed: int = 7) -> BigSortResult:
 def sort_big(n: int, run_size: int = 1 << 26, n_buckets: int | None = None,
              seed: int = 7, samples_per_run: int = 4096,
              verbose: bool = False, collect: bool = False,
-             checkpoint_dir: str | None = None, consume=None):
+             checkpoint_dir: str | None = None, consume=None,
+             payload_cols: int = 1):
     """Device-resident out-of-core sort + full verification of n rows.
 
-    n must be a multiple of run_size. Peak HBM ~ n*12 bytes for the
+    n must be a multiple of run_size. Peak HBM ~ n*(8+4P) bytes for the
     resident runs plus one bucket's sort working set (~3x bucket bytes) —
-    1B rows (12 GB) fits a 16 GB v5e with run_size=64M, n_buckets=32.
+    1B rows (12 GB at P=1) fits a 16 GB v5e with run_size=64M,
+    n_buckets=32.
+
+    payload_cols: total u32 payload columns per row (>= 1). Column 1 is
+    the unique global index; columns 2..P are carried value columns
+    (table-shaped rows) — regenerable for verification but MOVED through
+    every sort like real data, so their bandwidth cost is honest. Each
+    output row's values are verified on device against its own carried
+    index.
 
     consume: optional callable consume(b, bucket) invoked per bucket in
     GLOBAL KEY ORDER with DEVICE arrays (no host transfer): bucket =
@@ -256,8 +294,9 @@ def sort_big(n: int, run_size: int = 1 << 26, n_buckets: int | None = None,
     if n_buckets is None:
         # bucket working set ~3x its bytes; keep buckets <= 64M rows
         n_buckets = max(2, int(np.ceil(n / (1 << 26))))
-    meta = np.asarray([n, run_size, n_buckets, seed, samples_per_run],
-                      dtype=np.int64)
+    assert payload_cols >= 1, payload_cols
+    meta = np.asarray([n, run_size, n_buckets, seed, samples_per_run,
+                       payload_cols], dtype=np.int64)
     state = (RunState.load(checkpoint_dir, meta)
              if checkpoint_dir is not None else None)
 
@@ -268,7 +307,8 @@ def sort_big(n: int, run_size: int = 1 << 26, n_buckets: int | None = None,
     tc0 = time.perf_counter()
     np.asarray(jnp.zeros(8, jnp.uint32)[:1])
     run_exec = _make_sorted_run.lower(jnp.uint32(0), n_run=run_size,
-                                      seed=seed).compile()
+                                      seed=seed,
+                                      payload_cols=payload_cols).compile()
     compile_s = time.perf_counter() - tc0
 
     from tpu_qe.utils.profiling import marker
@@ -277,11 +317,10 @@ def sort_big(n: int, run_size: int = 1 << 26, n_buckets: int | None = None,
     runs = []
     with marker("bigsort phase A: run formation"):
         for r in range(n_runs):
-            lo, hi, pay = run_exec(jnp.uint32(r))
-            runs.append((lo, hi, pay))
+            runs.append(run_exec(jnp.uint32(r)))
     # fence phase A (tiny readback per run tail)
-    for lo, _, _ in runs:
-        np.asarray(lo[-1:])
+    for run in runs:
+        np.asarray(run[0][-1:])
     t_a = time.perf_counter() - t0
 
     # phase B: plan (AOT-compiled out of the timed region like the rest);
@@ -325,7 +364,8 @@ def sort_big(n: int, run_size: int = 1 << 26, n_buckets: int | None = None,
               f"cap_seg={cap_seg} (max demand {int(sizes.max())})")
 
     emit = collect or consume is not None
-    merge = _merge_bucket_fn(n_runs, cap_seg, seed, collect=emit)
+    merge = _merge_bucket_fn(n_runs, cap_seg, seed, collect=emit,
+                             payload_cols=payload_cols)
     flat_runs = [a for r in runs for a in r]
     tc1 = time.perf_counter()
     ex_st = jnp.zeros(n_runs, jnp.int32)
@@ -370,8 +410,9 @@ def sort_big(n: int, run_size: int = 1 << 26, n_buckets: int | None = None,
                 # them alive, so the device frees each bucket's stream as
                 # soon as its consumer executes — peak HBM stays runs +
                 # O(1) in-flight buckets, not runs + ALL emitted buckets
-                slo, shi, spay = bucket_arrays
+                slo, shi, spay = bucket_arrays[:3]
                 consume(b, dict(key=U64(slo, shi), payload=spay,
+                                values=tuple(bucket_arrays[3:]),
                                 count=out[2]))
             pending[b] = (out, bucket_arrays if collect else None)
         else:
@@ -433,5 +474,9 @@ def sort_big(n: int, run_size: int = 1 << 26, n_buckets: int | None = None,
         hi = np.concatenate([c[1] for c in collected])
         pay = np.concatenate([c[2] for c in collected])
         keys = lo.astype(np.uint64) | (hi.astype(np.uint64) << np.uint64(32))
+        if payload_cols > 1:
+            vals = tuple(np.concatenate([c[3 + j] for c in collected])
+                         for j in range(payload_cols - 1))
+            return res, (keys, pay, vals)
         return res, (keys, pay)
     return res
