@@ -113,6 +113,10 @@ def top_k_big(n: int, k: int, run_size: int = 1 << 26, seed: int = 7,
     assert n < (1 << 32), "payload travels as u32 global index"
     assert 0 < k <= run_size, (k, run_size)
     n_runs = n // run_size
+    assert n_runs * k < (1 << 28), \
+        ("candidate set exceeds the in-core combine; recurse the "
+         "combine (top-k of candidate top-ks) for k this large",
+         n_runs, k)
 
     tc0 = time.perf_counter()
     np.asarray(jnp.zeros(8, jnp.uint32)[:1])  # tunnel warmup
