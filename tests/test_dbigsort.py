@@ -184,3 +184,24 @@ def test_two_tier_exchange_unequal_caps():
     np.testing.assert_array_equal(valid(0, 1), 10000 + np.arange(4, 14))
     np.testing.assert_array_equal(valid(1, 0), np.arange(1000, 1010))
     np.testing.assert_array_equal(valid(1, 1), 10000 + np.arange(14, 1038))
+
+
+def test_payload_cols_distributed():
+    # table-shaped rows through the whole composed path: runner sorts,
+    # segment exchange, bucket merges — values verified per row
+    from tpu_qe.sort.bigsort import _value_col_numpy
+
+    mesh = make_mesh(4)
+    n = 4 * 2 * 2048
+    res, (keys, pay, vals) = sort_big_distributed(
+        n, mesh, run_size=2048, buckets_per_dev=2, collect=True,
+        payload_cols=3, force_composed=True)
+    assert res.all_ok, res
+    want = keygen_hash_numpy(np.arange(n, dtype=np.uint32))
+    order = np.argsort(want, kind="stable")
+    assert np.array_equal(keys, want[order])
+    assert np.array_equal(pay, order.astype(np.uint32))
+    assert len(vals) == 2
+    for j, v in enumerate(vals):
+        assert np.array_equal(
+            v, _value_col_numpy(order.astype(np.uint32), j))

@@ -154,8 +154,8 @@ def _cmd_bench_big(args) -> int:
 def _bench_big_inner(args, json, device_kind, sort_sol_seconds, sort_big,
                      sort_big_incore) -> int:
     assert args.payload_cols >= 1, "--payload-cols must be >= 1"
-    assert args.payload_cols == 1 or not (args.in_core or args.distributed), \
-        "--payload-cols > 1 supports the plain out-of-core path only"
+    assert args.payload_cols == 1 or not args.in_core, \
+        "--payload-cols > 1 applies to the out-of-core paths"
     if args.in_core:
         res = sort_big_incore(args.n)
         kind = "in-core"
@@ -170,12 +170,15 @@ def _bench_big_inner(args, json, device_kind, sort_sol_seconds, sort_big,
             args.n, mesh, run_size=args.run_size,
             buckets_per_dev=args.buckets, verbose=args.verbose_big,
             checkpoint_dir=args.checkpoint_dir,
-            force_composed=args.force_composed)
+            force_composed=args.force_composed,
+            payload_cols=args.payload_cols)
         # label which code path actually ran: at D=1 without
         # --force-composed the call delegates to single-chip sort_big
         composed = d > 1 or args.force_composed
         kind = ("distributed out-of-core" if composed
                 else "out-of-core (D=1 delegated)")
+        if args.payload_cols > 1:
+            kind += f" ({args.payload_cols}-col rows)"
         where = f"{d} device(s)"
     else:
         res = sort_big(args.n, run_size=args.run_size,

@@ -94,20 +94,26 @@ def keygen_masked_numpy(idx: np.ndarray, seed: int = 7,
 # ----------------------------------------------------------------- phase A
 
 def _runner_fn(mesh: Mesh, n_local: int, run_size: int, seed: int,
-               key_bits: int):
-    """Jitted program forming run r on every device simultaneously."""
+               key_bits: int, payload_cols: int = 1):
+    """Jitted program forming run r on every device simultaneously.
+
+    payload_cols > 1 appends carried value columns (the single-chip
+    sort_big contract — table-shaped rows through the whole exchange)."""
+    from tpu_qe.sort.bigsort import _value_col
 
     def body(r):
         d = jax.lax.axis_index(AXIS).astype(jnp.uint32)
         base = d * jnp.uint32(n_local) + r * jnp.uint32(run_size)
         idx = base + jnp.arange(run_size, dtype=jnp.uint32)
         key = _keygen_masked(idx, seed, key_bits)
-        hi, lo, pay = jax.lax.sort([key.hi, key.lo, idx], num_keys=3,
-                                   is_stable=False)
-        return lo, hi, pay
+        vals = [_value_col(idx, j, seed) for j in range(payload_cols - 1)]
+        out = jax.lax.sort([key.hi, key.lo, idx] + vals, num_keys=3,
+                           is_stable=False)
+        return (out[1], out[0], out[2]) + tuple(out[3:])
 
+    ncols = 2 + payload_cols
     fn = shard_map(body, mesh=mesh, in_specs=(P(),),
-                   out_specs=(P(AXIS), P(AXIS), P(AXIS)), check_vma=False)
+                   out_specs=tuple([P(AXIS)] * ncols), check_vma=False)
     return jax.jit(fn)
 
 
@@ -227,7 +233,8 @@ def _exchange_fn(mesh: Mesh, n_dev: int, cap_blk: int, cap_off: int,
 # ----------------------------------------------------------------- phase C
 
 def _merger_fn(mesh: Mesh, n_runs: int, n_dev: int, cap_blk: int,
-               cap_seg: int, seed: int, key_bits: int, collect: bool):
+               cap_seg: int, seed: int, key_bits: int, collect: bool,
+               payload_cols: int = 1):
     """Per-bucket merge + full on-device verification, all devices at once.
 
     Each device slices, from every (run, source) block, its current
@@ -237,32 +244,36 @@ def _merger_fn(mesh: Mesh, n_runs: int, n_dev: int, cap_blk: int,
     last keys (cross-bucket boundary order, checked on host).
     """
     m = n_runs * n_dev * cap_seg
+    ncols = 2 + payload_cols
+    from tpu_qe.sort.bigsort import _value_col
 
     def body(starts, deltas, sizes, *block_cols):
-        # starts/deltas/sizes: (R, D) per device; block_cols: R triples of
-        # (D, cap_blk) arrays (lo, hi, pay per run).
+        # starts/deltas/sizes: (R, D) per device; block_cols: R groups of
+        # ncols (D, cap_blk) arrays (lo, hi, pay[, v...] per run).
         ar = jnp.arange(cap_seg, dtype=jnp.uint32)
-        segs_lo, segs_hi, segs_pay = [], [], []
+        segs = [[] for _ in range(ncols)]
         for r in range(n_runs):
-            blo, bhi, bpay = block_cols[3 * r: 3 * r + 3]
-            for s in range(n_dev):
-                st = starts[r, s]
-                d = deltas[r, s].astype(jnp.uint32)
-                sz = sizes[r, s].astype(jnp.uint32)
+            cols = block_cols[ncols * r: ncols * (r + 1)]
+            for sdev in range(n_dev):
+                st = starts[r, sdev]
+                d = deltas[r, sdev].astype(jnp.uint32)
+                sz = sizes[r, sdev].astype(jnp.uint32)
                 in_seg = (ar >= d) & (ar < d + sz)
-                si = jnp.int32(s)
-                sl = jax.lax.dynamic_slice(blo, (si, st), (1, cap_seg))[0]
-                sh = jax.lax.dynamic_slice(bhi, (si, st), (1, cap_seg))[0]
-                sp = jax.lax.dynamic_slice(bpay, (si, st), (1, cap_seg))[0]
-                segs_lo.append(jnp.where(in_seg, sl, _ONES))
-                segs_hi.append(jnp.where(in_seg, sh, _ONES))
-                segs_pay.append(jnp.where(in_seg, sp, jnp.uint32(0)))
-        lo = jnp.concatenate(segs_lo)
-        hi = jnp.concatenate(segs_hi)
-        pay = jnp.concatenate(segs_pay)
+                si = jnp.int32(sdev)
+                for c in range(ncols):
+                    sl = jax.lax.dynamic_slice(cols[c], (si, st),
+                                               (1, cap_seg))[0]
+                    fill = _ONES if c < 2 else jnp.uint32(0)
+                    segs[c].append(jnp.where(in_seg, sl, fill))
+        lo = jnp.concatenate(segs[0])
+        hi = jnp.concatenate(segs[1])
+        pay = jnp.concatenate(segs[2])
+        vals = [jnp.concatenate(x) for x in segs[3:]]
         n_valid = jnp.sum(sizes).astype(jnp.uint32)
-        shi, slo, spay = jax.lax.sort([hi, lo, pay], num_keys=3,
-                                      is_stable=False)
+        sorted_all = jax.lax.sort([hi, lo, pay] + vals, num_keys=3,
+                                  is_stable=False)
+        shi, slo, spay = sorted_all[:3]
+        svals = sorted_all[3:]
         pos = jnp.arange(m, dtype=jnp.uint32)
         valid = pos < n_valid
         ge = ((shi[1:] > shi[:-1])
@@ -270,6 +281,9 @@ def _merger_fn(mesh: Mesh, n_runs: int, n_dev: int, cap_blk: int,
         sorted_ok = jnp.all(ge | ~valid[1:])
         want = _keygen_masked(spay, seed, key_bits)
         hash_ok = jnp.all((~valid) | ((slo == want.lo) & (shi == want.hi)))
+        for j, sv in enumerate(svals):
+            hash_ok &= jnp.all((~valid)
+                               | (sv == _value_col(spay, j, seed)))
         pay_sum = jnp.sum(jnp.where(valid, spay, 0), dtype=jnp.uint32)
         pay_sq = jnp.sum(jnp.where(valid, spay * spay, 0), dtype=jnp.uint32)
         first_lo, first_hi = slo[0], shi[0]
@@ -279,15 +293,16 @@ def _merger_fn(mesh: Mesh, n_runs: int, n_dev: int, cap_blk: int,
             sorted_ok.astype(jnp.uint32), hash_ok.astype(jnp.uint32),
             n_valid, pay_sum, pay_sq, first_lo, first_hi, last_lo, last_hi))
         if collect:
-            outs = outs + (slo, shi, spay)
+            outs = outs + (slo, shi, spay) + tuple(svals)
         return outs
 
     plan = P(AXIS, None)
     n_scalar = 9
-    out_specs = tuple([P(AXIS)] * (n_scalar + (3 if collect else 0)))
+    out_specs = tuple(
+        [P(AXIS)] * (n_scalar + (ncols if collect else 0)))
     fn = shard_map(
         body, mesh=mesh,
-        in_specs=(plan, plan, plan) + tuple([plan] * (3 * n_runs)),
+        in_specs=(plan, plan, plan) + tuple([plan] * (ncols * n_runs)),
         out_specs=out_specs, check_vma=False)
     return jax.jit(fn)
 
@@ -301,7 +316,8 @@ def sort_big_distributed(n: int, mesh: Mesh, run_size: int = 1 << 26,
                          samples_per_run: int = 4096, key_bits: int = 64,
                          verbose: bool = False, collect: bool = False,
                          checkpoint_dir: str | None = None,
-                         force_composed: bool = False):
+                         force_composed: bool = False,
+                         payload_cols: int = 1):
     """Distributed + out-of-core sort of n generated rows over `mesh`.
 
     n must be divisible by D * run_size (D = mesh size). Rows are
@@ -335,7 +351,8 @@ def sort_big_distributed(n: int, mesh: Mesh, run_size: int = 1 << 26,
         return sort_big(n, run_size=run_size, n_buckets=buckets_per_dev,
                         seed=seed, samples_per_run=samples_per_run,
                         verbose=verbose, collect=collect,
-                        checkpoint_dir=checkpoint_dir)
+                        checkpoint_dir=checkpoint_dir,
+                        payload_cols=payload_cols)
     assert n % (n_dev * run_size) == 0, (n, n_dev, run_size)
     assert n < (1 << 32), "payload travels as u32 global index"
     n_local = n // n_dev
@@ -348,8 +365,10 @@ def sort_big_distributed(n: int, mesh: Mesh, run_size: int = 1 << 26,
     quantum = 1 << 20 if run_size >= (1 << 22) else 256
     from tpu_qe.sort.bigsort import _RunState
     n_scal = 9
-    meta = np.asarray([n, n_dev, run_size, n_b, seed, per_run, key_bits],
-                      dtype=np.int64)
+    assert payload_cols >= 1, payload_cols
+    ncols = 2 + payload_cols
+    meta = np.asarray([n, n_dev, run_size, n_b, seed, per_run,
+                       key_bits, payload_cols], dtype=np.int64)
     state = (_RunState.load(checkpoint_dir, meta)
              if checkpoint_dir is not None else None)
 
@@ -367,7 +386,8 @@ def sort_big_distributed(n: int, mesh: Mesh, run_size: int = 1 << 26,
     # ---- AOT compiles (outside the timed region, like bigsort) ----
     tc0 = time.perf_counter()
     np.asarray(jnp.zeros(8, jnp.uint32)[:1])  # tunnel warmup
-    runner = _runner_fn(mesh, n_local, run_size, seed, key_bits)
+    runner = _runner_fn(mesh, n_local, run_size, seed, key_bits,
+                        payload_cols=payload_cols)
     run_exec = runner.lower(_rep(jnp.uint32(0))).compile()
     compile_s = time.perf_counter() - tc0
 
@@ -376,8 +396,8 @@ def sort_big_distributed(n: int, mesh: Mesh, run_size: int = 1 << 26,
     runs = []
     for r in range(n_runs):
         runs.append(run_exec(_rep(jnp.uint32(r))))
-    for lo, _, _ in runs:
-        np.asarray(jax.device_get(lo[-1:]))  # fence
+    for run in runs:
+        np.asarray(jax.device_get(run[0][-1:]))  # fence
     t_a = time.perf_counter() - t0
 
     # ---- phase B: global splitters + exact per-run boundaries (a
@@ -388,7 +408,7 @@ def sort_big_distributed(n: int, mesh: Mesh, run_size: int = 1 << 26,
     else:
         tcp = time.perf_counter()
         planner = _planner_fn(mesh, n_runs, S, per_run, run_size)
-        flat_keys = tuple(a for (lo, hi, _) in runs for a in (lo, hi))
+        flat_keys = tuple(a for run in runs for a in run[:2])
         plan_exec = planner.lower(*flat_keys).compile()
         compile_s += time.perf_counter() - tcp
         t_b0 = time.perf_counter()
@@ -425,7 +445,10 @@ def sort_big_distributed(n: int, mesh: Mesh, run_size: int = 1 << 26,
 
     # ---- phase X: per-run segment exchange ----
     tcx = time.perf_counter()
-    exchanger = _exchange_fn(mesh, n_dev, cap_blk, cap_off)
+    fills = (_ONES, _ONES) + tuple(jnp.uint32(0)
+                                   for _ in range(payload_cols))
+    exchanger = _exchange_fn(mesh, n_dev, cap_blk, cap_off,
+                             fills=fills)
     iplan = _plan_put(np.zeros((n_dev, n_dev), np.int32))
     ex_exec = exchanger.lower(iplan, iplan, iplan, iplan, iplan,
                               *runs[0]).compile()
@@ -446,8 +469,8 @@ def sort_big_distributed(n: int, mesh: Mesh, run_size: int = 1 << 26,
         blocks.append(ex_exec(st, dl, sz, st_d, dl_d, *runs[r]))
         runs[r] = None  # free run r once its exchange is dispatched
     del runs
-    for blo, _, _ in blocks:
-        np.asarray(jax.device_get(blo[-1:, -1:]))  # fence
+    for blk in blocks:
+        np.asarray(jax.device_get(blk[0][-1:, -1:]))  # fence
     t_x = time.perf_counter() - t_x0
 
     # ---- phase C: per-bucket merges (all devices in parallel) ----
@@ -456,7 +479,7 @@ def sort_big_distributed(n: int, mesh: Mesh, run_size: int = 1 << 26,
     # the cap_seg dynamic_slice window.
     tcm = time.perf_counter()
     merger = _merger_fn(mesh, n_runs, n_dev, cap_blk, cap_seg, seed,
-                        key_bits, collect)
+                        key_bits, collect, payload_cols=payload_cols)
     mplan = _plan_put(np.zeros((n_dev * n_runs, n_dev), np.int32))
     flat_blocks = [a for blk in blocks for a in blk]
     merge_exec = merger.lower(mplan, mplan, mplan, *flat_blocks).compile()
@@ -574,5 +597,10 @@ def sort_big_distributed(n: int, mesh: Mesh, run_size: int = 1 << 26,
         hi = np.concatenate([collected[g][1] for g in range(S)])
         pay = np.concatenate([collected[g][2] for g in range(S)])
         keys = lo.astype(np.uint64) | (hi.astype(np.uint64) << np.uint64(32))
+        if payload_cols > 1:
+            vals = tuple(
+                np.concatenate([collected[g][3 + j] for g in range(S)])
+                for j in range(payload_cols - 1))
+            return res, (keys, pay, vals)
         return res, (keys, pay)
     return res
