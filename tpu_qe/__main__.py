@@ -340,12 +340,24 @@ def _cmd_bench_bigtopk(args) -> int:
     import json
 
     from tpu_qe.bench.sol import device_kind
-    from tpu_qe.ops.bigtopk import top_k_big
 
-    res = top_k_big(args.n, args.k, run_size=args.run_size,
-                    largest=args.largest, verbose=args.verbose_big)
+    if args.distributed:
+        from tpu_qe.exchange.dsort import make_mesh
+        from tpu_qe.ops.dbigtopk import top_k_big_distributed
+        mesh = make_mesh(args.devices)
+        d = int(mesh.devices.size)
+        res = top_k_big_distributed(
+            args.n, args.k, mesh, run_size=args.run_size,
+            largest=args.largest, verbose=args.verbose_big,
+            force_composed=args.force_composed)
+        where = f"{d} devices"
+    else:
+        from tpu_qe.ops.bigtopk import top_k_big
+        res = top_k_big(args.n, args.k, run_size=args.run_size,
+                        largest=args.largest, verbose=args.verbose_big)
+        where = "1 chip"
     out = {
-        "metric": f"out-of-core top-{res.k} of {res.n} rows, 1 chip",
+        "metric": f"out-of-core top-{res.k} of {res.n} rows, {where}",
         "value": round(res.rows_per_s),
         "unit": "rows/s",
         "time_s": round(res.seconds, 3),
@@ -513,6 +525,13 @@ def main(argv=None) -> int:
     pt.add_argument("--k", type=int, default=1 << 10)
     pt.add_argument("--run-size", type=int, default=1 << 26)
     pt.add_argument("--largest", action="store_true")
+    pt.add_argument("--distributed", action="store_true",
+                    help="distributed out-of-core top-k over the device "
+                         "mesh (ops/dbigtopk.py)")
+    pt.add_argument("--devices", type=int, default=None,
+                    help="mesh size for --distributed (default: all)")
+    pt.add_argument("--force-composed", action="store_true",
+                    help="keep the candidate-tree machinery even at D=1")
     pt.add_argument("--verbose-big", action="store_true")
     pt.set_defaults(fn=_cmd_bench_bigtopk)
 

@@ -15,6 +15,7 @@ _BIG_EXPORTS = {
     "aggregate_big_multi": "bigagg",
     "join_big": "bigjoin",
     "top_k_big": "bigtopk",
+    "top_k_big_distributed": "dbigtopk",
     "join_aggregate_big": "bigpipe",
     "aggregate_big_distributed": "dbigagg",
     "join_big_distributed": "dbigjoin",

@@ -56,24 +56,24 @@ def _run_topk(r: jnp.ndarray, run_size: int, k: int, seed: int,
     return slo[:k], shi[:k], spay[:k]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "seed", "largest"))
-def _combine_topk(parts, k: int, seed: int, largest: bool):
-    """Phase B: global k from the R*k candidates + device verification."""
-    lo = jnp.concatenate([p[0] for p in parts])
-    hi = jnp.concatenate([p[1] for p in parts])
-    pay = jnp.concatenate([p[2] for p in parts])
+def _sorted_head(lo, hi, pay, k: int):
+    """Best-k rows of a candidate set (planes pre-complemented when the
+    caller wants largest-first) — ties break by payload ascending."""
     shi, slo, spay = jax.lax.sort([hi, lo, pay], num_keys=3,
                                   is_stable=False)
-    wlo_c, whi_c, wpay = slo[:k], shi[:k], spay[:k]
+    return slo[:k], shi[:k], spay[:k]
+
+
+def _verify_winners(wlo_c, whi_c, wpay, k: int, seed: int, largest: bool):
+    """On-device winner verification shared by the single-chip and the
+    distributed combines: claimed order, key==hash(payload) row realness,
+    payload distinctness (selection can never pick a row twice)."""
     # order check on the planes the sort actually ordered (complemented
     # when largest): best-first == ascending here in both modes
     ge = ((whi_c[1:] > whi_c[:-1])
           | ((whi_c[1:] == whi_c[:-1]) & (wlo_c[1:] >= wlo_c[:-1])))
     order_ok = jnp.all(ge)
     wlo, whi = (~wlo_c, ~whi_c) if largest else (wlo_c, whi_c)
-    # winners must be real rows (key == hash(payload)) and distinct rows
-    # (payloads strictly increase after a payload sort — selection can
-    # never pick a row twice)
     want = keygen_hash(wpay, seed)
     hash_ok = jnp.all((wlo == want.lo) & (whi == want.hi))
     p_sorted = jnp.sort(wpay)
@@ -81,6 +81,16 @@ def _combine_topk(parts, k: int, seed: int, largest: bool):
         else jnp.bool_(True)
     return (wlo, whi, wpay, hash_ok.astype(jnp.uint32),
             order_ok.astype(jnp.uint32), distinct_ok.astype(jnp.uint32))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "seed", "largest"))
+def _combine_topk(parts, k: int, seed: int, largest: bool):
+    """Phase B: global k from the R*k candidates + device verification."""
+    lo = jnp.concatenate([p[0] for p in parts])
+    hi = jnp.concatenate([p[1] for p in parts])
+    pay = jnp.concatenate([p[2] for p in parts])
+    wlo_c, whi_c, wpay = _sorted_head(lo, hi, pay, k)
+    return _verify_winners(wlo_c, whi_c, wpay, k, seed, largest)
 
 
 @dataclasses.dataclass(frozen=True)
