@@ -28,6 +28,7 @@ step python -m tpu_qe bench-bigagg  --n $((1<<30)) --groups $((1<<20))
 step python -m tpu_qe bench-bigagg  --n $((1<<28)) --groups $((1<<20)) --minmax
 step python -m tpu_qe bench-bigagg  --n $((1<<28)) --groups $((1<<20)) --value-cols 4
 step python -m tpu_qe bench-bigtopk --n $((1<<30)) --k $((1<<10))
+step python -m tpu_qe bench-bigtopk --n $((1<<28)) --k $((1<<10)) --distributed --force-composed
 step python -m tpu_qe bench-big     --n $((1<<28)) --payload-cols 3   # table-shaped rows
 step python -m tpu_qe bench-bigpipe --n-left $((1<<28)) --n-right $((1<<28)) --groups $((1<<16))
 # machinery-through paths at D=1 (the real chip): --force-composed keeps

@@ -5,6 +5,7 @@ from tpu_qe.ops.aggregate import (group_aggregate,  # noqa: F401
 from tpu_qe.ops.join import (join_fk, join_inner, join_sorted,  # noqa: F401
                              expand_ranges)
 from tpu_qe.ops.topk import top_k  # noqa: F401
+from tpu_qe.ops.window import window  # noqa: F401
 
 # out-of-core family (device-generated benchmark data models, fully
 # device-verified; see each module's docstring for the design). Exported

@@ -1,0 +1,243 @@
+"""SQL window functions: OVER (PARTITION BY key ORDER BY order).
+
+row_number / rank / dense_rank / running sum-min-max / lag / lead over
+partitioned, ordered rows — the scan-shaped half of SQL analytics that
+GROUP BY (ops/aggregate.py) does not cover because its output is one row
+PER INPUT ROW, not one per group.
+
+TPU formulation: ONE sort by (partition key, order, position) puts every
+partition contiguous and internally ordered (position as the final sort
+key buys SQL's stable tie-break while the sort stays unstable/minimal,
+the house trick from ops/aggregate.py); after that every window function
+is a segmented sweep over the sorted stream, all through the blocked
+two-level scan machinery (ops/segscan.py — no gathers, no scatters, no
+tuple-carrier associative_scan):
+
+- row_number: idx - (partition-start idx forward-filled by cummax) + 1;
+- rank:       same, with the (key, order)-RUN start index instead;
+- dense_rank: cumsum of order-change flags, rebased per partition;
+- running_sum: per-segment inclusive scan — EXACT u64 (lo, hi) pair for
+  integer columns (never silently wraps mod 2^32, the repo convention),
+  per-segment float scan for float columns (rounding proportional to the
+  partition's own magnitude, see aggregate.segmented_reduce);
+- running_min/max: segmented_reduce;
+- lag/lead: one-row shifts masked at partition boundaries.
+
+The reference has no analytics operators at all (it is a sort test,
+/root/reference/src/main.rs); this family exists because SURVEY.md §7
+mandates query operators over columnar tables, and windows are the
+canonical consumer of the engine's sorted streams. Crucially the
+segmented-scan formulation COMPOSES across shards: a distributed window
+is local windows plus an O(D) carry exchange (exchange/dwindow.py), the
+same block/carry structure segscan uses within one device.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tpu_qe.bits import U64
+from tpu_qe.ops.aggregate import (_float_sortable_bits, _shift_right_one,
+                                  segmented_reduce, segmented_sum_u64)
+from tpu_qe.ops.segscan import cumsum_u32, cummax_u32
+
+_RUNNING = ("running_sum", "running_min", "running_max")
+_VALID_FUNCS = ("row_number", "rank", "dense_rank", "lag", "lead") + _RUNNING
+
+
+class WindowResult(NamedTuple):
+    """Per-row window outputs.
+
+    cols: out_name -> (n,) array; integer running_sum is a U64 (lo, hi)
+    pair. With output="input" rows align with the input; with
+    output="sorted" rows are in (partition, order, position) order and
+    `pos` gives each row's original input position (None for "input").
+    """
+
+    cols: dict
+    pos: jnp.ndarray | None = None
+
+
+def _canon_funcs(funcs: dict) -> tuple:
+    """dict -> hashable, validated (name, kind, col, fill) tuple spec."""
+    spec = []
+    for name in sorted(funcs):
+        f = funcs[name]
+        if isinstance(f, str):
+            f = (f,)
+        kind = f[0]
+        if kind not in _VALID_FUNCS:
+            raise ValueError(f"unknown window function {kind!r}")
+        col = f[1] if len(f) > 1 else None
+        fill = f[2] if len(f) > 2 else 0
+        if kind in _RUNNING + ("lag", "lead") and col is None:
+            raise ValueError(f"{kind} needs a value column")
+        spec.append((name, kind, col, fill))
+    return tuple(spec)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("colnames", "spec", "has_order",
+                                    "output"))
+def _window(key: U64, order, cols: tuple, colnames: tuple,
+            spec: tuple, has_order: bool, output: str):
+    n = key.lo.shape[0]
+    idx = jnp.arange(n, dtype=jnp.uint32)
+    pos = idx
+
+    # one sort: (key, [order,] position) — position last makes the whole
+    # composite key unique, so an unstable sort is deterministic and ties
+    # resolve by input position (SQL's stable window semantics).
+    operands = [key.hi, key.lo]
+    if has_order:
+        operands.append(_float_sortable_bits(order))
+    operands.append(pos)
+    num_keys = len(operands)
+    operands += [c.view(jnp.uint32) if c.dtype != jnp.uint32 else c
+                 for c in cols]
+    res = jax.lax.sort(operands, num_keys=num_keys, is_stable=False)
+    shi, slo = res[0], res[1]
+    sorder = res[2] if has_order else None
+    spos = res[num_keys - 1]
+    dtypes = {nm: c.dtype for nm, c in zip(colnames, cols)}
+    scols = {nm: (c.view(dtypes[nm]) if dtypes[nm] != jnp.uint32 else c)
+             for nm, c in zip(colnames, res[num_keys:])}
+
+    is_new = ((idx == 0) | (slo != _shift_right_one(slo, 0))
+              | (shi != _shift_right_one(shi, 0)))
+    if has_order:
+        order_new = is_new | (sorder != _shift_right_one(sorder, 0))
+    else:
+        order_new = is_new
+    is_last = jnp.concatenate([is_new[1:], jnp.ones((1,), bool)])
+
+    out = _window_sorted_cols(spec, scols, idx, is_new, order_new, is_last)
+
+    if output == "sorted":
+        return out, spos
+
+    # restore input order: one unstable sort keyed by the (unique)
+    # original position, carrying every output plane as u32 views.
+    planes, layout = [], []
+    for name in sorted(out):
+        v = out[name]
+        if isinstance(v, U64):
+            planes += [v.lo, v.hi]
+            layout.append((name, "u64", None))
+        else:
+            planes.append(v.view(jnp.uint32) if v.dtype != jnp.uint32 else v)
+            layout.append((name, "v", v.dtype))
+    res2 = jax.lax.sort([spos] + planes, num_keys=1, is_stable=False)
+    restored, j = {}, 1
+    for name, tag, dt in layout:
+        if tag == "u64":
+            restored[name] = U64(res2[j], res2[j + 1])
+            j += 2
+        else:
+            restored[name] = (res2[j].view(dt) if dt != jnp.uint32
+                              else res2[j])
+            j += 1
+    return restored, None
+
+
+def _window_sorted_cols(spec, scols, idx, is_new, order_new, is_last):
+    """All window planes over an already partition-sorted stream."""
+    out: dict = {}
+    part_start = run_start = None
+    for name, kind, col, fill in spec:
+        if kind == "row_number":
+            if part_start is None:
+                part_start = cummax_u32(jnp.where(is_new, idx, jnp.uint32(0)))
+            out[name] = idx - part_start + 1
+        elif kind == "rank":
+            if part_start is None:
+                part_start = cummax_u32(jnp.where(is_new, idx, jnp.uint32(0)))
+            if run_start is None:
+                run_start = cummax_u32(
+                    jnp.where(order_new, idx, jnp.uint32(0)))
+            out[name] = run_start - part_start + 1
+        elif kind == "dense_rank":
+            # cumsum of order-run starts, rebased to each partition: the
+            # value just before the partition's own first run forward-fills
+            # by cummax (non-decreasing), so dense = c - base.
+            c = cumsum_u32(order_new.astype(jnp.uint32))
+            base = cummax_u32(jnp.where(is_new, c - 1, jnp.uint32(0)))
+            out[name] = c - base
+        elif kind == "running_sum":
+            v = scols[col]
+            if v.dtype == jnp.float32:
+                out[name] = segmented_reduce(v, is_new, "sum")
+            else:
+                lo, hi = segmented_sum_u64(
+                    v.view(jnp.uint32), jnp.zeros_like(v, jnp.uint32),
+                    is_new)
+                out[name] = U64(lo, hi)
+        elif kind in ("running_min", "running_max"):
+            out[name] = segmented_reduce(scols[col], is_new, kind[-3:])
+        elif kind == "lag":
+            v = scols[col]
+            f = jnp.asarray(fill, v.dtype)
+            out[name] = jnp.where(is_new, f, _shift_right_one(v, f))
+        elif kind == "lead":
+            v = scols[col]
+            f = jnp.asarray(fill, v.dtype)
+            nxt = jnp.concatenate([v[1:], jnp.full((1,), f, v.dtype)])
+            out[name] = jnp.where(is_last, f, nxt)
+    return out
+
+
+def window(key: U64, funcs: dict, order: jnp.ndarray | None = None,
+           values: dict | None = None,
+           output: str = "input") -> WindowResult:
+    """Window functions over PARTITION BY `key` [ORDER BY `order`].
+
+    Args:
+      key: (n,) U64 partition keys (e.g. morton cells, sensor ids).
+      funcs: out_name -> spec; spec is "row_number" / ("rank",) /
+        ("dense_rank",) / ("running_sum"|"running_min"|"running_max",
+        value_col) / ("lag"|"lead", value_col[, fill]). Value columns are
+        looked up in `values` (uint32 / int32 / float32). `fill` is the
+        static scalar emitted at partition edges (default 0).
+      order: optional (n,) ORDER BY column (uint32/int32/float32). Ties —
+        and the no-order case — resolve by input position, so results are
+        deterministic. rank/dense_rank require `order`.
+      output: "input" (rows align with the input — the default SQL
+        contract) or "sorted" (rows in (key, order, position) order;
+        WindowResult.pos maps each row to its input position — the cheap
+        form when the caller keeps the sorted stream anyway).
+
+    Integer running_sum returns an EXACT u64 U64 pair; float running_sum
+    uses the per-segment scan (error proportional to the partition's own
+    prefix). One lax.sort + O(#funcs) segmented sweeps; "input" adds one
+    restore sort.
+    """
+    spec = _canon_funcs(funcs)
+    if output not in ("input", "sorted"):
+        raise ValueError(f"unknown output mode {output!r}")
+    if order is None and any(k in ("rank", "dense_rank")
+                             for _, k, _, _ in spec):
+        raise ValueError("rank/dense_rank require an order column")
+    values = values or {}
+    needed = tuple(sorted({c for _, _, c, _ in spec if c is not None}))
+    for c in needed:
+        if c not in values:
+            raise ValueError(f"window spec references missing column {c!r}")
+    n = key.lo.shape[0]
+    if n == 0:
+        z32 = jnp.zeros(0, jnp.uint32)
+        cols = {}
+        for name, kind, col, _ in spec:
+            if kind == "running_sum" and values[col].dtype != jnp.float32:
+                cols[name] = U64(z32, z32)
+            elif kind in _RUNNING + ("lag", "lead"):
+                cols[name] = jnp.zeros(0, values[col].dtype)
+            else:
+                cols[name] = z32
+        return WindowResult(cols, z32 if output == "sorted" else None)
+    cols, pos = _window(key, order, tuple(values[c] for c in needed),
+                        needed, spec, order is not None, output)
+    return WindowResult(cols, pos)

@@ -207,6 +207,29 @@ class Table:
         from tpu_qe.ops.filter import compact
         return compact(self, ~matched)
 
+    def window(self, key: str, funcs: dict,
+               order: str | None = None) -> "Table":
+        """Window functions OVER (PARTITION BY key [ORDER BY order]):
+        returns this table plus one new column per entry of `funcs`
+        (rows stay in input order). funcs spec per ops.window.window,
+        e.g. {"rn": ("row_number",), "cum": ("running_sum", "gain")}."""
+        from tpu_qe.ops.window import window
+        k = self._cols[key]
+        if not isinstance(k, U64):
+            raise TypeError(f"window partition key {key!r} must be u64")
+        for name in funcs:
+            if name in self._cols:
+                raise ValueError(f"output column {name!r} already exists")
+        needed = {f[1] for f in (tuple(v) if not isinstance(v, str)
+                                 else (v,) for v in funcs.values())
+                  if len(f) > 1}
+        res = window(k, funcs,
+                     order=None if order is None else self._cols[order],
+                     values={nm: self._cols[nm] for nm in needed})
+        cols = dict(self._cols)
+        cols.update(res.cols)
+        return Table(cols)
+
     def top_k(self, k: int, key: str = "key", largest: bool = False):
         """k rows with the smallest/largest u64 key, best first (stable
         full sort + head — the measured-fastest formulation on this
