@@ -16,6 +16,12 @@ from tpu_qe.exchange.dops import (  # noqa: F401
     distributed_top_k,
     distributed_top_k_numpy,
 )
+from tpu_qe.exchange.dwindow import (  # noqa: F401
+    DistWindowResult,
+    distributed_window,
+    distributed_window_numpy,
+    plan_window_capacity,
+)
 from tpu_qe.exchange.shuffle import (  # noqa: F401
     AXIS,
     exchange,

@@ -1,0 +1,531 @@
+"""Distributed window functions over a device mesh (shard_map + carries).
+
+A window function is a segmented scan over the (partition, order,
+position)-sorted stream, and segmented scans compose across ANY block
+boundary through a monoid carry — ops/segscan.py exploits this across
+1024-row blocks within one device; this module applies the identical
+composition ACROSS devices:
+
+1.  rows are globally sorted by (key, order, position) with the dsort
+    splitter exchange (exchange/shuffle.py): (key, position) splitters
+    keep destinations balanced even when one hot partition dominates —
+    hot partitions simply SPLIT across consecutive devices, which is
+    exactly the case the carry chain exists for;
+2.  each device computes its local window planes with a forced segment
+    start at its first row — by the segscan argument, each device's
+    tail-partition running values are then precisely the monoid fold
+    elements the cross-device combine needs;
+3.  one all_gather of O(D) per-device summary scalars (first/last key,
+    boundary order values, tail counts/ranks/aggregates, edge values for
+    lag/lead) feeds a D-step carry chain, replicated on every device,
+    and the resulting carries patch ONLY the rows of each device's
+    boundary partition (mask: local partition-start index == 0).
+
+The patched result is exactly the single-stream window of ops/window.py
+on the concatenated runs (tests assert bit-equality vs the local
+operator and a numpy oracle, including all-equal keys where ONE
+partition spans every device). Total interconnect beyond the row
+exchange itself: one (D, S) scalar gather — the same O(D) cost class as
+dsort's splitter gather.
+
+Reference contrast: the reference is single-device with one queue submit
+(/root/reference/src/main.rs:727); this is the SURVEY §2c mandated
+scale-out applied to the window family (ops/window.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P, Mesh
+from jax import shard_map
+
+from tpu_qe.bits import U64
+from tpu_qe.exchange.shuffle import (AXIS, exchange,
+                                     route_by_splitters_multi,
+                                     sample_splitters_multi)
+from tpu_qe.ops.window import _canon_funcs, _window_sorted_cols, _RUNNING
+
+_ONES = jnp.uint32(0xFFFFFFFF)
+
+
+def _order_bits(order: jnp.ndarray) -> jnp.ndarray:
+    """Order column -> u32 whose unsigned order matches the value order
+    (exchange columns travel as u32): IEEE trick for f32, sign-bit flip
+    for i32, identity for u32. Equality is preserved, so boundary
+    comparisons on the bits plane are exact."""
+    if order.dtype == jnp.float32:
+        b = order.view(jnp.uint32)
+        sign = b >> 31
+        return jnp.where(sign == 1, ~b, b | jnp.uint32(0x80000000))
+    if order.dtype == jnp.int32:
+        return order.view(jnp.uint32) ^ jnp.uint32(0x80000000)
+    return order
+
+
+def _bitcast(x: jnp.ndarray, dtype) -> jnp.ndarray:
+    return x if x.dtype == dtype else jax.lax.bitcast_convert_type(x, dtype)
+
+
+class DistWindowResult(NamedTuple):
+    """Padded per-device (key, order, position)-sorted runs.
+
+    Device d's run: the first valid[d] rows are real, globally sorted
+    when runs concatenate in mesh order. `pos` maps each row to its
+    global input position (scatter by pos to recover input order on the
+    host). cols: out_name -> plane (U64 for integer running_sum).
+    """
+
+    key: U64
+    pos: jnp.ndarray
+    cols: dict
+    valid: jnp.ndarray
+
+
+def _dwindow_shard(lo, hi, *rest, n_dev: int, samples_per_dev: int,
+                   capacity: int, spec: tuple, has_order: bool,
+                   colnames: tuple, dtypes: tuple):
+    """Per-shard body: exchange + local window + carry chain + patch."""
+    n_local = lo.shape[0]
+    my = jax.lax.axis_index(AXIS).astype(jnp.uint32)
+    gpos = (my * jnp.uint32(n_local)
+            + jnp.arange(n_local, dtype=jnp.uint32))
+    n_ord = 1 if has_order else 0
+    # splitters sample the FULL window order (key, order, position) —
+    # dsort's (key, position) splitters are NOT enough here: a
+    # partition's rows would split across devices by position while the
+    # window order within the partition is (order, position), breaking
+    # the global concatenation order the carry chain assumes. The unique
+    # position plane still splits hot (key, order) runs across devices.
+    route_planes = [hi, lo] + list(rest[:n_ord]) + [gpos]
+    sps = sample_splitters_multi(route_planes, n_dev, samples_per_dev)
+    dest = route_by_splitters_multi(route_planes, sps)
+    cols = [lo, hi] + list(rest[:n_ord]) + [gpos] + list(rest[n_ord:])
+    pads = ([_ONES, _ONES] + [_ONES] * n_ord
+            + [jnp.uint32(0)] * (1 + len(colnames)))
+    recv, flag, rank, counts, overflow = exchange(dest, cols, pads,
+                                                  n_dev, capacity)
+    # pads sort last: key and order pads are all-ones, and the flag bit
+    # above the stability rank breaks (key, order) ties real-first.
+    flagkey = (flag << jnp.uint32(31)) | rank
+    keys = [recv[1], recv[0]] + ([recv[2]] if has_order else []) + [flagkey]
+    res = jax.lax.sort(keys + recv[2 + n_ord:], num_keys=len(keys),
+                       is_stable=False)
+    shi, slo = res[0], res[1]
+    sorder = res[2] if has_order else None
+    spad = (res[2 + n_ord] >> jnp.uint32(31)).astype(bool)
+    spos = res[3 + n_ord]
+    svals = {nm: _bitcast(c, dt)
+             for nm, dt, c in zip(colnames, dtypes, res[4 + n_ord:])}
+
+    L = slo.shape[0]
+    idx = jnp.arange(L, dtype=jnp.uint32)
+    # dtype pinned: under x64 (tests) jnp.sum would promote u32 -> u64,
+    # and the summary bitcast to u32 would grow a trailing dimension
+    n_v = jnp.sum(counts, dtype=jnp.uint32)
+
+    def prev(x):
+        return jnp.concatenate([jnp.zeros((1,), x.dtype), x[:-1]])
+
+    first = idx == 0
+    is_new = (first | (slo != prev(slo)) | (shi != prev(shi))
+              | (spad & ~prev(spad)))  # pads own their (fake) segment
+    order_new = is_new | ((sorder != prev(sorder)) if has_order
+                          else jnp.zeros((L,), bool))
+    is_last = jnp.concatenate([is_new[1:], jnp.ones((1,), bool)])
+
+    out, aux = _window_sorted_cols(spec, svals, idx, is_new, order_new,
+                                   is_last, need_aux=True)
+    part_start, run_start = aux["part_start"], aux["run_start"]
+
+    # ---- per-device summary vector ------------------------------------
+    li = jnp.maximum(n_v, 1) - 1  # last valid row (clamped; masked if 0)
+
+    def at_last(x):
+        return jnp.take(x, li)
+
+    summ, names = [], []
+
+    def put(name, val):
+        names.append(name)
+        summ.append(_bitcast(val.astype(val.dtype), jnp.uint32)
+                    if val.dtype != jnp.uint32 else val)
+
+    put("nv", n_v)
+    put("fk_lo", slo[0]); put("fk_hi", shi[0])
+    put("lk_lo", at_last(slo)); put("lk_hi", at_last(shi))
+    if has_order:
+        put("fo", sorder[0]); put("lo_", at_last(sorder))
+    tps = at_last(part_start)
+    trs = at_last(run_start)
+    put("tps", tps)
+    put("tail_cnt", li - tps + 1)
+    put("trs_zero", (trs == 0).astype(jnp.uint32))
+    put("tail_rank", trs - tps + 1)
+    for name, kind, col, _ in spec:
+        if kind == "dense_rank":
+            put(f"td:{name}", at_last(out[name]))
+        elif kind == "running_sum" and isinstance(out[name], U64):
+            put(f"ta:{name}:lo", at_last(out[name].lo))
+            put(f"ta:{name}:hi", at_last(out[name].hi))
+        elif kind in _RUNNING:
+            put(f"ta:{name}", _bitcast(at_last(out[name]), jnp.uint32))
+        elif kind == "lag":
+            put(f"lv:{name}", _bitcast(at_last(svals[col]), jnp.uint32))
+        elif kind == "lead":
+            put(f"fv:{name}", _bitcast(svals[col][0], jnp.uint32))
+    vec = jnp.stack(summ)
+    g = jax.lax.all_gather(vec, AXIS)          # (D, S), replicated work
+    col_of = {nm: i for i, nm in enumerate(names)}
+
+    def gv(e, nm):
+        return g[e, col_of[nm]]
+
+    # ---- carry chain over devices (D static: plain Python fold) -------
+    u0, f0 = jnp.uint32(0), jnp.float32(0)
+    ex = jnp.zeros((), bool)
+    plk_lo = plk_hi = plord = u0
+    pvals = {name: u0 for name, k, _, _ in spec if k == "lag"}
+    C_cnt = C_dense = C_rank = u0
+    def _int_sum(kind, col):
+        return (kind == "running_sum"
+                and dtypes[colnames.index(col)] != jnp.float32)
+
+    C_agg = {}
+    for name, kind, col, _ in spec:
+        if _int_sum(kind, col):
+            C_agg[name] = (u0, u0)
+        elif kind in _RUNNING:
+            C_agg[name] = u0
+    rec = {k: [] for k in ("cont", "cont_o", "C_cnt", "C_dense", "C_rank")}
+    rec_agg = {nm: [] for nm in C_agg}
+    rec_lag = {nm: [] for nm in pvals}
+    for e in range(n_dev):
+        nv = gv(e, "nv")
+        nonempty = nv > 0
+        cont = (ex & nonempty & (gv(e, "fk_lo") == plk_lo)
+                & (gv(e, "fk_hi") == plk_hi))
+        cont_o = cont & ((gv(e, "fo") == plord) if has_order
+                         else jnp.ones((), bool))
+        rec["cont"].append(cont)
+        rec["cont_o"].append(cont_o)
+        rec["C_cnt"].append(C_cnt)
+        rec["C_dense"].append(C_dense)
+        rec["C_rank"].append(C_rank)
+        for nm in C_agg:
+            rec_agg[nm].append(C_agg[nm])
+        for nm in pvals:
+            rec_lag[nm].append(pvals[nm])
+
+        whole = cont & (gv(e, "tps") == 0)  # tail partition spans shard
+        nC_cnt = gv(e, "tail_cnt") + jnp.where(whole, C_cnt, u0)
+        nC_rank = jnp.where(
+            gv(e, "trs_zero") == 0,
+            gv(e, "tail_rank") + jnp.where(whole, C_cnt, u0),
+            jnp.where(cont_o, C_rank,
+                      gv(e, "tail_rank") + jnp.where(cont, C_cnt, u0)))
+        nC_dense = C_dense
+        nC_agg = {}
+        for name, kind, col, _ in spec:
+            if kind == "dense_rank":
+                td = gv(e, f"td:{name}")
+                nC_dense = td + jnp.where(
+                    whole, C_dense - cont_o.astype(jnp.uint32), u0)
+            elif _int_sum(kind, col):
+                tlo = gv(e, f"ta:{name}:lo")
+                thi = gv(e, f"ta:{name}:hi")
+                alo = tlo + C_agg[name][0]
+                ahi = (thi + C_agg[name][1]
+                       + (alo < tlo).astype(jnp.uint32))
+                nC_agg[name] = (jnp.where(whole, alo, tlo),
+                                jnp.where(whole, ahi, thi))
+            elif kind == "running_sum":
+                tv = _bitcast(gv(e, f"ta:{name}"), jnp.float32)
+                cv = _bitcast(C_agg[name], jnp.float32)
+                nC_agg[name] = _bitcast(
+                    jnp.where(whole, cv + tv, tv), jnp.uint32)
+            elif kind in _RUNNING:
+                dt = dtypes[colnames.index(col)]
+                tv = _bitcast(gv(e, f"ta:{name}"), dt)
+                cv = _bitcast(C_agg[name], dt)
+                op = jnp.minimum if kind == "running_min" else jnp.maximum
+                nC_agg[name] = _bitcast(
+                    jnp.where(whole, op(cv, tv), tv), jnp.uint32)
+
+        upd = lambda new, old: jnp.where(nonempty, new, old)  # noqa: E731
+        C_cnt = upd(nC_cnt, C_cnt)
+        C_rank = upd(nC_rank, C_rank)
+        C_dense = upd(nC_dense, C_dense)
+        for nm in C_agg:
+            if isinstance(C_agg[nm], tuple):
+                C_agg[nm] = (upd(nC_agg[nm][0], C_agg[nm][0]),
+                             upd(nC_agg[nm][1], C_agg[nm][1]))
+            else:
+                C_agg[nm] = upd(nC_agg[nm], C_agg[nm])
+        plk_lo = upd(gv(e, "lk_lo"), plk_lo)
+        plk_hi = upd(gv(e, "lk_hi"), plk_hi)
+        if has_order:
+            plord = upd(gv(e, "lo_"), plord)
+        for name, kind, _, _ in spec:
+            if kind == "lag":
+                pvals[name] = upd(gv(e, f"lv:{name}"), pvals[name])
+        ex = ex | nonempty
+
+    # reverse chain: does the NEXT non-empty device continue my tail
+    # partition, and with what first value (lead patch)?
+    nex = jnp.zeros((), bool)
+    nfk_lo = nfk_hi = u0
+    nfv = {name: u0 for name, k, _, _ in spec if k == "lead"}
+    rec_lead_cont, rec_lead_val = [], {nm: [] for nm in nfv}
+    for e in range(n_dev - 1, -1, -1):
+        nv = gv(e, "nv")
+        nonempty = nv > 0
+        ncont = (nex & (gv(e, "lk_lo") == nfk_lo)
+                 & (gv(e, "lk_hi") == nfk_hi))
+        rec_lead_cont.append(ncont)
+        for nm in nfv:
+            rec_lead_val[nm].append(nfv[nm])
+        upd = lambda new, old: jnp.where(nonempty, new, old)  # noqa: E731
+        nfk_lo = upd(gv(e, "fk_lo"), nfk_lo)
+        nfk_hi = upd(gv(e, "fk_hi"), nfk_hi)
+        for name, kind, _, _ in spec:
+            if kind == "lead":
+                nfv[name] = upd(gv(e, f"fv:{name}"), nfv[name])
+        nex = nex | nonempty
+    rec_lead_cont.reverse()
+    for nm in rec_lead_val:
+        rec_lead_val[nm].reverse()
+
+    def mine(lst):
+        return jnp.take(jnp.stack(lst), my)
+
+    cont = mine(rec["cont"])
+    cont_o = mine(rec["cont_o"])
+    cc = mine(rec["C_cnt"])
+    cd = mine(rec["C_dense"])
+    cr = mine(rec["C_rank"])
+
+    # ---- patch my boundary-partition rows ------------------------------
+    validrow = idx < n_v
+    head = validrow & (part_start == 0) & cont
+    for name, kind, col, _ in spec:
+        o = out[name]
+        if kind == "row_number":
+            out[name] = o + jnp.where(head, cc, u0)
+        elif kind == "rank":
+            in_head_run = head & (run_start == 0) & cont_o
+            out[name] = jnp.where(in_head_run, cr,
+                                  o + jnp.where(head, cc, u0))
+        elif kind == "dense_rank":
+            out[name] = o + jnp.where(
+                head, cd - cont_o.astype(jnp.uint32), u0)
+        elif kind == "running_sum" and isinstance(o, U64):
+            clo = mine([t[0] for t in rec_agg[name]])
+            chi = mine([t[1] for t in rec_agg[name]])
+            nlo = o.lo + clo
+            nhi = o.hi + chi + (nlo < clo).astype(jnp.uint32)
+            out[name] = U64(jnp.where(head, nlo, o.lo),
+                            jnp.where(head, nhi, o.hi))
+        elif kind == "running_sum":
+            cf = _bitcast(mine(rec_agg[name]), jnp.float32)
+            out[name] = o + jnp.where(head, cf, f0)
+        elif kind in _RUNNING:
+            cv = _bitcast(mine(rec_agg[name]), o.dtype)
+            op = jnp.minimum if kind == "running_min" else jnp.maximum
+            out[name] = jnp.where(head, op(cv, o), o)
+        elif kind == "lag":
+            pv = _bitcast(mine(rec_lag[name]), o.dtype)
+            m = first & cont & validrow
+            out[name] = jnp.where(m, pv, o)
+        elif kind == "lead":
+            ncont = mine(rec_lead_cont)
+            nv_ = _bitcast(mine(rec_lead_val[name]), o.dtype)
+            m = validrow & (idx == jnp.maximum(n_v, 1) - 1) & ncont
+            out[name] = jnp.where(m, nv_, o)
+
+    planes = []
+    for name, kind, _, _ in spec:
+        v = out[name]
+        if isinstance(v, U64):
+            planes += [v.lo, v.hi]
+        else:
+            planes.append(_bitcast(v, jnp.uint32))
+    outs = [slo, shi, spos] + planes
+    return (*outs, n_v.reshape(1), overflow.reshape(1))
+
+
+def _plan_shard(lo, hi, *rest, n_dev: int, samples_per_dev: int):
+    """Planning pass: route on (key, [order,] position) EXACTLY like
+    _dwindow_shard, return the max off-diagonal bucket demand."""
+    from tpu_qe.exchange.shuffle import offdiag_demand
+
+    n_local = lo.shape[0]
+    my = jax.lax.axis_index(AXIS).astype(jnp.uint32)
+    gpos = (my * jnp.uint32(n_local)
+            + jnp.arange(n_local, dtype=jnp.uint32))
+    planes = [hi, lo] + list(rest) + [gpos]
+    sps = sample_splitters_multi(planes, n_dev, samples_per_dev)
+    dest = route_by_splitters_multi(planes, sps)
+    return offdiag_demand(dest, n_dev).reshape(1)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "samples_per_dev"))
+def plan_window_capacity(key: U64, order, mesh: Mesh,
+                         samples_per_dev: int = 128):
+    """Exact off-diagonal demand of the window exchange (its routing
+    includes the order plane, so dsort.plan_sort_capacity does NOT
+    apply). Same contract as plan_sort_capacity."""
+    n_dev = mesh.shape[AXIS]
+    spec_p = P(AXIS)
+    args = [key.lo, key.hi]
+    if order is not None:
+        args.append(_order_bits(order))
+    fn = shard_map(
+        functools.partial(_plan_shard, n_dev=n_dev,
+                          samples_per_dev=samples_per_dev),
+        mesh=mesh, in_specs=tuple([spec_p] * len(args)),
+        out_specs=spec_p, check_vma=False)
+    return fn(*args)
+
+
+def auto_window_capacity(key: U64, order, mesh: Mesh,
+                         samples_per_dev: int = 128,
+                         slack: float = 1.05) -> int:
+    from tpu_qe.exchange.shuffle import pow2_capacity
+    demand = int(np.asarray(plan_window_capacity(
+        key, order, mesh, samples_per_dev=samples_per_dev)).max())
+    return pow2_capacity(demand, slack)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("mesh", "spec", "has_order", "colnames",
+                                    "samples_per_dev", "capacity_factor",
+                                    "capacity"))
+def _distributed_window(key, order, cols, mesh, spec, has_order, colnames,
+                        samples_per_dev, capacity_factor, capacity):
+    n_dev = mesh.shape[AXIS]
+    n = key.lo.shape[0]
+    assert n % n_dev == 0, (n, n_dev)
+    assert n < (1 << 32), n
+    n_local = n // n_dev
+    if capacity is None:
+        capacity = int(np.ceil(capacity_factor * n_local / n_dev))
+    capacity = max(capacity, 16)
+    assert n_dev * max(capacity, n_local) < (1 << 31), (n_dev, capacity)
+    dtypes = tuple(c.dtype for c in cols)
+    ucols = tuple(_bitcast(c, jnp.uint32) for c in cols)
+
+    body = functools.partial(
+        _dwindow_shard, n_dev=n_dev, samples_per_dev=samples_per_dev,
+        capacity=capacity, spec=spec, has_order=has_order,
+        colnames=colnames, dtypes=dtypes)
+    spec_p = P(AXIS)
+    n_in = 2 + (1 if has_order else 0) + len(cols)
+    n_planes = sum(2 if (k == "running_sum"
+                         and dtypes[colnames.index(c)] != jnp.float32)
+                   else 1 for _, k, c, _ in spec)
+    fn = shard_map(body, mesh=mesh, in_specs=tuple([spec_p] * n_in),
+                   out_specs=tuple([spec_p] * (3 + n_planes + 2)),
+                   check_vma=False)
+    args = [key.lo, key.hi]
+    if has_order:
+        args.append(_order_bits(order))
+    res = fn(*args, *ucols)
+    slo, shi, spos = res[0], res[1], res[2]
+    out, j = {}, 3
+    for name, kind, col, _ in spec:
+        if (kind == "running_sum"
+                and dtypes[colnames.index(col)] != jnp.float32):
+            out[name] = U64(res[j], res[j + 1])
+            j += 2
+        elif kind in _RUNNING + ("lag", "lead"):
+            out[name] = _bitcast(res[j], dtypes[colnames.index(col)])
+            j += 1
+        else:
+            out[name] = res[j]
+            j += 1
+    valid, overflow = res[j], res[j + 1]
+    return DistWindowResult(U64(slo, shi), spos, out, valid), overflow
+
+
+def distributed_window(key: U64, funcs: dict, mesh: Mesh,
+                       order: jnp.ndarray | None = None,
+                       values: dict | None = None,
+                       samples_per_dev: int = 128,
+                       capacity_factor: float = 2.0,
+                       capacity: int | None = None):
+    """Window functions over a mesh-sharded table (see module docstring).
+
+    Same spec language as ops.window.window. key (and order/values) are
+    (n,)-sharded over the 1-D mesh, n divisible by the mesh size.
+    `capacity` as in distributed_sort (routing is identical, so
+    dsort.plan_sort_capacity / auto_capacity apply verbatim).
+
+    Returns (DistWindowResult, overflow): rows come back in global
+    (key, order, input-position) order as per-device valid-prefix runs;
+    scatter by `pos` to recover input alignment. Bit-identical to the
+    single-device ops.window.window on the same rows (tests assert it).
+    """
+    spec = _canon_funcs(funcs)
+    if order is None and any(k in ("rank", "dense_rank")
+                             for _, k, _, _ in spec):
+        raise ValueError("rank/dense_rank require an order column")
+    values = values or {}
+    needed = tuple(sorted({c for _, _, c, _ in spec if c is not None}))
+    for c in needed:
+        if c not in values:
+            raise ValueError(f"window spec references missing column {c!r}")
+    return _distributed_window(
+        key, order, tuple(values[c] for c in needed), mesh, spec,
+        order is not None, needed, samples_per_dev, capacity_factor,
+        capacity)
+
+
+def distributed_window_numpy(keys: np.ndarray, funcs: dict, mesh: Mesh,
+                             order: np.ndarray | None = None,
+                             values: dict | None = None, **kw):
+    """Host wrapper for tests/benches: shard inputs, run, scatter the
+    sorted runs back to input order by `pos`. capacity_factor="auto"
+    plans the exchange demand first (plan_window_capacity — the window's
+    routing includes the order plane)."""
+    n_dev = mesh.shape[AXIS]
+    key = U64.from_numpy(keys)
+    sh = NamedSharding(mesh, P(AXIS))
+    key = U64(jax.device_put(key.lo, sh), jax.device_put(key.hi, sh))
+    jorder = (None if order is None
+              else jax.device_put(jnp.asarray(order), sh))
+    jvals = {nm: jax.device_put(jnp.asarray(v), sh)
+             for nm, v in (values or {}).items()}
+    if kw.get("capacity_factor") == "auto":
+        kw = dict(kw)
+        del kw["capacity_factor"]
+        if n_dev > 1:
+            kw["capacity"] = auto_window_capacity(
+                key, jorder, mesh,
+                samples_per_dev=kw.get("samples_per_dev", 128))
+    res, overflow = distributed_window(key, funcs, mesh, order=jorder,
+                                       values=jvals, **kw)
+    if int(np.asarray(overflow).max()):
+        raise RuntimeError("exchange capacity overflow; raise "
+                           "capacity_factor")
+    n = len(keys)
+    valid = np.asarray(res.valid).reshape(n_dev)
+    pos_r = np.asarray(res.pos).reshape(n_dev, -1)
+    out = {}
+    for name, col in res.cols.items():
+        if isinstance(col, U64):
+            flat = (np.asarray(col.lo).reshape(n_dev, -1).astype(np.uint64)
+                    | (np.asarray(col.hi).reshape(n_dev, -1)
+                       .astype(np.uint64) << np.uint64(32)))
+        else:
+            flat = np.asarray(col).reshape(n_dev, -1)
+        o = np.zeros(n, flat.dtype)
+        for d in range(n_dev):
+            v = int(valid[d])
+            o[pos_r[d, :v]] = flat[d, :v]
+        out[name] = o
+    return out

@@ -95,6 +95,41 @@ def sample_splitters_pos(lo, hi, pos, n_dev: int, samples_per_dev: int,
     return g_lo[sp_idx], g_hi[sp_idx], g_pos[sp_idx]
 
 
+def sample_splitters_multi(planes, n_dev: int, samples_per_dev: int,
+                           axis: str = AXIS):
+    """Lexicographic splitters over arbitrary u32 key planes.
+
+    `planes` is a list of (n_local,) u32 arrays in MAJOR -> minor
+    significance order (e.g. [key_hi, key_lo, order_bits, position]) —
+    the generalization of sample_splitters_pos that distributed windows
+    need: their global order is (key, ORDER, position), so quantiles
+    must be drawn on the same composite or a partition's rows land on
+    devices out of order (appending the unique position as the minor
+    plane keeps the hot-key splitting property). Returns a list of
+    (n_dev-1,) splitter arrays, one per plane.
+    """
+    n_local = planes[0].shape[0]
+    stride = max(n_local // samples_per_dev, 1)
+    idx = (jnp.arange(samples_per_dev) * stride) % n_local
+    g = [jax.lax.all_gather(p[idx], axis).reshape(-1) for p in planes]
+    g = jax.lax.sort(g, num_keys=len(g), is_stable=False)
+    total = n_dev * samples_per_dev
+    sp_idx = (jnp.arange(1, n_dev) * total) // n_dev
+    return [p[sp_idx] for p in g]
+
+
+def route_by_splitters_multi(planes, sps):
+    """dest = number of splitters lexicographically strictly below the
+    row, over matched major->minor plane lists (see
+    sample_splitters_multi)."""
+    gt = jnp.zeros((sps[0].shape[0], planes[0].shape[0]), bool)
+    for p, sp in zip(reversed(planes), reversed(sps)):
+        p_gt = p[None, :] > sp[:, None]
+        p_eq = p[None, :] == sp[:, None]
+        gt = p_gt | (p_eq & gt)
+    return jnp.sum(gt.astype(jnp.uint32), axis=0)
+
+
 def route_by_splitters_pos(lo, hi, pos, sp_lo, sp_hi, sp_pos):
     """dest = number of (key, position) splitters strictly below the row."""
     k_gt = cmp_gt(lo[None, :], hi[None, :], sp_lo[:, None], sp_hi[:, None])

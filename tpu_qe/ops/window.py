@@ -115,7 +115,8 @@ def _window(key: U64, order, cols: tuple, colnames: tuple,
         order_new = is_new
     is_last = jnp.concatenate([is_new[1:], jnp.ones((1,), bool)])
 
-    out = _window_sorted_cols(spec, scols, idx, is_new, order_new, is_last)
+    out, _ = _window_sorted_cols(spec, scols, idx, is_new, order_new,
+                                 is_last)
 
     if output == "sorted":
         return out, spos
@@ -144,10 +145,20 @@ def _window(key: U64, order, cols: tuple, colnames: tuple,
     return restored, None
 
 
-def _window_sorted_cols(spec, scols, idx, is_new, order_new, is_last):
-    """All window planes over an already partition-sorted stream."""
+def _window_sorted_cols(spec, scols, idx, is_new, order_new, is_last,
+                        need_aux: bool = False):
+    """All window planes over an already partition-sorted stream.
+
+    Returns (out, aux): aux carries the forward-filled partition/run
+    start-index planes when need_aux (the distributed carry patch in
+    exchange/dwindow.py masks and rebases with them); within one stream
+    they are internal and elided unless a function needs them.
+    """
     out: dict = {}
     part_start = run_start = None
+    if need_aux:
+        part_start = cummax_u32(jnp.where(is_new, idx, jnp.uint32(0)))
+        run_start = cummax_u32(jnp.where(order_new, idx, jnp.uint32(0)))
     for name, kind, col, fill in spec:
         if kind == "row_number":
             if part_start is None:
@@ -187,7 +198,7 @@ def _window_sorted_cols(spec, scols, idx, is_new, order_new, is_last):
             f = jnp.asarray(fill, v.dtype)
             nxt = jnp.concatenate([v[1:], jnp.full((1,), f, v.dtype)])
             out[name] = jnp.where(is_last, f, nxt)
-    return out
+    return out, {"part_start": part_start, "run_start": run_start}
 
 
 def window(key: U64, funcs: dict, order: jnp.ndarray | None = None,
