@@ -131,6 +131,20 @@ def main() -> None:
     print(f"bigagg:   {res.n} rows -> {res.n_groups} groups across "
           f"{res.n // (1 << 14)} out-of-core runs (count/sum/min/max "
           f"verified on device)")
+
+    # --- 9. window functions: per-sensor running analytics ---------------
+    # OVER (PARTITION BY sensor ORDER BY value): one sort + segmented
+    # sweeps; the running sum is an exact u64 pair (never wraps)
+    win = ev.window("sensor", {"seq": ("row_number",),
+                               "cum_val": ("running_sum", "value"),
+                               "prev_val": ("lag", "value")},
+                    order="value")
+    w = win.to_numpy()
+    s0 = w["sensor"] == w["sensor"][0]
+    assert w["cum_val"][s0].max() == w["value"][s0].astype(np.uint64).sum()
+    print(f"window:   per-sensor row_number/running-sum/lag over "
+          f"{win.num_rows} rows ({int(w['seq'].max())} rows in the "
+          f"busiest sensor)")
     print("done.")
 
 

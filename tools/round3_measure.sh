@@ -37,6 +37,10 @@ step python -m tpu_qe bench-bigjoin --n-left $((1<<28)) --n-right $((1<<28)) --d
 step python -m tpu_qe bench-bigagg  --n $((1<<28)) --groups $((1<<20)) --distributed --force-composed
 step python -m tpu_qe bench-big     --n $((1<<28)) --distributed
 
+# 2b. window-function family (round-3 additions while the tunnel was down)
+step python -m tpu_qe bench-matrix -- --configs window
+step python -m tpu_qe bench-matrix -- --configs window --scale 0.25
+
 # 3. payload-marginal sort cost calibration (STATUS known gap)
 step python tools/calibrate_sol.py sort_ops
 

@@ -10,6 +10,8 @@ Configs (BASELINE.md):
   sort64m        radix sort 64M u64 + payload, 1 chip      (same as bench.py)
   filter_agg     filter + GROUP BY aggregate over 256M rows, 1 chip
   join           FK equi-join 2 x 100M rows, 1 chip (scan-join)
+  join_agg       join -> GROUP BY, fused key-sorted stream vs unfused
+  window         row_number+rank+running_sum over 128M rows, 1 chip
   dsort          distributed sample-sort over the local mesh (all devices)
 """
 
@@ -179,6 +181,37 @@ def bench_join_agg(n: int = 100_000_000, groups: int | None = None,
                   round(s_u / s_f, 3)})
 
 
+def bench_window(n: int = 1 << 27, partitions: int = 1 << 16,
+                 reps: int = 2):
+    """Window functions (row_number + rank + exact-u64 running sum) over
+    n rows: one (key, order, position) sort + segmented sweeps + the
+    input-order restore sort (ops/window.py)."""
+    from tpu_qe.bench.sol import lax_sort_seconds, scan_seconds
+    from tpu_qe.ops.window import window
+
+    k0, k1, k2 = jax.random.split(jax.random.PRNGKey(13), 3)
+    pid = jax.random.randint(k0, (n,), 0, partitions, dtype=jnp.int32)
+    key = U64(pid.view(jnp.uint32) * jnp.uint32(2654435761),
+              pid.view(jnp.uint32) >> 9)
+    order = _rand_u32(k1, n)
+    val = _rand_u32(k2, n)
+    funcs = {"rn": ("row_number",), "rk": ("rank",),
+             "cum": ("running_sum", "v")}
+
+    def run():
+        res = window(key, funcs, order=order, values={"v": val})
+        return res.cols["rn"][:8], res.cols["cum"].lo[:8]
+
+    secs = measure(run, reps=reps)
+    # envelope: window sort (4 keys + value), 2 cummax sweeps, the
+    # 3-plane u64 pair segmented sum, restore sort (pos + 4 planes)
+    sol = (lax_sort_seconds(n, 5, stable=False) * 2
+           + scan_seconds(n, 1) * 2 + scan_seconds(n, 3))
+    return _emit(f"window rn+rank+running_sum, {n} rows, 1 chip", n, secs,
+                 {"partitions": partitions,
+                  "sol_fraction": round(sol / secs, 3)})
+
+
 def bench_dsort(n: int = 1 << 26, zipf: bool = True, reps: int = 2):
     """Distributed sample-sort over all local devices (skewed keys)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -215,7 +248,7 @@ def main(argv=None) -> None:
     import argparse
     p = argparse.ArgumentParser()
     p.add_argument("--configs", type=str,
-                   default="pipeline,filter_agg,join,join_agg,dsort")
+                   default="pipeline,filter_agg,join,join_agg,window,dsort")
     p.add_argument("--scale", type=float, default=1.0,
                    help="row-count multiplier (e.g. 0.1 for smoke runs)")
     a = p.parse_args(argv)
@@ -229,6 +262,8 @@ def main(argv=None) -> None:
             bench_join(n=max(int(100e6 * s), 1 << 12))
         elif c == "join_agg":
             bench_join_agg(n=max(int(100e6 * s), 1 << 12))
+        elif c == "window":
+            bench_window(n=max(int((1 << 27) * s), 1 << 12))
         elif c == "dsort":
             bench_dsort(n=max(int((1 << 26) * s) // 8 * 8, 1 << 12))
         else:
