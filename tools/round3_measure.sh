@@ -40,6 +40,7 @@ step python -m tpu_qe bench-big     --n $((1<<28)) --distributed
 # 2b. window-function family (round-3 additions while the tunnel was down)
 step python -m tpu_qe bench-matrix -- --configs window
 step python -m tpu_qe bench-matrix -- --configs window --scale 0.25
+step python -m tpu_qe bench-bigwindow --n $((1<<29)) --partitions $((1<<20))
 
 # 3. payload-marginal sort cost calibration (STATUS known gap)
 step python tools/calibrate_sol.py sort_ops

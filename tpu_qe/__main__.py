@@ -336,6 +336,35 @@ def _cmd_bench_bigpipe(args) -> int:
     return 0 if res.all_ok else 1
 
 
+def _cmd_bench_bigwindow(args) -> int:
+    import json
+
+    from tpu_qe.bench.sol import device_kind
+    from tpu_qe.ops.bigwindow import window_big
+
+    res = window_big(args.n, partitions=args.partitions,
+                     run_size=args.run_size, n_buckets=args.buckets,
+                     verbose=args.verbose_big,
+                     checkpoint_dir=args.checkpoint_dir)
+    out = {
+        "metric": f"out-of-core window rn+rank+sum+lag, {res.n} rows "
+                  f"x {res.partitions} partitions, 1 chip",
+        "value": round(res.rows_per_s),
+        "unit": "rows/s",
+        "time_s": round(res.seconds, 3),
+        "phase_runs_s": round(res.phase_a_s, 3),
+        "phase_buckets_s": round(res.phase_c_s, 3),
+        "compile_s": round(res.compile_s, 3),
+        "verified": res.all_ok,
+        "checks": {"sorted": res.sorted_ok, "hash": res.hash_ok,
+                   "window": res.window_ok, "count": res.count_ok,
+                   "boundary": res.boundary_ok},
+        "device": device_kind(),
+    }
+    print(json.dumps(out), flush=True)
+    return 0 if res.all_ok else 1
+
+
 def _cmd_bench_bigtopk(args) -> int:
     import json
 
@@ -534,6 +563,18 @@ def main(argv=None) -> int:
                     help="keep the candidate-tree machinery even at D=1")
     pt.add_argument("--verbose-big", action="store_true")
     pt.set_defaults(fn=_cmd_bench_bigtopk)
+
+    pw = sub.add_parser("bench-bigwindow",
+                        help="out-of-core window functions (bucketed "
+                             "sort + sequential carry chain)")
+    pw.add_argument("--n", type=int, default=1 << 29)
+    pw.add_argument("--partitions", type=int, default=None)
+    pw.add_argument("--run-size", type=int, default=1 << 26)
+    pw.add_argument("--buckets", type=int, default=None)
+    pw.add_argument("--checkpoint-dir", type=str, default=None,
+                    help="persist the plan + done-prefix carries here")
+    pw.add_argument("--verbose-big", action="store_true")
+    pw.set_defaults(fn=_cmd_bench_bigwindow)
 
     pi = sub.add_parser("info", help="device + config report")
     pi.set_defaults(fn=_cmd_info)

@@ -16,6 +16,7 @@ _BIG_EXPORTS = {
     "aggregate_big_multi": "bigagg",
     "join_big": "bigjoin",
     "top_k_big": "bigtopk",
+    "window_big": "bigwindow",
     "top_k_big_distributed": "dbigtopk",
     "join_aggregate_big": "bigpipe",
     "aggregate_big_distributed": "dbigagg",
