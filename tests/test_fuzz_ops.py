@@ -171,3 +171,101 @@ def test_fuzz_distributed_join(trial):
             assert rv[i] == rvals[pos[int(k)]], (trial, i)
         else:
             assert not matched[i], (trial, i)
+
+
+@pytest.mark.parametrize("trial", range(10))
+def test_fuzz_window(trial):
+    """Window family (local + distributed) vs a vectorized numpy oracle:
+    random sizes, key skew, order dtypes/presence, func subsets, mesh
+    widths, and capacity modes."""
+    from tpu_qe.exchange.dsort import make_mesh
+    from tpu_qe.exchange.dwindow import distributed_window_numpy
+    from tpu_qe.ops.window import window
+
+    rng = np.random.default_rng(9_000 + trial)
+    n = int(rng.integers(64, 4096))
+    keys = _keys(rng, n)
+    has_order = bool(rng.integers(0, 2))
+    odt = rng.choice(["u32", "i32", "f32"])
+    if has_order:
+        if odt == "u32":
+            order = rng.integers(0, max(int(rng.integers(2, 50)), 2),
+                                 n).astype(np.uint32)  # heavy ties
+        elif odt == "i32":
+            order = rng.integers(-1000, 1000, n, dtype=np.int32)
+        else:
+            order = rng.standard_normal(n).astype(np.float32)
+    else:
+        order = None
+    values = {"v": rng.integers(0, 1 << 32, n).astype(np.uint32)}
+    funcs = {"rn": ("row_number",),
+             "cs": ("running_sum", "v"),
+             "lg": ("lag", "v", int(rng.integers(0, 9))),
+             "ld": ("lead", "v", int(rng.integers(0, 9)))}
+    if has_order:
+        funcs["rk"] = ("rank",)
+        funcs["dr"] = ("dense_rank",)
+
+    # ---- vectorized numpy oracle ---------------------------------------
+    pos = np.arange(n)
+    if order is None:
+        perm = np.lexsort((pos, keys))
+        ob = None
+    else:
+        ob = order.view(np.uint32) if order.dtype == np.float32 else order
+        if order.dtype == np.float32:
+            s = ob >> 31
+            ob = np.where(s == 1, ~ob, ob | np.uint32(0x80000000))
+        perm = np.lexsort((pos, ob, keys))
+    sk = keys[perm]
+    sv = values["v"][perm]
+    idx = np.arange(n)
+    is_new = np.concatenate([[True], sk[1:] != sk[:-1]])
+    if ob is None:
+        order_new = is_new
+    else:
+        so = ob[perm]
+        order_new = is_new | np.concatenate([[True], so[1:] != so[:-1]])
+    part_start = np.maximum.accumulate(np.where(is_new, idx, 0))
+    run_start = np.maximum.accumulate(np.where(order_new, idx, 0))
+    want = {"rn": (idx - part_start + 1).astype(np.uint64)}
+    if has_order:
+        want["rk"] = (run_start - part_start + 1).astype(np.uint64)
+        c = np.cumsum(order_new)
+        base = np.maximum.accumulate(np.where(is_new, c - 1, 0))
+        want["dr"] = (c - base).astype(np.uint64)
+    cs = np.cumsum(sv.astype(np.uint64))
+    prev_cs = np.concatenate([[np.uint64(0)], cs[:-1]])
+    want["cs"] = cs - prev_cs[part_start]
+    lgf = np.uint32(funcs["lg"][2])
+    ldf = np.uint32(funcs["ld"][2])
+    pvv = np.concatenate([[lgf], sv[:-1]])
+    want["lg"] = np.where(is_new, lgf, pvv)
+    is_last = np.concatenate([is_new[1:], [True]])
+    nxt = np.concatenate([sv[1:], [ldf]])
+    want["ld"] = np.where(is_last, ldf, nxt)
+    inv = np.empty(n, np.int64)
+    inv[perm] = idx
+    want = {k: v[inv] for k, v in want.items()}  # back to input order
+
+    # ---- local operator --------------------------------------------------
+    res = window(U64.from_numpy(keys), funcs,
+                 order=None if order is None else jnp.asarray(order),
+                 values={"v": jnp.asarray(values["v"])})
+    for nm in funcs:
+        got = res.cols[nm]
+        got = got.to_numpy() if isinstance(got, U64) else np.asarray(got)
+        np.testing.assert_array_equal(got.astype(np.uint64),
+                                      want[nm].astype(np.uint64),
+                                      err_msg=f"local {nm}")
+
+    # ---- distributed: bit-identical to local ----------------------------
+    d = int(rng.choice([w for w in (1, 2, 4, 8) if n % w == 0]))
+    mesh = make_mesh(d)
+    cap = "auto" if rng.integers(0, 2) else float(d)
+    got_d = distributed_window_numpy(keys, funcs, mesh, order=order,
+                                     values=values, capacity_factor=cap)
+    for nm in funcs:
+        np.testing.assert_array_equal(
+            got_d[nm].astype(np.uint64), want[nm].astype(np.uint64),
+            err_msg=f"distributed {nm} (D={d}, cap={cap})")
