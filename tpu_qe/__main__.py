@@ -340,15 +340,30 @@ def _cmd_bench_bigwindow(args) -> int:
     import json
 
     from tpu_qe.bench.sol import device_kind
-    from tpu_qe.ops.bigwindow import window_big
 
-    res = window_big(args.n, partitions=args.partitions,
-                     run_size=args.run_size, n_buckets=args.buckets,
-                     verbose=args.verbose_big,
-                     checkpoint_dir=args.checkpoint_dir)
+    if args.distributed:
+        from tpu_qe.exchange.dsort import make_mesh
+        from tpu_qe.ops.dbigwindow import window_big_distributed
+        mesh = make_mesh(args.devices)
+        d = int(mesh.devices.size)
+        assert args.checkpoint_dir is None, \
+            "--checkpoint-dir applies to the single-chip path"
+        res = window_big_distributed(
+            args.n, mesh, partitions=args.partitions,
+            run_size=args.run_size, buckets_per_dev=args.buckets,
+            verbose=args.verbose_big,
+            force_composed=args.force_composed)
+        where = f"{d} devices"
+    else:
+        from tpu_qe.ops.bigwindow import window_big
+        res = window_big(args.n, partitions=args.partitions,
+                         run_size=args.run_size, n_buckets=args.buckets,
+                         verbose=args.verbose_big,
+                         checkpoint_dir=args.checkpoint_dir)
+        where = "1 chip"
     out = {
         "metric": f"out-of-core window rn+rank+sum+lag, {res.n} rows "
-                  f"x {res.partitions} partitions, 1 chip",
+                  f"x {res.partitions} partitions, {where}",
         "value": round(res.rows_per_s),
         "unit": "rows/s",
         "time_s": round(res.seconds, 3),
@@ -573,6 +588,13 @@ def main(argv=None) -> int:
     pw.add_argument("--buckets", type=int, default=None)
     pw.add_argument("--checkpoint-dir", type=str, default=None,
                     help="persist the plan + done-prefix carries here")
+    pw.add_argument("--distributed", action="store_true",
+                    help="distributed out-of-core window over the device "
+                         "mesh (ops/dbigwindow.py)")
+    pw.add_argument("--devices", type=int, default=None,
+                    help="mesh size for --distributed (default: all)")
+    pw.add_argument("--force-composed", action="store_true",
+                    help="keep the composed machinery even at D=1")
     pw.add_argument("--verbose-big", action="store_true")
     pw.set_defaults(fn=_cmd_bench_bigwindow)
 

@@ -17,6 +17,7 @@ _BIG_EXPORTS = {
     "join_big": "bigjoin",
     "top_k_big": "bigtopk",
     "window_big": "bigwindow",
+    "window_big_distributed": "dbigwindow",
     "top_k_big_distributed": "dbigtopk",
     "join_aggregate_big": "bigpipe",
     "aggregate_big_distributed": "dbigagg",

@@ -165,13 +165,126 @@ def _u64_add(alo, ahi, blo, bhi):
     return lo, ahi + bhi + (lo < blo).astype(jnp.uint32)
 
 
+def window_core(shi, slo, so, sidx, sv, n_valid, carry,
+                partitions: int, seed: int):
+    """Window planes + carry patch + construction-exact verification over
+    one SORTED (key, order, index) stream with sentinel pads at the tail
+    (bit 31 of the index plane is the pad flag).
+
+    The shared phase-C core of the out-of-core window at both scales —
+    window_big's sequential bucket chain and dbigwindow's per-device
+    bucket rounds (whose incoming device carry comes from the O(D)
+    pre-pass chain). Returns (checks 10-tuple, carry_out (9,) u32,
+    planes (rn, rk, cum_lo, cum_hi, lg))."""
+    spad = (sidx >> jnp.uint32(31)) > 0
+    m = slo.shape[0]
+    pos = jnp.arange(m, dtype=jnp.uint32)
+    valid = pos < n_valid
+
+    def prev(x):
+        return jnp.concatenate([jnp.zeros((1,), x.dtype), x[:-1]])
+
+    first = pos == 0
+    is_new = (first | (slo != prev(slo)) | (shi != prev(shi))
+              | (spad & ~prev(spad)))
+    order_new = is_new | (so != prev(so))
+    is_last = jnp.concatenate([is_new[1:], jnp.ones((1,), bool)])
+
+    out, aux = _window_sorted_cols(WSPEC, {"v": sv}, pos, is_new,
+                                   order_new, is_last, need_aux=True)
+    part_start, run_start = aux["part_start"], aux["run_start"]
+
+    # --- patch the boundary partition with the previous bucket ------
+    have, plk_lo, plk_hi, plord = carry[0], carry[1], carry[2], carry[3]
+    c_cnt, c_rank = carry[4], carry[5]
+    c_slo, c_shi, c_lv = carry[6], carry[7], carry[8]
+    cont = (have > 0) & (slo[0] == plk_lo) & (shi[0] == plk_hi)
+    cont_o = cont & (so[0] == plord)
+    head = valid & (part_start == 0) & cont
+    u0 = jnp.uint32(0)
+    rn = out["rn"] + jnp.where(head, c_cnt, u0)
+    in_head_run = head & (run_start == 0) & cont_o
+    rk = jnp.where(in_head_run, c_rank,
+                   out["rk"] + jnp.where(head, c_cnt, u0))
+    nlo, nhi = _u64_add(out["cum"].lo, out["cum"].hi, c_slo, c_shi)
+    cum_lo = jnp.where(head, nlo, out["cum"].lo)
+    cum_hi = jnp.where(head, nhi, out["cum"].hi)
+    lg = jnp.where(first & cont, c_lv, out["lg"])
+
+    # --- construction-exact on-device verification -------------------
+    # composite (key, order, index) order over the valid prefix
+    pr_hi, pr_lo = prev(shi), prev(slo)
+    pr_o, pr_i = prev(so), prev(sidx)
+    ge = ((shi > pr_hi)
+          | ((shi == pr_hi)
+             & ((slo > pr_lo)
+                | ((slo == pr_lo)
+                   & ((so > pr_o)
+                      | ((so == pr_o) & (sidx >= pr_i)))))))
+    sorted_ok = jnp.all(ge | first | ~valid)
+    # every row's key/order/value are the generator's closed forms of
+    # its own carried index — rows move as units or this fails
+    want_k = _key_of(sidx, partitions, seed)
+    hash_ok = jnp.all(~valid | ((slo == want_k.lo) & (shi == want_k.hi)
+                                & (so == _ord_of(sidx, seed))
+                                & (sv == _val_of(sidx, seed))))
+    # full re-derivation of every window column via its sequential
+    # recurrence (independent of the blocked-scan compute path),
+    # seamed against the carry at row 0
+    pv = prev(sv)
+    rn_want = jnp.where(is_new, jnp.uint32(1), prev(rn) + 1)
+    rn_want = jnp.where(
+        first, jnp.where(cont, c_cnt + 1, jnp.uint32(1)), rn_want)
+    rk_want = jnp.where(is_new, jnp.uint32(1),
+                        jnp.where(order_new, rn, prev(rk)))
+    rk_want = jnp.where(
+        first, jnp.where(cont_o, c_rank,
+                         jnp.where(cont, c_cnt + 1, jnp.uint32(1))),
+        rk_want)
+    alo, ahi = _u64_add(prev(cum_lo), prev(cum_hi), sv,
+                        jnp.zeros_like(sv))
+    cum_want_lo = jnp.where(is_new, sv, alo)
+    cum_want_hi = jnp.where(is_new, u0, ahi)
+    slo0, shi0 = _u64_add(c_slo, c_shi, sv, jnp.zeros_like(sv))
+    cum_want_lo = jnp.where(first & cont, slo0, cum_want_lo)
+    cum_want_hi = jnp.where(first & cont, shi0, cum_want_hi)
+    lg_want = jnp.where(is_new, u0, pv)
+    lg_want = jnp.where(first, jnp.where(cont, c_lv, u0), lg_want)
+    window_ok = jnp.all(
+        ~valid | ((rn == rn_want) & (rk == rk_want)
+                  & (cum_lo == cum_want_lo) & (cum_hi == cum_want_hi)
+                  & (lg == lg_want)))
+
+    # --- carry out (pass through unchanged on an empty bucket) -------
+    li = jnp.maximum(n_valid, 1) - 1
+    nonempty = n_valid > 0
+
+    def sel(new, old):
+        return jnp.where(nonempty, new, old)
+
+    carry_out = jnp.stack([
+        sel(jnp.uint32(1), have),
+        sel(slo[li], plk_lo), sel(shi[li], plk_hi),
+        sel(so[li], plord),
+        sel(rn[li], c_cnt), sel(rk[li], c_rank),
+        sel(cum_lo[li], c_slo), sel(cum_hi[li], c_shi),
+        sel(sv[li], c_lv),
+    ])
+    checks = (sorted_ok.astype(jnp.uint32),
+              hash_ok.astype(jnp.uint32),
+              window_ok.astype(jnp.uint32),
+              n_valid, slo[0], shi[0], so[0],
+              slo[li], shi[li], so[li])
+    return checks, carry_out, (rn, rk, cum_lo, cum_hi, lg)
+
+
 def _bucket_fn(n_runs: int, cap_seg: int, partitions: int, seed: int,
                collect: bool = False):
-    """Phase-C body for one bucket: merge + window + carry + verify."""
+    """Phase-C body for one bucket: merge the runs' segments, then the
+    shared window core (compute + carry patch + verification)."""
 
     @jax.jit
     def bucket(starts, deltas, sizes, carry, *run_arrays):
-        # --- merge the runs' segments (sort/bigsort.py discipline) ------
         segs = [[] for _ in range(5)]
         ar = jnp.arange(cap_seg, dtype=jnp.uint32)
         for r in range(n_runs):
@@ -191,109 +304,10 @@ def _bucket_fn(n_runs: int, cap_seg: int, partitions: int, seed: int,
         res = jax.lax.sort([hi, lo, o, ridx, v], num_keys=4,
                            is_stable=False)
         shi, slo, so, sidx, sv = res
-        spad = (sidx >> jnp.uint32(31)) > 0
-
-        m = slo.shape[0]
-        pos = jnp.arange(m, dtype=jnp.uint32)
-        valid = pos < n_valid
-
-        def prev(x):
-            return jnp.concatenate([jnp.zeros((1,), x.dtype), x[:-1]])
-
-        first = pos == 0
-        is_new = (first | (slo != prev(slo)) | (shi != prev(shi))
-                  | (spad & ~prev(spad)))
-        order_new = is_new | (so != prev(so))
-        is_last = jnp.concatenate([is_new[1:], jnp.ones((1,), bool)])
-
-        out, aux = _window_sorted_cols(WSPEC, {"v": sv}, pos, is_new,
-                                       order_new, is_last, need_aux=True)
-        part_start, run_start = aux["part_start"], aux["run_start"]
-
-        # --- patch the boundary partition with the previous bucket ------
-        have, plk_lo, plk_hi, plord = carry[0], carry[1], carry[2], carry[3]
-        c_cnt, c_rank = carry[4], carry[5]
-        c_slo, c_shi, c_lv = carry[6], carry[7], carry[8]
-        cont = (have > 0) & (slo[0] == plk_lo) & (shi[0] == plk_hi)
-        cont_o = cont & (so[0] == plord)
-        head = valid & (part_start == 0) & cont
-        u0 = jnp.uint32(0)
-        rn = out["rn"] + jnp.where(head, c_cnt, u0)
-        in_head_run = head & (run_start == 0) & cont_o
-        rk = jnp.where(in_head_run, c_rank,
-                       out["rk"] + jnp.where(head, c_cnt, u0))
-        nlo, nhi = _u64_add(out["cum"].lo, out["cum"].hi, c_slo, c_shi)
-        cum_lo = jnp.where(head, nlo, out["cum"].lo)
-        cum_hi = jnp.where(head, nhi, out["cum"].hi)
-        lg = jnp.where(first & cont, c_lv, out["lg"])
-
-        # --- construction-exact on-device verification -------------------
-        # composite (key, order, index) order over the valid prefix
-        pr_hi, pr_lo = prev(shi), prev(slo)
-        pr_o, pr_i = prev(so), prev(sidx)
-        ge = ((shi > pr_hi)
-              | ((shi == pr_hi)
-                 & ((slo > pr_lo)
-                    | ((slo == pr_lo)
-                       & ((so > pr_o)
-                          | ((so == pr_o) & (sidx >= pr_i)))))))
-        sorted_ok = jnp.all(ge | first | ~valid)
-        # every row's key/order/value are the generator's closed forms of
-        # its own carried index — rows move as units or this fails
-        want_k = _key_of(sidx, partitions, seed)
-        hash_ok = jnp.all(~valid | ((slo == want_k.lo) & (shi == want_k.hi)
-                                    & (so == _ord_of(sidx, seed))
-                                    & (sv == _val_of(sidx, seed))))
-        # full re-derivation of every window column via its sequential
-        # recurrence (independent of the blocked-scan compute path),
-        # seamed against the carry at row 0
-        pv = prev(sv)
-        rn_want = jnp.where(is_new, jnp.uint32(1), prev(rn) + 1)
-        rn_want = jnp.where(
-            first, jnp.where(cont, c_cnt + 1, jnp.uint32(1)), rn_want)
-        rk_want = jnp.where(is_new, jnp.uint32(1),
-                            jnp.where(order_new, rn, prev(rk)))
-        rk_want = jnp.where(
-            first, jnp.where(cont_o, c_rank,
-                             jnp.where(cont, c_cnt + 1, jnp.uint32(1))),
-            rk_want)
-        alo, ahi = _u64_add(prev(cum_lo), prev(cum_hi), sv,
-                            jnp.zeros_like(sv))
-        cum_want_lo = jnp.where(is_new, sv, alo)
-        cum_want_hi = jnp.where(is_new, u0, ahi)
-        slo0, shi0 = _u64_add(c_slo, c_shi, sv, jnp.zeros_like(sv))
-        cum_want_lo = jnp.where(first & cont, slo0, cum_want_lo)
-        cum_want_hi = jnp.where(first & cont, shi0, cum_want_hi)
-        lg_want = jnp.where(is_new, u0, pv)
-        lg_want = jnp.where(first, jnp.where(cont, c_lv, u0), lg_want)
-        window_ok = jnp.all(
-            ~valid | ((rn == rn_want) & (rk == rk_want)
-                      & (cum_lo == cum_want_lo) & (cum_hi == cum_want_hi)
-                      & (lg == lg_want)))
-
-        # --- carry out (pass through unchanged on an empty bucket) -------
-        li = jnp.maximum(n_valid, 1) - 1
-        nonempty = n_valid > 0
-
-        def sel(new, old):
-            return jnp.where(nonempty, new, old)
-
-        carry_out = jnp.stack([
-            sel(jnp.uint32(1), have),
-            sel(slo[li], plk_lo), sel(shi[li], plk_hi),
-            sel(so[li], plord),
-            sel(rn[li], c_cnt), sel(rk[li], c_rank),
-            sel(cum_lo[li], c_slo), sel(cum_hi[li], c_shi),
-            sel(sv[li], c_lv),
-        ])
-        checks = (sorted_ok.astype(jnp.uint32),
-                  hash_ok.astype(jnp.uint32),
-                  window_ok.astype(jnp.uint32),
-                  n_valid, slo[0], shi[0], so[0],
-                  slo[li], shi[li], so[li])
+        checks, carry_out, planes = window_core(
+            shi, slo, so, sidx, sv, n_valid, carry, partitions, seed)
         if collect:
-            return checks + (carry_out, slo, shi, so, sidx, sv,
-                             rn, rk, cum_lo, cum_hi, lg)
+            return checks + (carry_out, slo, shi, so, sidx, sv) + planes
         return checks + (carry_out,)
 
     return bucket

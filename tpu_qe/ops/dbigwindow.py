@@ -1,0 +1,516 @@
+"""Distributed out-of-core window functions: both scaling axes at once.
+
+Completes the window row of the composition matrix (README): data larger
+than ONE device's memory, windowed across the mesh. The construction
+composes three proven pieces:
+
+  phase A/B/X  sort/dbigsort.py's machinery on the WINDOW order: per-
+               device runs sorted by (key, order, index) — 4-key sorts —
+               one global splitter plan on the same composite
+               (lexicographic 4-plane quantiles + multi-plane
+               searchsorted, so hot partitions split across buckets AND
+               devices with balanced capacities under any skew), and the
+               column-generic per-run segment all_to_all (5 columns).
+  phase P      the device-level carry WITHOUT windowing anything first:
+               each device's incoming carry describes the tail partition
+               of all previous devices, and every component of it (count,
+               rank, exact u64 sum, last value) is a masked REDUCTION
+               over that device's resident blocks — key == last-key masks
+               plus one u64 pair cumsum tail. One cheap pre-pass program
+               computes per-device summaries, all_gathers O(D) scalars,
+               and runs the same D-step chain as exchange/dwindow.py —
+               so every device enters phase C with its correct carry and
+               the B bucket rounds stay fully parallel across devices
+               (no global serialization of the carry chain).
+  phase C      per bucket round, all devices at once: merge segments,
+               then the SHARED window core (ops/bigwindow.py
+               window_core): blocked-scan window planes, carry patch,
+               and the construction-exact verification — composite
+               sortedness, closed-form hash checks, and the full
+               sequential-recurrence re-derivation of every window
+               column seamed against the carry. Carries chain across
+               rounds as device arrays.
+
+D=1 delegates to the single-chip window_big (nothing to exchange);
+force_composed keeps the composed machinery measurable. CPU-mesh tests
+assert bit-identity with the numpy oracle at D=1/2/4/8 including one
+partition spanning every device and bucket.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tpu_qe.exchange.shuffle import AXIS
+from tpu_qe.ops.bigwindow import (BigWindowResult, N_CARRY, N_CHECK,
+                                  _key_of, _ord_of, _searchsorted_multi,
+                                  _val_of, window_big, window_core)
+from tpu_qe.ops.segscan import cumsum_u64_pair
+from tpu_qe.sort.dbigsort import _exchange_fn, _quantize
+
+_ONES = jnp.uint32(0xFFFFFFFF)
+
+
+# ----------------------------------------------------------------- phase A
+
+def _runner_fn(mesh: Mesh, n_local: int, run_size: int, partitions: int,
+               seed: int):
+    def body(r):
+        d = jax.lax.axis_index(AXIS).astype(jnp.uint32)
+        base = d * jnp.uint32(n_local) + r * jnp.uint32(run_size)
+        idx = base + jnp.arange(run_size, dtype=jnp.uint32)
+        key = _key_of(idx, partitions, seed)
+        o = _ord_of(idx, seed)
+        v = _val_of(idx, seed)
+        out = jax.lax.sort([key.hi, key.lo, o, idx, v], num_keys=4,
+                           is_stable=False)
+        return out[1], out[0], out[2], out[3], out[4]
+
+    fn = shard_map(body, mesh=mesh, in_specs=(P(),),
+                   out_specs=tuple([P(AXIS)] * 5), check_vma=False)
+    return jax.jit(fn)
+
+
+# ----------------------------------------------------------------- phase B
+
+def _planner_fn(mesh: Mesh, n_runs: int, n_buckets_total: int,
+                per_run: int, run_size: int):
+    """Composite (key, order, index) splitters at the (D*B)-quantiles +
+    exact per-run boundaries (4-plane searchsorted)."""
+
+    def body(*run_cols):
+        # run_cols = 5 per run: lo, hi, o, idx, v
+        stride = max(run_size // per_run, 1)
+        sel = (jnp.arange(per_run) * stride) % run_size
+        smp = [[] for _ in range(4)]
+        for r in range(n_runs):
+            lo, hi, o, idx = run_cols[5 * r: 5 * r + 4]
+            for j, p in enumerate((hi, lo, o, idx)):
+                smp[j].append(jnp.take(p, sel))
+        g = [jax.lax.all_gather(jnp.concatenate(s), AXIS).reshape(-1)
+             for s in smp]
+        g = jax.lax.sort(g, num_keys=4, is_stable=False)
+        total = g[0].shape[0]
+        q = (jnp.arange(1, n_buckets_total) * total) // n_buckets_total
+        sp = [p[q] for p in g]
+        bounds = jnp.stack([
+            _searchsorted_multi(
+                (run_cols[5 * r + 1], run_cols[5 * r],
+                 run_cols[5 * r + 2], run_cols[5 * r + 3]), sp)
+            for r in range(n_runs)])          # (R, S-1) per device
+        return bounds
+
+    specs = tuple([P(AXIS)] * (5 * n_runs))
+    fn = shard_map(body, mesh=mesh, in_specs=specs,
+                   out_specs=P(AXIS, None), check_vma=False)
+    return jax.jit(fn)
+
+
+# ----------------------------------------------------------------- phase P
+
+def _precarry_fn(mesh: Mesh, n_runs: int, n_dev: int, cap_blk: int,
+                 seed: int):
+    """Per-device incoming carry from O(D) summaries + the chain.
+
+    Every carry component is a masked reduction over this device's
+    resident blocks (no windows computed yet): count / rank-count /
+    exact u64 sum over the key == device-last-key rows, plus the first
+    and last (key, order, value) rows found by a tiny candidate sort
+    over the R*D known per-block edge positions.
+    """
+
+    def body(deltas, sizes, *block_cols):
+        # deltas/sizes: (1, R*D) -> (R, D); block_cols: R groups of 5
+        # (D, cap_blk) arrays.
+        deltas = deltas.reshape(n_runs, n_dev)
+        sizes = sizes.reshape(n_runs, n_dev)
+        ar = jnp.arange(cap_blk, dtype=jnp.uint32)
+
+        # edge-row candidates: the first/last valid row of every (run,
+        # source) block row sits at a plan-known offset — gather R*D
+        # candidates per edge and reduce with one tiny 5-operand sort.
+        cand = {k: [] for k in ("hi", "lo", "o", "idx", "v", "ok")}
+        for r in range(n_runs):
+            cols = block_cols[5 * r: 5 * (r + 1)]
+            for s in range(n_dev):
+                d = deltas[r, s]
+                sz = sizes[r, s]
+                for which, j in (("f", d), ("l", d + sz - 1)):
+                    jj = jnp.maximum(j, 0)
+                    row = [jax.lax.dynamic_slice(
+                        c, (jnp.int32(s), jj.astype(jnp.int32)),
+                        (1, 1))[0, 0] for c in cols]
+                    cand["lo"].append(row[0])
+                    cand["hi"].append(row[1])
+                    cand["o"].append(row[2])
+                    cand["idx"].append(row[3])
+                    cand["v"].append(row[4])
+                    cand["ok"].append((sz > 0).astype(jnp.uint32))
+        C = {k: jnp.stack(v) for k, v in cand.items()}
+        # max valid row: zero out invalids (validity as the 5th sort key
+        # puts a valid row last among exact ties), take the last element
+        mz = [jnp.where(C["ok"] > 0, C[k], jnp.uint32(0))
+              for k in ("hi", "lo", "o", "idx")]
+        mx = jax.lax.sort(mz + [C["ok"], C["v"]], num_keys=5,
+                          is_stable=False)
+        lk_hi, lk_lo, lo_last, lastv = (mx[0][-1], mx[1][-1], mx[2][-1],
+                                        mx[5][-1])
+        # min valid row: invalids to all-ones (~ok as the tie key puts a
+        # valid row first), take the first element
+        mo = [jnp.where(C["ok"] > 0, C[k], _ONES)
+              for k in ("hi", "lo", "o", "idx")]
+        mn = jax.lax.sort(mo + [1 - C["ok"]], num_keys=5, is_stable=False)
+        fk_hi, fk_lo, fo = mn[0][0], mn[1][0], mn[2][0]
+
+        # masked reductions over every block for the tail partition
+        nv = jnp.uint32(0)
+        cnt = jnp.uint32(0)
+        rank_below = jnp.uint32(0)
+        tail_vals = []
+        for r in range(n_runs):
+            lo, hi, o, _idx, v = block_cols[5 * r: 5 * (r + 1)]
+            d = deltas[r].astype(jnp.uint32)[:, None]
+            sz = sizes[r].astype(jnp.uint32)[:, None]
+            valid = (ar[None, :] >= d) & (ar[None, :] < d + sz)
+            eq = valid & (lo == lk_lo) & (hi == lk_hi)
+            nv += jnp.sum(sizes[r]).astype(jnp.uint32)
+            cnt += jnp.sum(eq, dtype=jnp.uint32)
+            rank_below += jnp.sum(eq & (o < lo_last), dtype=jnp.uint32)
+            tail_vals.append(jnp.where(eq, v, jnp.uint32(0)).reshape(-1))
+        tslo, tshi = cumsum_u64_pair(jnp.concatenate(tail_vals))
+        tail_slo, tail_shi = tslo[-1], tshi[-1]
+        tail_rank = rank_below + 1
+        tps_zero = ((fk_lo == lk_lo) & (fk_hi == lk_hi)).astype(jnp.uint32)
+        trs_zero = (tps_zero > 0) & (fo == lo_last)
+
+        vec = jnp.stack([nv, fk_lo, fk_hi, fo, lk_lo, lk_hi, lo_last,
+                         tps_zero, trs_zero.astype(jnp.uint32),
+                         cnt, tail_rank, tail_slo, tail_shi, lastv])
+        g = jax.lax.all_gather(vec, AXIS)     # (D, 14), replicated work
+
+        # D-step chain (exchange/dwindow.py fold, window-core carry set)
+        u0 = jnp.uint32(0)
+        have = u0
+        plk_lo = plk_hi = plord = u0
+        C_cnt = C_rank = C_slo = C_shi = C_lv = u0
+        rec = []
+        for e in range(n_dev):
+            (nv_e, fkl, fkh, fo_e, lkl, lkh, lol, tps, trs, cnt_e,
+             trank, tsl, tsh, lv_e) = [g[e, j] for j in range(14)]
+            rec.append(jnp.stack([have, plk_lo, plk_hi, plord,
+                                  C_cnt, C_rank, C_slo, C_shi, C_lv]))
+            nonempty = nv_e > 0
+            cont = (have > 0) & nonempty & (fkl == plk_lo) & (fkh == plk_hi)
+            cont_o = cont & (fo_e == plord)
+            whole = cont & (tps > 0)
+            nC_cnt = cnt_e + jnp.where(whole, C_cnt, u0)
+            nC_rank = jnp.where(
+                trs == 0,
+                trank + jnp.where(whole, C_cnt, u0),
+                jnp.where(cont_o, C_rank,
+                          trank + jnp.where(cont, C_cnt, u0)))
+            alo = tsl + C_slo
+            ahi = tsh + C_shi + (alo < tsl).astype(jnp.uint32)
+            nC_slo = jnp.where(whole, alo, tsl)
+            nC_shi = jnp.where(whole, ahi, tsh)
+
+            def upd(new, old, ne=nonempty):
+                return jnp.where(ne, new, old)
+
+            C_cnt = upd(nC_cnt, C_cnt)
+            C_rank = upd(nC_rank, C_rank)
+            C_slo = upd(nC_slo, C_slo)
+            C_shi = upd(nC_shi, C_shi)
+            C_lv = upd(lv_e, C_lv)
+            plk_lo = upd(lkl, plk_lo)
+            plk_hi = upd(lkh, plk_hi)
+            plord = upd(lol, plord)
+            have = have | nonempty.astype(jnp.uint32)
+
+        my = jax.lax.axis_index(AXIS)
+        return jnp.take(jnp.stack(rec), my, axis=0).reshape(1, N_CARRY)
+
+    plan = P(AXIS, None)
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(plan, plan) + tuple([plan] * (5 * n_runs)),
+        out_specs=plan, check_vma=False)
+    return jax.jit(fn)
+
+
+# ----------------------------------------------------------------- phase C
+
+def _merger_fn(mesh: Mesh, n_runs: int, n_dev: int, cap_blk: int,
+               cap_seg: int, partitions: int, seed: int, collect: bool):
+    """One bucket round on every device: merge segments + window core."""
+    m = n_runs * n_dev * cap_seg
+
+    def body(carry, starts, deltas, sizes, *block_cols):
+        carry = carry.reshape(N_CARRY)
+        ar = jnp.arange(cap_seg, dtype=jnp.uint32)
+        segs = [[] for _ in range(5)]
+        for r in range(n_runs):
+            cols = block_cols[5 * r: 5 * (r + 1)]
+            for sdev in range(n_dev):
+                st = starts[r, sdev]
+                d = deltas[r, sdev].astype(jnp.uint32)
+                sz = sizes[r, sdev].astype(jnp.uint32)
+                in_seg = (ar >= d) & (ar < d + sz)
+                si = jnp.int32(sdev)
+                for c in range(5):
+                    sl = jax.lax.dynamic_slice(cols[c], (si, st),
+                                               (1, cap_seg))[0]
+                    fill = jnp.uint32(0) if c == 4 else _ONES
+                    segs[c].append(jnp.where(in_seg, sl, fill))
+        lo, hi, o, ridx, v = [jnp.concatenate(s) for s in segs]
+        n_valid = jnp.sum(sizes).astype(jnp.uint32)
+        res = jax.lax.sort([hi, lo, o, ridx, v], num_keys=4,
+                           is_stable=False)
+        shi, slo, so, sidx, sv = res
+        checks, carry_out, planes = window_core(
+            shi, slo, so, sidx, sv, n_valid, carry, partitions, seed)
+        outs = tuple(x.reshape(1) for x in checks)
+        outs = outs + (carry_out.reshape(1, N_CARRY),)
+        if collect:
+            outs = outs + (slo, shi, so, sidx, sv) + planes
+        return outs
+
+    plan = P(AXIS, None)
+    out_specs = ([P(AXIS)] * N_CHECK + [plan]
+                 + ([P(AXIS)] * 10 if collect else []))
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(plan, plan, plan, plan) + tuple([plan] * (5 * n_runs)),
+        out_specs=tuple(out_specs), check_vma=False)
+    return jax.jit(fn), m
+
+
+def window_big_distributed(n: int, mesh: Mesh, partitions: int | None = None,
+                           run_size: int = 1 << 26,
+                           buckets_per_dev: int | None = None, seed: int = 7,
+                           samples_per_run: int = 4096,
+                           verbose: bool = False, collect: bool = False,
+                           force_composed: bool = False):
+    """Distributed + out-of-core window over `mesh` (module docstring).
+
+    n must be divisible by D * run_size and < 2^31. Fixed verified set
+    (the single-chip window_big contract): row_number, rank, EXACT u64
+    running sum, lag. With D == 1 the exchange has nothing to move, so
+    the call DELEGATES to window_big (force_composed keeps the composed
+    machinery). Returns BigWindowResult; with collect=True additionally
+    the host-assembled rows + window columns in global order (small-n
+    oracle tests only).
+    """
+    n_dev = int(mesh.shape[AXIS])
+    if partitions is None:
+        partitions = max(n // 1024, 1)
+    if n_dev == 1 and not force_composed:
+        return window_big(n, partitions=partitions, run_size=run_size,
+                          n_buckets=buckets_per_dev, seed=seed,
+                          samples_per_run=samples_per_run,
+                          verbose=verbose, collect=collect)
+    assert n % (n_dev * run_size) == 0, (n, n_dev, run_size)
+    assert n < (1 << 31), "pad flag rides bit 31 of the index plane"
+    n_local = n // n_dev
+    n_runs = n_local // run_size
+    if buckets_per_dev is None:
+        buckets_per_dev = max(1, int(np.ceil(n_local / (1 << 26))))
+    n_b = buckets_per_dev
+    S = n_dev * n_b
+    per_run = min(samples_per_run, run_size)
+    quantum = 1 << 20 if run_size >= (1 << 22) else 256
+
+    rep = NamedSharding(mesh, P())
+    plan_sh = NamedSharding(mesh, P(AXIS, None))
+
+    def _rep(x):
+        return jax.device_put(x, rep)
+
+    def _plan_put(x):
+        return jax.device_put(jnp.asarray(x, jnp.int32), plan_sh)
+
+    # ---- AOT compiles outside the timed region ----
+    tc0 = time.perf_counter()
+    np.asarray(jnp.zeros(8, jnp.uint32)[:1])
+    runner = _runner_fn(mesh, n_local, run_size, partitions, seed)
+    run_exec = runner.lower(_rep(jnp.uint32(0))).compile()
+    compile_s = time.perf_counter() - tc0
+
+    # ---- phase A ----
+    t0 = time.perf_counter()
+    runs = [run_exec(_rep(jnp.uint32(r))) for r in range(n_runs)]
+    for run in runs:
+        np.asarray(jax.device_get(run[0][-1:]))
+    t_a = time.perf_counter() - t0
+
+    # ---- phase B ----
+    tcp = time.perf_counter()
+    planner = _planner_fn(mesh, n_runs, S, per_run, run_size)
+    flat_runs_in = tuple(a for run in runs for a in run)
+    plan_exec = planner.lower(*flat_runs_in).compile()
+    compile_s += time.perf_counter() - tcp
+    t_b0 = time.perf_counter()
+    bounds = np.asarray(plan_exec(*flat_runs_in)).reshape(
+        n_dev, n_runs, S - 1)
+    t_b = time.perf_counter() - t_b0
+
+    zeros = np.zeros((n_dev, n_runs, 1), dtype=np.int64)
+    full = np.full((n_dev, n_runs, 1), run_size, dtype=np.int64)
+    pos = np.concatenate([zeros, bounds.astype(np.int64), full], axis=2)
+    blk_edge = pos[:, :, 0:S + 1:n_b]
+    blk_start = blk_edge[:, :, :-1]                      # (D, R, D)
+    blk_size = blk_edge[:, :, 1:] - blk_start
+    cap_blk = _quantize(int(blk_size.max()), quantum, run_size)
+    eye = np.eye(n_dev, dtype=bool)[:, None, :]
+    off_max = int(np.where(eye, 0, blk_size).max()) if n_dev > 1 else 0
+    cap_off = _quantize(off_max, quantum, cap_blk) if n_dev > 1 else 16
+    seg_size = pos[:, :, 1:] - pos[:, :, :-1]            # (D, R, S)
+    cap_seg = _quantize(int(seg_size.max()), quantum, cap_blk)
+    if verbose:
+        print(f"dbigwindow: D={n_dev} R={n_runs} B={n_b} run={run_size} "
+              f"cap_blk={cap_blk} cap_off={cap_off} cap_seg={cap_seg}")
+
+    # ---- phase X: segment exchange (5 columns) ----
+    tcx = time.perf_counter()
+    fills = (_ONES, _ONES, _ONES, _ONES, jnp.uint32(0))
+    exchanger = _exchange_fn(mesh, n_dev, cap_blk, cap_off, fills=fills)
+    iplan = _plan_put(np.zeros((n_dev, n_dev), np.int32))
+    ex_exec = exchanger.lower(iplan, iplan, iplan, iplan, iplan,
+                              *runs[0]).compile()
+    compile_s += time.perf_counter() - tcx
+    t_x0 = time.perf_counter()
+    blocks = []
+    off_ceiling = max(run_size - cap_off, 0)
+    diag_ceiling = max(run_size - cap_blk, 0)
+    for r in range(n_runs):
+        raw = blk_start[:, r, :]
+        clamped = np.minimum(raw, off_ceiling)
+        clamped_d = np.minimum(raw, diag_ceiling)
+        blocks.append(ex_exec(
+            _plan_put(clamped), _plan_put(raw - clamped),
+            _plan_put(blk_size[:, r, :]),
+            _plan_put(clamped_d), _plan_put(raw - clamped_d), *runs[r]))
+        runs[r] = None
+    del runs
+    for blk in blocks:
+        np.asarray(jax.device_get(blk[0][-1:, -1:]))
+    t_x = time.perf_counter() - t_x0
+
+    # effective in-block placement per (src s, run r, dest t): diagonal
+    # rows used the cap_blk window, off-diagonal the cap_off window
+    ceil_mat = np.where(eye, diag_ceiling, off_ceiling)
+    blk_clamped = np.minimum(blk_start, ceil_mat)
+    blk_delta = blk_start - blk_clamped
+
+    # ---- phase P: device carries from masked reductions + the chain ----
+    tcq = time.perf_counter()
+    precarry = _precarry_fn(mesh, n_runs, n_dev, cap_blk, seed)
+    # per receiver t: (R, D)[r, s] views of delta/size
+    dl_rs = blk_delta.transpose(2, 1, 0).reshape(n_dev, n_runs * n_dev)
+    sz_rs = blk_size.transpose(2, 1, 0).reshape(n_dev, n_runs * n_dev)
+    flat_blocks = [a for blk in blocks for a in blk]
+    pc_exec = precarry.lower(_plan_put(dl_rs), _plan_put(sz_rs),
+                             *flat_blocks).compile()
+    compile_s += time.perf_counter() - tcq
+    t_p0 = time.perf_counter()
+    carry = pc_exec(_plan_put(dl_rs), _plan_put(sz_rs), *flat_blocks)
+    np.asarray(jax.device_get(carry[-1:, -1:]))  # fence
+    t_p = time.perf_counter() - t_p0
+
+    # ---- phase C: bucket rounds (devices parallel, carries chained) ----
+    tcm = time.perf_counter()
+    merger, _m = _merger_fn(mesh, n_runs, n_dev, cap_blk, cap_seg,
+                            partitions, seed, collect)
+    mplan = _plan_put(np.zeros((n_dev * n_runs, n_dev), np.int32))
+    merge_exec = merger.lower(carry, mplan, mplan, mplan,
+                              *flat_blocks).compile()
+    compile_s += time.perf_counter() - tcm
+
+    t_c0 = time.perf_counter()
+    seg_ceiling = max(cap_blk - cap_seg, 0)
+    pending = {}
+    for b in range(n_b):
+        g = np.arange(n_dev) * n_b + b
+        ws = (blk_delta.transpose(2, 0, 1)
+              + pos[:, :, :-1].transpose(0, 2, 1)[
+                  np.arange(n_dev)[None, :], g[:, None], :]
+              - blk_start.transpose(2, 0, 1))
+        zs = seg_size.transpose(0, 2, 1)[
+            np.arange(n_dev)[None, :], g[:, None], :]
+        ws_c = np.minimum(ws, seg_ceiling)
+
+        def _plan(x):
+            return _plan_put(
+                x.transpose(0, 2, 1).reshape(n_dev * n_runs, n_dev))
+
+        out = merge_exec(carry, _plan(ws_c), _plan(ws - ws_c), _plan(zs),
+                         *flat_blocks)
+        carry = out[N_CHECK]  # (D, N_CARRY) device arrays, no readback
+        pending[b] = out
+
+    scal = np.zeros((n_b, n_dev, N_CHECK), np.int64)
+    collected = {}
+    for b, out in pending.items():
+        vals = [np.asarray(x) for x in out[:N_CHECK]]
+        scal[b] = np.stack(vals, axis=1)
+        if collect:
+            ba = [np.asarray(a).reshape(n_dev, -1)
+                  for a in out[N_CHECK + 1:]]
+            for t in range(n_dev):
+                c = int(vals[3][t])
+                collected[t * n_b + b] = tuple(a[t, :c] for a in ba)
+        if verbose:
+            print(f"  round {b}: counts={vals[3].tolist()} "
+                  f"window={bool(vals[2].all())}")
+    t_c = time.perf_counter() - t_c0
+
+    total = 0
+    all_sorted = all_hash = all_window = boundary_ok = True
+    firsts, lasts = {}, {}
+    counts = np.zeros((n_dev, n_b), np.int64)
+    for b in range(n_b):
+        (s_ok, h_ok, w_ok, cnt, flo, fhi, fo, llo, lhi, lo_) = scal[b].T
+        all_sorted &= bool(s_ok.all())
+        all_hash &= bool(h_ok.all())
+        all_window &= bool(w_ok.all())
+        total += int(cnt.sum())
+        counts[:, b] = cnt
+        for t in range(n_dev):
+            g = t * n_b + b
+            firsts[g] = (int(fhi[t]), int(flo[t]), int(fo[t]))
+            lasts[g] = (int(lhi[t]), int(llo[t]), int(lo_[t]))
+    prev_last = None
+    for g in range(S):
+        t, b = divmod(g, n_b)
+        if counts[t, b] == 0:
+            continue
+        if prev_last is not None:
+            boundary_ok &= bool(prev_last <= firsts[g])
+        prev_last = lasts[g]
+
+    dt = t_a + t_b + t_x + t_p + t_c
+    res = BigWindowResult(
+        n=n, partitions=partitions, seconds=dt, rows_per_s=n / dt,
+        sorted_ok=all_sorted, hash_ok=all_hash, window_ok=all_window,
+        count_ok=(total == n), boundary_ok=boundary_ok,
+        phase_a_s=t_a, phase_c_s=t_c, compile_s=compile_s)
+    if verbose:
+        print(f"dbigwindow phases: A={t_a:.2f}s B={t_b:.2f}s X={t_x:.2f}s "
+              f"P={t_p:.2f}s C={t_c:.2f}s total={dt:.2f}s")
+    if collect:
+        cat = [np.concatenate([collected[g][j] for g in range(S)
+                               if g in collected]) for j in range(10)]
+        slo, shi, so, sidx, sv, rn, rk, clo, chi, lg = cat
+        keys = slo.astype(np.uint64) | (shi.astype(np.uint64)
+                                        << np.uint64(32))
+        cum = clo.astype(np.uint64) | (chi.astype(np.uint64)
+                                       << np.uint64(32))
+        return res, dict(key=keys, order=so, idx=sidx, value=sv,
+                         rn=rn, rk=rk, cum=cum, lg=lg)
+    return res
