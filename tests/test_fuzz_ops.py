@@ -58,7 +58,8 @@ def test_fuzz_sort_and_groupby(trial):
     from tpu_qe.ops.aggregate import group_aggregate
     mask = rng.random(n) < rng.random()
     g = group_aggregate(U64.from_numpy(keys), jnp.asarray(vals),
-                        aggs=("count", "sum", "min", "max"),
+                        aggs=("count", "sum", "min", "max",
+                              "count_distinct"),
                         valid=jnp.asarray(mask))
     ng = int(g.num_groups)
     km, vm = keys[mask], vals[mask]
@@ -72,6 +73,8 @@ def test_fuzz_sort_and_groupby(trial):
         assert int(g.aggs["sum"].to_numpy()[i]) == int(sel.sum())  # exact
         assert int(np.asarray(g.aggs["min"])[i]) == sel.min()
         assert int(np.asarray(g.aggs["max"])[i]) == sel.max()
+        assert (int(np.asarray(g.aggs["count_distinct"])[i])
+                == len(np.unique(sel)))
 
 
 @pytest.mark.parametrize("trial", range(8))
@@ -135,6 +138,14 @@ def test_fuzz_distributed(trial):
     for kk in want:
         assert got[kk]["count"] == want[kk]
         assert got[kk]["sum"] == want_sum[kk]  # exact u64, not mod 2^32
+
+    from tpu_qe.exchange.dops import distributed_count_distinct_numpy
+    dvals = rng.integers(0, 30, n, dtype=np.int64).astype(np.uint32)
+    got_cd = distributed_count_distinct_numpy(keys, dvals, mesh,
+                                              capacity_factor=cf)
+    for kk in want:
+        assert got_cd[kk] == len(np.unique(dvals[keys == kk])), (trial, kk)
+    assert set(got_cd) == set(want)
 
 
 @pytest.mark.parametrize("trial", range(6))

@@ -8,6 +8,9 @@ from tpu_qe.exchange.dops import (  # noqa: F401
     distributed_aggregate,
     distributed_aggregate_numpy,
     plan_aggregate_capacity,
+    distributed_count_distinct,
+    distributed_count_distinct_numpy,
+    plan_count_distinct_capacity,
     distributed_join_fk,
     distributed_join_fk_numpy,
     distributed_join_inner,

@@ -785,3 +785,154 @@ def distributed_aggregate_numpy(keys, values, mesh, aggs=("count", "sum"),
                 continue  # purely-padding group
             out[k] = {a: row[a] for a in aggs}
     return out
+
+
+# --------------------------------------------------------------------------
+# distributed COUNT(DISTINCT value) GROUP BY key
+# --------------------------------------------------------------------------
+
+def _dcd_dedup_local(lo, hi, val):
+    """Sort local rows by (key, value) and compact the distinct pairs to
+    the front. Dedup IS the exchange-volume reducer here — the
+    count_distinct analogue of distributed_aggregate's phase-1 partial
+    aggregation (duplicates of a pair carry zero information downstream).
+    Returns (klo, khi, v, m): the m distinct local pairs as a prefix."""
+    from tpu_qe.ops.aggregate import _shift_right_one
+
+    n = lo.shape[0]
+    shi, slo, sv = jax.lax.sort([hi, lo, val], num_keys=3, is_stable=False)
+    pos = jnp.arange(n, dtype=jnp.uint32)
+    new = ((pos == 0) | (slo != _shift_right_one(slo, 0))
+           | (shi != _shift_right_one(shi, 0))
+           | (sv != _shift_right_one(sv, 0)))
+    m = jnp.sum(new.astype(jnp.uint32))
+    assert n < (1 << 31), n
+    packed = jnp.where(new, pos, pos | jnp.uint32(1 << 31))
+    _, clo, chi, cv = jax.lax.sort([packed, slo, shi, sv], num_keys=1,
+                                   is_stable=False)
+    return clo, chi, cv, m
+
+
+def _dcd_route(lo, hi, val, *, n_dev, samples_per_dev):
+    """Shared dedup + splitter routing of the execute and plan passes
+    (identical routing is what makes the plan's demand exact)."""
+    clo, chi, cv, m = _dcd_dedup_local(lo, hi, val)
+    idx = jnp.arange(clo.shape[0], dtype=jnp.uint32)
+    is_real = idx < m
+    klo = jnp.where(is_real, clo, _ONES)
+    khi = jnp.where(is_real, chi, _ONES)
+    sp_lo, sp_hi = sample_splitters(klo, khi, n_dev, samples_per_dev,
+                                    n_valid=m)
+    my = jax.lax.axis_index(AXIS).astype(jnp.uint32)
+    dest = route_by_splitters(klo, khi, sp_lo, sp_hi)
+    dest = jnp.where(is_real, dest, my)
+    return klo, khi, cv, is_real, dest
+
+
+def _dcd_shard(lo, hi, val, *, n_dev, samples_per_dev, capacity):
+    from tpu_qe.ops.aggregate import group_aggregate
+
+    klo, khi, cv, is_real, dest = _dcd_route(
+        lo, hi, val, n_dev=n_dev, samples_per_dev=samples_per_dev)
+    # splitters route by KEY alone, so every pair of a key lands on ONE
+    # device and the local count_distinct there is globally exact (pairs
+    # arriving from different sources may still coincide — the local
+    # (key, value) sort inside group_aggregate dedups across sources).
+    # An explicit validity plane marks real slots: no neutral-element
+    # trick exists for distinctness (a pad value would COUNT as a value),
+    # and it keeps real all-ones keys exact.
+    recv, _, _, _, overflow = exchange(
+        dest,
+        [klo, khi, jnp.where(is_real, cv, jnp.uint32(0)),
+         is_real.astype(jnp.uint32)],
+        [_ONES, _ONES, jnp.uint32(0), jnp.uint32(0)], n_dev, capacity)
+    res = group_aggregate(U64(recv[0], recv[1]), recv[2],
+                          aggs=("count_distinct",), valid=recv[3] > 0)
+    return (res.key.lo, res.key.hi, res.aggs["count_distinct"],
+            res.num_groups.reshape(1), overflow.reshape(1))
+
+
+def _dcd_plan_shard(lo, hi, val, *, n_dev, samples_per_dev):
+    from tpu_qe.exchange.shuffle import offdiag_demand
+
+    _, _, _, _, dest = _dcd_route(lo, hi, val, n_dev=n_dev,
+                                  samples_per_dev=samples_per_dev)
+    return offdiag_demand(dest, n_dev).reshape(1)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "samples_per_dev"))
+def plan_count_distinct_capacity(key: U64, value: jnp.ndarray, mesh: Mesh,
+                                 samples_per_dev: int = 128):
+    """Measured off-diagonal distinct-pair exchange demand for
+    distributed_count_distinct (plan-then-execute)."""
+    n_dev = mesh.shape[AXIS]
+    spec = P(AXIS)
+    fn = shard_map(
+        functools.partial(_dcd_plan_shard, n_dev=n_dev,
+                          samples_per_dev=samples_per_dev),
+        mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False)
+    return fn(key.lo, key.hi, value)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "samples_per_dev",
+                                             "capacity_factor", "capacity"))
+def distributed_count_distinct(key: U64, value: jnp.ndarray, mesh: Mesh,
+                               samples_per_dev: int = 128,
+                               capacity_factor: float = 2.0,
+                               capacity: int | None = None):
+    """SQL's COUNT(DISTINCT value) GROUP BY key over mesh-sharded rows.
+
+    Two phases: (1) local (key, value) dedup per shard — the volume
+    reducer; (2) route distinct pairs by key splitters and count pair
+    runs per key locally (exact: a key's pairs all land on one device).
+    Exchange volume is the number of locally-distinct pairs, not rows.
+
+    Returns (klo, khi, count_distinct, num_groups, overflow), each
+    mesh-sharded; the first num_groups[d] entries of device d's block are
+    its groups (global key ranges are splitter-disjoint across devices).
+    """
+    n_dev = mesh.shape[AXIS]
+    n = key.lo.shape[0]
+    assert n % n_dev == 0
+    if capacity is None:
+        capacity = max(int(np.ceil(capacity_factor * (n // n_dev) / n_dev)),
+                       16)
+    capacity = max(capacity, 16)
+    spec = P(AXIS)
+    fn = shard_map(
+        functools.partial(_dcd_shard, n_dev=n_dev,
+                          samples_per_dev=samples_per_dev,
+                          capacity=capacity),
+        mesh=mesh, in_specs=(spec, spec, spec),
+        out_specs=tuple([spec] * 5), check_vma=False)
+    return fn(key.lo, key.hi, value)
+
+
+def distributed_count_distinct_numpy(keys, values, mesh, **kw):
+    """Host wrapper: {key -> distinct-value count} over all shards.
+
+    capacity_factor="auto" plans the distinct-pair exchange first and
+    sizes the receive layout to measured off-diagonal demand."""
+    sh = NamedSharding(mesh, P(AXIS))
+    u = U64.from_numpy(keys)
+    key = U64(jax.device_put(u.lo, sh), jax.device_put(u.hi, sh))
+    values = np.asarray(values)
+    bits = values.view(np.uint32) if values.dtype != np.uint32 else values
+    val = jax.device_put(jnp.asarray(bits), sh)
+    kw = _auto_capacity(kw, mesh, plan_count_distinct_capacity, (key, val),
+                        ("capacity",))
+    res = distributed_count_distinct(key, val, mesh=mesh, **kw)
+    if int(np.asarray(res[-1]).max()):
+        raise RuntimeError("exchange capacity overflow; raise capacity_factor")
+    n_dev = mesh.shape[AXIS]
+    klo = np.asarray(res[0]).reshape(n_dev, -1)
+    khi = np.asarray(res[1]).reshape(n_dev, -1)
+    cd = np.asarray(res[2]).reshape(n_dev, -1)
+    ng = np.asarray(res[3]).reshape(n_dev)
+    out = {}
+    for d in range(n_dev):
+        for i in range(int(ng[d])):
+            k = int(klo[d, i]) | (int(khi[d, i]) << 32)
+            out[k] = int(cd[d, i])
+    return out

@@ -14,7 +14,11 @@ and reduce each run. All reductions are formulated scatter-free:
   values — NOT a global-cumsum difference, whose error scales with the
   global prefix magnitude;
 - min / max: first/last row of each run after sorting by (key, value-bits)
-  with the standard order-preserving float bit transform.
+  with the standard order-preserving float bit transform;
+- count_distinct: rows are (key, value)-sorted already, so distinct values
+  are contiguous within a group — a (key OR value)-boundary flag cumsum
+  differenced at group ends counts them with one extra u32 sweep (SQL's
+  COUNT(DISTINCT value) GROUP BY key, the dedup-then-count formulation).
 
 Group-end rows are compacted with one unstable sort whose key packs the
 keep/drop bit into bit 31 of the (unique, increasing) row position — order
@@ -34,7 +38,7 @@ from tpu_qe.bits import U64
 from tpu_qe.ops.segscan import (scan_assoc, cumsum_u32,
                                cumsum_u64_pair, cummax_u32)
 
-_VALID_AGGS = ("count", "sum", "min", "max")
+_VALID_AGGS = ("count", "sum", "min", "max", "count_distinct")
 
 
 class GroupResult(NamedTuple):
@@ -176,6 +180,13 @@ def group_aggregate(key: U64, value: jnp.ndarray | None = None,
     the exact u64 sum widened to f32; float values the per-segment float
     sum). Other aggs pass straight through.
 
+    "count_distinct" is SQL's COUNT(DISTINCT value): the number of
+    distinct values per group (u32). Values compare by their
+    order-preserving sort bits, so for float32 columns -0.0 and +0.0
+    count as two values and NaNs are distinct by payload — integer
+    columns have exact SQL semantics. Rows masked out by `valid` are
+    excluded before deduplication.
+
     max_groups (optional): when the caller can bound the group count,
     outputs are padded to max_groups instead of n and the second
     full-stream compaction sort is replaced by a binary search over the
@@ -218,7 +229,7 @@ def _group_aggregate(key: U64, value: jnp.ndarray | None = None,
     Args:
       key: (n,) u64 group keys (e.g. morton cell ids).
       value: (n,) uint32 or float32 column (required unless aggs==("count",)).
-      aggs: subset of {"count", "sum", "min", "max"}.
+      aggs: subset of {"count", "sum", "min", "max", "count_distinct"}.
       valid: optional bool mask — rows where False are excluded, WITHOUT a
         separate compaction pass (the filter fuses into the aggregation
         sort: invalid rows sort to the end as an extra leading key, and
@@ -267,7 +278,7 @@ def _group_aggregate(key: U64, value: jnp.ndarray | None = None,
         zeros32 = jnp.zeros(pad_n, jnp.uint32)
 
         def empty(a):
-            if a == "count" or value is None:
+            if a in ("count", "count_distinct") or value is None:
                 return zeros32
             if a == "sum" and value.dtype != jnp.float32:
                 return U64(zeros32, zeros32)
@@ -290,6 +301,16 @@ def _group_aggregate(key: U64, value: jnp.ndarray | None = None,
             [boundary[1:], jnp.ones((1,), dtype=bool)])
     else:
         is_end = jnp.concatenate([is_new[1:], jnp.ones((1,), dtype=bool)])
+
+    if "count_distinct" in aggs:
+        # rows are (key, value-bits)-sorted: a distinct value starts where
+        # the group starts or the sorted bit plane changes (bit equality is
+        # value equality — _float_sortable_bits is a bijection). Invalid
+        # rows sit at the tail and are masked out like is_new.
+        pair_new = is_new | (sval_bits != _shift_right_one(sval_bits, 0))
+        if sinvalid is not None:
+            pair_new = pair_new & ~sinvalid
+        cum_nd = cumsum_u32(pair_new.astype(jnp.uint32))  # inclusive
 
     if max_groups is not None:
         # Gather-based extraction: group-end positions come from a binary
@@ -336,6 +357,12 @@ def _group_aggregate(key: U64, value: jnp.ndarray | None = None,
             out["min"] = jnp.where(
                 valid_g, mn,
                 jnp.float32(0) if sval.dtype == jnp.float32 else 0)
+        if "count_distinct" in aggs:
+            # distinct-pair cumsum at the group's end row minus at the
+            # previous group's end row — same gather positions as count
+            cd = jnp.where(valid_g, jnp.take(cum_nd, posc), jnp.uint32(0))
+            out["count_distinct"] = jnp.where(
+                valid_g, cd - _shift_right_one(cd, 0), jnp.uint32(0))
         return GroupResult(U64(klo, khi), out, num_groups, overflow)
 
     # Compact group-END rows to the front with ONE sort whose key packs
@@ -363,6 +390,8 @@ def _group_aggregate(key: U64, value: jnp.ndarray | None = None,
     if "max" in aggs:
         operands.append(sval.view(jnp.uint32)
                         if sval.dtype == jnp.float32 else sval)
+    if "count_distinct" in aggs:
+        operands.append(cum_nd)
     res2 = jax.lax.sort(operands, num_keys=1, is_stable=False)
     pos_end = res2[0] & jnp.uint32(0x7FFFFFFF)
     klo, khi = res2[1], res2[2]
@@ -384,6 +413,10 @@ def _group_aggregate(key: U64, value: jnp.ndarray | None = None,
         mx = res2[i]
         i += 1
         out["max"] = mx.view(jnp.float32) if sval.dtype == jnp.float32 else mx
+    if "count_distinct" in aggs:
+        cd_end = res2[i]
+        i += 1
+        out["count_distinct"] = cd_end - _shift_right_one(cd_end, 0)
     if "min" in aggs:
         # the group's first row (its min, since rows are value-sorted within
         # a group) sits at stream index prev_pos — a num_groups-sized gather
@@ -437,6 +470,12 @@ def _group_aggregate_sorted(key: U64, value: jnp.ndarray | None = None,
     for a in aggs:
         if a not in _VALID_AGGS:
             raise ValueError(f"unknown agg {a!r}")
+    if "count_distinct" in aggs:
+        # the stream is key-sorted but NOT value-sorted within a group, so
+        # distinct values are not contiguous — count_distinct needs the
+        # (key, value) aggregation sort: use group_aggregate.
+        raise ValueError("count_distinct requires the value-sorted path; "
+                         "use group_aggregate")
     need_value = any(a != "count" for a in aggs)
     if need_value and value is None:
         raise ValueError("value column required for sum/min/max")
@@ -445,7 +484,7 @@ def _group_aggregate_sorted(key: U64, value: jnp.ndarray | None = None,
         zeros32 = jnp.zeros(0, jnp.uint32)
 
         def empty(a):
-            if a == "count" or value is None:
+            if a in ("count", "count_distinct") or value is None:
                 return zeros32
             if a == "sum" and value.dtype != jnp.float32:
                 return U64(zeros32, zeros32)
@@ -708,6 +747,13 @@ def group_aggregate_multi(key: U64, values: dict, aggs: dict,
         for a in aggs.get(nm, ()):
             if a not in _VALID_AGGS:
                 raise ValueError(f"unknown agg {a!r} for column {nm!r}")
+            if a == "count_distinct":
+                # value columns are not sort keys here (segmented scans);
+                # COUNT(DISTINCT col) needs the (key, col) sort — run
+                # group_aggregate on that one column.
+                raise ValueError(
+                    f"count_distinct on {nm!r}: unsupported in the "
+                    "multi-column path; use group_aggregate per column")
     spec = tuple((nm, tuple(aggs[nm])) for nm in names if nm in aggs)
     cols = tuple(values[nm] for nm, _ in spec)
     return _group_aggregate_multi(key, cols, spec, valid,

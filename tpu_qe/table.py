@@ -153,9 +153,21 @@ class Table:
         from tpu_qe.ops.filter import filter_table
         return filter_table(self, predicate)
 
+    def distinct(self, key: str = "key"):
+        """SELECT DISTINCT key: unique u64 keys, ascending, padded —
+        returns (U64 keys, exact num scalar). The GROUP BY boundary
+        machinery with no aggregates."""
+        from tpu_qe.ops.aggregate import group_aggregate
+        k = self._cols[key]
+        if not isinstance(k, U64):
+            raise TypeError(f"distinct key {key!r} must be u64")
+        res = group_aggregate(k, aggs=("count",))
+        return res.key, res.num_groups
+
     def group_by(self, key: str, value: str | None = None,
                  aggs=("count",)):
-        """Sort-based GROUP BY over a u64 key column."""
+        """Sort-based GROUP BY over a u64 key column. aggs may include
+        "count_distinct" (SQL's COUNT(DISTINCT value))."""
         from tpu_qe.ops.aggregate import group_aggregate
         k = self._cols[key]
         if not isinstance(k, U64):
