@@ -105,3 +105,54 @@ def pack_columns(cols: Sequence[jnp.ndarray]) -> list[jnp.ndarray]:
         else:
             raise TypeError(f"unsupported payload dtype {c.dtype}")
     return out
+
+
+def sortable_u32(x: jnp.ndarray) -> jnp.ndarray:
+    """Bit pattern whose UNSIGNED u32 order matches the value order.
+
+    IEEE total-order trick for float32 (flip sign bit on positives,
+    invert negatives), sign-bit flip for int32, identity for uint32.
+    A bijection — see sortable_u32_inverse. Equality is preserved, so
+    boundary/equality checks on the transformed plane are exact.
+    """
+    if x.dtype == jnp.float32:
+        b = x.view(jnp.uint32)
+        sign = b >> 31
+        return jnp.where(sign == 1, ~b, b | jnp.uint32(0x80000000))
+    if x.dtype == jnp.int32:
+        return x.view(jnp.uint32) ^ jnp.uint32(0x80000000)
+    if x.dtype == jnp.uint32:
+        return x
+    raise TypeError(f"unsupported sort-key dtype {x.dtype}")
+
+
+def sortable_u32_inverse(b: jnp.ndarray, dtype) -> jnp.ndarray:
+    """Inverse of sortable_u32: recover the original values from bits."""
+    if dtype == jnp.float32:
+        was_positive = (b >> 31) == 1
+        return jnp.where(was_positive, b ^ jnp.uint32(0x80000000),
+                         ~b).view(jnp.float32)
+    if dtype == jnp.int32:
+        return (b ^ jnp.uint32(0x80000000)).view(jnp.int32)
+    return b
+
+
+def mul_u32_wide(a: jnp.ndarray, b) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact widening u32 x u32 -> u64 multiply as a (lo, hi) u32 pair.
+
+    16-bit limb decomposition with explicit carries (x64 stays off on
+    TPU, so there is no native u64 multiply). b may be a scalar.
+    """
+    b = jnp.uint32(b) if not hasattr(b, "dtype") else b
+    a0, a1 = a & jnp.uint32(0xFFFF), a >> 16
+    b0, b1 = b & jnp.uint32(0xFFFF), b >> 16
+    p00 = a0 * b0                       # < 2^32, exact
+    p01 = a0 * b1                       # < 2^32, exact
+    p10 = a1 * b0                       # < 2^32, exact
+    p11 = a1 * b1                       # < 2^32, exact
+    mid = p01 + (p00 >> 16)             # < 2^32 (no carry possible)
+    mid2 = mid + p10                    # may wrap: carry below
+    carry = (mid2 < p10).astype(jnp.uint32)
+    lo = (p00 & jnp.uint32(0xFFFF)) | (mid2 << 16)
+    hi = p11 + (mid2 >> 16) + (carry << 16)
+    return lo, hi

@@ -145,6 +145,15 @@ class Table:
                 i += 1
         return Table(cols)
 
+    def order_by(self, *by) -> "Table":
+        """Multi-column SQL ORDER BY (stable): items are "name" or
+        ("name", "asc"|"desc"); keys may be U64/uint32/int32/float32.
+        One lexicographic lax.sort (ops/orderby.py)."""
+        from tpu_qe.ops.orderby import sort_by_multi
+        if len(by) == 1 and not isinstance(by[0], (str, tuple)):
+            by = tuple(by[0])  # accept a single list/iterable too
+        return sort_by_multi(self, by)
+
     def filter(self, predicate) -> tuple["Table", "jnp.ndarray"]:
         """Stable compaction of rows where predicate(self) is True.
 
@@ -241,6 +250,20 @@ class Table:
         cols = dict(self._cols)
         cols.update(res.cols)
         return Table(cols)
+
+    def quantile(self, qs, key: str = "key"):
+        """Exact global PERCENTILE_DISC over a column (U64 or
+        u32/i32/f32); qs per ops.quantile.canon_qs."""
+        from tpu_qe.ops.quantile import quantile
+        return quantile(self._cols[key], qs)
+
+    def group_quantile(self, key: str, value: str, qs):
+        """Per-group exact PERCENTILE_DISC: GROUP BY key over value."""
+        from tpu_qe.ops.quantile import group_quantile
+        k = self._cols[key]
+        if not isinstance(k, U64):
+            raise TypeError(f"group key {key!r} must be u64")
+        return group_quantile(k, self._cols[value], qs)
 
     def top_k(self, k: int, key: str = "key", largest: bool = False):
         """k rows with the smallest/largest u64 key, best first (stable
