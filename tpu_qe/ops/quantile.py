@@ -1,0 +1,170 @@
+"""Exact quantiles (SQL PERCENTILE_DISC / median), global and per group.
+
+PERCENTILE_DISC(q) WITHIN GROUP (ORDER BY v): the first value whose
+cumulative distribution reaches q — element rank ceil(q*n) - 1
+(0-based; q = 0 -> rank 0). Always an ELEMENT of the data, never an
+interpolation, so it is well-defined for u64 keys.
+
+Global quantiles are one sort + static slices (ranks are host
+constants). Per-group quantiles ride the same two-sort structure as
+GROUP BY (ops/aggregate.py): sort (key, value), find group boundaries,
+compact (start, count) per group, then gather rank positions — the rank
+arithmetic ceil(num * cnt / 2^QBITS) runs EXACTLY on device via the
+widening u32 multiply (bits.mul_u32_wide): float rank math would lose
+integer precision past 2^24-row groups.
+
+q values are snapped to the num / 2^QBITS grid (QBITS = 20): dyadic
+quantiles (0.5, 0.25, ...) are exact; others are within 2^-20 of the
+request, which moves the selected rank only when q*cnt sits within
+cnt/2^20 of an integer. Pass an (num, den_pow2_exponent) tuple for
+exact control at any dyadic resolution up to 2^31.
+
+The reference has no query operators; this extends SURVEY §7's operator
+mandate on the same sorting machinery (see ops/topk.py for the measured
+case that sorting IS selection's envelope on this hardware class).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from tpu_qe.bits import U64, mul_u32_wide, sortable_u32, sortable_u32_inverse
+
+QBITS = 20
+
+
+def canon_qs(qs) -> tuple[tuple[int, int], ...]:
+    """Normalize quantile specs to (num, shift) pairs meaning num/2^shift.
+
+    Items are floats in [0, 1] (snapped to the 2^-QBITS grid) or
+    (num, shift) integer pairs (exact dyadic rationals)."""
+    out = []
+    for q in ([qs] if isinstance(qs, (int, float)) else list(qs)):
+        if isinstance(q, tuple):
+            num, shift = q
+            if not (isinstance(num, int) and isinstance(shift, int)
+                    and 0 <= shift <= 31 and 0 <= num <= (1 << shift)):
+                raise ValueError(f"bad (num, shift) quantile {q!r}")
+            out.append((num, shift))
+        else:
+            if not 0.0 <= q <= 1.0:
+                raise ValueError(f"quantile {q!r} outside [0, 1]")
+            out.append((round(q * (1 << QBITS)), QBITS))
+    if not out:
+        raise ValueError("need at least one quantile")
+    return tuple(out)
+
+
+def disc_rank(num: int, shift: int, n: int) -> int:
+    """Host-side exact PERCENTILE_DISC rank: ceil(num * n / 2^shift) - 1,
+    clamped to [0, n-1]."""
+    r = -((-num * n) >> shift) - 1  # ceil via negated floor (exact ints)
+    return min(max(r, 0), n - 1)
+
+
+def _disc_rank_device(num: int, shift: int, cnt: jnp.ndarray) -> jnp.ndarray:
+    """Exact on-device rank per group: ceil(num * cnt / 2^shift) - 1
+    clamped to [0, cnt-1]; cnt u32 (may exceed 2^24 — float math would
+    mis-rank there, hence the widening multiply)."""
+    lo, hi = mul_u32_wide(cnt, jnp.uint32(num))
+    add = jnp.uint32((1 << shift) - 1)
+    lo2 = lo + add
+    hi2 = hi + (lo2 < lo).astype(jnp.uint32)
+    if shift == 0:
+        r = lo2  # num/1: rank = cnt (then -1 below)
+    else:
+        r = (lo2 >> shift) | (hi2 << (32 - shift))
+    r = jnp.maximum(r, jnp.uint32(1)) - jnp.uint32(1)
+    return jnp.minimum(r, jnp.maximum(cnt, jnp.uint32(1)) - jnp.uint32(1))
+
+
+@functools.partial(jax.jit, static_argnames=("ranks", "is_u64"))
+def _sorted_pick(planes: tuple, ranks: tuple, is_u64: bool):
+    if is_u64:
+        hi, lo = jax.lax.sort(list(planes), num_keys=2, is_stable=False)
+        return (jnp.stack([lo[r] for r in ranks]),
+                jnp.stack([hi[r] for r in ranks]))
+    (b,) = jax.lax.sort([planes[0]], num_keys=1, is_stable=False)
+    return (jnp.stack([b[r] for r in ranks]),)
+
+
+def quantile(col, qs):
+    """Exact global PERCENTILE_DISC over a column.
+
+    col: U64 or a uint32/int32/float32 array. qs: see canon_qs.
+    Returns values with col's type, one per q (U64 -> U64 of len(qs))."""
+    spec = canon_qs(qs)
+    if isinstance(col, U64):
+        n = col.lo.shape[0]
+        assert n > 0, "quantile of an empty column"
+        ranks = tuple(disc_rank(num, sh, n) for num, sh in spec)
+        lo, hi = _sorted_pick((col.hi, col.lo), ranks, True)
+        return U64(lo, hi)
+    n = col.shape[0]
+    assert n > 0, "quantile of an empty column"
+    ranks = tuple(disc_rank(num, sh, n) for num, sh in spec)
+    (b,) = _sorted_pick((sortable_u32(col),), ranks, False)
+    return sortable_u32_inverse(b, col.dtype)
+
+
+class GroupQuantileResult(NamedTuple):
+    """Padded per-group quantiles: first num_groups rows are valid."""
+
+    key: U64                  # unique group keys, ascending
+    quantiles: jnp.ndarray    # (len(qs), n_padded) in value dtype
+    count: jnp.ndarray        # (n_padded,) u32 rows per group
+    num_groups: jnp.ndarray   # scalar u32, exact
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def _group_quantile(key: U64, value: jnp.ndarray, spec: tuple
+                    ) -> GroupQuantileResult:
+    from tpu_qe.ops.aggregate import _shift_right_one
+
+    n = key.lo.shape[0]
+    assert n > 0, "group_quantile of an empty stream"
+    assert n < (1 << 31), n
+    vbits = sortable_u32(value)
+    shi, slo, sv = jax.lax.sort([key.hi, key.lo, vbits], num_keys=3,
+                                is_stable=False)
+    pos = jnp.arange(n, dtype=jnp.uint32)
+    is_new = ((pos == 0) | (slo != _shift_right_one(slo, 0))
+              | (shi != _shift_right_one(shi, 0)))
+    is_end = jnp.concatenate([is_new[1:], jnp.ones((1,), bool)])
+    num_groups = jnp.sum(is_end.astype(jnp.uint32))
+    # compact group-end rows (packed keep/drop over position — the house
+    # compaction, see ops/aggregate.py)
+    pos1 = pos + 1
+    packed = jnp.where(is_end, pos1, pos1 | jnp.uint32(1 << 31))
+    res2 = jax.lax.sort([packed, slo, shi], num_keys=1, is_stable=False)
+    pos_end = res2[0] & jnp.uint32(0x7FFFFFFF)
+    klo, khi = res2[1], res2[2]
+    start = _shift_right_one(pos_end, 0)
+    cnt = pos_end - start
+    qs_out = []
+    for num, sh in spec:
+        r = _disc_rank_device(num, sh, cnt)
+        # clamp the padded tail (cnt garbage there) into bounds
+        p = jnp.minimum(start + r, jnp.uint32(n - 1))
+        qs_out.append(sortable_u32_inverse(jnp.take(sv, p), value.dtype))
+    return GroupQuantileResult(U64(klo, khi), jnp.stack(qs_out), cnt,
+                               num_groups)
+
+
+def group_quantile(key: U64, value: jnp.ndarray, qs) -> GroupQuantileResult:
+    """Exact per-group PERCENTILE_DISC: GROUP BY key, PERCENTILE_DISC(q)
+    WITHIN GROUP (ORDER BY value) for each q.
+
+    One (key, value) sort + the packed compaction sort + len(qs)
+    rank gathers. Rank arithmetic is exact at any group size (widening
+    u32 multiply — see module docstring for the q grid)."""
+    return _group_quantile(key, value, canon_qs(qs))
+
+
+def median(col):
+    """Exact PERCENTILE_DISC(0.5) (the lower median element)."""
+    return quantile(col, [(1, 1)])
