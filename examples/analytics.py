@@ -145,6 +145,29 @@ def main() -> None:
     print(f"window:   per-sensor row_number/running-sum/lag over "
           f"{win.num_rows} rows ({int(w['seq'].max())} rows in the "
           f"busiest sensor)")
+
+    # --- 10. ORDER BY sensor, value DESC (multi-column, mixed direction) -
+    srt = ev.order_by("sensor", ("value", "desc")).to_numpy()
+    same_sensor = srt["sensor"][1:] == srt["sensor"][:-1]
+    assert (srt["value"][1:][same_sensor]
+            <= srt["value"][:-1][same_sensor]).all()
+    print(f"order_by: {ev.num_rows} rows by (sensor ASC, value DESC) in "
+          f"one lexicographic sort")
+
+    # --- 11. COUNT(DISTINCT value) + exact per-sensor median -------------
+    cd = ev.group_by("sensor", "value", aggs=("count", "count_distinct"))
+    ncd = int(cd.num_groups)
+    qres = ev.group_quantile("sensor", "value", [0.5, 0.99])
+    evn = ev.to_numpy()
+    klo0 = int(np.asarray(cd.key.lo)[0])
+    sel = evn["sensor"] == klo0
+    assert (int(np.asarray(cd.aggs["count_distinct"])[0])
+            == len(np.unique(evn["value"][sel])))
+    med0 = int(np.asarray(qres.quantiles)[0, 0])
+    sv = np.sort(evn["value"][sel])
+    assert med0 == sv[(len(sv) + 1) // 2 - 1]
+    print(f"distinct: COUNT(DISTINCT value) + exact p50/p99 per sensor "
+          f"({ncd} sensors; both verified vs numpy on sensor {klo0})")
     print("done.")
 
 

@@ -125,7 +125,7 @@ def test_bench_matrix_smoke(capsys):
     out = capsys.readouterr().out.strip().splitlines()
     import json
     rows = [json.loads(line) for line in out]
-    assert len(rows) == 6  # incl. the fused/unfused join_agg pair
+    assert len(rows) == 7  # 6 configs + the unfused join_agg companion row
     assert all(r["value"] > 0 for r in rows)
 
 

@@ -42,6 +42,9 @@ step python -m tpu_qe bench-matrix -- --configs window
 step python -m tpu_qe bench-matrix -- --configs window --scale 0.25
 step python -m tpu_qe bench-bigwindow --n $((1<<29)) --partitions $((1<<20))
 step python -m tpu_qe bench-bigwindow --n $((1<<28)) --partitions $((1<<20)) --distributed --force-composed
+step python -m tpu_qe bench-bigquantile --n $((1<<30))
+step python -m tpu_qe bench-bigdistinct --n $((1<<30))
+step python -m tpu_qe bench-matrix -- --configs orderby,count_distinct,quantile
 
 # 3. payload-marginal sort cost calibration (STATUS known gap)
 step python tools/calibrate_sol.py sort_ops

@@ -38,6 +38,29 @@ def _enable_compile_cache() -> None:
                 "TPU_QE_COMPILE_CACHE_DIR",
                 _os.path.join(_os.path.dirname(_os.path.dirname(
                     _os.path.abspath(__file__))), ".cache", "xla"))
+            # XLA:CPU persistent caching is BROKEN on this stack: the
+            # executable (de)serializer segfaults the process — on READ
+            # for entries AOT-compiled on a different host (this
+            # container migrates machines; cpu_aot_loader warns of the
+            # feature mismatch) and on WRITE even into a fresh dir
+            # (both observed 2026-08-18 inside compilation_cache.
+            # {get,put}_executable_and_time). CPU compiles are local and
+            # cheap; only remote-TPU compiles (minutes each) need the
+            # cache — cpu-intended runs get NO persistent cache and the
+            # shared dir stays TPU-only.
+            # cpu-intended iff EITHER source's primary backend is cpu:
+            # pytest's conftest sets jax.config (the global env stays
+            # axon), while a `JAX_PLATFORMS=cpu python -m tpu_qe` run
+            # sets the env (the site hook overwrites jax.config with
+            # "axon,cpu" regardless — cpu there is only the fallback)
+            def _primary(s):
+                return str(s or "").split(",")[0].strip().lower()
+
+            cpu_run = "cpu" in (
+                _primary(getattr(jax.config, "jax_platforms", "")),
+                _primary(_os.environ.get("JAX_PLATFORMS", "")))
+            if cpu_run:
+                return
             jax.config.update("jax_compilation_cache_dir", cache)
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     except Exception:  # cache is an optimization; never block import

@@ -13,13 +13,34 @@ subcommands instead of compile-time cfg flags:
            (the morton_code_readback path, main.rs:735-770)
   bench    headline benchmark (see bench.py at the repo root)
   info     device + configuration report
+
+plus the measurement family: bench-matrix (operator configs),
+bench-kernels (Pallas microbenches), and the out-of-core drivers
+bench-big / bench-bigjoin / bench-bigagg / bench-bigpipe /
+bench-bigtopk / bench-bigwindow / bench-bigquantile / bench-bigdistinct
+(each prints one JSON line and exits nonzero if on-device verification
+fails; --distributed runs the mesh-composed variant where one exists).
 """
 
 from __future__ import annotations
 
 import argparse
 import logging
+import os
 import sys
+
+# Honor JAX_PLATFORMS before anything imports jax: this container's site
+# hook registers the TPU plugin at interpreter start, so the env var alone
+# is ignored and a CPU-intended `python -m tpu_qe` would hang on tunnel
+# init (same shim as bench.py; CLAUDE.md "Platform gotchas"). ONLY when
+# executing as the CLI entry (__main__): the container profile exports
+# JAX_PLATFORMS=axon, so applying this on a mere import would override a
+# host's explicit jax.config (pytest's conftest sets cpu) with the
+# tunnel backend.
+if __name__ == "__main__" and os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 log = logging.getLogger("tpu_qe")
 
@@ -380,6 +401,57 @@ def _cmd_bench_bigwindow(args) -> int:
     return 0 if res.all_ok else 1
 
 
+def _cmd_bench_bigquantile(args) -> int:
+    import json
+
+    from tpu_qe.bench.sol import device_kind
+    from tpu_qe.ops.bigquantile import quantile_big
+
+    qs = [float(q) for q in args.qs.split(",")]
+    res = quantile_big(args.n, qs, run_size=args.run_size,
+                       verbose=args.verbose_big)
+    out = {
+        "metric": f"out-of-core exact quantiles ({len(qs)} q) over "
+                  f"{res.n} rows, 1 chip",
+        "value": round(res.rows_per_s),
+        "unit": "rows/s",
+        "time_s": round(res.seconds, 3),
+        "phase_runs_s": round(res.runs_s, 3),
+        "phase_select_s": round(res.select_s, 3),
+        "runs": res.n_runs,
+        "cert_ok": res.all_ok,
+        "device": device_kind(),
+    }
+    print(json.dumps(out))
+    return 0 if res.all_ok else 1
+
+
+def _cmd_bench_bigdistinct(args) -> int:
+    import json
+
+    from tpu_qe.bench.sol import device_kind
+    from tpu_qe.ops.bigdistinct import count_distinct_big
+
+    res = count_distinct_big(args.n, n_groups=args.groups,
+                             n_values=args.values,
+                             run_size=args.run_size,
+                             verbose=args.verbose_big)
+    out = {
+        "metric": f"out-of-core COUNT(DISTINCT) {res.n} rows -> "
+                  f"{res.num_groups} groups, 1 chip",
+        "value": round(res.rows_per_s),
+        "unit": "rows/s",
+        "time_s": round(res.seconds, 3),
+        "phase_dedup_s": round(res.dedup_s, 3),
+        "phase_combine_s": round(res.combine_s, 3),
+        "runs": res.n_runs,
+        "verified": res.all_ok,
+        "device": device_kind(),
+    }
+    print(json.dumps(out))
+    return 0 if res.all_ok else 1
+
+
 def _cmd_bench_bigtopk(args) -> int:
     import json
 
@@ -578,6 +650,28 @@ def main(argv=None) -> int:
                     help="keep the candidate-tree machinery even at D=1")
     pt.add_argument("--verbose-big", action="store_true")
     pt.set_defaults(fn=_cmd_bench_bigtopk)
+
+    pd = sub.add_parser("bench-bigdistinct",
+                        help="out-of-core COUNT(DISTINCT) GROUP BY "
+                             "(per-run pair dedup + one combine)")
+    pd.add_argument("--n", type=int, default=1 << 30)
+    pd.add_argument("--groups", type=int, default=1 << 16)
+    pd.add_argument("--values", type=int, default=1 << 8,
+                    help="distinct values per group (G*V pairs bound "
+                         "the per-run dedup output)")
+    pd.add_argument("--run-size", type=int, default=1 << 26)
+    pd.add_argument("--verbose-big", action="store_true")
+    pd.set_defaults(fn=_cmd_bench_bigdistinct)
+
+    pq = sub.add_parser("bench-bigquantile",
+                        help="out-of-core exact quantiles (sorted runs "
+                             "+ bitwise selection; no merge phase)")
+    pq.add_argument("--n", type=int, default=1 << 30)
+    pq.add_argument("--qs", type=str, default="0.01,0.25,0.5,0.9,0.99",
+                    help="comma-separated quantiles in [0,1]")
+    pq.add_argument("--run-size", type=int, default=1 << 26)
+    pq.add_argument("--verbose-big", action="store_true")
+    pq.set_defaults(fn=_cmd_bench_bigquantile)
 
     pw = sub.add_parser("bench-bigwindow",
                         help="out-of-core window functions (bucketed "

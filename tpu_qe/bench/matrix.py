@@ -12,6 +12,9 @@ Configs (BASELINE.md):
   join           FK equi-join 2 x 100M rows, 1 chip (scan-join)
   join_agg       join -> GROUP BY, fused key-sorted stream vs unfused
   window         row_number+rank+running_sum over 128M rows, 1 chip
+  orderby        multi-column ORDER BY (mixed types/directions), 1 chip
+  count_distinct GROUP BY COUNT(DISTINCT value), 1 chip
+  quantile       per-group exact PERCENTILE_DISC p50+p99, 1 chip
   dsort          distributed sample-sort over the local mesh (all devices)
 """
 
@@ -212,6 +215,90 @@ def bench_window(n: int = 1 << 27, partitions: int = 1 << 16,
                   "sol_fraction": round(sol / secs, 3)})
 
 
+def bench_orderby(n: int = 1 << 27, reps: int = 2):
+    """Multi-column ORDER BY (u64 DESC, i32 ASC, f32 DESC + u32 payload)
+    over n rows: ONE lexicographic unstable sort with the position as
+    the stability key (ops/orderby.py)."""
+    from tpu_qe.bench.sol import lax_sort_seconds
+    from tpu_qe.ops.orderby import sort_by_multi
+    from tpu_qe.table import Table
+
+    k0, k1, k2, k3 = jax.random.split(jax.random.PRNGKey(21), 4)
+    t = Table({
+        "a": U64(_rand_u32(k0, n) & jnp.uint32(0xFFF), jnp.zeros(n, jnp.uint32)),
+        "b": _rand_u32(k1, n).view(jnp.int32),
+        "f": jax.random.normal(k2, (n,), dtype=jnp.float32),
+        "pay": _rand_u32(k3, n),
+    })
+    by = [("a", "desc"), "b", ("f", "desc")]
+
+    def run():
+        st = sort_by_multi(t, by)
+        return st["pay"][:8]
+
+    secs = measure(run, reps=reps)
+    # envelope: one unstable sort, 5 key operands (a.hi, a.lo, b, f, pos)
+    # + 1 payload operand
+    sol = lax_sort_seconds(n, 6, stable=False, num_keys=5)
+    return _emit(f"ORDER BY a DESC, b, f DESC (+payload), {n} rows, 1 chip",
+                 n, secs, {"sol_fraction": round(sol / secs, 3)})
+
+
+def bench_count_distinct(n: int = 1 << 27, groups: int = 1 << 14,
+                         reps: int = 2):
+    """GROUP BY key COUNT(DISTINCT value) + count over n rows
+    (ops/aggregate.py count_distinct: the (key, value) aggregation sort
+    + one distinct-pair cumsum + the packed compaction sort)."""
+    from tpu_qe.bench.sol import lax_sort_seconds, scan_seconds
+    from tpu_qe.ops.aggregate import group_aggregate
+
+    k0, k1 = jax.random.split(jax.random.PRNGKey(22))
+    g = jax.random.randint(k0, (n,), 0, groups, dtype=jnp.int32)
+    key = U64(g.view(jnp.uint32) * jnp.uint32(2654435761),
+              g.view(jnp.uint32) >> 7)
+    val = _rand_u32(k1, n) & jnp.uint32(0x3FF)  # ~1K distinct per group
+
+    def run():
+        res = group_aggregate(key, val,
+                              aggs=("count", "count_distinct"))
+        return res.num_groups, res.aggs["count_distinct"][:8]
+
+    secs = measure(run, reps=reps)
+    # envelope: agg sort (3 keys) + pair-boundary cumsum (1 plane) +
+    # compaction sort (1 key + 3 payload planes)
+    sol = (lax_sort_seconds(n, 3, stable=False)
+           + scan_seconds(n, 1)
+           + lax_sort_seconds(n, 4, stable=False, num_keys=1))
+    return _emit(f"GROUP BY COUNT(DISTINCT), {n} rows, 1 chip", n, secs,
+                 {"groups": groups, "sol_fraction": round(sol / secs, 3)})
+
+
+def bench_quantile(n: int = 1 << 27, groups: int = 1 << 14,
+                   reps: int = 2):
+    """Per-group exact PERCENTILE_DISC (p50 + p99) over n rows
+    (ops/quantile.py: the GROUP BY two-sort structure + rank gathers)."""
+    from tpu_qe.bench.sol import lax_sort_seconds
+    from tpu_qe.ops.quantile import group_quantile
+
+    k0, k1 = jax.random.split(jax.random.PRNGKey(23))
+    g = jax.random.randint(k0, (n,), 0, groups, dtype=jnp.int32)
+    key = U64(g.view(jnp.uint32) * jnp.uint32(2654435761),
+              g.view(jnp.uint32) >> 7)
+    val = _rand_u32(k1, n)
+
+    def run():
+        res = group_quantile(key, val, [(1, 1), 0.99])
+        return res.num_groups, res.quantiles[:, :8]
+
+    secs = measure(run, reps=reps)
+    # envelope: (key, value) sort (3 keys) + packed compaction (1 key +
+    # 2 payload planes); the Q rank gathers are num_groups-sized
+    sol = (lax_sort_seconds(n, 3, stable=False)
+           + lax_sort_seconds(n, 3, stable=False, num_keys=1))
+    return _emit(f"GROUP BY p50+p99 (exact), {n} rows, 1 chip", n, secs,
+                 {"groups": groups, "sol_fraction": round(sol / secs, 3)})
+
+
 def bench_dsort(n: int = 1 << 26, zipf: bool = True, reps: int = 2):
     """Distributed sample-sort over all local devices (skewed keys)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -264,6 +351,12 @@ def main(argv=None) -> None:
             bench_join_agg(n=max(int(100e6 * s), 1 << 12))
         elif c == "window":
             bench_window(n=max(int((1 << 27) * s), 1 << 12))
+        elif c == "orderby":
+            bench_orderby(n=max(int((1 << 27) * s), 1 << 12))
+        elif c == "count_distinct":
+            bench_count_distinct(n=max(int((1 << 27) * s), 1 << 12))
+        elif c == "quantile":
+            bench_quantile(n=max(int((1 << 27) * s), 1 << 12))
         elif c == "dsort":
             bench_dsort(n=max(int((1 << 26) * s) // 8 * 8, 1 << 12))
         else:

@@ -19,6 +19,17 @@ from tpu_qe.exchange.dops import (  # noqa: F401
     distributed_top_k,
     distributed_top_k_numpy,
 )
+from tpu_qe.exchange.dorderby import (  # noqa: F401
+    distributed_order_by,
+    distributed_order_by_numpy,
+    plan_order_by_capacity,
+)
+from tpu_qe.exchange.dquantile import (  # noqa: F401
+    distributed_group_quantile,
+    distributed_group_quantile_numpy,
+    distributed_quantile,
+    distributed_quantile_numpy,
+)
 from tpu_qe.exchange.dwindow import (  # noqa: F401
     DistWindowResult,
     distributed_window,

@@ -4,6 +4,9 @@ from tpu_qe.ops.aggregate import (group_aggregate,  # noqa: F401
                                   group_aggregate_sorted)
 from tpu_qe.ops.join import (join_fk, join_inner, join_sorted,  # noqa: F401
                              expand_ranges)
+from tpu_qe.ops.orderby import sort_by_multi  # noqa: F401
+from tpu_qe.ops.quantile import (group_quantile, median,  # noqa: F401
+                                 quantile)
 from tpu_qe.ops.topk import top_k  # noqa: F401
 from tpu_qe.ops.window import window  # noqa: F401
 
@@ -15,6 +18,8 @@ _BIG_EXPORTS = {
     "aggregate_big": "bigagg",
     "aggregate_big_multi": "bigagg",
     "join_big": "bigjoin",
+    "count_distinct_big": "bigdistinct",
+    "quantile_big": "bigquantile",
     "top_k_big": "bigtopk",
     "window_big": "bigwindow",
     "window_big_distributed": "dbigwindow",

@@ -133,7 +133,9 @@ def aggregate_big_distributed(n: int, mesh: Mesh, n_groups: int = 1 << 20,
         return aggregate_big(n, n_groups=n_groups, run_size=run_size,
                              seed=seed, verbose=verbose, collect=collect,
                              minmax=minmax, checkpoint_dir=checkpoint_dir)
-    assert n % (n_dev * run_size) == 0, (n, n_dev, run_size)
+    assert n % (n_dev * run_size) == 0, \
+        (f"n must be a multiple of devices*run_size "
+         f"(n={n}, devices={n_dev}, run_size={run_size})")
     assert n < (1 << 32), "values travel as u32 global index"
     n_local = n // n_dev
     n_runs = n_local // run_size

@@ -116,7 +116,9 @@ def top_k_big_distributed(n: int, k: int, mesh: Mesh,
         from tpu_qe.ops.bigtopk import top_k_big
         return top_k_big(n, k, run_size=run_size, seed=seed,
                          largest=largest, verbose=verbose, collect=collect)
-    assert n % (n_dev * run_size) == 0, (n, n_dev, run_size)
+    assert n % (n_dev * run_size) == 0, \
+        (f"n must be a multiple of devices*run_size "
+         f"(n={n}, devices={n_dev}, run_size={run_size})")
     assert n < (1 << 32), "payload travels as u32 global index"
     assert 0 < k <= run_size, (k, run_size)
     n_local = n // n_dev

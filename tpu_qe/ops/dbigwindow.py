@@ -315,7 +315,9 @@ def window_big_distributed(n: int, mesh: Mesh, partitions: int | None = None,
                           n_buckets=buckets_per_dev, seed=seed,
                           samples_per_run=samples_per_run,
                           verbose=verbose, collect=collect)
-    assert n % (n_dev * run_size) == 0, (n, n_dev, run_size)
+    assert n % (n_dev * run_size) == 0, \
+        (f"n must be a multiple of devices*run_size "
+         f"(n={n}, devices={n_dev}, run_size={run_size})")
     assert n < (1 << 31), "pad flag rides bit 31 of the index plane"
     n_local = n // n_dev
     n_runs = n_local // run_size

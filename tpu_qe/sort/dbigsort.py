@@ -353,7 +353,9 @@ def sort_big_distributed(n: int, mesh: Mesh, run_size: int = 1 << 26,
                         verbose=verbose, collect=collect,
                         checkpoint_dir=checkpoint_dir,
                         payload_cols=payload_cols)
-    assert n % (n_dev * run_size) == 0, (n, n_dev, run_size)
+    assert n % (n_dev * run_size) == 0, \
+        (f"n must be a multiple of devices*run_size "
+         f"(n={n}, devices={n_dev}, run_size={run_size})")
     assert n < (1 << 32), "payload travels as u32 global index"
     n_local = n // n_dev
     n_runs = n_local // run_size
