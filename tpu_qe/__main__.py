@@ -405,14 +405,24 @@ def _cmd_bench_bigquantile(args) -> int:
     import json
 
     from tpu_qe.bench.sol import device_kind
-    from tpu_qe.ops.bigquantile import quantile_big
 
     qs = [float(q) for q in args.qs.split(",")]
-    res = quantile_big(args.n, qs, run_size=args.run_size,
-                       verbose=args.verbose_big)
+    if args.distributed:
+        from tpu_qe.exchange.dsort import make_mesh
+        from tpu_qe.ops.dbigquantile import quantile_big_distributed
+        mesh = make_mesh(args.devices)
+        res = quantile_big_distributed(args.n, qs, mesh,
+                                       run_size=args.run_size,
+                                       verbose=args.verbose_big)
+        where = f"{res.n_dev} devices"
+    else:
+        from tpu_qe.ops.bigquantile import quantile_big
+        res = quantile_big(args.n, qs, run_size=args.run_size,
+                           verbose=args.verbose_big)
+        where = "1 chip"
     out = {
         "metric": f"out-of-core exact quantiles ({len(qs)} q) over "
-                  f"{res.n} rows, 1 chip",
+                  f"{res.n} rows, {where}",
         "value": round(res.rows_per_s),
         "unit": "rows/s",
         "time_s": round(res.seconds, 3),
@@ -670,6 +680,11 @@ def main(argv=None) -> int:
     pq.add_argument("--qs", type=str, default="0.01,0.25,0.5,0.9,0.99",
                     help="comma-separated quantiles in [0,1]")
     pq.add_argument("--run-size", type=int, default=1 << 26)
+    pq.add_argument("--distributed", action="store_true",
+                    help="distributed out-of-core quantiles over the "
+                         "device mesh (ops/dbigquantile.py)")
+    pq.add_argument("--devices", type=int, default=None,
+                    help="mesh size for --distributed (default: all)")
     pq.add_argument("--verbose-big", action="store_true")
     pq.set_defaults(fn=_cmd_bench_bigquantile)
 

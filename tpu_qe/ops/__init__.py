@@ -20,6 +20,7 @@ _BIG_EXPORTS = {
     "join_big": "bigjoin",
     "count_distinct_big": "bigdistinct",
     "quantile_big": "bigquantile",
+    "quantile_big_distributed": "dbigquantile",
     "top_k_big": "bigtopk",
     "window_big": "bigwindow",
     "window_big_distributed": "dbigwindow",
