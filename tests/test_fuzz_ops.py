@@ -280,3 +280,60 @@ def test_fuzz_window(trial):
         np.testing.assert_array_equal(
             got_d[nm].astype(np.uint64), want[nm].astype(np.uint64),
             err_msg=f"distributed {nm} (D={d}, cap={cap})")
+
+
+@pytest.mark.parametrize("trial", range(6))
+def test_fuzz_orderby_quantile(trial):
+    rng = np.random.default_rng(6000 + trial)
+    from tpu_qe.ops.orderby import canon_by, sort_by_multi
+    from tpu_qe.ops.quantile import canon_qs, disc_rank, group_quantile, quantile
+
+    n = int(rng.integers(2, 5000))
+    cols = {
+        "a": _keys(rng, n),
+        "b": rng.integers(-(1 << 20), 1 << 20, n,
+                          dtype=np.int64).astype(np.int32),
+        "f": rng.standard_normal(n).astype(np.float32),
+        "pay": np.arange(n, dtype=np.uint32),
+    }
+    names = ["a", "b", "f"]
+    rng.shuffle(names)
+    by = [(nm, rng.choice(["asc", "desc"])) for nm in
+          names[: int(rng.integers(1, 4))]]
+    got = sort_by_multi(Table.from_numpy(cols), by).to_numpy()
+    # oracle: stable lexsort over transformed planes
+    planes = []
+    for nm, d in canon_by(by):
+        c = cols[nm]
+        if c.dtype == np.uint64:
+            sub = [(c >> np.uint64(32)).astype(np.uint32),
+                   c.astype(np.uint32)]
+        elif c.dtype == np.float32:
+            b32 = c.view(np.uint32)
+            sub = [np.where(b32 >> 31 == 1, ~b32,
+                            b32 | np.uint32(0x80000000))]
+        else:
+            sub = [c.view(np.uint32) ^ np.uint32(0x80000000)]
+        planes += [~p if d else p for p in sub]
+    perm = np.lexsort(list(reversed(planes)))
+    for nm in cols:
+        np.testing.assert_array_equal(got[nm], cols[nm][perm],
+                                      err_msg=f"{trial} {nm} {by}")
+
+    # quantiles: global + per-group vs exact-rank numpy
+    qs = sorted(rng.uniform(0, 1, int(rng.integers(1, 5))).tolist())
+    import jax.numpy as jnp
+    gq = np.asarray(quantile(jnp.asarray(cols["pay"]), qs))
+    sp = np.sort(cols["pay"])
+    for g, (num, sh) in zip(gq, canon_qs(qs)):
+        assert g == sp[disc_rank(num, sh, n)], (trial, num, sh)
+    keys = rng.integers(0, max(n // 50, 2), n).astype(np.uint64)
+    res = group_quantile(U64.from_numpy(keys), jnp.asarray(cols["b"]), qs)
+    ng = int(res.num_groups)
+    klo = np.asarray(res.key.lo)[:ng]
+    qv = np.asarray(res.quantiles)[:, :ng]
+    for i, k in enumerate(klo):
+        sel = np.sort(cols["b"][keys == k])
+        for j, (num, sh) in enumerate(canon_qs(qs)):
+            assert qv[j, i] == sel[disc_rank(num, sh, len(sel))], \
+                (trial, int(k), num, sh)
