@@ -436,6 +436,34 @@ def _cmd_bench_bigquantile(args) -> int:
     return 0 if res.all_ok else 1
 
 
+def _cmd_bench_bigorderby(args) -> int:
+    import json
+
+    from tpu_qe.bench.sol import device_kind
+    from tpu_qe.ops.bigorderby import order_by_big
+
+    res = order_by_big(args.n, a_card=args.a_card,
+                       run_size=args.run_size, n_buckets=args.buckets,
+                       verbose=args.verbose_big)
+    out = {
+        "metric": f"out-of-core ORDER BY a DESC, b ASC, {res.n} rows, "
+                  f"1 chip",
+        "value": round(res.rows_per_s),
+        "unit": "rows/s",
+        "time_s": round(res.seconds, 3),
+        "phase_runs_s": round(res.phase_a_s, 3),
+        "phase_buckets_s": round(res.phase_c_s, 3),
+        "compile_s": round(res.compile_s, 3),
+        "verified": res.all_ok,
+        "checks": {"sorted": res.sorted_ok, "hash": res.hash_ok,
+                   "boundary": res.boundary_ok, "count": res.count_ok,
+                   "perm": res.perm_ok},
+        "device": device_kind(),
+    }
+    print(json.dumps(out))
+    return 0 if res.all_ok else 1
+
+
 def _cmd_bench_bigdistinct(args) -> int:
     import json
 
@@ -660,6 +688,17 @@ def main(argv=None) -> int:
                     help="keep the candidate-tree machinery even at D=1")
     pt.add_argument("--verbose-big", action="store_true")
     pt.set_defaults(fn=_cmd_bench_bigtopk)
+
+    po = sub.add_parser("bench-bigorderby",
+                        help="out-of-core multi-column ORDER BY "
+                             "(transformed-plane external sample sort)")
+    po.add_argument("--n", type=int, default=1 << 30)
+    po.add_argument("--a-card", type=int, default=None,
+                    help="distinct values of the DESC u64 column")
+    po.add_argument("--run-size", type=int, default=1 << 26)
+    po.add_argument("--buckets", type=int, default=None)
+    po.add_argument("--verbose-big", action="store_true")
+    po.set_defaults(fn=_cmd_bench_bigorderby)
 
     pd = sub.add_parser("bench-bigdistinct",
                         help="out-of-core COUNT(DISTINCT) GROUP BY "

@@ -19,6 +19,7 @@ _BIG_EXPORTS = {
     "aggregate_big_multi": "bigagg",
     "join_big": "bigjoin",
     "count_distinct_big": "bigdistinct",
+    "order_by_big": "bigorderby",
     "quantile_big": "bigquantile",
     "quantile_big_distributed": "dbigquantile",
     "top_k_big": "bigtopk",
