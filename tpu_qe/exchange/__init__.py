@@ -11,6 +11,8 @@ from tpu_qe.exchange.dops import (  # noqa: F401
     distributed_count_distinct,
     distributed_count_distinct_numpy,
     plan_count_distinct_capacity,
+    distributed_join_aggregate,
+    distributed_join_aggregate_numpy,
     distributed_join_fk,
     distributed_join_fk_numpy,
     distributed_join_inner,

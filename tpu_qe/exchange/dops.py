@@ -46,9 +46,31 @@ _ONES = jnp.uint32(0xFFFFFFFF)
 
 def _djoin_shard(llo, lhi, lval_cols, rlo, rhi, rval_cols, *, n_dev,
                  samples_per_dev, cap_l, cap_r):
+    from tpu_qe.ops.join import join_fk_scan
+
+    (lkey, g, flag_l, left_vals, rkey, r_valid, right_vals,
+     overflow) = _djoin_exchange(llo, lhi, lval_cols, rlo, rhi,
+                                 rval_cols, n_dev=n_dev,
+                                 samples_per_dev=samples_per_dev,
+                                 cap_l=cap_l, cap_r=cap_r)
+    left = Table({f"_l{i}": c for i, c in enumerate(left_vals)})
+    right = Table({f"_r{i}": c for i, c in enumerate(right_vals)})
+    out, matched = join_fk_scan(left, right, lkey, rkey,
+                                l_valid=flag_l == 0, r_valid=r_valid)
+    outs = [g, matched.astype(jnp.uint32), flag_l]
+    outs += [out[f"_l{i}"] for i in range(len(lval_cols))]
+    outs += [out[f"_r{i}"] for i in range(len(rval_cols))]
+    return (*outs, overflow)
+
+
+def _djoin_exchange(llo, lhi, lval_cols, rlo, rhi, rval_cols, *, n_dev,
+                    samples_per_dev, cap_l, cap_r):
+    """The join's keyed co-location exchange: (key, position) splitters
+    over both sides, straddler broadcast, per-side capacities. Returns
+    the per-shard join inputs; shared by the plain distributed join and
+    the fused join->GROUP BY."""
     from tpu_qe.exchange.shuffle import (route_by_splitters_pos,
                                          sample_splitters_pos)
-    from tpu_qe.ops.join import join_fk_scan
 
     n_local_l = llo.shape[0]
     n_local_r = rlo.shape[0]
@@ -122,16 +144,12 @@ def _djoin_shard(llo, lhi, lval_cols, rlo, rhi, rval_cols, *, n_dev,
     rkey = U64(jnp.concatenate([recv_r[0], bc_lo]),
                jnp.concatenate([recv_r[1], bc_hi]))
     r_valid = jnp.concatenate([flag_r == 0, bc_flag == 0])
-    left = Table({f"_l{i}": c for i, c in enumerate(recv_l[3:])})
-    right = Table({f"_r{i}": jnp.concatenate([c, b])
-                   for i, (c, b) in enumerate(zip(recv_r[2:], bc_vals))})
-    out, matched = join_fk_scan(left, right, lkey, rkey,
-                                l_valid=flag_l == 0, r_valid=r_valid)
+    left_vals = list(recv_l[3:])
+    right_vals = [jnp.concatenate([c, b])
+                  for c, b in zip(recv_r[2:], bc_vals)]
     overflow = (ovf_r | ovf_l | ovf_span).reshape(1)
-    outs = [g, matched.astype(jnp.uint32), flag_l]
-    outs += [out[f"_l{i}"] for i in range(len(lval_cols))]
-    outs += [out[f"_r{i}"] for i in range(len(rval_cols))]
-    return (*outs, overflow)
+    return (lkey, g, flag_l, left_vals, rkey, r_valid, right_vals,
+            overflow)
 
 
 def _djoin_plan_shard(llo, lhi, rlo, rhi, *, n_dev, samples_per_dev):
@@ -541,14 +559,26 @@ def _dagg_shard(lo, hi, val, *, n_dev, samples_per_dev, capacity,
     # requested): the host wrapper needs it to distinguish a purely-padding
     # group from a real all-ones key group.
     part = group_aggregate(U64(lo, hi), val, aggs=inner_aggs)
+    return _partials_to_global(part, val.dtype, n_dev=n_dev,
+                               samples_per_dev=samples_per_dev,
+                               capacity=capacity, inner_aggs=inner_aggs)
+
+
+def _partials_to_global(part, val_dtype, *, n_dev, samples_per_dev,
+                        capacity, inner_aggs):
+    """Phases 2-3 of two-phase aggregation over a per-shard padded
+    partial GroupResult: shuffle partial groups by key splitters, merge
+    received partials per key. Shared by _dagg_shard and the fused
+    join->GROUP BY shard (whose phase 1 is group_aggregate_sorted over
+    the join stream)."""
     idx = jnp.arange(part.key.lo.shape[0], dtype=jnp.uint32)
     is_real = idx < part.num_groups
     klo = jnp.where(is_real, part.key.lo, _ONES)
     khi = jnp.where(is_real, part.key.hi, _ONES)
     # per-agg value dtypes (count is always u32; sum/min/max follow val)
-    dtypes = {a: (jnp.uint32 if a == "count" else val.dtype)
+    dtypes = {a: (jnp.uint32 if a == "count" else val_dtype)
               for a in inner_aggs}
-    is_int_sum = val.dtype != jnp.float32
+    is_int_sum = val_dtype != jnp.float32
     # flattened exchange planes: an integer sum is an exact u64 U64 pair
     # (two u32 planes, neutral 0/0); everything else is one plane
     partials = []
@@ -935,4 +965,131 @@ def distributed_count_distinct_numpy(keys, values, mesh, **kw):
         for i in range(int(ng[d])):
             k = int(klo[d, i]) | (int(khi[d, i]) << 32)
             out[k] = int(cd[d, i])
+    return out
+
+
+# --------------------------------------------------------------------------
+# fused distributed join -> GROUP BY (the key-sorted stream never lands)
+# --------------------------------------------------------------------------
+
+def _djoin_agg_shard(llo, lhi, rlo, rhi, rval, *, n_dev, samples_per_dev,
+                     cap_l, cap_r, cap_agg, inner_aggs):
+    from tpu_qe.ops.aggregate import group_aggregate_sorted
+    from tpu_qe.ops.join import join_fk_scan
+
+    (lkey, g, flag_l, _lv, rkey, r_valid, right_vals,
+     ovf_j) = _djoin_exchange(llo, lhi, (), rlo, rhi, (rval,),
+                              n_dev=n_dev,
+                              samples_per_dev=samples_per_dev,
+                              cap_l=cap_l, cap_r=cap_r)
+    # the join's stream output is KEY-SORTED per shard: the aggregate's
+    # phase-1 partial tables come from group_aggregate_sorted with no
+    # extra key sort — the fusion saves the join restore sort AND the
+    # aggregate's own key sort (same two-sorts-saved shape as the
+    # in-core fused path, bench_join_agg), and the second exchange moves
+    # partial GROUPS, not rows.
+    st = join_fk_scan(Table({"_z": jnp.zeros_like(g)}),
+                      Table({"_r0": right_vals[0]}), lkey, rkey,
+                      output="stream", l_valid=flag_l == 0,
+                      r_valid=r_valid)
+    part = group_aggregate_sorted(st.key, st.values["_r0"],
+                                  aggs=inner_aggs, valid=st.matched)
+    out = _partials_to_global(part, rval.dtype, n_dev=n_dev,
+                              samples_per_dev=samples_per_dev,
+                              capacity=cap_agg, inner_aggs=inner_aggs)
+    lo, hi, *rest = out
+    ng, ovf_a = rest[-2], rest[-1]
+    return (lo, hi, *rest[:-2], ng, jnp.maximum(ovf_j, ovf_a))
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "samples_per_dev",
+                                             "aggs", "capacity_factor",
+                                             "capacity_left",
+                                             "capacity_right",
+                                             "capacity_agg"))
+def distributed_join_aggregate(lkey: U64, rkey: U64, rvalue: jnp.ndarray,
+                               mesh: Mesh, aggs=("count", "sum"),
+                               samples_per_dev: int = 128,
+                               capacity_factor: float = 2.0,
+                               capacity_left: int | None = None,
+                               capacity_right: int | None = None,
+                               capacity_agg: int | None = None):
+    """SELECT l.key, aggs(r.value) FROM l JOIN r USING (key) GROUP BY
+    l.key over mesh-sharded sides, FUSED: one join co-location exchange,
+    per-shard stream join + sorted-stream partial aggregation, one
+    partial-GROUP exchange — the joined rows are never materialized,
+    restored, or re-shuffled. Returns the distributed_aggregate output
+    contract (klo, khi, *agg cols incl. trailing count, num_groups,
+    overflow)."""
+    n_dev = mesh.shape[AXIS]
+    n_l, n_r = lkey.lo.shape[0], rkey.lo.shape[0]
+    assert n_l % n_dev == 0 and n_r % n_dev == 0
+    inner_aggs = tuple(aggs) if "count" in aggs else tuple(aggs) + ("count",)
+
+    def cap(c, n):
+        if c is not None:
+            return max(c, 16)
+        return max(int(np.ceil(capacity_factor * (n // n_dev) / n_dev)), 16)
+
+    is_int_sum = rvalue.dtype != jnp.float32
+    n_agg_cols = sum(2 if (a == "sum" and is_int_sum) else 1
+                     for a in inner_aggs)
+    spec = P(AXIS)
+    fn = shard_map(
+        functools.partial(_djoin_agg_shard, n_dev=n_dev,
+                          samples_per_dev=samples_per_dev,
+                          cap_l=cap(capacity_left, n_l),
+                          cap_r=cap(capacity_right, n_r),
+                          cap_agg=cap(capacity_agg, n_l),
+                          inner_aggs=inner_aggs),
+        mesh=mesh, in_specs=(spec,) * 5,
+        out_specs=tuple([spec] * (2 + n_agg_cols + 2)), check_vma=False)
+    return fn(lkey.lo, lkey.hi, rkey.lo, rkey.hi, rvalue)
+
+
+def distributed_join_aggregate_numpy(lkeys, rkeys, rvals, mesh,
+                                     aggs=("count", "sum"), **kw):
+    """Host wrapper: {left key -> {agg -> value}} over matched rows.
+
+    capacity_factor="auto" plans the join exchange (plan_join_capacity);
+    the partial-group stage sizes itself from the left capacity."""
+    sh = NamedSharding(mesh, P(AXIS))
+    ul, ur = U64.from_numpy(lkeys), U64.from_numpy(rkeys)
+    lk = U64(jax.device_put(ul.lo, sh), jax.device_put(ul.hi, sh))
+    rk = U64(jax.device_put(ur.lo, sh), jax.device_put(ur.hi, sh))
+    rv = jax.device_put(jnp.asarray(np.asarray(rvals).astype(np.uint32)),
+                        sh)
+    kw = _auto_capacity(kw, mesh, plan_join_capacity, (lk, rk),
+                        ("capacity_left", "capacity_right"))
+    res = distributed_join_aggregate(lk, rk, rv, mesh=mesh,
+                                     aggs=tuple(aggs), **kw)
+    if int(np.asarray(res[-1]).max()):
+        raise RuntimeError("exchange capacity overflow; raise "
+                           "capacity_factor")
+    n_dev = mesh.shape[AXIS]
+    klo = np.asarray(res[0]).reshape(n_dev, -1)
+    khi = np.asarray(res[1]).reshape(n_dev, -1)
+    inner = tuple(aggs) if "count" in aggs else tuple(aggs) + ("count",)
+    cols = []
+    res_cols = res[2:-2]
+    j = 0
+    for a in inner:
+        if a == "sum":
+            lo_c = np.asarray(res_cols[j]).reshape(n_dev, -1)
+            hi_c = np.asarray(res_cols[j + 1]).reshape(n_dev, -1)
+            j += 2
+            cols.append(lo_c.astype(np.uint64)
+                        | (hi_c.astype(np.uint64) << np.uint64(32)))
+            continue
+        cols.append(np.asarray(res_cols[j]).reshape(n_dev, -1))
+        j += 1
+    ng = np.asarray(res[-2]).reshape(n_dev, -1)[:, 0]
+    out = {}
+    for d in range(n_dev):
+        for i in range(int(ng[d])):
+            k = int(klo[d, i]) | (int(khi[d, i]) << 32)
+            row = {a: int(c[d, i]) for a, c in zip(inner, cols)}
+            if row["count"] == 0:
+                continue
+            out[k] = {a: row[a] for a in aggs}
     return out
