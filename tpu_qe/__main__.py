@@ -440,14 +440,26 @@ def _cmd_bench_bigorderby(args) -> int:
     import json
 
     from tpu_qe.bench.sol import device_kind
-    from tpu_qe.ops.bigorderby import order_by_big
 
-    res = order_by_big(args.n, a_card=args.a_card,
-                       run_size=args.run_size, n_buckets=args.buckets,
-                       verbose=args.verbose_big)
+    if args.distributed:
+        from tpu_qe.exchange.dsort import make_mesh
+        from tpu_qe.ops.dbigorderby import order_by_big_distributed
+        mesh = make_mesh(args.devices)
+        d = int(mesh.devices.size)
+        res = order_by_big_distributed(
+            args.n, mesh, a_card=args.a_card, run_size=args.run_size,
+            buckets_per_dev=args.buckets, verbose=args.verbose_big,
+            force_composed=args.force_composed)
+        where = f"{d} devices"
+    else:
+        from tpu_qe.ops.bigorderby import order_by_big
+        res = order_by_big(args.n, a_card=args.a_card,
+                           run_size=args.run_size, n_buckets=args.buckets,
+                           verbose=args.verbose_big)
+        where = "1 chip"
     out = {
         "metric": f"out-of-core ORDER BY a DESC, b ASC, {res.n} rows, "
-                  f"1 chip",
+                  f"{where}",
         "value": round(res.rows_per_s),
         "unit": "rows/s",
         "time_s": round(res.seconds, 3),
@@ -697,6 +709,13 @@ def main(argv=None) -> int:
                     help="distinct values of the DESC u64 column")
     po.add_argument("--run-size", type=int, default=1 << 26)
     po.add_argument("--buckets", type=int, default=None)
+    po.add_argument("--distributed", action="store_true",
+                    help="distributed out-of-core ORDER BY over the "
+                         "device mesh (ops/dbigorderby.py)")
+    po.add_argument("--devices", type=int, default=None,
+                    help="mesh size for --distributed (default: all)")
+    po.add_argument("--force-composed", action="store_true",
+                    help="keep the composed machinery even at D=1")
     po.add_argument("--verbose-big", action="store_true")
     po.set_defaults(fn=_cmd_bench_bigorderby)
 

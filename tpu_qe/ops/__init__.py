@@ -20,6 +20,7 @@ _BIG_EXPORTS = {
     "join_big": "bigjoin",
     "count_distinct_big": "bigdistinct",
     "order_by_big": "bigorderby",
+    "order_by_big_distributed": "dbigorderby",
     "quantile_big": "bigquantile",
     "quantile_big_distributed": "dbigquantile",
     "top_k_big": "bigtopk",
