@@ -45,6 +45,7 @@ step python -m tpu_qe bench-bigwindow --n $((1<<28)) --partitions $((1<<20)) --d
 step python -m tpu_qe bench-bigquantile --n $((1<<30))
 step python -m tpu_qe bench-bigquantile --n $((1<<28)) --distributed
 step python -m tpu_qe bench-bigdistinct --n $((1<<30))
+step python -m tpu_qe bench-bigdistinct --n $((1<<28)) --distributed --force-composed
 step python -m tpu_qe bench-bigorderby --n $((1<<29))
 step python -m tpu_qe bench-bigorderby --n $((1<<28)) --distributed --force-composed
 step python -m tpu_qe bench-matrix -- --configs orderby,count_distinct,quantile

@@ -480,15 +480,26 @@ def _cmd_bench_bigdistinct(args) -> int:
     import json
 
     from tpu_qe.bench.sol import device_kind
-    from tpu_qe.ops.bigdistinct import count_distinct_big
 
-    res = count_distinct_big(args.n, n_groups=args.groups,
-                             n_values=args.values,
-                             run_size=args.run_size,
-                             verbose=args.verbose_big)
+    if args.distributed:
+        from tpu_qe.exchange.dsort import make_mesh
+        from tpu_qe.ops.dbigdistinct import count_distinct_big_distributed
+        mesh = make_mesh(args.devices)
+        res = count_distinct_big_distributed(
+            args.n, mesh, n_groups=args.groups, n_values=args.values,
+            run_size=args.run_size, verbose=args.verbose_big,
+            force_composed=args.force_composed)
+        where = f"{res.n_dev} devices"
+    else:
+        from tpu_qe.ops.bigdistinct import count_distinct_big
+        res = count_distinct_big(args.n, n_groups=args.groups,
+                                 n_values=args.values,
+                                 run_size=args.run_size,
+                                 verbose=args.verbose_big)
+        where = "1 chip"
     out = {
         "metric": f"out-of-core COUNT(DISTINCT) {res.n} rows -> "
-                  f"{res.num_groups} groups, 1 chip",
+                  f"{res.num_groups} groups, {where}",
         "value": round(res.rows_per_s),
         "unit": "rows/s",
         "time_s": round(res.seconds, 3),
@@ -728,6 +739,13 @@ def main(argv=None) -> int:
                     help="distinct values per group (G*V pairs bound "
                          "the per-run dedup output)")
     pd.add_argument("--run-size", type=int, default=1 << 26)
+    pd.add_argument("--distributed", action="store_true",
+                    help="distributed out-of-core COUNT DISTINCT over "
+                         "the device mesh (ops/dbigdistinct.py)")
+    pd.add_argument("--devices", type=int, default=None,
+                    help="mesh size for --distributed (default: all)")
+    pd.add_argument("--force-composed", action="store_true",
+                    help="keep the composed machinery even at D=1")
     pd.add_argument("--verbose-big", action="store_true")
     pd.set_defaults(fn=_cmd_bench_bigdistinct)
 

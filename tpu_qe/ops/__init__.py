@@ -19,6 +19,7 @@ _BIG_EXPORTS = {
     "aggregate_big_multi": "bigagg",
     "join_big": "bigjoin",
     "count_distinct_big": "bigdistinct",
+    "count_distinct_big_distributed": "dbigdistinct",
     "order_by_big": "bigorderby",
     "order_by_big_distributed": "dbigorderby",
     "quantile_big": "bigquantile",
