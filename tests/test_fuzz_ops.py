@@ -337,3 +337,40 @@ def test_fuzz_orderby_quantile(trial):
         for j, (num, sh) in enumerate(canon_qs(qs)):
             assert qv[j, i] == sel[disc_rank(num, sh, len(sel))], \
                 (trial, int(k), num, sh)
+
+
+@pytest.mark.parametrize("trial", range(4))
+def test_fuzz_distributed_orderby_quantile(trial):
+    rng = np.random.default_rng(7000 + trial)
+    n_dev = int(rng.choice([2, 4, 8]))
+    if len(jax.devices()) < n_dev:
+        pytest.skip("needs devices")
+    from tpu_qe.exchange import make_mesh
+    from tpu_qe.exchange.dorderby import distributed_order_by_numpy
+    from tpu_qe.exchange.dquantile import distributed_quantile_numpy
+    from tpu_qe.ops.orderby import sort_by_multi
+    from tpu_qe.ops.quantile import canon_qs, disc_rank
+
+    mesh = make_mesh(n_dev)
+    n = int(rng.integers(2, 60)) * n_dev * 8
+    cols = {
+        "k": _keys(rng, n),
+        "b": rng.integers(-(1 << 10), 1 << 10, n,
+                          dtype=np.int64).astype(np.int32),
+        "i": np.arange(n, dtype=np.uint32),
+    }
+    by = [("k", rng.choice(["asc", "desc"])),
+          ("b", rng.choice(["asc", "desc"]))]
+    cf = "auto" if trial % 2 == 0 else float(n_dev)
+    got, pos = distributed_order_by_numpy(cols, by, mesh,
+                                          capacity_factor=cf)
+    want = sort_by_multi(Table.from_numpy(cols), by).to_numpy()
+    for nm in cols:
+        np.testing.assert_array_equal(got[nm], want[nm],
+                                      err_msg=f"{trial} {nm} {by}")
+
+    qs = sorted(rng.uniform(0, 1, int(rng.integers(1, 4))).tolist())
+    gq = distributed_quantile_numpy(cols["k"], qs, mesh)
+    s = np.sort(cols["k"])
+    for g, (num, sh) in zip(gq, canon_qs(qs)):
+        assert g == s[disc_rank(num, sh, n)], (trial, num, sh)
