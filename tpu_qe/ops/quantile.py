@@ -27,7 +27,7 @@ case that sorting IS selection's envelope on this hardware class).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Sequence
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
