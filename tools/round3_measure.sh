@@ -31,6 +31,7 @@ step python -m tpu_qe bench-bigtopk --n $((1<<30)) --k $((1<<10))
 step python -m tpu_qe bench-bigtopk --n $((1<<28)) --k $((1<<10)) --distributed --force-composed
 step python -m tpu_qe bench-big     --n $((1<<28)) --payload-cols 3   # table-shaped rows
 step python -m tpu_qe bench-bigpipe --n-left $((1<<28)) --n-right $((1<<28)) --groups $((1<<16))
+step python -m tpu_qe bench-bigpipe --n-left $((1<<27)) --n-right $((1<<27)) --groups $((1<<16)) --distributed --force-composed
 # machinery-through paths at D=1 (the real chip): --force-composed keeps
 # the exchange/combine-tree instead of delegating to the 1-chip drivers
 step python -m tpu_qe bench-bigjoin --n-left $((1<<28)) --n-right $((1<<28)) --distributed --force-composed

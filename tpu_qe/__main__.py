@@ -334,15 +334,28 @@ def _cmd_bench_bigpipe(args) -> int:
     import json
 
     from tpu_qe.bench.sol import device_kind
-    from tpu_qe.ops.bigpipe import join_aggregate_big
 
-    res = join_aggregate_big(args.n_left, args.n_right,
-                             n_groups=args.groups,
-                             n_buckets=args.buckets,
-                             verbose=args.verbose_big)
+    if args.distributed:
+        from tpu_qe.exchange.dsort import make_mesh
+        from tpu_qe.ops.dbigpipe import join_aggregate_big_distributed
+        mesh = make_mesh(args.devices)
+        d = int(mesh.devices.size)
+        res = join_aggregate_big_distributed(
+            args.n_left, args.n_right, mesh, n_groups=args.groups,
+            run_size=args.run_size,
+            buckets_per_dev=args.buckets, verbose=args.verbose_big,
+            force_composed=args.force_composed)
+        where = f"{d} devices"
+    else:
+        from tpu_qe.ops.bigpipe import join_aggregate_big
+        res = join_aggregate_big(args.n_left, args.n_right,
+                                 n_groups=args.groups,
+                                 n_buckets=args.buckets,
+                                 verbose=args.verbose_big)
+        where = "1 chip"
     out = {
         "metric": f"fused out-of-core join+GROUP BY {res.n_l} x "
-                  f"{res.n_r} rows -> {res.n_groups} groups, 1 chip",
+                  f"{res.n_r} rows -> {res.n_groups} groups, {where}",
         "value": round(res.rows_per_s),
         "unit": "left rows/s",
         "time_s": round(res.seconds, 3),
@@ -693,6 +706,15 @@ def main(argv=None) -> int:
     pp.add_argument("--groups", type=int, default=1 << 16)
     pp.add_argument("--buckets", type=int, default=None)
     pp.add_argument("--verbose-big", action="store_true")
+    pp.add_argument("--run-size", type=int, default=1 << 26,
+                    help="per-device run size for --distributed")
+    pp.add_argument("--distributed", action="store_true",
+                    help="fused distributed out-of-core pipeline "
+                         "(ops/dbigpipe.py)")
+    pp.add_argument("--devices", type=int, default=None,
+                    help="mesh size for --distributed (default: all)")
+    pp.add_argument("--force-composed", action="store_true",
+                    help="keep the composed machinery even at D=1")
     pp.set_defaults(fn=_cmd_bench_bigpipe)
 
     pt = sub.add_parser("bench-bigtopk",

@@ -29,6 +29,7 @@ _BIG_EXPORTS = {
     "window_big_distributed": "dbigwindow",
     "top_k_big_distributed": "dbigtopk",
     "join_aggregate_big": "bigpipe",
+    "join_aggregate_big_distributed": "dbigpipe",
     "aggregate_big_distributed": "dbigagg",
     "join_big_distributed": "dbigjoin",
 }

@@ -124,10 +124,18 @@ def _planner_fn(mesh: Mesh, n_runs_l: int, n_runs_r: int,
 # ----------------------------------------------------------------- phase C
 
 def _joiner_fn(mesh: Mesh, n_runs_l: int, n_runs_r: int, n_dev: int,
-               cap_seg_l: int, cap_seg_r: int):
+               cap_seg_l: int, cap_seg_r: int,
+               agg: tuple | None = None):
     """Per-bucket join + construction-exact verification, all devices at
     once. Segments arrive key-sorted per (run, source); join_fk_scan
-    sorts the combined stream itself, so no pre-merge is needed."""
+    sorts the combined stream itself, so no pre-merge is needed.
+
+    agg=(n_groups, partial_cap): FUSE a partial GROUP BY of the joined
+    values into the bucket program (ops/bigpipe.py's consume step, in
+    program — the joined rows never leave the bucket) and append the
+    5-plane sentinel-padded partial table to the outputs (the
+    ops/bigagg.py padding discipline, so dbigagg's combiner merges the
+    bucket tables unchanged). Used by ops/dbigpipe.py."""
 
     def body(st_l, dl_l, sz_l, st_r, dl_r, sz_r, *blocks):
         # plans: (R, D) per device per side; blocks: n_runs_l triples of
@@ -167,14 +175,23 @@ def _joiner_fn(mesh: Mesh, n_runs_l: int, n_runs_r: int, n_dev: int,
             s_lidx, l_valid, s_llo, s_lhi, out["rv"], matched) + (
             jnp.sum(l_valid.astype(jnp.uint32)),
             jnp.sum(r_valid.astype(jnp.uint32)))
-        return tuple(x.reshape(1) for x in scalars)
+        outs = tuple(x.reshape(1) for x in scalars)
+        if agg is not None:
+            from tpu_qe.ops.bigpipe import _bucket_partial
+            n_groups, partial_cap = agg
+            outs = outs + _bucket_partial(
+                s_llo, s_lhi, out["rv"], matched.astype(jnp.uint32),
+                l_valid.astype(jnp.uint32), n_groups=n_groups,
+                partial_cap=partial_cap)
+        return outs
 
     plan = P(AXIS, None)
     n_blk = 3 * n_runs_l + 2 * n_runs_r
+    n_out = 6 + (5 if agg is not None else 0)
     fn = shard_map(
         body, mesh=mesh,
         in_specs=(plan,) * 6 + (plan,) * n_blk,
-        out_specs=tuple([P(AXIS)] * 6), check_vma=False)
+        out_specs=tuple([P(AXIS)] * n_out), check_vma=False)
     return jax.jit(fn)
 
 
@@ -214,7 +231,8 @@ def join_big_distributed(n_l: int, n_r: int, mesh: Mesh,
                          samples_per_run: int = 4096,
                          verbose: bool = False,
                          checkpoint_dir: str | None = None,
-                         force_composed: bool = False):
+                         force_composed: bool = False,
+                         aggregate_groups: int | None = None):
     """Distributed + out-of-core FK join of n_l x n_r generated rows.
 
     Both sides must be divisible by D * run_size. Bucket joins run on
@@ -233,6 +251,14 @@ def join_big_distributed(n_l: int, n_r: int, mesh: Mesh,
     to the single-chip join_big (same data model and verification;
     returns its BigJoinResult). force_composed=True keeps the composed
     machinery at D=1 for tests/machinery measurements.
+
+    aggregate_groups: FUSE a partial GROUP BY of the joined values into
+    every bucket program (group = hash(join key) mod aggregate_groups,
+    matched rows only — the ops/dbigpipe.py composition); returns
+    (DBigJoinResult, partial_tables) where partial_tables is one
+    5-plane sharded table per bucket round, ready for dbigagg's
+    combiner. Incompatible with checkpoint_dir (skipped rounds would
+    have no tables); the fused caller handles its own persistence.
     """
     n_dev = int(mesh.shape[AXIS])
     if n_dev == 1 and not force_composed:
@@ -365,7 +391,17 @@ def join_big_distributed(n_l: int, n_r: int, mesh: Mesh,
 
     # ---- phase C: per-bucket joins (all devices in parallel) ----
     tcj = time.perf_counter()
-    joiner = _joiner_fn(mesh, n_runs_l, n_runs_r, n_dev, cs_l, cs_r)
+    agg = None
+    if aggregate_groups is not None:
+        assert checkpoint_dir is None, \
+            "aggregate_groups is incompatible with checkpoint_dir"
+        # a bucket cannot hold more distinct groups than left rows: cap
+        # the partial table at the bucket's static left capacity
+        pc = min(aggregate_groups, n_runs_l * n_dev * cs_l)
+        pc = -(-pc // 128) * 128
+        agg = (aggregate_groups, pc)
+    joiner = _joiner_fn(mesh, n_runs_l, n_runs_r, n_dev, cs_l, cs_r,
+                        agg=agg)
     mplan_l = _plan_put(np.zeros((n_dev * n_runs_l, n_dev), np.int32))
     mplan_r = _plan_put(np.zeros((n_dev * n_runs_r, n_dev), np.int32))
     flat_blocks = [a for blk in (lblocks + rblocks) for a in blk]
@@ -435,7 +471,7 @@ def join_big_distributed(n_l: int, n_r: int, mesh: Mesh,
             vals = state.scalars[b].reshape(n_dev, _DJoinState.N_SCALARS)
             mo, vo, nm, ne, nl_b, nr_b = vals.T
         else:
-            out = [np.asarray(x) for x in pending[b]]
+            out = [np.asarray(x) for x in pending[b][:6]]
             mo, vo, nm, ne, nl_b, nr_b = out
             if state is not None:
                 state.record(b, np.stack(out, axis=1).reshape(-1))
@@ -459,4 +495,6 @@ def join_big_distributed(n_l: int, n_r: int, mesh: Mesh,
         print(f"dbigjoin: matched={matched}/{expected} rows_l={rows_l} "
               f"rows_r={rows_r} A={t_a:.2f} X={t_x:.2f} C={t_c:.2f} "
               f"ok={res.all_ok}")
+    if aggregate_groups is not None:
+        return res, [pending[b][6:] for b in range(n_b)]
     return res
