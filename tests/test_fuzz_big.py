@@ -93,3 +93,41 @@ def test_fuzz_dbigjoin_configs(trial):
                                buckets_per_dev=b)
     assert res.all_ok, (trial, res)
     assert res.matched == (n_l + 1) // 2, trial
+
+
+@pytest.mark.parametrize("trial", range(4))
+def test_fuzz_bigquantile_bigdistinct_bigorderby(trial):
+    rng = np.random.default_rng(8000 + trial)
+    from tpu_qe.hashing import keygen_hash_numpy
+    from tpu_qe.ops.bigdistinct import count_distinct_big
+    from tpu_qe.ops.bigorderby import order_by_big, rows_numpy
+    from tpu_qe.ops.bigquantile import quantile_big
+    from tpu_qe.ops.quantile import canon_qs, disc_rank
+
+    rs = int(rng.choice([1 << 9, 1 << 10, 1 << 11]))
+    n = rs * int(rng.integers(2, 7))
+    kb = int(rng.choice([64, 48, 12]))
+    qs = sorted(rng.uniform(0, 1, int(rng.integers(1, 4))).tolist())
+    res = quantile_big(n, qs, run_size=rs, key_bits=kb)
+    assert res.all_ok, (trial, res)
+    keys = keygen_hash_numpy(np.arange(n, dtype=np.uint32), 7)
+    if kb < 64:
+        keys = keys & np.uint64((1 << kb) - 1)
+    s = np.sort(keys)
+    for v, (num, sh) in zip(res.values, canon_qs(qs)):
+        assert v == s[disc_rank(num, sh, n)], (trial, num, sh)
+
+    g = int(rng.integers(2, 80))
+    vv = int(rng.integers(1, 50))
+    dres = count_distinct_big(n, n_groups=g, n_values=vv, run_size=rs)
+    assert dres.all_ok, (trial, dres)
+
+    a_card = int(rng.integers(1, 40))
+    ores, got = order_by_big(n, a_card=a_card, run_size=rs,
+                             n_buckets=int(rng.integers(2, 6)),
+                             collect=True)
+    assert ores.all_ok, (trial, ores)
+    a, b, _pay = rows_numpy(np.arange(n, dtype=np.uint32), a_card)
+    perm = np.lexsort((np.arange(n), b, ~a))
+    np.testing.assert_array_equal(got["idx"], perm.astype(np.uint32),
+                                  err_msg=str(trial))
