@@ -18,6 +18,8 @@ from tpu_qe.exchange.dops import (  # noqa: F401
     distributed_join_inner,
     distributed_join_inner_numpy,
     plan_join_inner_capacity,
+    distributed_set_op,
+    distributed_set_op_numpy,
     distributed_top_k,
     distributed_top_k_numpy,
 )

@@ -1093,3 +1093,144 @@ def distributed_join_aggregate_numpy(lkeys, rkeys, rvals, mesh,
                 continue
             out[k] = {a: row[a] for a in aggs}
     return out
+
+
+# --------------------------------------------------------------------------
+# distributed set operations (UNION / INTERSECT / EXCEPT, distinct)
+# --------------------------------------------------------------------------
+
+def _dset_shard(alo, ahi, blo, bhi, *, op, n_dev, samples_per_dev,
+                capacity):
+    """Local (key, side) dedup with exact multiplicities (compression),
+    key-splitter routing, then the local set op on received tuples."""
+    from tpu_qe.ops.aggregate import _shift_right_one
+    from tpu_qe.ops.segscan import cumsum_u32
+    from tpu_qe.ops.setops import _qualifies
+
+    n_a, n_b = alo.shape[0], blo.shape[0]
+    n = n_a + n_b
+    lo = jnp.concatenate([alo, blo])
+    hi = jnp.concatenate([ahi, bhi])
+    side = jnp.concatenate([jnp.zeros(n_a, jnp.uint32),
+                            jnp.ones(n_b, jnp.uint32)])
+    shi, slo, ss = jax.lax.sort([hi, lo, side], num_keys=3,
+                                is_stable=False)
+    pos = jnp.arange(n, dtype=jnp.uint32)
+    new = ((pos == 0) | (slo != _shift_right_one(slo, 0))
+           | (shi != _shift_right_one(shi, 0))
+           | (ss != _shift_right_one(ss, 0)))
+    m = jnp.sum(new.astype(jnp.uint32), dtype=jnp.uint32)
+    # occurrences per (key, side) tuple: position diffs at tuple ends
+    tend = jnp.concatenate([new[1:], jnp.ones((1,), bool)])
+    pos1 = pos + 1
+    packed = jnp.where(tend, pos1, pos1 | jnp.uint32(1 << 31))
+    res = jax.lax.sort([packed, slo, shi, ss], num_keys=1,
+                       is_stable=False)
+    pe = res[0] & jnp.uint32(0x7FFFFFFF)
+    occ = pe - _shift_right_one(pe, 0)
+    is_real = pos < m
+    klo = jnp.where(is_real, res[1], _ONES)
+    khi = jnp.where(is_real, res[2], _ONES)
+    sp_lo, sp_hi = sample_splitters(klo, khi, n_dev, samples_per_dev,
+                                    n_valid=m)
+    my = jax.lax.axis_index(AXIS).astype(jnp.uint32)
+    dest = route_by_splitters(klo, khi, sp_lo, sp_hi)
+    dest = jnp.where(is_real, dest, my)
+    recv, _, _, _, overflow = exchange(
+        dest,
+        [klo, khi, jnp.where(is_real, res[3], 0),
+         jnp.where(is_real, occ, 0)],
+        [_ONES, _ONES, jnp.uint32(0), jnp.uint32(0)], n_dev, capacity)
+    rlo, rhi, rs, ro = recv
+    g2hi, g2lo, g2s, g2o = jax.lax.sort([rhi, rlo, rs, ro], num_keys=3,
+                                        is_stable=False)
+    mm = g2lo.shape[0]
+    p2 = jnp.arange(mm, dtype=jnp.uint32)
+    sent = (g2lo == _ONES) & (g2hi == _ONES)
+    key_new = ((p2 == 0) | (g2lo != _shift_right_one(g2lo, 0))
+               | (g2hi != _shift_right_one(g2hi, 0))) & ~sent
+    key_end = ~sent & jnp.concatenate(
+        [(key_new | sent)[1:], jnp.ones((1,), bool)])
+    cum_t = cumsum_u32(g2o)                           # total occurrences
+    cum_b = cumsum_u32(jnp.where(g2s > 0, g2o, 0))    # side-B occurrences
+    n_keys = jnp.sum(key_end.astype(jnp.uint32), dtype=jnp.uint32)
+    packed2 = jnp.where(key_end, p2 + 1, (p2 + 1) | jnp.uint32(1 << 31))
+    res2 = jax.lax.sort([packed2, g2lo, g2hi, cum_t, cum_b], num_keys=1,
+                        is_stable=False)
+    ct = res2[3] - _shift_right_one(res2[3], 0)
+    cb = res2[4] - _shift_right_one(res2[4], 0)
+    ca = ct - cb
+    kvalid = p2 < n_keys
+    keep = kvalid & _qualifies(op, ca > 0, cb > 0)
+    num = jnp.sum(keep.astype(jnp.uint32), dtype=jnp.uint32)
+    packed3 = jnp.where(keep, p2, p2 | jnp.uint32(1 << 31))
+    res3 = jax.lax.sort([packed3, res2[1], res2[2], ca, cb], num_keys=1,
+                        is_stable=False)
+    valid = p2 < num
+    return (jnp.where(valid, res3[1], _ONES),
+            jnp.where(valid, res3[2], _ONES),
+            jnp.where(valid, res3[3], 0), jnp.where(valid, res3[4], 0),
+            num.reshape(1), overflow.reshape(1))
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "op",
+                                             "samples_per_dev",
+                                             "capacity_factor",
+                                             "capacity"))
+def distributed_set_op(akey: U64, bkey: U64, mesh: Mesh, op: str = "union",
+                       samples_per_dev: int = 128,
+                       capacity_factor: float = 2.0,
+                       capacity: int | None = None):
+    """DISTINCT-semantics UNION / INTERSECT / EXCEPT over mesh-sharded
+    u64 key columns (ops/setops.py semantics, scaled): local (key, side)
+    dedup with exact multiplicities is the exchange-volume reducer;
+    tuples route by key splitters so every key's verdict is local and
+    exact. Returns (klo, khi, count_a, count_b, num, overflow)
+    mesh-sharded (splitter-disjoint key ranges across devices)."""
+    from tpu_qe.ops.setops import _OPS
+    if op not in _OPS:
+        raise ValueError(f"op must be one of {_OPS}, got {op!r}")
+    n_dev = mesh.shape[AXIS]
+    n = akey.lo.shape[0] + bkey.lo.shape[0]
+    assert akey.lo.shape[0] % n_dev == 0
+    assert bkey.lo.shape[0] % n_dev == 0
+    if capacity is None:
+        capacity = max(int(np.ceil(capacity_factor * (n // n_dev) / n_dev)),
+                       16)
+    capacity = max(capacity, 16)
+    spec = P(AXIS)
+    fn = shard_map(
+        functools.partial(_dset_shard, op=op, n_dev=n_dev,
+                          samples_per_dev=samples_per_dev,
+                          capacity=capacity),
+        mesh=mesh, in_specs=(spec,) * 4,
+        out_specs=tuple([spec] * 6), check_vma=False)
+    return fn(akey.lo, akey.hi, bkey.lo, bkey.hi)
+
+
+def distributed_set_op_numpy(a, b, mesh, op="union", **kw):
+    """Host wrapper: result keys (ascending) + per-key (count_a,
+    count_b) multiplicities over all shards."""
+    sh = NamedSharding(mesh, P(AXIS))
+    ua, ub = U64.from_numpy(a), U64.from_numpy(b)
+    ak = U64(jax.device_put(ua.lo, sh), jax.device_put(ua.hi, sh))
+    bk = U64(jax.device_put(ub.lo, sh), jax.device_put(ub.hi, sh))
+    res = distributed_set_op(ak, bk, mesh=mesh, op=op, **kw)
+    if int(np.asarray(res[-1]).max()):
+        raise RuntimeError("exchange capacity overflow; raise "
+                           "capacity_factor")
+    n_dev = mesh.shape[AXIS]
+    klo = np.asarray(res[0]).reshape(n_dev, -1)
+    khi = np.asarray(res[1]).reshape(n_dev, -1)
+    ca = np.asarray(res[2]).reshape(n_dev, -1)
+    cb = np.asarray(res[3]).reshape(n_dev, -1)
+    num = np.asarray(res[4]).reshape(n_dev)
+    ks, cas, cbs = [], [], []
+    for d in range(n_dev):
+        c = int(num[d])
+        ks.append(klo[d, :c].astype(np.uint64)
+                  | (khi[d, :c].astype(np.uint64) << np.uint64(32)))
+        cas.append(ca[d, :c])
+        cbs.append(cb[d, :c])
+    return (np.concatenate(ks), np.concatenate(cas),
+            np.concatenate(cbs))

@@ -5,6 +5,7 @@ from tpu_qe.ops.aggregate import (group_aggregate,  # noqa: F401
 from tpu_qe.ops.join import (join_fk, join_inner, join_sorted,  # noqa: F401
                              expand_ranges)
 from tpu_qe.ops.orderby import sort_by_multi  # noqa: F401
+from tpu_qe.ops.setops import set_op  # noqa: F401
 from tpu_qe.ops.quantile import (group_quantile, median,  # noqa: F401
                                  quantile)
 from tpu_qe.ops.topk import top_k  # noqa: F401

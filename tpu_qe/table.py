@@ -251,6 +251,16 @@ class Table:
         cols.update(res.cols)
         return Table(cols)
 
+    def set_op(self, other: "Table", op: str, key: str = "key"):
+        """SQL UNION / INTERSECT / EXCEPT (distinct) over a shared u64
+        key column. Returns (keys, count_self, count_other, num) —
+        ops.setops.set_op."""
+        from tpu_qe.ops.setops import set_op
+        k, ok = self._cols[key], other[key]
+        if not (isinstance(k, U64) and isinstance(ok, U64)):
+            raise TypeError(f"set-op key {key!r} must be u64 on both sides")
+        return set_op(k, ok, op)
+
     def quantile(self, qs, key: str = "key"):
         """Exact global PERCENTILE_DISC over a column (U64 or
         u32/i32/f32); qs per ops.quantile.canon_qs."""
