@@ -168,6 +168,19 @@ def main() -> None:
     assert med0 == sv[(len(sv) + 1) // 2 - 1]
     print(f"distinct: COUNT(DISTINCT value) + exact p50/p99 per sensor "
           f"({ncd} sensors; both verified vs numpy on sensor {klo0})")
+
+    # --- 12. set algebra: sensors active in BOTH halves of the stream ----
+    half = ev.num_rows // 2
+    first = Table({"key": U64(ev["sensor"].lo[:half],
+                              ev["sensor"].hi[:half])})
+    second = Table({"key": U64(ev["sensor"].lo[half:],
+                               ev["sensor"].hi[half:])})
+    ikeys, ica, icb, inum = first.set_op(second, "intersect")
+    s1 = set(evn["sensor"][:half].tolist())
+    s2 = set(evn["sensor"][half:].tolist())
+    assert int(inum) == len(s1 & s2)
+    print(f"set_op:   {int(inum)} sensors active in both stream halves "
+          f"(INTERSECT, verified vs python sets)")
     print("done.")
 
 

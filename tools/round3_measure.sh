@@ -49,7 +49,7 @@ step python -m tpu_qe bench-bigdistinct --n $((1<<30))
 step python -m tpu_qe bench-bigdistinct --n $((1<<28)) --distributed --force-composed
 step python -m tpu_qe bench-bigorderby --n $((1<<29))
 step python -m tpu_qe bench-bigorderby --n $((1<<28)) --distributed --force-composed
-step python -m tpu_qe bench-matrix -- --configs orderby,count_distinct,quantile
+step python -m tpu_qe bench-matrix -- --configs orderby,count_distinct,quantile,setop
 
 # 3. payload-marginal sort cost calibration (STATUS known gap)
 step python tools/calibrate_sol.py sort_ops

@@ -15,6 +15,7 @@ Configs (BASELINE.md):
   orderby        multi-column ORDER BY (mixed types/directions), 1 chip
   count_distinct GROUP BY COUNT(DISTINCT value), 1 chip
   quantile       per-group exact PERCENTILE_DISC p50+p99, 1 chip
+  setop          INTERSECT distinct of overlapping key columns, 1 chip
   dsort          distributed sample-sort over the local mesh (all devices)
 """
 
@@ -299,6 +300,29 @@ def bench_quantile(n: int = 1 << 27, groups: int = 1 << 14,
                  {"groups": groups, "sol_fraction": round(sol / secs, 3)})
 
 
+def bench_setop(n: int = 1 << 27, reps: int = 2):
+    """INTERSECT (distinct) of n vs n/2 overlapping u64 key columns:
+    one (key, side) sort + two packed compactions (ops/setops.py)."""
+    from tpu_qe.bench.sol import lax_sort_seconds, scan_seconds
+    from tpu_qe.ops.setops import set_op
+
+    k0, k1 = jax.random.split(jax.random.PRNGKey(29))
+    a = U64(_rand_u32(k0, n) & jnp.uint32(0x3FFFFF), jnp.zeros(n, jnp.uint32))
+    m = n // 2
+    b = U64(_rand_u32(k1, m) & jnp.uint32(0x3FFFFF), jnp.zeros(m, jnp.uint32))
+
+    def run():
+        keys, ca, cb, num = set_op(a, b, "intersect")
+        return num, keys.lo[:8]
+
+    secs = measure(run, reps=reps)
+    t = n + m
+    sol = (lax_sort_seconds(t, 3, stable=False) + scan_seconds(t, 1)
+           + 2 * lax_sort_seconds(t, 5, stable=False, num_keys=1))
+    return _emit(f"INTERSECT {n} vs {m} u64 keys, 1 chip", t, secs,
+                 {"sol_fraction": round(sol / secs, 3)})
+
+
 def bench_dsort(n: int = 1 << 26, zipf: bool = True, reps: int = 2):
     """Distributed sample-sort over all local devices (skewed keys)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -357,6 +381,8 @@ def main(argv=None) -> None:
             bench_count_distinct(n=max(int((1 << 27) * s), 1 << 12))
         elif c == "quantile":
             bench_quantile(n=max(int((1 << 27) * s), 1 << 12))
+        elif c == "setop":
+            bench_setop(n=max(int((1 << 27) * s), 1 << 12))
         elif c == "dsort":
             bench_dsort(n=max(int((1 << 26) * s) // 8 * 8, 1 << 12))
         else:
