@@ -17,7 +17,8 @@ subcommands instead of compile-time cfg flags:
 plus the measurement family: bench-matrix (operator configs),
 bench-kernels (Pallas microbenches), and the out-of-core drivers
 bench-big / bench-bigjoin / bench-bigagg / bench-bigpipe /
-bench-bigtopk / bench-bigwindow / bench-bigquantile / bench-bigdistinct
+bench-bigtopk / bench-bigwindow / bench-bigquantile / bench-bigdistinct /
+bench-bigsetops
 (each prints one JSON line and exits nonzero if on-device verification
 fails; --distributed runs the mesh-composed variant where one exists).
 """
@@ -526,6 +527,46 @@ def _cmd_bench_bigdistinct(args) -> int:
     return 0 if res.all_ok else 1
 
 
+def _cmd_bench_bigsetops(args) -> int:
+    import json
+
+    from tpu_qe.bench.sol import device_kind
+
+    if args.distributed:
+        from tpu_qe.exchange.dsort import make_mesh
+        from tpu_qe.ops.dbigsetops import set_op_big_distributed
+        mesh = make_mesh(args.devices)
+        res = set_op_big_distributed(
+            args.op, args.n_a, args.n_b, mesh, g_a=args.g_a,
+            g_b=args.g_b, offset=args.offset, run_size=args.run_size,
+            verbose=args.verbose_big, force_composed=args.force_composed)
+        where = f"{res.n_dev} devices"
+        phases = {"phase_dedup_s": round(res.dedup_s, 3),
+                  "phase_local_s": round(res.combine_s, 3),
+                  "phase_route_s": round(res.route_s, 3)}
+    else:
+        from tpu_qe.ops.bigsetops import set_op_big
+        res = set_op_big(args.op, args.n_a, args.n_b, g_a=args.g_a,
+                         g_b=args.g_b, offset=args.offset,
+                         run_size=args.run_size,
+                         verbose=args.verbose_big)
+        where = "1 chip"
+        phases = {"phase_dedup_s": round(res.dedup_s, 3),
+                  "phase_combine_s": round(res.combine_s, 3)}
+    out = {
+        "metric": f"out-of-core {res.op.upper()} "
+                  f"{res.n_a}+{res.n_b} rows -> {res.num} keys, {where}",
+        "value": round(res.rows_per_s),
+        "unit": "rows/s",
+        "time_s": round(res.seconds, 3),
+        **phases,
+        "verified": res.all_ok,
+        "device": device_kind(),
+    }
+    print(json.dumps(out))
+    return 0 if res.all_ok else 1
+
+
 def _cmd_bench_bigtopk(args) -> int:
     import json
 
@@ -770,6 +811,28 @@ def main(argv=None) -> int:
                     help="keep the composed machinery even at D=1")
     pd.add_argument("--verbose-big", action="store_true")
     pd.set_defaults(fn=_cmd_bench_bigdistinct)
+
+    ps = sub.add_parser("bench-bigsetops",
+                        help="out-of-core UNION/INTERSECT/EXCEPT "
+                             "(per-run key dedup + one combine)")
+    ps.add_argument("--op", choices=["union", "intersect", "except"],
+                    default="intersect")
+    ps.add_argument("--n-a", type=int, default=1 << 29)
+    ps.add_argument("--n-b", type=int, default=1 << 29)
+    ps.add_argument("--g-a", type=int, default=1 << 20)
+    ps.add_argument("--g-b", type=int, default=1 << 20)
+    ps.add_argument("--offset", type=int, default=1 << 19,
+                    help="B key-range offset (dials the overlap)")
+    ps.add_argument("--run-size", type=int, default=1 << 26)
+    ps.add_argument("--distributed", action="store_true",
+                    help="distributed out-of-core set op over the "
+                         "device mesh (ops/dbigsetops.py)")
+    ps.add_argument("--devices", type=int, default=None,
+                    help="mesh size for --distributed (default: all)")
+    ps.add_argument("--force-composed", action="store_true",
+                    help="keep the composed machinery even at D=1")
+    ps.add_argument("--verbose-big", action="store_true")
+    ps.set_defaults(fn=_cmd_bench_bigsetops)
 
     pq = sub.add_parser("bench-bigquantile",
                         help="out-of-core exact quantiles (sorted runs "

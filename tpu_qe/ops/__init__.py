@@ -21,6 +21,8 @@ _BIG_EXPORTS = {
     "join_big": "bigjoin",
     "count_distinct_big": "bigdistinct",
     "count_distinct_big_distributed": "dbigdistinct",
+    "set_op_big": "bigsetops",
+    "set_op_big_distributed": "dbigsetops",
     "order_by_big": "bigorderby",
     "order_by_big_distributed": "dbigorderby",
     "quantile_big": "bigquantile",
