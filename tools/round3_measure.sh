@@ -52,6 +52,7 @@ step python -m tpu_qe bench-bigorderby --n $((1<<28)) --distributed --force-comp
 step python -m tpu_qe bench-matrix -- --configs orderby,count_distinct,quantile,setop
 step python -m tpu_qe bench-bigsetops --op intersect --n-a $((1<<29)) --n-b $((1<<29))
 step python -m tpu_qe bench-bigsetops --op union --n-a $((1<<28)) --n-b $((1<<28)) --distributed --force-composed
+step python -m tpu_qe bench-bigquantile --n $((1<<30)) --cont
 
 # 3. payload-marginal sort cost calibration (STATUS known gap)
 step python tools/calibrate_sol.py sort_ops

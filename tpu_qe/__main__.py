@@ -421,31 +421,45 @@ def _cmd_bench_bigquantile(args) -> int:
     from tpu_qe.bench.sol import device_kind
 
     qs = [float(q) for q in args.qs.split(",")]
+    kind = "PERCENTILE_CONT" if args.cont else "quantiles"
     if args.distributed:
         from tpu_qe.exchange.dsort import make_mesh
-        from tpu_qe.ops.dbigquantile import quantile_big_distributed
         mesh = make_mesh(args.devices)
-        res = quantile_big_distributed(args.n, qs, mesh,
-                                       run_size=args.run_size,
-                                       verbose=args.verbose_big)
-        where = f"{res.n_dev} devices"
+        if args.cont:
+            from tpu_qe.ops.dbigquantile import \
+                quantile_cont_big_distributed
+            res = quantile_cont_big_distributed(
+                args.n, qs, mesh, run_size=args.run_size,
+                verbose=args.verbose_big)
+        else:
+            from tpu_qe.ops.dbigquantile import quantile_big_distributed
+            res = quantile_big_distributed(args.n, qs, mesh,
+                                           run_size=args.run_size,
+                                           verbose=args.verbose_big)
+        where = f"{int(mesh.devices.size)} devices"
     else:
-        from tpu_qe.ops.bigquantile import quantile_big
-        res = quantile_big(args.n, qs, run_size=args.run_size,
-                           verbose=args.verbose_big)
+        if args.cont:
+            from tpu_qe.ops.bigquantile import quantile_cont_big
+            res = quantile_cont_big(args.n, qs, run_size=args.run_size,
+                                    verbose=args.verbose_big)
+        else:
+            from tpu_qe.ops.bigquantile import quantile_big
+            res = quantile_big(args.n, qs, run_size=args.run_size,
+                               verbose=args.verbose_big)
         where = "1 chip"
     out = {
-        "metric": f"out-of-core exact quantiles ({len(qs)} q) over "
+        "metric": f"out-of-core exact {kind} ({len(qs)} q) over "
                   f"{res.n} rows, {where}",
         "value": round(res.rows_per_s),
         "unit": "rows/s",
         "time_s": round(res.seconds, 3),
-        "phase_runs_s": round(res.runs_s, 3),
-        "phase_select_s": round(res.select_s, 3),
         "runs": res.n_runs,
         "cert_ok": res.all_ok,
         "device": device_kind(),
     }
+    if not args.cont:
+        out["phase_runs_s"] = round(res.runs_s, 3)
+        out["phase_select_s"] = round(res.select_s, 3)
     print(json.dumps(out))
     return 0 if res.all_ok else 1
 
@@ -840,6 +854,9 @@ def main(argv=None) -> int:
     pq.add_argument("--n", type=int, default=1 << 30)
     pq.add_argument("--qs", type=str, default="0.01,0.25,0.5,0.9,0.99",
                     help="comma-separated quantiles in [0,1]")
+    pq.add_argument("--cont", action="store_true",
+                    help="PERCENTILE_CONT (floor/ceil rank pairs + "
+                         "exact fractional numerators)")
     pq.add_argument("--run-size", type=int, default=1 << 26)
     pq.add_argument("--distributed", action="store_true",
                     help="distributed out-of-core quantiles over the "

@@ -36,7 +36,8 @@ from jax import shard_map
 
 from tpu_qe.bits import U64, sortable_u32, sortable_u32_inverse
 from tpu_qe.exchange.shuffle import AXIS
-from tpu_qe.ops.quantile import canon_qs, disc_rank
+from tpu_qe.ops.quantile import (ContQuantileResult, canon_qs, cont_rank,
+                                 disc_rank)
 
 _ONES = jnp.uint32(0xFFFFFFFF)
 
@@ -121,6 +122,47 @@ def distributed_quantile(col, qs, mesh: Mesh):
     return sortable_u32_inverse(p_lo[0], col.dtype)
 
 
+def distributed_quantile_cont(col, qs, mesh: Mesh) -> ContQuantileResult:
+    """Exact global PERCENTILE_CONT over a mesh-sharded column: the
+    floor/ceil rank elements ride the SAME zero-row-movement bisection
+    (2Q candidates instead of Q); the exact fractional numerators are
+    host integers. Returns ops/quantile.ContQuantileResult (f32
+    interpolation for 32-bit columns; exact fields only for U64)."""
+    from tpu_qe.bits import sortable_u32 as _s32
+    from tpu_qe.ops.quantile import _interp_f32
+
+    spec = canon_qs(qs)
+    n = col.lo.shape[0] if isinstance(col, U64) else col.shape[0]
+    trip = [cont_rank(num, sh, n) for num, sh in spec]
+    ranks = tuple(r for f, c, _ in trip for r in (f, c))
+    fracs = tuple(fr for _, _, fr in trip)
+    shifts = tuple(sh for _, sh in spec)
+    if isinstance(col, U64):
+        p_lo, p_hi = _dq(col.lo, col.hi, mesh, ranks, True)
+        return ContQuantileResult(U64(p_lo[0][0::2], p_hi[0][0::2]),
+                                  U64(p_lo[0][1::2], p_hi[0][1::2]),
+                                  fracs, shifts, None)
+    bits = _s32(col)
+    p_lo, _ = _dq(bits, jnp.zeros_like(bits), mesh, ranks, False)
+    lower = sortable_u32_inverse(p_lo[0][0::2], col.dtype)
+    upper = sortable_u32_inverse(p_lo[0][1::2], col.dtype)
+    val = _interp_f32(lower, upper,
+                      [fr / (1 << sh) for fr, sh in zip(fracs, shifts)])
+    return ContQuantileResult(lower, upper, fracs, shifts, val)
+
+
+def distributed_quantile_cont_numpy(vals: np.ndarray, qs, mesh: Mesh
+                                    ) -> ContQuantileResult:
+    """Host wrapper for distributed_quantile_cont over a numpy column."""
+    sh = NamedSharding(mesh, P(AXIS))
+    if vals.dtype == np.uint64:
+        u = U64.from_numpy(vals)
+        col = U64(jax.device_put(u.lo, sh), jax.device_put(u.hi, sh))
+    else:
+        col = jax.device_put(jnp.asarray(vals), sh)
+    return distributed_quantile_cont(col, qs, mesh)
+
+
 def distributed_quantile_numpy(vals: np.ndarray, qs, mesh: Mesh):
     """Host wrapper: shard a numpy column, return numpy quantiles."""
     sh = NamedSharding(mesh, P(AXIS))
@@ -160,12 +202,17 @@ def _count_lt_trip(shi, slo, sv, c_hi, c_lo, c_v, le: bool = False):
     return lo_b
 
 
-def _dgq_shard(lo, hi, v, *, spec: tuple, max_groups: int):
+def _dgq_shard(lo, hi, v, *, spec: tuple, max_groups: int,
+               cont: bool = False):
     """Per-shard body: one local (key, value) sort, a replicated global
     key table (the only gather — G keys, not rows), then per-(group, q)
-    greedy bit rounds over the VALUE domain. Zero row movement."""
+    greedy bit rounds over the VALUE domain. Zero row movement.
+
+    cont: PERCENTILE_CONT mode — the floor AND ceil rank elements ride
+    the same rounds (2Q candidate rows) and the exact per-group
+    fractional numerators are returned as an extra (Q, G) plane."""
     from tpu_qe.ops.aggregate import _shift_right_one
-    from tpu_qe.ops.quantile import _disc_rank_device
+    from tpu_qe.ops.quantile import _cont_rank_device, _disc_rank_device
 
     n_local = lo.shape[0]
     shi, slo, sv = jax.lax.sort([hi, lo, v], num_keys=3, is_stable=False)
@@ -216,9 +263,19 @@ def _dgq_shard(lo, hi, v, *, spec: tuple, max_groups: int):
     cnt = jax.lax.psum(end, AXIS) - start
 
     # greedy 32 bit rounds over the value domain, all (G, Q) at once
-    q_n = len(spec)
-    ranks = jnp.stack([_disc_rank_device(num, sh, cnt)
-                       for num, sh in spec])          # (Q, G)
+    if cont:
+        rank_rows, frac_rows = [], []
+        for num, sh in spec:
+            f, c, frac = _cont_rank_device(num, sh, cnt)
+            rank_rows += [f, c]
+            frac_rows.append(frac)
+        q_n = 2 * len(spec)
+        ranks = jnp.stack(rank_rows)                  # (2Q, G)
+        fracs = jnp.stack(frac_rows)                  # (Q, G)
+    else:
+        q_n = len(spec)
+        ranks = jnp.stack([_disc_rank_device(num, sh, cnt)
+                           for num, sh in spec])      # (Q, G)
     p = jnp.zeros((q_n, max_groups), dtype=jnp.uint32)
     khiQ = jnp.broadcast_to(gkhi, (q_n, max_groups)).reshape(-1)
     kloQ = jnp.broadcast_to(gklo, (q_n, max_groups)).reshape(-1)
@@ -234,19 +291,28 @@ def _dgq_shard(lo, hi, v, *, spec: tuple, max_groups: int):
         return jnp.where(take, c, p)
 
     p = jax.lax.fori_loop(0, 32, bit_round, p)
-    return (gklo.reshape(1, -1), gkhi.reshape(1, -1),
+    outs = (gklo.reshape(1, -1), gkhi.reshape(1, -1),
             p.reshape(1, q_n, max_groups), cnt.reshape(1, -1),
             n_groups.reshape(1), overflow.reshape(1))
+    if cont:
+        outs = outs + (fracs.reshape(1, len(spec), max_groups),)
+    return outs
 
 
-@functools.partial(jax.jit, static_argnames=("mesh", "spec", "max_groups"))
-def _dgq(lo, hi, v, mesh: Mesh, spec: tuple, max_groups: int):
+@functools.partial(jax.jit, static_argnames=("mesh", "spec", "max_groups",
+                                             "cont"))
+def _dgq(lo, hi, v, mesh: Mesh, spec: tuple, max_groups: int,
+         cont: bool = False):
     specP = P(AXIS)
+    out_specs = (P(AXIS, None), P(AXIS, None), P(AXIS, None, None),
+                 P(AXIS, None), P(AXIS), P(AXIS))
+    if cont:
+        out_specs = out_specs + (P(AXIS, None, None),)
     fn = shard_map(
-        functools.partial(_dgq_shard, spec=spec, max_groups=max_groups),
+        functools.partial(_dgq_shard, spec=spec, max_groups=max_groups,
+                          cont=cont),
         mesh=mesh, in_specs=(specP, specP, specP),
-        out_specs=(P(AXIS, None), P(AXIS, None), P(AXIS, None, None),
-                   P(AXIS, None), P(AXIS), P(AXIS)), check_vma=False)
+        out_specs=out_specs, check_vma=False)
     return fn(lo, hi, v)
 
 
@@ -273,6 +339,36 @@ def distributed_group_quantile(key: U64, value, qs, mesh: Mesh,
     vals = sortable_u32_inverse(p[0], value.dtype)
     return (U64(gklo[0], gkhi[0]), vals, cnt[0], ng.reshape(-1)[0],
             ovf.reshape(-1).max())
+
+
+def distributed_group_quantile_cont(key: U64, value, qs, mesh: Mesh,
+                                    max_groups: int):
+    """Per-group exact PERCENTILE_CONT over mesh-sharded rows with ZERO
+    row movement: the floor/ceil rank elements of every (group, q) ride
+    the same 32 bisection rounds (2Q*G candidates) and the exact
+    fractional numerators come back as a (Q, G) plane.
+
+    Returns (key, lower (Q, G) in value dtype, upper, frac (Q, G) u32,
+    shifts, value (Q, G) f32 interpolation, count, num_groups,
+    overflow) — replicated; exact answer = lower + (upper-lower) *
+    frac/2^shift per (q, group)."""
+    from tpu_qe.ops.quantile import canon_qs
+
+    spec = canon_qs(qs)
+    bits = sortable_u32(value)
+    gklo, gkhi, p, cnt, ng, ovf, fracs = _dgq(
+        key.lo, key.hi, bits, mesh, spec, max_groups, cont=True)
+    lower = sortable_u32_inverse(p[0][0::2], value.dtype)
+    upper = sortable_u32_inverse(p[0][1::2], value.dtype)
+    frac = fracs[0]
+    lo_f = lower.astype(jnp.float32)
+    scale = jnp.asarray([1.0 / (1 << sh) for _, sh in spec],
+                        jnp.float32).reshape(-1, 1)
+    val = lo_f + ((upper.astype(jnp.float32) - lo_f)
+                  * frac.astype(jnp.float32) * scale)
+    return (U64(gklo[0], gkhi[0]), lower, upper, frac,
+            tuple(sh for _, sh in spec), val, cnt[0],
+            ng.reshape(-1)[0], ovf.reshape(-1).max())
 
 
 def distributed_group_quantile_numpy(keys, values, qs, mesh: Mesh,

@@ -37,7 +37,7 @@ import numpy as np
 from tpu_qe.bits import U64
 from tpu_qe.hashing import keygen_hash
 from tpu_qe.ops.join import searchsorted_u64
-from tpu_qe.ops.quantile import canon_qs, disc_rank
+from tpu_qe.ops.quantile import canon_qs, cont_rank, disc_rank
 
 
 @functools.partial(jax.jit, static_argnames=("n_run", "seed", "key_bits"))
@@ -110,14 +110,19 @@ class BigQuantileResult:
 
 
 def quantile_big(n: int, qs, run_size: int = 1 << 26, seed: int = 7,
-                 key_bits: int = 64, verbose: bool = False
-                 ) -> BigQuantileResult:
+                 key_bits: int = 64, verbose: bool = False,
+                 ranks: tuple | None = None) -> BigQuantileResult:
     """Exact global PERCENTILE_DISC over n device-generated keys too big
-    for one in-core sort. See the module docstring for the design."""
+    for one in-core sort. See the module docstring for the design.
+
+    ranks: explicit 0-based order-statistic ranks overriding the
+    PERCENTILE_DISC rank derivation (the CONT driver below selects
+    floor/ceil rank pairs through the same machinery)."""
     assert n % run_size == 0, (n, run_size)
     n_runs = n // run_size
-    spec = canon_qs(qs)
-    ranks = tuple(disc_rank(num, sh, n) for num, sh in spec)
+    if ranks is None:
+        spec = canon_qs(qs)
+        ranks = tuple(disc_rank(num, sh, n) for num, sh in spec)
 
     # AOT-compile outside the timed region (remote compiles cost minutes
     # — CLAUDE.md; same discipline as sort/bigsort.py)
@@ -153,3 +158,43 @@ def quantile_big(n: int, qs, run_size: int = 1 << 26, seed: int = 7,
         n=n, values=values, ranks=ranks, cert_ok=cert_ok, seconds=secs,
         runs_s=t1 - t0, select_s=t2 - t1, rows_per_s=n / secs,
         n_runs=n_runs)
+
+
+@dataclasses.dataclass
+class BigContQuantileResult:
+    """Exact rational PERCENTILE_CONT over out-of-core keys: the SQL
+    answer per q is lower + (upper - lower) * frac_num/2^shift (u64
+    keys — the exact fields ARE the result; see ops/quantile.py)."""
+    n: int
+    lower: np.ndarray         # (Q,) u64
+    upper: np.ndarray
+    frac_num: tuple
+    shifts: tuple
+    cert_ok: bool
+    seconds: float
+    rows_per_s: float
+    n_runs: int
+
+    @property
+    def all_ok(self) -> bool:
+        return bool(self.cert_ok)
+
+
+def quantile_cont_big(n: int, qs, run_size: int = 1 << 26, seed: int = 7,
+                      key_bits: int = 64, verbose: bool = False
+                      ) -> BigContQuantileResult:
+    """Exact global PERCENTILE_CONT over n device-generated keys: the
+    floor/ceil rank elements of every q ride the SAME sorted-runs
+    bitwise selection (2Q ranks), each with its own exact rank
+    certificate; the fractional numerators are exact host integers."""
+    spec = canon_qs(qs)
+    trip = [cont_rank(num, sh, n) for num, sh in spec]
+    ranks = tuple(r for f, c, _ in trip for r in (f, c))
+    res = quantile_big(n, None, run_size=run_size, seed=seed,
+                       key_bits=key_bits, verbose=verbose, ranks=ranks)
+    return BigContQuantileResult(
+        n=n, lower=res.values[0::2], upper=res.values[1::2],
+        frac_num=tuple(fr for _, _, fr in trip),
+        shifts=tuple(sh for _, sh in spec), cert_ok=res.cert_ok,
+        seconds=res.seconds, rows_per_s=res.rows_per_s,
+        n_runs=res.n_runs)

@@ -140,17 +140,20 @@ class DistBigQuantileResult:
 
 def quantile_big_distributed(n: int, qs, mesh: Mesh,
                              run_size: int = 1 << 26, seed: int = 7,
-                             key_bits: int = 64, verbose: bool = False
+                             key_bits: int = 64, verbose: bool = False,
+                             ranks: tuple | None = None
                              ) -> DistBigQuantileResult:
     """Exact global PERCENTILE_DISC over n keys sharded as out-of-core
-    sorted runs across the mesh (see module docstring)."""
+    sorted runs across the mesh (see module docstring). `ranks`
+    overrides the DISC rank derivation (CONT driver below)."""
     n_dev = int(mesh.shape[AXIS])
     assert n % (n_dev * run_size) == 0, \
         (f"n must be a multiple of devices*run_size "
          f"(n={n}, devices={n_dev}, run_size={run_size})")
     runs_per_dev = n // (n_dev * run_size)
-    spec = canon_qs(qs)
-    ranks = tuple(disc_rank(num, sh, n) for num, sh in spec)
+    if ranks is None:
+        spec = canon_qs(qs)
+        ranks = tuple(disc_rank(num, sh, n) for num, sh in spec)
 
     # AOT-compile outside the timed region (remote compiles cost
     # minutes — CLAUDE.md; same discipline as ops/bigquantile.py)
@@ -184,3 +187,28 @@ def quantile_big_distributed(n: int, qs, mesh: Mesh,
         n=n, values=values, ranks=ranks, cert_ok=cert_ok, seconds=secs,
         runs_s=t1 - t0, select_s=t2 - t1, rows_per_s=n / secs,
         n_runs=n_dev * runs_per_dev, n_dev=n_dev)
+
+
+def quantile_cont_big_distributed(n: int, qs, mesh: Mesh,
+                                  run_size: int = 1 << 26, seed: int = 7,
+                                  key_bits: int = 64,
+                                  verbose: bool = False):
+    """Exact global PERCENTILE_CONT over mesh-sharded out-of-core runs:
+    floor/ceil rank pairs ride the same psum'd bitwise selection (2Q
+    ranks, each rank-certified); exact fractional numerators are host
+    integers. Returns ops/bigquantile.BigContQuantileResult."""
+    from tpu_qe.ops.bigquantile import BigContQuantileResult
+    from tpu_qe.ops.quantile import cont_rank
+
+    spec = canon_qs(qs)
+    trip = [cont_rank(num, sh, n) for num, sh in spec]
+    ranks = tuple(r for f, c, _ in trip for r in (f, c))
+    res = quantile_big_distributed(n, None, mesh, run_size=run_size,
+                                   seed=seed, key_bits=key_bits,
+                                   verbose=verbose, ranks=ranks)
+    return BigContQuantileResult(
+        n=n, lower=res.values[0::2], upper=res.values[1::2],
+        frac_num=tuple(fr for _, _, fr in trip),
+        shifts=tuple(sh for _, sh in spec), cert_ok=res.cert_ok,
+        seconds=res.seconds, rows_per_s=res.rows_per_s,
+        n_runs=res.n_runs)

@@ -1,9 +1,20 @@
-"""Exact quantiles (SQL PERCENTILE_DISC / median), global and per group.
+"""Exact quantiles (SQL PERCENTILE_DISC / PERCENTILE_CONT), global and
+per group.
 
 PERCENTILE_DISC(q) WITHIN GROUP (ORDER BY v): the first value whose
 cumulative distribution reaches q — element rank ceil(q*n) - 1
 (0-based; q = 0 -> rank 0). Always an ELEMENT of the data, never an
 interpolation, so it is well-defined for u64 keys.
+
+PERCENTILE_CONT(q): linear interpolation at row number q*(n-1) —
+between the elements at ranks floor(q*(n-1)) and ceil(q*(n-1)). With
+q = num/2^shift dyadic, num*(n-1) is an exact integer whose high bits
+are the floor rank and whose low `shift` bits are the EXACT fractional
+numerator, so every *_cont operator returns (lower, upper, frac_num,
+shift) — an exact rational representation of the SQL answer — plus the
+f32 interpolation for 32-bit numeric columns (f32's ~1e-7 relative
+error is the only inexact step, and it is confined to that convenience
+value; U64 columns get the exact fields only).
 
 Global quantiles are one sort + static slices (ranks are host
 constants). Per-group quantiles ride the same two-sort structure as
@@ -82,6 +93,35 @@ def _disc_rank_device(num: int, shift: int, cnt: jnp.ndarray) -> jnp.ndarray:
     return jnp.minimum(r, jnp.maximum(cnt, jnp.uint32(1)) - jnp.uint32(1))
 
 
+def cont_rank(num: int, shift: int, n: int) -> tuple[int, int, int]:
+    """Host-side exact PERCENTILE_CONT rank split: (floor_rank,
+    ceil_rank, frac_num) with the interpolation point at
+    num*(n-1)/2^shift — frac_num/2^shift is the EXACT fractional part."""
+    prod = num * (n - 1)
+    f = prod >> shift
+    frac = prod & ((1 << shift) - 1)
+    c = min(f + (1 if frac else 0), n - 1)
+    return f, c, frac
+
+
+def _cont_rank_device(num: int, shift: int, cnt: jnp.ndarray):
+    """Exact on-device CONT rank split per group: floor/ceil ranks of
+    num*(cnt-1)/2^shift + the exact frac numerator (u32: shift <= 31).
+    cnt u32 (may exceed 2^24 — hence the widening multiply); padded-tail
+    garbage is clamped into bounds like _disc_rank_device."""
+    cnt1 = jnp.maximum(cnt, jnp.uint32(1)) - jnp.uint32(1)
+    lo, hi = mul_u32_wide(cnt1, jnp.uint32(num))
+    if shift == 0:
+        f = lo
+        frac = jnp.zeros_like(lo)
+    else:
+        f = (lo >> shift) | (hi << (32 - shift))
+        frac = lo & jnp.uint32((1 << shift) - 1)
+    f = jnp.minimum(f, cnt1)
+    c = jnp.minimum(f + (frac != 0).astype(jnp.uint32), cnt1)
+    return f, c, frac
+
+
 @functools.partial(jax.jit, static_argnames=("ranks", "is_u64"))
 def _sorted_pick(planes: tuple, ranks: tuple, is_u64: bool):
     if is_u64:
@@ -120,13 +160,14 @@ class GroupQuantileResult(NamedTuple):
     num_groups: jnp.ndarray   # scalar u32, exact
 
 
-@functools.partial(jax.jit, static_argnames=("spec",))
-def _group_quantile(key: U64, value: jnp.ndarray, spec: tuple
-                    ) -> GroupQuantileResult:
+def _group_layout(key: U64, value: jnp.ndarray):
+    """Shared per-group machinery: one (key, value) sort + the packed
+    compaction sort (the house compaction, see ops/aggregate.py) ->
+    (sorted value bits, group keys, start, count, num_groups)."""
     from tpu_qe.ops.aggregate import _shift_right_one
 
     n = key.lo.shape[0]
-    assert n > 0, "group_quantile of an empty stream"
+    assert n > 0, "group quantile of an empty stream"
     assert n < (1 << 31), n
     vbits = sortable_u32(value)
     shi, slo, sv = jax.lax.sort([key.hi, key.lo, vbits], num_keys=3,
@@ -136,8 +177,6 @@ def _group_quantile(key: U64, value: jnp.ndarray, spec: tuple
               | (shi != _shift_right_one(shi, 0)))
     is_end = jnp.concatenate([is_new[1:], jnp.ones((1,), bool)])
     num_groups = jnp.sum(is_end.astype(jnp.uint32))
-    # compact group-end rows (packed keep/drop over position — the house
-    # compaction, see ops/aggregate.py)
     pos1 = pos + 1
     packed = jnp.where(is_end, pos1, pos1 | jnp.uint32(1 << 31))
     res2 = jax.lax.sort([packed, slo, shi], num_keys=1, is_stable=False)
@@ -145,14 +184,21 @@ def _group_quantile(key: U64, value: jnp.ndarray, spec: tuple
     klo, khi = res2[1], res2[2]
     start = _shift_right_one(pos_end, 0)
     cnt = pos_end - start
+    return sv, U64(klo, khi), start, cnt, num_groups
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def _group_quantile(key: U64, value: jnp.ndarray, spec: tuple
+                    ) -> GroupQuantileResult:
+    n = key.lo.shape[0]
+    sv, gkey, start, cnt, num_groups = _group_layout(key, value)
     qs_out = []
     for num, sh in spec:
         r = _disc_rank_device(num, sh, cnt)
         # clamp the padded tail (cnt garbage there) into bounds
         p = jnp.minimum(start + r, jnp.uint32(n - 1))
         qs_out.append(sortable_u32_inverse(jnp.take(sv, p), value.dtype))
-    return GroupQuantileResult(U64(klo, khi), jnp.stack(qs_out), cnt,
-                               num_groups)
+    return GroupQuantileResult(gkey, jnp.stack(qs_out), cnt, num_groups)
 
 
 def group_quantile(key: U64, value: jnp.ndarray, qs) -> GroupQuantileResult:
@@ -168,3 +214,94 @@ def group_quantile(key: U64, value: jnp.ndarray, qs) -> GroupQuantileResult:
 def median(col):
     """Exact PERCENTILE_DISC(0.5) (the lower median element)."""
     return quantile(col, [(1, 1)])
+
+
+# --------------------------------------------------------------------------
+# PERCENTILE_CONT: interpolation between the floor/ceil rank elements
+# --------------------------------------------------------------------------
+
+class ContQuantileResult(NamedTuple):
+    """Exact rational PERCENTILE_CONT: the SQL answer is
+    lower + (upper - lower) * frac_num/2^shift per q. `value` is the f32
+    interpolation convenience (None for U64 columns)."""
+
+    lower: object             # U64 or (Q,) array in col dtype
+    upper: object
+    frac_num: tuple           # per-q exact fractional numerators (host ints)
+    shifts: tuple             # per-q denominators as 2^shift exponents
+    value: jnp.ndarray | None  # (Q,) f32 interpolation, 32-bit cols only
+
+
+def _interp_f32(lower, upper, fracs):
+    lo_f = lower.astype(jnp.float32)
+    return lo_f + ((upper.astype(jnp.float32) - lo_f)
+                   * jnp.asarray(fracs, jnp.float32))
+
+
+def quantile_cont(col, qs) -> ContQuantileResult:
+    """Exact global PERCENTILE_CONT over a column (module docstring)."""
+    spec = canon_qs(qs)
+    n = col.lo.shape[0] if isinstance(col, U64) else col.shape[0]
+    assert n > 0, "quantile_cont of an empty column"
+    trip = [cont_rank(num, sh, n) for num, sh in spec]
+    ranks = tuple(r for f, c, _ in trip for r in (f, c))
+    fracs = tuple(fr for _, _, fr in trip)
+    shifts = tuple(sh for _, sh in spec)
+    if isinstance(col, U64):
+        lo, hi = _sorted_pick((col.hi, col.lo), ranks, True)
+        return ContQuantileResult(U64(lo[0::2], hi[0::2]),
+                                  U64(lo[1::2], hi[1::2]),
+                                  fracs, shifts, None)
+    (b,) = _sorted_pick((sortable_u32(col),), ranks, False)
+    lower = sortable_u32_inverse(b[0::2], col.dtype)
+    upper = sortable_u32_inverse(b[1::2], col.dtype)
+    val = _interp_f32(lower, upper,
+                      [fr / (1 << sh) for fr, sh in zip(fracs, shifts)])
+    return ContQuantileResult(lower, upper, fracs, shifts, val)
+
+
+class GroupContQuantileResult(NamedTuple):
+    """Padded per-group PERCENTILE_CONT: first num_groups rows valid.
+    Exact answer per (q, group): lower + (upper-lower)*frac/2^shift."""
+
+    key: U64
+    lower: jnp.ndarray        # (Q, n_padded) in value dtype
+    upper: jnp.ndarray
+    frac: jnp.ndarray         # (Q, n_padded) u32 exact numerators
+    shifts: tuple             # per-q 2^shift exponents
+    value: jnp.ndarray        # (Q, n_padded) f32 interpolation
+    count: jnp.ndarray
+    num_groups: jnp.ndarray
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def _group_quantile_cont(key: U64, value: jnp.ndarray, spec: tuple
+                         ) -> GroupContQuantileResult:
+    n = key.lo.shape[0]
+    sv, gkey, start, cnt, num_groups = _group_layout(key, value)
+    lows, ups, fracs, vals = [], [], [], []
+    for num, sh in spec:
+        f, c, frac = _cont_rank_device(num, sh, cnt)
+        pf = jnp.minimum(start + f, jnp.uint32(n - 1))
+        pc = jnp.minimum(start + c, jnp.uint32(n - 1))
+        lo_b, up_b = jnp.take(sv, pf), jnp.take(sv, pc)
+        lower = sortable_u32_inverse(lo_b, value.dtype)
+        upper = sortable_u32_inverse(up_b, value.dtype)
+        lo_f = lower.astype(jnp.float32)
+        frac_f = frac.astype(jnp.float32) * jnp.float32(1.0 / (1 << sh))
+        lows.append(lower)
+        ups.append(upper)
+        fracs.append(frac)
+        vals.append(lo_f + (upper.astype(jnp.float32) - lo_f) * frac_f)
+    return GroupContQuantileResult(
+        gkey, jnp.stack(lows), jnp.stack(ups), jnp.stack(fracs),
+        tuple(sh for _, sh in spec), jnp.stack(vals), cnt, num_groups)
+
+
+def group_quantile_cont(key: U64, value: jnp.ndarray, qs
+                        ) -> GroupContQuantileResult:
+    """Exact per-group PERCENTILE_CONT: GROUP BY key,
+    PERCENTILE_CONT(q) WITHIN GROUP (ORDER BY value) for each q — the
+    same one-sort layout as group_quantile with two rank gathers per q
+    and the exact fractional numerator riding along."""
+    return _group_quantile_cont(key, value, canon_qs(qs))

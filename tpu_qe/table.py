@@ -275,6 +275,20 @@ class Table:
             raise TypeError(f"group key {key!r} must be u64")
         return group_quantile(k, self._cols[value], qs)
 
+    def quantile_cont(self, qs, key: str = "key"):
+        """Exact global PERCENTILE_CONT (lower/upper/frac exact; f32
+        interpolation for 32-bit numeric columns)."""
+        from tpu_qe.ops.quantile import quantile_cont
+        return quantile_cont(self._cols[key], qs)
+
+    def group_quantile_cont(self, key: str, value: str, qs):
+        """Per-group exact PERCENTILE_CONT: GROUP BY key over value."""
+        from tpu_qe.ops.quantile import group_quantile_cont
+        k = self._cols[key]
+        if not isinstance(k, U64):
+            raise TypeError(f"group key {key!r} must be u64")
+        return group_quantile_cont(k, self._cols[value], qs)
+
     def top_k(self, k: int, key: str = "key", largest: bool = False):
         """k rows with the smallest/largest u64 key, best first (stable
         full sort + head — the measured-fastest formulation on this
