@@ -472,6 +472,157 @@ def distributed_join_inner_numpy(lkeys, lvals, rkeys, rvals, mesh, **kw):
 
 
 # --------------------------------------------------------------------------
+# distributed outer join (LEFT / FULL)
+# --------------------------------------------------------------------------
+
+def _djoin_outer_shard(llo, lhi, lval_cols, rlo, rhi, rval_cols, *,
+                       n_dev, samples_per_dev, cap_l, cap_r, out_budget,
+                       full):
+    """The inner-join shard prelude (bare-key union splitters — ALL
+    copies of a key co-locate, so each shard's local outer verdict is
+    globally exact) + join_outer_padded as the local body."""
+    from tpu_qe.ops.join import join_outer_padded
+
+    n_local_l = llo.shape[0]
+    my = jax.lax.axis_index(AXIS).astype(jnp.uint32)
+    gidx = my * jnp.uint32(n_local_l) + jnp.arange(n_local_l,
+                                                   dtype=jnp.uint32)
+    sp_lo, sp_hi = sample_splitters(jnp.concatenate([rlo, llo]),
+                                    jnp.concatenate([rhi, lhi]),
+                                    n_dev, samples_per_dev)
+    dest_l = route_by_splitters(llo, lhi, sp_lo, sp_hi)
+    dest_r = route_by_splitters(rlo, rhi, sp_lo, sp_hi)
+    recv_l, flag_l, _, _, ovf_l = exchange(
+        dest_l, [llo, lhi, gidx] + list(lval_cols),
+        [_ONES, _ONES, _ONES] + [jnp.uint32(0)] * len(lval_cols),
+        n_dev, cap_l)
+    recv_r, flag_r, _, _, ovf_r = exchange(
+        dest_r, [rlo, rhi] + list(rval_cols),
+        [_ONES, _ONES] + [jnp.uint32(0)] * len(rval_cols), n_dev, cap_r)
+    left = Table({"_g": recv_l[2],
+                  **{f"_l{i}": c for i, c in enumerate(recv_l[3:])}})
+    right = Table({f"_r{i}": c for i, c in enumerate(recv_r[2:])})
+    res = join_outer_padded(left, right,
+                            U64(recv_l[0], recv_l[1]),
+                            U64(recv_r[0], recv_r[1]),
+                            flag_l == 0, flag_r == 0, out_budget,
+                            full=full)
+    overflow = (ovf_l | ovf_r | res.overflow).reshape(1)
+    outs = [res.table["_g"]]
+    outs += [res.table[f"_l{i}"] for i in range(len(lval_cols))]
+    outs += [res.table[f"_r{i}"] for i in range(len(rval_cols))]
+    outs.append(res.matched.astype(jnp.uint32))
+    outs += [res.num_out.reshape(1), overflow]
+    if full:
+        ro = res.right_only
+        outs += [ro["_key"].lo, ro["_key"].hi]
+        outs += [ro[f"_r{i}"] for i in range(len(rval_cols))]
+        outs.append(res.num_right_only.reshape(1))
+    return tuple(outs)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "samples_per_dev",
+                                             "capacity_factor",
+                                             "capacity_factor_right",
+                                             "out_budget_factor",
+                                             "capacity_left",
+                                             "capacity_right", "full"))
+def distributed_join_outer(lkey: U64, left_cols: tuple, rkey: U64,
+                           right_cols: tuple, mesh: Mesh,
+                           samples_per_dev: int = 128,
+                           capacity_factor: float = 2.0,
+                           capacity_factor_right: float | None = None,
+                           out_budget_factor: float = 4.0,
+                           capacity_left: int | None = None,
+                           capacity_right: int | None = None,
+                           full: bool = False):
+    """One-to-many LEFT (or FULL) OUTER equi-join of mesh-sharded
+    tables: the inner join's co-location exchange + a per-shard padded
+    outer join (unmatched left rows keep one NULL-right slot; FULL adds
+    each shard's unmatched right rows — globally exact because all
+    copies of a key land on one device). Returns per-shard
+    (global_left_index, left cols, right cols, matched, num_out,
+    overflow[, ro_key_lo, ro_key_hi, ro right cols, num_right_only])."""
+    n_dev = mesh.shape[AXIS]
+    n_l, n_r = lkey.lo.shape[0], rkey.lo.shape[0]
+    assert n_l % n_dev == 0 and n_r % n_dev == 0
+    assert n_l < (1 << 32), n_l
+    cf_r = (capacity_factor if capacity_factor_right is None
+            else capacity_factor_right)
+    cap_l = (capacity_left if capacity_left is not None
+             else max(int(np.ceil(capacity_factor * (n_l // n_dev)
+                                  / n_dev)), 16))
+    cap_r = (capacity_right if capacity_right is not None
+             else max(int(np.ceil(cf_r * (n_r // n_dev) / n_dev)), 16))
+    out_budget = max(int(np.ceil(out_budget_factor * (n_l // n_dev))), 16)
+    spec = P(AXIS)
+    n_out = 1 + len(left_cols) + len(right_cols) + 3
+    if full:
+        n_out += 2 + len(right_cols) + 1
+    fn = shard_map(
+        lambda llo, lhi, lvs, rlo, rhi, rvs: _djoin_outer_shard(
+            llo, lhi, lvs, rlo, rhi, rvs, n_dev=n_dev,
+            samples_per_dev=samples_per_dev, cap_l=cap_l, cap_r=cap_r,
+            out_budget=out_budget, full=full),
+        mesh=mesh,
+        in_specs=(spec, spec, tuple([spec] * len(left_cols)),
+                  spec, spec, tuple([spec] * len(right_cols))),
+        out_specs=tuple([spec] * n_out),
+        check_vma=False,
+    )
+    return fn(lkey.lo, lkey.hi, tuple(left_cols), rkey.lo, rkey.hi,
+              tuple(right_cols))
+
+
+def distributed_join_outer_numpy(lkeys, lvals, rkeys, rvals, mesh,
+                                 full=False, **kw):
+    """Host wrapper: (left_index, left cols, right cols, matched) over
+    all real outer-join rows (no particular global order), plus
+    (ro_keys, ro cols) when full=True. capacity_factor="auto" plans the
+    exchanges exactly like the inner join."""
+    n_dev = mesh.shape[AXIS]
+    sh = NamedSharding(mesh, P(AXIS))
+
+    def put64(x):
+        u = U64.from_numpy(x)
+        return U64(jax.device_put(u.lo, sh), jax.device_put(u.hi, sh))
+
+    def put32(x):
+        return jax.device_put(jnp.asarray(x, dtype=jnp.uint32), sh)
+
+    lk, rk = put64(lkeys), put64(rkeys)
+    kw = _auto_capacity(kw, mesh, plan_join_inner_capacity, (lk, rk),
+                        ("capacity_left", "capacity_right"))
+    res = distributed_join_outer(
+        lk, tuple(put32(v) for v in lvals),
+        rk, tuple(put32(v) for v in rvals), mesh=mesh, full=full, **kw)
+    n_main = 1 + len(lvals) + len(rvals) + 1
+    num_out = np.asarray(res[n_main]).reshape(n_dev)
+    ovf = np.asarray(res[n_main + 1])
+    if int(ovf.max()):
+        raise RuntimeError(
+            "exchange capacity or output budget overflow; raise "
+            "capacity_factor / out_budget_factor")
+    cols = [np.asarray(c).reshape(n_dev, -1) for c in res[:n_main]]
+    picks = [np.concatenate([c[d, :num_out[d]] for d in range(n_dev)])
+             for c in cols]
+    g = picks[0]
+    lcols = picks[1:1 + len(lvals)]
+    rcols = picks[1 + len(lvals):1 + len(lvals) + len(rvals)]
+    matched = picks[-1].astype(bool)
+    if not full:
+        return g, lcols, rcols, matched
+    ro = res[n_main + 2:]
+    n_ro = np.asarray(ro[-1]).reshape(n_dev)
+    ro_cols = [np.asarray(c).reshape(n_dev, -1) for c in ro[:-1]]
+    ro_picks = [np.concatenate([c[d, :n_ro[d]] for d in range(n_dev)])
+                for c in ro_cols]
+    ro_keys = (ro_picks[0].astype(np.uint64)
+               | (ro_picks[1].astype(np.uint64) << np.uint64(32)))
+    return g, lcols, rcols, matched, ro_keys, ro_picks[2:]
+
+
+# --------------------------------------------------------------------------
 # distributed top-k
 # --------------------------------------------------------------------------
 

@@ -2,8 +2,8 @@ from tpu_qe.ops.filter import compact, filter_table  # noqa: F401
 from tpu_qe.ops.aggregate import (group_aggregate,  # noqa: F401
                                   group_aggregate_multi,
                                   group_aggregate_sorted)
-from tpu_qe.ops.join import (join_fk, join_inner, join_sorted,  # noqa: F401
-                             expand_ranges)
+from tpu_qe.ops.join import (join_fk, join_inner, join_outer,  # noqa: F401
+                             join_sorted, expand_ranges)
 from tpu_qe.ops.orderby import sort_by_multi  # noqa: F401
 from tpu_qe.ops.setops import set_op  # noqa: F401
 from tpu_qe.ops.quantile import (group_quantile, median,  # noqa: F401

@@ -480,6 +480,186 @@ def join_inner_padded(left: Table, right: Table, lkey: U64, rkey: U64,
     return InnerJoinResult(Table(cols), li, ri, num_out, overflow)
 
 
+class OuterJoinResult(NamedTuple):
+    """Materialized one-to-many LEFT/FULL OUTER join, padded to static
+    budgets (never silent truncation — exact counts always returned).
+
+    The left-expanded section mirrors InnerJoinResult but KEEPS
+    unmatched left rows (one output slot each, matched=False, right
+    columns zeroed = SQL NULL). FULL OUTER adds the right_only section:
+    right rows no left key matches (left columns are absent there — a
+    SQL NULL left side; concatenate on the host if a single relation is
+    wanted).
+    """
+
+    table: Table              # left cols + right cols per output slot
+    matched: jnp.ndarray      # (out_budget,) slot's left row had a match
+    left_index: jnp.ndarray   # (out_budget,) source left row per slot
+    right_index: jnp.ndarray  # (out_budget,) source right row (sorted)
+    num_out: jnp.ndarray      # exact rows in the left-expanded section
+    overflow: jnp.ndarray     # u32: num_out > out_budget
+    right_only: Table | None  # FULL only: padded unmatched right rows
+    num_right_only: jnp.ndarray | None  # exact count of those
+
+
+@functools.partial(jax.jit, static_argnames=("key", "out_budget", "full"))
+def _join_outer_impl(left: Table, right_sorted: Table, key: str,
+                     out_budget: int, full: bool):
+    lkey, rkey_sorted = left[key], right_sorted[key]
+    ranges = join_sorted(lkey, rkey_sorted)
+    c = (ranges.end - ranges.start).astype(jnp.uint32)
+    # LEFT OUTER: unmatched left rows claim ONE slot (right side NULL)
+    c_out = jnp.maximum(c, jnp.uint32(1))
+    li, ri, num_out, overflow = expand_ranges(
+        SortedJoinIndex(ranges.start,
+                        ranges.start + c_out.astype(jnp.int32)),
+        out_budget)
+    valid_out = jnp.arange(out_budget, dtype=jnp.uint32) < num_out
+    matched = valid_out & (jnp.take(c, li) > 0)
+    li = jnp.where(valid_out, li, jnp.uint32(0))
+    ri = jnp.where(matched, ri, jnp.uint32(0))
+
+    def _mask(col, m_):
+        if isinstance(col, U64):
+            return U64(jnp.where(m_, col.lo, 0), jnp.where(m_, col.hi, 0))
+        v = col.view(jnp.uint32) if col.dtype != jnp.uint32 else col
+        v = jnp.where(m_, v, jnp.uint32(0))
+        return v.view(col.dtype) if col.dtype != jnp.uint32 else v
+
+    # the left key carries through per slot (incl. unmatched slots);
+    # right columns are NULL (zero + matched=False) on unmatched slots
+    cols = {}
+    lcols = left.take(li)
+    for nm in lcols:
+        cols[nm] = _mask(lcols[nm], valid_out)
+    rcols = right_sorted.drop(key).take(ri)
+    for nm in rcols:
+        out_name = nm if nm not in cols else f"right_{nm}"
+        cols[out_name] = _mask(rcols[nm], matched)
+    if not full:
+        return OuterJoinResult(Table(cols), matched, li, ri, num_out,
+                               overflow, None, None)
+    # FULL OUTER: right rows covered by NO [start, end) range. Range
+    # membership is one searchsorted back the other way: sorted right
+    # row j is matched iff some left key equals its key.
+    m = rkey_sorted.lo.shape[0]
+    shi, slo = jax.lax.sort([lkey.hi, lkey.lo], num_keys=2,
+                            is_stable=False)
+    r_rng = join_sorted(rkey_sorted, U64(slo, shi))
+    r_matched = r_rng.end > r_rng.start
+    n_ro = jnp.sum((~r_matched).astype(jnp.uint32), dtype=jnp.uint32)
+    pos = jnp.arange(m, dtype=jnp.uint32)
+    packed = jnp.where(r_matched, pos | jnp.uint32(1 << 31), pos)
+    (_, perm) = jax.lax.sort([packed, pos], num_keys=1, is_stable=False)
+    ro_valid = pos < n_ro
+    perm = jnp.where(ro_valid, perm, jnp.uint32(0))
+    ro = right_sorted.take(perm)
+    ro_cols = {nm: _mask(ro[nm], ro_valid) for nm in ro}
+    return OuterJoinResult(Table(cols), matched, li, ri, num_out,
+                           overflow, Table(ro_cols), n_ro)
+
+
+def join_outer(left: Table, right: Table, key: str = "key",
+               how: str = "left", out_budget: int | None = None
+               ) -> OuterJoinResult:
+    """One-to-many LEFT or FULL OUTER equi-join.
+
+    how="left": every left row appears — matched rows once per matching
+    right row, unmatched rows once with matched=False and right columns
+    zeroed (the engine's NULL convention: validity mask + zero).
+    how="full": additionally returns right rows with no matching left
+    key in `right_only` (sorted-key order incl. the key column, padded,
+    exact count — SQL's NULL left side; concatenate on the host if a
+    single relation is wanted). A RIGHT OUTER join is how="left" with
+    the tables swapped.
+
+    Same static-budget + exact-count discipline as join_inner. The
+    reference has no query operators; completes SURVEY §7's join family
+    for the outer variants.
+    """
+    assert how in ("left", "full"), how
+    rkey = right[key]
+    assert isinstance(rkey, U64), "join key must be u64"
+    if out_budget is None:
+        out_budget = max(2 * left.num_rows, 16)
+    right_sorted = right.sort_by(key)
+    return _join_outer_impl(left, right_sorted, key, out_budget,
+                            how == "full")
+
+
+@functools.partial(jax.jit, static_argnames=("out_budget", "full"))
+def join_outer_padded(left: Table, right: Table, lkey: U64, rkey: U64,
+                      l_valid: jnp.ndarray, r_valid: jnp.ndarray,
+                      out_budget: int, full: bool = False):
+    """LEFT/FULL OUTER join over PADDED inputs (the distributed shard
+    body — join_inner_padded's validity discipline applied to
+    join_outer): invalid left rows contribute ZERO slots; valid
+    unmatched left rows one NULL-right slot; FULL adds valid right rows
+    matched by no VALID left key (real all-ones keys are reserved as
+    pad sentinels here, the house exchange convention)."""
+    m = rkey.lo.shape[0]
+    inval = jnp.where(r_valid, jnp.uint32(0), jnp.uint32(1))
+    perm0 = jnp.arange(m, dtype=jnp.uint32)
+    res = jax.lax.sort([rkey.hi, rkey.lo, inval, perm0], num_keys=3,
+                       is_stable=False)
+    rhi_s, rlo_s, inval_s, perm = res
+    rkey_s = U64(rlo_s, rhi_s)
+    right_s = right.take(perm)
+    valid_s = inval_s == 0
+    ranges = join_sorted(lkey, rkey_s)
+    pfx = jnp.concatenate([jnp.zeros(1, jnp.uint32),
+                           cumsum_u32(valid_s.astype(jnp.uint32))])
+    c = jnp.take(pfx, ranges.end) - jnp.take(pfx, ranges.start)
+    c_out = jnp.where(l_valid, jnp.maximum(c, jnp.uint32(1)),
+                      jnp.uint32(0))
+    li, ri, num_out, overflow = expand_ranges(
+        SortedJoinIndex(ranges.start,
+                        ranges.start + c_out.astype(jnp.int32)),
+        out_budget)
+    valid_out = jnp.arange(out_budget, dtype=jnp.uint32) < num_out
+    matched = valid_out & (jnp.take(c, li) > 0)
+    li = jnp.where(valid_out, li, jnp.uint32(0))
+    ri = jnp.where(matched, ri, jnp.uint32(0))
+
+    def _mask(col, m_):
+        if isinstance(col, U64):
+            return U64(jnp.where(m_, col.lo, 0), jnp.where(m_, col.hi, 0))
+        v = col.view(jnp.uint32) if col.dtype != jnp.uint32 else col
+        v = jnp.where(m_, v, jnp.uint32(0))
+        return v.view(col.dtype) if col.dtype != jnp.uint32 else v
+
+    cols = {}
+    lcols = left.take(li)
+    for nm in lcols:
+        cols[nm] = _mask(lcols[nm], valid_out)
+    rcols = right_s.take(ri)
+    for nm in rcols:
+        out_name = nm if nm not in cols else f"right_{nm}"
+        cols[out_name] = _mask(rcols[nm], matched)
+    if not full:
+        return OuterJoinResult(Table(cols), matched, li, ri, num_out,
+                               overflow, None, None)
+    # FULL: valid right rows matched by no valid left key (invalid left
+    # keys probe as all-ones sentinels, which no valid right key equals
+    # by the convention above)
+    ones = jnp.uint32(0xFFFFFFFF)
+    plo = jnp.where(l_valid, lkey.lo, ones)
+    phi = jnp.where(l_valid, lkey.hi, ones)
+    shi2, slo2 = jax.lax.sort([phi, plo], num_keys=2, is_stable=False)
+    r_rng = join_sorted(rkey_s, U64(slo2, shi2))
+    r_matched = (r_rng.end > r_rng.start) | ~valid_s
+    n_ro = jnp.sum((~r_matched).astype(jnp.uint32), dtype=jnp.uint32)
+    pos = jnp.arange(m, dtype=jnp.uint32)
+    packed = jnp.where(r_matched, pos | jnp.uint32(1 << 31), pos)
+    (_, perm2) = jax.lax.sort([packed, pos], num_keys=1, is_stable=False)
+    ro_valid = pos < n_ro
+    perm2 = jnp.where(ro_valid, perm2, jnp.uint32(0))
+    ro_tbl = right_s.with_column("_key", rkey_s).take(perm2)
+    ro_cols = {nm: _mask(ro_tbl[nm], ro_valid) for nm in ro_tbl}
+    return OuterJoinResult(Table(cols), matched, li, ri, num_out,
+                           overflow, Table(ro_cols), n_ro)
+
+
 def join_inner(left: Table, right: Table, key: str = "key",
                out_budget: int | None = None) -> InnerJoinResult:
     """One-to-many inner equi-join with duplicate right keys.

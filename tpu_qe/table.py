@@ -211,6 +211,15 @@ class Table:
         from tpu_qe.ops.join import join_inner
         return join_inner(self, right, key=key, out_budget=out_budget)
 
+    def join_outer(self, right: "Table", key: str = "key",
+                   how: str = "left", out_budget: int | None = None):
+        """One-to-many LEFT/FULL OUTER equi-join: unmatched left rows
+        keep one slot with matched=False + zeroed right columns; FULL
+        adds a padded right_only section (ops.join.join_outer)."""
+        from tpu_qe.ops.join import join_outer
+        return join_outer(self, right, key=key, how=how,
+                          out_budget=out_budget)
+
     def join_semi(self, right: "Table", key: str = "key"):
         """Semi join: my rows whose key appears in `right`, stably
         compacted to the front. Returns (table, count). Only the right
