@@ -141,6 +141,8 @@ def _dwindow_shard(lo, hi, *rest, n_dev: int, samples_per_dev: int,
     out, aux = _window_sorted_cols(spec, svals, idx, is_new, order_new,
                                    is_last, need_aux=True)
     part_start, run_start = aux["part_start"], aux["run_start"]
+    part_end = aux["part_end"]          # set iff ntile/percent_rank
+    has_cnt = any(k in ("ntile", "percent_rank") for _, k, _, _ in spec)
 
     # ---- per-device summary vector ------------------------------------
     li = jnp.maximum(n_v, 1) - 1  # last valid row (clamped; masked if 0)
@@ -166,6 +168,10 @@ def _dwindow_shard(lo, hi, *rest, n_dev: int, samples_per_dev: int,
     put("tail_cnt", li - tps + 1)
     put("trs_zero", (trs == 0).astype(jnp.uint32))
     put("tail_rank", trs - tps + 1)
+    if has_cnt:
+        # valid rows of the HEAD partition (pads form their own
+        # segments, so part_end[0] never reaches into them)
+        put("hcnt", part_end[0] + 1)
     for name, kind, col, _ in spec:
         if kind == "dense_rank":
             put(f"td:{name}", at_last(out[name]))
@@ -178,6 +184,14 @@ def _dwindow_shard(lo, hi, *rest, n_dev: int, samples_per_dev: int,
             put(f"lv:{name}", _bitcast(at_last(svals[col]), jnp.uint32))
         elif kind == "lead":
             put(f"fv:{name}", _bitcast(svals[col][0], jnp.uint32))
+        elif kind == "first_value":
+            # the tail partition's LOCAL first value (chain origin)
+            put(f"tfv:{name}",
+                _bitcast(jnp.take(svals[col], tps), jnp.uint32))
+        elif kind == "last_value":
+            # the head partition's LOCAL last value: row 0 of the local
+            # whole-partition last_value plane
+            put(f"hlv:{name}", _bitcast(out[name][0], jnp.uint32))
     vec = jnp.stack(summ)
     g = jax.lax.all_gather(vec, AXIS)          # (D, S), replicated work
     col_of = {nm: i for i, nm in enumerate(names)}
@@ -201,9 +215,11 @@ def _dwindow_shard(lo, hi, *rest, n_dev: int, samples_per_dev: int,
             C_agg[name] = (u0, u0)
         elif kind in _RUNNING:
             C_agg[name] = u0
+    C_first = {name: u0 for name, k, _, _ in spec if k == "first_value"}
     rec = {k: [] for k in ("cont", "cont_o", "C_cnt", "C_dense", "C_rank")}
     rec_agg = {nm: [] for nm in C_agg}
     rec_lag = {nm: [] for nm in pvals}
+    rec_first = {nm: [] for nm in C_first}
     for e in range(n_dev):
         nv = gv(e, "nv")
         nonempty = nv > 0
@@ -220,6 +236,8 @@ def _dwindow_shard(lo, hi, *rest, n_dev: int, samples_per_dev: int,
             rec_agg[nm].append(C_agg[nm])
         for nm in pvals:
             rec_lag[nm].append(pvals[nm])
+        for nm in C_first:
+            rec_first[nm].append(C_first[nm])
 
         whole = cont & (gv(e, "tps") == 0)  # tail partition spans shard
         nC_cnt = gv(e, "tail_cnt") + jnp.where(whole, C_cnt, u0)
@@ -260,6 +278,11 @@ def _dwindow_shard(lo, hi, *rest, n_dev: int, samples_per_dev: int,
         C_cnt = upd(nC_cnt, C_cnt)
         C_rank = upd(nC_rank, C_rank)
         C_dense = upd(nC_dense, C_dense)
+        for nm in C_first:
+            # the chain's first value: keep the origin's when the tail
+            # partition merely continues through this device
+            C_first[nm] = upd(jnp.where(whole, C_first[nm],
+                                        gv(e, f"tfv:{nm}")), C_first[nm])
         for nm in C_agg:
             if isinstance(C_agg[nm], tuple):
                 C_agg[nm] = (upd(nC_agg[nm][0], C_agg[nm][0]),
@@ -276,11 +299,18 @@ def _dwindow_shard(lo, hi, *rest, n_dev: int, samples_per_dev: int,
         ex = ex | nonempty
 
     # reverse chain: does the NEXT non-empty device continue my tail
-    # partition, and with what first value (lead patch)?
+    # partition, and with what first value (lead patch)? The whole-
+    # partition functions ride the same chain backward: the continuing
+    # partition's GLOBAL last value (last_value) and its row count on
+    # later devices (ntile/percent_rank suffix).
     nex = jnp.zeros((), bool)
     nfk_lo = nfk_hi = u0
     nfv = {name: u0 for name, k, _, _ in spec if k == "lead"}
+    B_last = {name: u0 for name, k, _, _ in spec if k == "last_value"}
+    A_cnt = u0
     rec_lead_cont, rec_lead_val = [], {nm: [] for nm in nfv}
+    rec_last = {nm: [] for nm in B_last}
+    rec_suffix = []
     for e in range(n_dev - 1, -1, -1):
         nv = gv(e, "nv")
         nonempty = nv > 0
@@ -289,7 +319,21 @@ def _dwindow_shard(lo, hi, *rest, n_dev: int, samples_per_dev: int,
         rec_lead_cont.append(ncont)
         for nm in nfv:
             rec_lead_val[nm].append(nfv[nm])
+        for nm in B_last:
+            rec_last[nm].append(B_last[nm])
+        if has_cnt:
+            rec_suffix.append(A_cnt)
         upd = lambda new, old: jnp.where(nonempty, new, old)  # noqa: E731
+        # single-partition device: its head partition IS its tail
+        single = gv(e, "tps") == 0
+        for nm in B_last:
+            # global last value of THIS device's head partition: from
+            # later devices when the partition runs through, else local
+            h = jnp.where(single & ncont, B_last[nm], gv(e, f"hlv:{nm}"))
+            B_last[nm] = upd(h, B_last[nm])
+        if has_cnt:
+            hg = gv(e, "hcnt") + jnp.where(single & ncont, A_cnt, u0)
+            A_cnt = upd(hg, A_cnt)
         nfk_lo = upd(gv(e, "fk_lo"), nfk_lo)
         nfk_hi = upd(gv(e, "fk_hi"), nfk_hi)
         for name, kind, _, _ in spec:
@@ -299,6 +343,9 @@ def _dwindow_shard(lo, hi, *rest, n_dev: int, samples_per_dev: int,
     rec_lead_cont.reverse()
     for nm in rec_lead_val:
         rec_lead_val[nm].reverse()
+    for nm in rec_last:
+        rec_last[nm].reverse()
+    rec_suffix.reverse()
 
     def mine(lst):
         return jnp.take(jnp.stack(lst), my)
@@ -312,7 +359,14 @@ def _dwindow_shard(lo, hi, *rest, n_dev: int, samples_per_dev: int,
     # ---- patch my boundary-partition rows ------------------------------
     validrow = idx < n_v
     head = validrow & (part_start == 0) & cont
-    for name, kind, col, _ in spec:
+    ncont_m = mine(rec_lead_cont)
+    tail = validrow & (part_start == tps) & ncont_m
+    if has_cnt:
+        suffix = jnp.where(ncont_m, mine(rec_suffix), u0)
+        local_cnt = part_end - part_start + 1
+        gcnt = (local_cnt + jnp.where(head, cc, u0)
+                + jnp.where(tail, suffix, u0))
+    for name, kind, col, fill in spec:
         o = out[name]
         if kind == "row_number":
             out[name] = o + jnp.where(head, cc, u0)
@@ -342,10 +396,32 @@ def _dwindow_shard(lo, hi, *rest, n_dev: int, samples_per_dev: int,
             m = first & cont & validrow
             out[name] = jnp.where(m, pv, o)
         elif kind == "lead":
-            ncont = mine(rec_lead_cont)
             nv_ = _bitcast(mine(rec_lead_val[name]), o.dtype)
-            m = validrow & (idx == jnp.maximum(n_v, 1) - 1) & ncont
+            m = validrow & (idx == jnp.maximum(n_v, 1) - 1) & ncont_m
             out[name] = jnp.where(m, nv_, o)
+        elif kind == "first_value":
+            fv = _bitcast(mine(rec_first[name]), o.dtype)
+            out[name] = jnp.where(head, fv, o)
+        elif kind == "last_value":
+            bv = _bitcast(mine(rec_last[name]), o.dtype)
+            out[name] = jnp.where(tail, bv, o)
+        elif kind == "ntile":
+            k = jnp.uint32(fill)
+            grn0 = (idx - part_start) + jnp.where(head, cc, u0)
+            q, r = gcnt // k, gcnt % k
+            big = r * (q + 1)
+            lo_b = grn0 // (q + 1)
+            hi_b = r + (grn0 - big) // jnp.maximum(q, jnp.uint32(1))
+            nt = jnp.where(grn0 < big, lo_b, hi_b) + 1
+            out[name] = jnp.where(validrow, nt, o)
+        elif kind == "percent_rank":
+            in_head_run = head & (run_start == 0) & cont_o
+            grank0 = jnp.where(
+                in_head_run, cr - 1,
+                (run_start - part_start) + jnp.where(head, cc, u0))
+            den = jnp.maximum(gcnt - 1, jnp.uint32(1)).astype(jnp.float32)
+            out[name] = jnp.where(validrow,
+                                  grank0.astype(jnp.float32) / den, o)
 
     planes = []
     for name, kind, _, _ in spec:
@@ -442,8 +518,12 @@ def _distributed_window(key, order, cols, mesh, spec, has_order, colnames,
                 and dtypes[colnames.index(col)] != jnp.float32):
             out[name] = U64(res[j], res[j + 1])
             j += 2
-        elif kind in _RUNNING + ("lag", "lead"):
+        elif kind in _RUNNING + ("lag", "lead", "first_value",
+                                 "last_value"):
             out[name] = _bitcast(res[j], dtypes[colnames.index(col)])
+            j += 1
+        elif kind == "percent_rank":
+            out[name] = _bitcast(res[j], jnp.float32)
             j += 1
         else:
             out[name] = res[j]
@@ -471,9 +551,10 @@ def distributed_window(key: U64, funcs: dict, mesh: Mesh,
     single-device ops.window.window on the same rows (tests assert it).
     """
     spec = _canon_funcs(funcs)
-    if order is None and any(k in ("rank", "dense_rank")
+    if order is None and any(k in ("rank", "dense_rank", "percent_rank")
                              for _, k, _, _ in spec):
-        raise ValueError("rank/dense_rank require an order column")
+        raise ValueError("rank/dense_rank/percent_rank require an "
+                         "order column")
     values = values or {}
     needed = tuple(sorted({c for _, _, c, _ in spec if c is not None}))
     for c in needed:

@@ -21,7 +21,12 @@ tuple-carrier associative_scan):
   per-segment float scan for float columns (rounding proportional to the
   partition's own magnitude, see aggregate.segmented_reduce);
 - running_min/max: segmented_reduce;
-- lag/lead: one-row shifts masked at partition boundaries.
+- lag/lead: one-row shifts masked at partition boundaries;
+- first_value / last_value / ntile / percent_rank (whole-partition
+  frame): the partition's full extent via one extra FLIPPED sweep
+  (partition end index / last value are "first" problems on the
+  reversed stream — reversal is a relayout, not a scan); distributed
+  they ride exchange/dwindow.py's backward carry chain.
 
 The reference has no analytics operators at all (it is a sort test,
 /root/reference/src/main.rs); this family exists because SURVEY.md §7
@@ -43,10 +48,16 @@ import jax.numpy as jnp
 from tpu_qe.bits import U64
 from tpu_qe.ops.aggregate import (_float_sortable_bits, _shift_right_one,
                                   segmented_reduce, segmented_sum_u64)
-from tpu_qe.ops.segscan import cumsum_u32, cummax_u32
+from tpu_qe.ops.segscan import cumsum_u32, cummax_u32, scan_assoc
 
 _RUNNING = ("running_sum", "running_min", "running_max")
-_VALID_FUNCS = ("row_number", "rank", "dense_rank", "lag", "lead") + _RUNNING
+# whole-partition functions: consume the partition's full extent (size /
+# first / last), not just the preceding prefix — in-core they cost one
+# extra flipped sweep; distributed they need the backward carry
+# (exchange/dwindow.py)
+_WHOLE = ("first_value", "last_value", "ntile", "percent_rank")
+_VALID_FUNCS = (("row_number", "rank", "dense_rank", "lag", "lead")
+                + _RUNNING + _WHOLE)
 
 
 class WindowResult(NamedTuple):
@@ -74,8 +85,17 @@ def _canon_funcs(funcs: dict) -> tuple:
             raise ValueError(f"unknown window function {kind!r}")
         col = f[1] if len(f) > 1 else None
         fill = f[2] if len(f) > 2 else 0
-        if kind in _RUNNING + ("lag", "lead") and col is None:
+        if kind in _RUNNING + ("lag", "lead", "first_value",
+                               "last_value") and col is None:
             raise ValueError(f"{kind} needs a value column")
+        if kind == "ntile":
+            # spec is ("ntile", k) — k rides the col slot syntactically
+            # but is the static bucket count
+            if not (isinstance(col, int) and col >= 1):
+                raise ValueError(f"ntile needs a bucket count >= 1, "
+                                 f"got {col!r}")
+            spec.append((name, kind, None, col))
+            continue
         spec.append((name, kind, col, fill))
     return tuple(spec)
 
@@ -155,7 +175,7 @@ def _window_sorted_cols(spec, scols, idx, is_new, order_new, is_last,
     they are internal and elided unless a function needs them.
     """
     out: dict = {}
-    part_start = run_start = None
+    part_start = run_start = part_end = None
     if need_aux:
         part_start = cummax_u32(jnp.where(is_new, idx, jnp.uint32(0)))
         run_start = cummax_u32(jnp.where(order_new, idx, jnp.uint32(0)))
@@ -198,7 +218,61 @@ def _window_sorted_cols(spec, scols, idx, is_new, order_new, is_last,
             f = jnp.asarray(fill, v.dtype)
             nxt = jnp.concatenate([v[1:], jnp.full((1,), f, v.dtype)])
             out[name] = jnp.where(is_last, f, nxt)
-    return out, {"part_start": part_start, "run_start": run_start}
+        elif kind == "first_value":
+            # forward last-valid fill with the flag ONLY at partition
+            # starts = the partition's first value at every row (the
+            # join forward-fill monoid, ops/join.py)
+            out[name] = _seg_fill(scols[col], is_new, is_new)
+        elif kind == "last_value":
+            # first_value of the REVERSED stream (whole-partition frame,
+            # the useful SQL variant — the default-frame last_value is
+            # just the current row); reversal is a relayout, not a sweep
+            v = jnp.flip(scols[col])
+            b = jnp.flip(is_last)
+            out[name] = jnp.flip(_seg_fill(v, b, b))
+        elif kind in ("ntile", "percent_rank"):
+            if part_start is None:
+                part_start = cummax_u32(jnp.where(is_new, idx, jnp.uint32(0)))
+            if part_end is None:
+                # partition END index: the partition-start fill of the
+                # reversed stream, mapped back
+                m1 = jnp.uint32(idx.shape[0] - 1)
+                b = jnp.flip(is_last)
+                rev_start = cummax_u32(jnp.where(b, idx, jnp.uint32(0)))
+                part_end = m1 - jnp.flip(rev_start)
+            cnt = part_end - part_start + 1
+            if kind == "ntile":
+                k = jnp.uint32(fill)
+                q, r = cnt // k, cnt % k
+                rn0 = idx - part_start
+                big = r * (q + 1)
+                lo_b = rn0 // (q + 1)
+                hi_b = r + (rn0 - big) // jnp.maximum(q, 1)
+                out[name] = jnp.where(rn0 < big, lo_b, hi_b) + 1
+            else:
+                if run_start is None:
+                    run_start = cummax_u32(
+                        jnp.where(order_new, idx, jnp.uint32(0)))
+                rank0 = (run_start - part_start).astype(jnp.float32)
+                den = jnp.maximum(cnt - 1, jnp.uint32(1)
+                                  ).astype(jnp.float32)
+                out[name] = rank0 / den
+    return out, {"part_start": part_start, "run_start": run_start,
+                 "part_end": part_end}
+
+
+def _seg_fill(v, boundary, flag):
+    """Segmented last-valid forward fill (the ops/join.py monoid): at
+    every row, the value of the last flagged row at or before it within
+    its segment (0 before any flag)."""
+    def combine(a, b):
+        sa, fa, va = a
+        sb, fb, vb = b
+        return (sa | sb, fb | (fa & ~sb), jnp.where(fb, vb, va))
+
+    zero = jnp.zeros((), v.dtype)
+    state = scan_assoc(combine, (False, False, zero), (boundary, flag, v))
+    return state[2]
 
 
 def window(key: U64, funcs: dict, order: jnp.ndarray | None = None,
@@ -209,10 +283,16 @@ def window(key: U64, funcs: dict, order: jnp.ndarray | None = None,
     Args:
       key: (n,) U64 partition keys (e.g. morton cells, sensor ids).
       funcs: out_name -> spec; spec is "row_number" / ("rank",) /
-        ("dense_rank",) / ("running_sum"|"running_min"|"running_max",
-        value_col) / ("lag"|"lead", value_col[, fill]). Value columns are
-        looked up in `values` (uint32 / int32 / float32). `fill` is the
-        static scalar emitted at partition edges (default 0).
+        ("dense_rank",) / ("percent_rank",) /
+        ("running_sum"|"running_min"|"running_max", value_col) /
+        ("lag"|"lead", value_col[, fill]) /
+        ("first_value"|"last_value", value_col) / ("ntile", k).
+        Value columns are looked up in `values` (uint32 / int32 /
+        float32). `fill` is the static scalar emitted at partition
+        edges (default 0). first_value/last_value use the whole-
+        partition frame (SQL's RANGE BETWEEN UNBOUNDED PRECEDING AND
+        UNBOUNDED FOLLOWING — the useful variant); percent_rank is
+        (rank-1)/(cnt-1) as f32; ntile(k) buckets 1..k sized within 1.
       order: optional (n,) ORDER BY column (uint32/int32/float32). Ties —
         and the no-order case — resolve by input position, so results are
         deterministic. rank/dense_rank require `order`.
@@ -229,9 +309,10 @@ def window(key: U64, funcs: dict, order: jnp.ndarray | None = None,
     spec = _canon_funcs(funcs)
     if output not in ("input", "sorted"):
         raise ValueError(f"unknown output mode {output!r}")
-    if order is None and any(k in ("rank", "dense_rank")
+    if order is None and any(k in ("rank", "dense_rank", "percent_rank")
                              for _, k, _, _ in spec):
-        raise ValueError("rank/dense_rank require an order column")
+        raise ValueError("rank/dense_rank/percent_rank require an "
+                         "order column")
     values = values or {}
     needed = tuple(sorted({c for _, _, c, _ in spec if c is not None}))
     for c in needed:
@@ -244,8 +325,11 @@ def window(key: U64, funcs: dict, order: jnp.ndarray | None = None,
         for name, kind, col, _ in spec:
             if kind == "running_sum" and values[col].dtype != jnp.float32:
                 cols[name] = U64(z32, z32)
-            elif kind in _RUNNING + ("lag", "lead"):
+            elif kind in _RUNNING + ("lag", "lead", "first_value",
+                                     "last_value"):
                 cols[name] = jnp.zeros(0, values[col].dtype)
+            elif kind == "percent_rank":
+                cols[name] = jnp.zeros(0, jnp.float32)
             else:
                 cols[name] = z32
         return WindowResult(cols, z32 if output == "sorted" else None)
