@@ -240,6 +240,30 @@ def _cmd_bench_bigjoin(args) -> int:
     from tpu_qe.bench.sol import device_kind
     from tpu_qe.ops.bigjoin import join_big
 
+    if args.outer is not None:
+        from tpu_qe.ops.bigouter import join_big_outer
+        res = join_big_outer(args.n_left, args.n_right, how=args.outer,
+                             n_buckets=args.buckets,
+                             verbose=args.verbose_big,
+                             checkpoint_dir=args.checkpoint_dir)
+        out = {
+            "metric": f"out-of-core {args.outer.upper()} OUTER join "
+                      f"{res.n_l} x {res.n_r} rows, 1 chip",
+            "value": round(res.rows_per_s),
+            "unit": "left rows/s",
+            "time_s": round(res.seconds, 3),
+            "matched": res.matched,
+            "right_only": res.right_only,
+            "phase_sort_s": round(res.phase_a_s, 3),
+            "phase_join_s": round(res.phase_c_s, 3),
+            "compile_s": round(res.compile_s, 3),
+            "verified": res.all_ok,
+            "checks": {"match_flags": res.match_ok, "values": res.val_ok,
+                       "right_only": res.ro_ok, "counts": res.count_ok},
+            "device": device_kind(),
+        }
+        print(json.dumps(out))
+        return 0 if res.all_ok else 1
     if args.distributed:
         from tpu_qe.exchange.dsort import make_mesh
         from tpu_qe.ops.dbigjoin import join_big_distributed
@@ -726,6 +750,10 @@ def main(argv=None) -> int:
                          "killed run resumes with identical output")
     pj.add_argument("--force-composed", action="store_true",
                     help="keep the exchange machinery even at D=1")
+    pj.add_argument("--outer", nargs="?", const="full",
+                    choices=("left", "full"), default=None,
+                    help="run the out-of-core OUTER join instead "
+                         "(ops/bigouter.py; default FULL)")
     pj.add_argument("--verbose-big", action="store_true")
     pj.set_defaults(fn=_cmd_bench_bigjoin)
 

@@ -19,6 +19,7 @@ _BIG_EXPORTS = {
     "aggregate_big": "bigagg",
     "aggregate_big_multi": "bigagg",
     "join_big": "bigjoin",
+    "join_big_outer": "bigouter",
     "count_distinct_big": "bigdistinct",
     "count_distinct_big_distributed": "dbigdistinct",
     "set_op_big": "bigsetops",
