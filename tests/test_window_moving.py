@@ -1,0 +1,152 @@
+"""Moving-frame window functions (ROWS BETWEEN k-1 PRECEDING AND
+CURRENT ROW) vs a python loop oracle (ops/window.py::_moving)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_qe.bits import U64
+from tpu_qe.ops.window import window
+
+
+def _mk(n, n_part, seed, dtype=np.uint32, vmax=None):
+    rng = np.random.default_rng(seed)
+    keys = rng.integers(0, n_part, n).astype(np.uint64) * np.uint64(
+        0x9E3779B97F4A7C15)
+    order = rng.integers(0, 1 << 20, n).astype(np.uint32)
+    if dtype == np.float32:
+        vals = rng.standard_normal(n).astype(np.float32)
+    elif dtype == np.int32:
+        vals = rng.integers(-1000, 1000, n).astype(np.int32)
+    else:
+        vals = rng.integers(0, vmax or 1000, n).astype(np.uint32)
+    return keys, order, vals
+
+
+def _oracle_moving(keys, order, vals, kind, k):
+    """Sorted-order loop oracle; returns values aligned with INPUT rows."""
+    n = len(keys)
+    pos = np.arange(n)
+    perm = np.lexsort((pos, order, keys))
+    sk, sv = keys[perm], vals[perm]
+    res = np.zeros(n, object)
+    part_start = 0
+    for i in range(n):
+        if i == 0 or sk[i] != sk[i - 1]:
+            part_start = i
+        lb = max(part_start, i - k + 1)
+        w = sv[lb:i + 1]
+        if kind == "moving_sum":
+            if vals.dtype == np.float32:
+                acc = np.float32(0)
+                for x in w:
+                    acc = np.float32(acc + x)
+                res[i] = acc
+            else:
+                res[i] = sum(int(x) & 0xFFFFFFFF for x in w) % (1 << 64)
+        elif kind == "moving_min":
+            res[i] = w.min()
+        elif kind == "moving_max":
+            res[i] = w.max()
+        else:  # moving_avg
+            s = sum(int(x) & 0xFFFFFFFF for x in w) \
+                if vals.dtype != np.float32 else None
+            res[i] = (np.float32(s) if s is not None
+                      else np.float32(w.astype(np.float64).sum())) \
+                / np.float32(len(w))
+    out = np.zeros(n, object)
+    out[perm] = res
+    return out
+
+
+def _run(keys, order, vals, kind, k):
+    key = U64(jnp.asarray((keys & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+              jnp.asarray((keys >> np.uint64(32)).astype(np.uint32)))
+    res = window(key, {"m": (kind, "v", k)}, order=jnp.asarray(order),
+                 values={"v": jnp.asarray(vals)})
+    got = res.cols["m"]
+    if isinstance(got, U64):
+        return (np.asarray(got.lo).astype(np.uint64)
+                | (np.asarray(got.hi).astype(np.uint64) << np.uint64(32)))
+    return np.asarray(got)
+
+
+@pytest.mark.parametrize("kind", ["moving_sum", "moving_min",
+                                  "moving_max", "moving_avg"])
+@pytest.mark.parametrize("k", [1, 3, 8, 13, 4096])
+def test_moving_vs_oracle_u32(kind, k):
+    keys, order, vals = _mk(2000, 17, seed=k)
+    got = _run(keys, order, vals, kind, k)
+    want = _oracle_moving(keys, order, vals, kind, k)
+    if kind == "moving_avg":
+        np.testing.assert_allclose(got, want.astype(np.float32),
+                                   rtol=1e-6)
+    else:
+        assert np.array_equal(got.astype(np.uint64),
+                              np.array([int(x) for x in want],
+                                       np.uint64)), (kind, k)
+
+
+@pytest.mark.parametrize("kind,k", [("moving_min", 7), ("moving_max", 7),
+                                    ("moving_sum", 5)])
+def test_moving_float(kind, k):
+    keys, order, vals = _mk(1500, 11, seed=3, dtype=np.float32)
+    got = _run(keys, order, vals, kind, k)
+    want = _oracle_moving(keys, order, vals, kind, k)
+    if kind == "moving_sum":
+        # the prefix-difference formulation's rounding is proportional
+        # to the PARTITION PREFIX magnitude (docstring), so near-zero
+        # frame sums need an absolute bound, not a relative one
+        np.testing.assert_allclose(got, want.astype(np.float32),
+                                   rtol=1e-4, atol=1e-3)
+    else:
+        assert np.array_equal(got, want.astype(np.float32))
+
+
+@pytest.mark.parametrize("kind,k", [("moving_min", 6), ("moving_max", 9)])
+def test_moving_int32(kind, k):
+    keys, order, vals = _mk(1200, 9, seed=5, dtype=np.int32)
+    got = _run(keys, order, vals, kind, k)
+    want = _oracle_moving(keys, order, vals, kind, k)
+    assert np.array_equal(got, want.astype(np.int32))
+
+
+def test_moving_sum_exact_past_2_32():
+    # frame sums of large u32 values overflow 2^32 — the U64 pair must
+    # stay exact (the repo convention: never silently wrap)
+    keys, order, vals = _mk(600, 3, seed=9, vmax=(1 << 32) - 1)
+    k = 128
+    got = _run(keys, order, vals, "moving_sum", k)
+    want = _oracle_moving(keys, order, vals, "moving_sum", k)
+    assert any(int(x) > (1 << 32) for x in want)  # the case is exercised
+    assert np.array_equal(got, np.array([int(x) for x in want],
+                                        np.uint64))
+
+
+def test_moving_one_partition_spanning_everything():
+    keys = np.zeros(512, np.uint64)
+    order = np.arange(512, dtype=np.uint32)
+    vals = np.ones(512, np.uint32)
+    got = _run(keys, order, vals, "moving_sum", 10)
+    want = np.minimum(np.arange(512) + 1, 10).astype(np.uint64)
+    assert np.array_equal(got, want)
+
+
+def test_moving_requires_width():
+    key = U64(jnp.zeros(4, jnp.uint32), jnp.zeros(4, jnp.uint32))
+    with pytest.raises(ValueError, match="frame width"):
+        window(key, {"m": ("moving_sum", "v")},
+               values={"v": jnp.zeros(4, jnp.uint32)})
+
+
+def test_distributed_window_rejects_moving():
+    import jax
+    from tpu_qe.exchange.dsort import make_mesh
+    from tpu_qe.exchange.dwindow import distributed_window
+    mesh = make_mesh(2)
+    key = U64(jnp.zeros(8, jnp.uint32), jnp.zeros(8, jnp.uint32))
+    with pytest.raises(ValueError, match="in-core only"):
+        distributed_window(key, {"m": ("moving_sum", "v", 4)}, mesh,
+                           order=jnp.arange(8, dtype=jnp.uint32),
+                           values={"v": jnp.zeros(8, jnp.uint32)})
+    del jax

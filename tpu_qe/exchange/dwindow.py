@@ -555,6 +555,12 @@ def distributed_window(key: U64, funcs: dict, mesh: Mesh,
                              for _, k, _, _ in spec):
         raise ValueError("rank/dense_rank/percent_rank require an "
                          "order column")
+    if any(k.startswith("moving_") for _, k, _, _ in spec):
+        # moving frames need an O(k)-row halo from the previous device,
+        # not the O(1)-scalar carry this exchange patches with — reject
+        # rather than return silently wrong boundary rows
+        raise ValueError("moving_* frames are in-core only for now "
+                         "(ops.window.window)")
     values = values or {}
     needed = tuple(sorted({c for _, _, c, _ in spec if c is not None}))
     for c in needed:

@@ -56,8 +56,14 @@ _RUNNING = ("running_sum", "running_min", "running_max")
 # extra flipped sweep; distributed they need the backward carry
 # (exchange/dwindow.py)
 _WHOLE = ("first_value", "last_value", "ntile", "percent_rank")
+# moving frames (ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW), static k:
+# sums are clamped differences of the per-partition prefix at a STATIC
+# shift (no gathers); min/max are the log-doubling two-overlapping-
+# windows construction with per-step partition masking — O(log k)
+# static shifts, idempotency absorbs the overlap
+_MOVING = ("moving_sum", "moving_min", "moving_max", "moving_avg")
 _VALID_FUNCS = (("row_number", "rank", "dense_rank", "lag", "lead")
-                + _RUNNING + _WHOLE)
+                + _RUNNING + _WHOLE + _MOVING)
 
 
 class WindowResult(NamedTuple):
@@ -85,9 +91,15 @@ def _canon_funcs(funcs: dict) -> tuple:
             raise ValueError(f"unknown window function {kind!r}")
         col = f[1] if len(f) > 1 else None
         fill = f[2] if len(f) > 2 else 0
-        if kind in _RUNNING + ("lag", "lead", "first_value",
-                               "last_value") and col is None:
+        if kind in _RUNNING + _MOVING + ("lag", "lead", "first_value",
+                                         "last_value") and col is None:
             raise ValueError(f"{kind} needs a value column")
+        if kind in _MOVING:
+            # spec is (kind, col, k) — the static frame width rides the
+            # fill slot
+            if not (isinstance(fill, int) and fill >= 1):
+                raise ValueError(f"{kind} needs a static frame width "
+                                 f">= 1, got {fill!r}")
         if kind == "ntile":
             # spec is ("ntile", k) — k rides the col slot syntactically
             # but is the static bucket count
@@ -209,6 +221,11 @@ def _window_sorted_cols(spec, scols, idx, is_new, order_new, is_last,
                 out[name] = U64(lo, hi)
         elif kind in ("running_min", "running_max"):
             out[name] = segmented_reduce(scols[col], is_new, kind[-3:])
+        elif kind in _MOVING:
+            if part_start is None:
+                part_start = cummax_u32(jnp.where(is_new, idx, jnp.uint32(0)))
+            out[name] = _moving(kind, scols[col], int(fill), is_new,
+                                idx - part_start)
         elif kind == "lag":
             v = scols[col]
             f = jnp.asarray(fill, v.dtype)
@@ -261,6 +278,86 @@ def _window_sorted_cols(spec, scols, idx, is_new, order_new, is_last,
                  "part_end": part_end}
 
 
+def _shift_k(v, k: int, fill):
+    """Static shift right by k rows (relayout, not a gather)."""
+    if k == 0:
+        return v
+    if k >= v.shape[0]:
+        return jnp.full(v.shape, fill, v.dtype)
+    return jnp.concatenate([jnp.full((k,), fill, v.dtype), v[:-k]])
+
+
+def _moving(kind: str, v, k: int, is_new, rn0):
+    """Moving frame ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW, clamped
+    to the partition (rn0 = row offset within its partition).
+
+    moving_sum: per-partition prefix minus its own value k rows back —
+    the shifted operand is in-partition exactly when rn0 >= k, else the
+    frame is the whole partition prefix and the subtrahend is zero.
+    EXACT u64 pair for integer columns; f32 per-partition prefix
+    difference for float (error proportional to the partition prefix).
+
+    moving_min/max: T = log2(largest power of two P <= k) doubling
+    steps build partition-clamped width-2^t window reductions from
+    static shifts (a shifted operand is masked to the neutral element
+    when it crosses the partition start: rn0 < shift); the final frame
+    is the combine of two overlapping width-P windows at distance k-P —
+    idempotency absorbs the overlap, 2P >= k makes them contiguous.
+
+    moving_avg: moving_sum / min(rn0+1, k) as f32 (exact integer sums
+    feed the ratio; SQL AVG returns a numeric, use moving_sum for the
+    exact value).
+    """
+    if kind in ("moving_sum", "moving_avg"):
+        if v.dtype == jnp.float32 and kind == "moving_sum":
+            s = segmented_reduce(v, is_new, "sum")
+            sub = jnp.where(rn0 >= k, _shift_k(s, k, jnp.float32(0)), 0.0)
+            return s - sub
+        if v.dtype == jnp.float32:
+            s = segmented_reduce(v, is_new, "sum")
+            ms = s - jnp.where(rn0 >= k,
+                               _shift_k(s, k, jnp.float32(0)), 0.0)
+        else:
+            u = v.view(jnp.uint32) if v.dtype != jnp.uint32 else v
+            lo, hi = segmented_sum_u64(u, jnp.zeros_like(u, jnp.uint32),
+                                       is_new)
+            in_part = rn0 >= k
+            blo = jnp.where(in_part, _shift_k(lo, k, jnp.uint32(0)),
+                            jnp.uint32(0))
+            bhi = jnp.where(in_part, _shift_k(hi, k, jnp.uint32(0)),
+                            jnp.uint32(0))
+            olo = lo - blo
+            ohi = hi - bhi - (lo < blo).astype(jnp.uint32)
+            if kind == "moving_sum":
+                return U64(olo, ohi)
+            ms = (olo.astype(jnp.float32)
+                  + ohi.astype(jnp.float32) * jnp.float32(4294967296.0))
+        cnt = jnp.minimum(rn0 + 1, jnp.uint32(k)).astype(jnp.float32)
+        return ms / cnt
+    # moving_min / moving_max
+    op = jnp.minimum if kind == "moving_min" else jnp.maximum
+    if v.dtype == jnp.float32:
+        neutral = jnp.float32(jnp.inf if kind == "moving_min" else -jnp.inf)
+    elif v.dtype == jnp.int32:
+        neutral = jnp.int32(0x7FFFFFFF if kind == "moving_min"
+                            else -0x80000000)
+    else:
+        neutral = jnp.uint32(0xFFFFFFFF if kind == "moving_min" else 0)
+    m = v
+    if k > 1:
+        p = 1 << (k.bit_length() - 1)  # largest power of two <= k
+        s = 1
+        while s < p:
+            sh = jnp.where(rn0 >= s, _shift_k(m, s, neutral), neutral)
+            m = op(m, sh)
+            s <<= 1
+        if k > p:
+            sh = jnp.where(rn0 >= k - p, _shift_k(m, k - p, neutral),
+                           neutral)
+            m = op(m, sh)
+    return m
+
+
 def _seg_fill(v, boundary, flag):
     """Segmented last-valid forward fill (the ops/join.py monoid): at
     every row, the value of the last flagged row at or before it within
@@ -286,13 +383,21 @@ def window(key: U64, funcs: dict, order: jnp.ndarray | None = None,
         ("dense_rank",) / ("percent_rank",) /
         ("running_sum"|"running_min"|"running_max", value_col) /
         ("lag"|"lead", value_col[, fill]) /
-        ("first_value"|"last_value", value_col) / ("ntile", k).
+        ("first_value"|"last_value", value_col) / ("ntile", k) /
+        ("moving_sum"|"moving_min"|"moving_max"|"moving_avg",
+        value_col, k).
         Value columns are looked up in `values` (uint32 / int32 /
         float32). `fill` is the static scalar emitted at partition
         edges (default 0). first_value/last_value use the whole-
         partition frame (SQL's RANGE BETWEEN UNBOUNDED PRECEDING AND
         UNBOUNDED FOLLOWING — the useful variant); percent_rank is
         (rank-1)/(cnt-1) as f32; ntile(k) buckets 1..k sized within 1.
+        moving_* is the SQL frame ROWS BETWEEN k-1 PRECEDING AND
+        CURRENT ROW with STATIC width k, clamped at partition starts:
+        sums via shifted per-partition prefix differences (integer
+        moving_sum is an EXACT U64 pair), min/max via O(log k)
+        partition-masked doubling shifts, moving_avg = sum/frame-rows
+        as f32 — all static relayouts, no gathers (see _moving).
       order: optional (n,) ORDER BY column (uint32/int32/float32). Ties —
         and the no-order case — resolve by input position, so results are
         deterministic. rank/dense_rank require `order`.
@@ -323,12 +428,14 @@ def window(key: U64, funcs: dict, order: jnp.ndarray | None = None,
         z32 = jnp.zeros(0, jnp.uint32)
         cols = {}
         for name, kind, col, _ in spec:
-            if kind == "running_sum" and values[col].dtype != jnp.float32:
+            if (kind in ("running_sum", "moving_sum")
+                    and values[col].dtype != jnp.float32):
                 cols[name] = U64(z32, z32)
-            elif kind in _RUNNING + ("lag", "lead", "first_value",
-                                     "last_value"):
+            elif kind in _RUNNING + ("moving_sum", "moving_min",
+                                     "moving_max", "lag", "lead",
+                                     "first_value", "last_value"):
                 cols[name] = jnp.zeros(0, values[col].dtype)
-            elif kind == "percent_rank":
+            elif kind in ("percent_rank", "moving_avg"):
                 cols[name] = jnp.zeros(0, jnp.float32)
             else:
                 cols[name] = z32
