@@ -139,14 +139,57 @@ def test_moving_requires_width():
                values={"v": jnp.zeros(4, jnp.uint32)})
 
 
-def test_distributed_window_rejects_moving():
-    import jax
+MFUNCS = {
+    "ms": ("moving_sum", "v", 17),
+    "mn": ("moving_min", "v", 9),
+    "mx": ("moving_max", "v", 33),
+    "ma": ("moving_avg", "v", 5),
+    # a running function alongside, so the scalar carry chain and the
+    # row halo coexist in one spec
+    "cs": ("running_sum", "v"),
+}
+
+
+def _dist_check(keys, order, values, funcs, n_dev, **kw):
     from tpu_qe.exchange.dsort import make_mesh
-    from tpu_qe.exchange.dwindow import distributed_window
-    mesh = make_mesh(2)
-    key = U64(jnp.zeros(8, jnp.uint32), jnp.zeros(8, jnp.uint32))
-    with pytest.raises(ValueError, match="in-core only"):
-        distributed_window(key, {"m": ("moving_sum", "v", 4)}, mesh,
-                           order=jnp.arange(8, dtype=jnp.uint32),
-                           values={"v": jnp.zeros(8, jnp.uint32)})
-    del jax
+    from tpu_qe.exchange.dwindow import distributed_window_numpy
+    mesh = make_mesh(n_dev)
+    got = distributed_window_numpy(keys, funcs, mesh, order=order,
+                                   values=values, **kw)
+    res = window(U64.from_numpy(keys), funcs,
+                 order=jnp.asarray(order),
+                 values={k: jnp.asarray(v) for k, v in values.items()})
+    for name in funcs:
+        col = res.cols[name]
+        want = (col.to_numpy() if isinstance(col, U64)
+                else np.asarray(col))
+        np.testing.assert_array_equal(got[name], want, err_msg=name)
+
+
+@pytest.mark.parametrize("n_dev", [1, 2, 4, 8])
+def test_distributed_moving_matches_local(n_dev):
+    # the O(k)-row halo chain: frames at device heads reach into the
+    # previous devices' rows and must be bit-identical to the local op
+    rng = np.random.default_rng(n_dev + 40)
+    n = 2048
+    keys = rng.integers(0, 23, n).astype(np.uint64)
+    order = rng.integers(0, 1 << 16, n, dtype=np.uint32)
+    values = {"v": rng.integers(0, 1 << 32, n).astype(np.uint32)}
+    _dist_check(keys, order, values, MFUNCS, n_dev,
+                capacity_factor=float(n_dev))
+
+
+@pytest.mark.parametrize("n_dev", [4, 8])
+def test_distributed_moving_halo_spans_multiple_devices(n_dev):
+    # k far larger than a device's rows: the incoming halo must compose
+    # across SEVERAL predecessors (each contributes its full tail), and
+    # one partition spans the whole mesh
+    rng = np.random.default_rng(7)
+    n = 1024
+    keys = np.zeros(n, np.uint64)
+    order = np.arange(n, dtype=np.uint32)
+    values = {"v": rng.integers(0, 1 << 32, n).astype(np.uint32)}
+    funcs = {"ms": ("moving_sum", "v", 700),
+             "mn": ("moving_min", "v", 515)}
+    _dist_check(keys, order, values, funcs, n_dev,
+                capacity_factor=float(n_dev))

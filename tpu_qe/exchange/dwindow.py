@@ -48,7 +48,8 @@ from tpu_qe.bits import U64
 from tpu_qe.exchange.shuffle import (AXIS, exchange,
                                      route_by_splitters_multi,
                                      sample_splitters_multi)
-from tpu_qe.ops.window import _canon_funcs, _window_sorted_cols, _RUNNING
+from tpu_qe.ops.window import (_canon_funcs, _window_sorted_cols,
+                               _moving, _MOVING, _RUNNING)
 
 _ONES = jnp.uint32(0xFFFFFFFF)
 
@@ -138,11 +139,78 @@ def _dwindow_shard(lo, hi, *rest, n_dev: int, samples_per_dev: int,
                           else jnp.zeros((L,), bool))
     is_last = jnp.concatenate([is_new[1:], jnp.ones((1,), bool)])
 
-    out, aux = _window_sorted_cols(spec, svals, idx, is_new, order_new,
-                                   is_last, need_aux=True)
+    base_spec = tuple(s for s in spec if s[1] not in _MOVING)
+    out, aux = _window_sorted_cols(base_spec, svals, idx, is_new,
+                                   order_new, is_last, need_aux=True)
     part_start, run_start = aux["part_start"], aux["run_start"]
     part_end = aux["part_end"]          # set iff ntile/percent_rank
     has_cnt = any(k in ("ntile", "percent_rank") for _, k, _, _ in spec)
+
+    # ---- moving frames: halo exchange, then globally-exact locally ----
+    # a width-k frame at a device's head rows reaches into the previous
+    # devices' rows — an O(k)-ROW halo, not the O(1)-scalar carry below.
+    # Every device gathers every device's (H = max_k - 1)-row valid
+    # tail, composes ITS incoming halo as the last H valid rows over its
+    # predecessors (replicated selection; a predecessor with > H rows
+    # caps at H, so the composition is exact for any skew), prepends it,
+    # and computes the moving planes over the concatenation — after
+    # which they are already globally exact (no patch; frames clamp at
+    # true partition starts because halo rows carry their real keys,
+    # and the forced break at concat position 0 only ever lands exactly
+    # k-1 rows before a head row, i.e. at the frame's own lower bound).
+    mov_spec = tuple(s for s in spec if s[1] in _MOVING)
+    if mov_spec:
+        H = max(int(f) for _, _, _, f in mov_spec) - 1
+        mcols = tuple(sorted({c for _, _, c, _ in mov_spec}))
+        if H > 0:
+            st = jnp.maximum(n_v.astype(jnp.int32) - H, 0)
+            t_planes = [
+                jax.lax.dynamic_slice(p, (st,), (H,))
+                for p in [slo, shi]
+                + [_bitcast(svals[c], jnp.uint32) for c in mcols]]
+            t_pos = st.astype(jnp.uint32) + jnp.arange(H, dtype=jnp.uint32)
+            t_planes.append((t_pos < n_v).astype(jnp.uint32))
+            gt = jax.lax.all_gather(jnp.stack(t_planes), AXIS)  # (D,P,H)
+            dev = jnp.arange(n_dev, dtype=jnp.uint32)[:, None]
+            vf = ((gt[:, -1, :] > 0) & (dev < my)).reshape(-1)
+            cum = jnp.cumsum(vf.astype(jnp.uint32), dtype=jnp.uint32)
+            v_tot = cum[-1]
+            h = jnp.arange(H, dtype=jnp.uint32)
+            have = (h + v_tot) >= jnp.uint32(H)
+            tgt = jnp.where(have, v_tot - jnp.uint32(H) + h + 1,
+                            jnp.uint32(0))
+            src = jnp.searchsorted(cum, tgt, side="left").astype(jnp.int32)
+
+            def pick(pi, fill):
+                x = jnp.take(gt[:, pi, :].reshape(-1), src)
+                return jnp.where(have, x, fill)
+
+            h_lo, h_hi = pick(0, _ONES), pick(1, _ONES)
+            h_vals = {c: pick(2 + i, jnp.uint32(0))
+                      for i, c in enumerate(mcols)}
+            c_lo = jnp.concatenate([h_lo, slo])
+            c_hi = jnp.concatenate([h_hi, shi])
+        else:
+            c_lo, c_hi = slo, shi
+            h_vals = {}
+        cidx = jnp.arange(H + L, dtype=jnp.uint32)
+
+        def prevc(x):
+            return jnp.concatenate([jnp.zeros((1,), x.dtype), x[:-1]])
+
+        c_new = ((cidx == 0) | (c_lo != prevc(c_lo))
+                 | (c_hi != prevc(c_hi)))
+        from tpu_qe.ops.segscan import cummax_u32 as _cummax
+        c_ps = _cummax(jnp.where(c_new, cidx, jnp.uint32(0)))
+        c_rn0 = cidx - c_ps
+        for name, kind, col, fill in mov_spec:
+            cv = svals[col]
+            if H > 0:
+                cv = jnp.concatenate(
+                    [_bitcast(h_vals[col], cv.dtype), cv])
+            mv = _moving(kind, cv, int(fill), c_new, c_rn0)
+            out[name] = (U64(mv.lo[H:], mv.hi[H:])
+                         if isinstance(mv, U64) else mv[H:])
 
     # ---- per-device summary vector ------------------------------------
     li = jnp.maximum(n_v, 1) - 1  # last valid row (clamped; masked if 0)
@@ -501,7 +569,7 @@ def _distributed_window(key, order, cols, mesh, spec, has_order, colnames,
         colnames=colnames, dtypes=dtypes)
     spec_p = P(AXIS)
     n_in = 2 + (1 if has_order else 0) + len(cols)
-    n_planes = sum(2 if (k == "running_sum"
+    n_planes = sum(2 if (k in ("running_sum", "moving_sum")
                          and dtypes[colnames.index(c)] != jnp.float32)
                    else 1 for _, k, c, _ in spec)
     fn = shard_map(body, mesh=mesh, in_specs=tuple([spec_p] * n_in),
@@ -514,15 +582,16 @@ def _distributed_window(key, order, cols, mesh, spec, has_order, colnames,
     slo, shi, spos = res[0], res[1], res[2]
     out, j = {}, 3
     for name, kind, col, _ in spec:
-        if (kind == "running_sum"
+        if (kind in ("running_sum", "moving_sum")
                 and dtypes[colnames.index(col)] != jnp.float32):
             out[name] = U64(res[j], res[j + 1])
             j += 2
-        elif kind in _RUNNING + ("lag", "lead", "first_value",
-                                 "last_value"):
+        elif kind in _RUNNING + ("moving_sum", "moving_min",
+                                 "moving_max", "lag", "lead",
+                                 "first_value", "last_value"):
             out[name] = _bitcast(res[j], dtypes[colnames.index(col)])
             j += 1
-        elif kind == "percent_rank":
+        elif kind in ("percent_rank", "moving_avg"):
             out[name] = _bitcast(res[j], jnp.float32)
             j += 1
         else:
@@ -555,12 +624,6 @@ def distributed_window(key: U64, funcs: dict, mesh: Mesh,
                              for _, k, _, _ in spec):
         raise ValueError("rank/dense_rank/percent_rank require an "
                          "order column")
-    if any(k.startswith("moving_") for _, k, _, _ in spec):
-        # moving frames need an O(k)-row halo from the previous device,
-        # not the O(1)-scalar carry this exchange patches with — reject
-        # rather than return silently wrong boundary rows
-        raise ValueError("moving_* frames are in-core only for now "
-                         "(ops.window.window)")
     values = values or {}
     needed = tuple(sorted({c for _, _, c, _ in spec if c is not None}))
     for c in needed:
