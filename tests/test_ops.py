@@ -773,6 +773,32 @@ class TestExactU64Sums:
             assert want > (1 << 32)
             assert int(got[i]) == want
 
+    def test_multi_column_int32_negatives_signed_exact(self):
+        # int32 sums sign-extend into the hi plane: the U64 pair is the
+        # exact SIGNED group sum in two's complement (i64-in-U64), both
+        # in the compaction path and the max_groups gather path
+        from tpu_qe.ops.aggregate import group_aggregate_multi
+        rng = np.random.default_rng(83)
+        n = 4096
+        keys = rng.integers(0, 7, n).astype(np.uint64)
+        a = rng.integers(-(1 << 30), 1 << 30, n).astype(np.int32)
+        assert (a < 0).any()
+        for mg in (None, 16):
+            m = group_aggregate_multi(U64.from_numpy(keys),
+                                      {"a": jnp.asarray(a)},
+                                      {"a": ("sum", "min", "max")},
+                                      max_groups=mg)
+            g = int(m.num_groups)
+            got = m.aggs["a_sum"].to_numpy()[:g].astype(np.int64)
+            gk = m.key.to_numpy()[:g]
+            want = np.array([a[keys == k].astype(np.int64).sum()
+                             for k in gk])
+            assert want.min() < 0 or want.max() > (1 << 31)
+            np.testing.assert_array_equal(got, want)
+            np.testing.assert_array_equal(
+                np.asarray(m.aggs["a_min"])[:g],
+                [a[keys == k].min() for k in gk])
+
     def test_mean_uses_exact_sum(self):
         keys = np.zeros(1024, dtype=np.uint64)
         vals = np.full(1024, 0xF0000000, dtype=np.uint32)

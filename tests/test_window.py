@@ -128,6 +128,35 @@ def test_running_sum_exact_past_2_32():
     assert want[-1] > (1 << 32)
 
 
+def test_running_sum_int32_negatives_signed_exact():
+    # int32 sign-extends into the hi plane: the U64 pair is the exact
+    # SIGNED running sum in two's complement (i64-in-U64), so negatives
+    # never silently add 2^32 per row (ADVICE round 3)
+    rng = np.random.default_rng(41)
+    n = 3000
+    keys = rng.integers(0, 37, n).astype(np.uint64)
+    order = rng.integers(0, 1 << 16, n, dtype=np.uint32)
+    vals = rng.integers(-(1 << 20), 1 << 20, n).astype(np.int32)
+    assert (vals < 0).any()
+    res = _run(keys, order, {"v": vals}, {"cs": ("running_sum", "v")})
+    got = res.cols["cs"].to_numpy().astype(np.int64)  # two's complement
+    # signed oracle
+    pos = np.arange(n)
+    perm = np.lexsort((pos, order, keys))
+    sk, sv = keys[perm], vals[perm].astype(np.int64)
+    want_sorted = np.zeros(n, np.int64)
+    acc = 0
+    for i in range(n):
+        if i == 0 or sk[i] != sk[i - 1]:
+            acc = 0
+        acc += int(sv[i])
+        want_sorted[i] = acc
+    want = np.zeros(n, np.int64)
+    want[perm] = want_sorted
+    np.testing.assert_array_equal(got, want)
+    assert got.min() < 0
+
+
 def test_float_running_sum_and_minmax():
     rng = np.random.default_rng(3)
     n = 3000

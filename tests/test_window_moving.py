@@ -43,13 +43,16 @@ def _oracle_moving(keys, order, vals, kind, k):
                     acc = np.float32(acc + x)
                 res[i] = acc
             else:
-                res[i] = sum(int(x) & 0xFFFFFFFF for x in w) % (1 << 64)
+                # signed ints sum exactly in two's complement mod 2^64
+                # (int32 sign-extends into the hi plane); uint32 is the
+                # plain exact u64 sum — both are `sum % 2^64`
+                res[i] = sum(int(x) for x in w) % (1 << 64)
         elif kind == "moving_min":
             res[i] = w.min()
         elif kind == "moving_max":
             res[i] = w.max()
         else:  # moving_avg
-            s = sum(int(x) & 0xFFFFFFFF for x in w) \
+            s = sum(int(x) for x in w) \
                 if vals.dtype != np.float32 else None
             res[i] = (np.float32(s) if s is not None
                       else np.float32(w.astype(np.float64).sum())) \
@@ -109,6 +112,33 @@ def test_moving_int32(kind, k):
     got = _run(keys, order, vals, kind, k)
     want = _oracle_moving(keys, order, vals, kind, k)
     assert np.array_equal(got, want.astype(np.int32))
+
+
+@pytest.mark.parametrize("k", [1, 4, 11])
+def test_moving_sum_int32_negatives_exact(k):
+    # int32 with negatives: the U64 pair must be the exact SIGNED sum in
+    # two's complement (i64-in-U64) — without sign extension each
+    # negative row silently adds 2^32 (ADVICE round 3, medium)
+    keys, order, vals = _mk(1500, 13, seed=k + 70, dtype=np.int32)
+    assert (vals < 0).any()
+    got = _run(keys, order, vals, "moving_sum", k)  # uint64 bit pattern
+    want = _oracle_moving(keys, order, vals, "moving_sum", k)
+    assert np.array_equal(got.astype(np.uint64),
+                          np.array([int(x) for x in want], np.uint64))
+    # and the i64 view reads as the true signed frame sums
+    signed = got.astype(np.uint64).astype(np.int64)
+    assert signed.min() < 0
+
+
+@pytest.mark.parametrize("k", [1, 3, 9])
+def test_moving_avg_int32_negatives(k):
+    keys, order, vals = _mk(1500, 13, seed=k + 80, dtype=np.int32)
+    assert (vals < 0).any()
+    got = _run(keys, order, vals, "moving_avg", k)
+    want = _oracle_moving(keys, order, vals, "moving_avg", k)
+    np.testing.assert_allclose(got, want.astype(np.float32),
+                               rtol=1e-6, atol=1e-6)
+    assert got.min() < 0  # negatives surface, not ~1.8e19
 
 
 def test_moving_sum_exact_past_2_32():
@@ -177,6 +207,47 @@ def test_distributed_moving_matches_local(n_dev):
     values = {"v": rng.integers(0, 1 << 32, n).astype(np.uint32)}
     _dist_check(keys, order, values, MFUNCS, n_dev,
                 capacity_factor=float(n_dev))
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_distributed_moving_int32_negatives(n_dev):
+    # signed sums stay exact through the halo path: sign extension is
+    # applied inside _moving, and pair differences are mod-2^64
+    rng = np.random.default_rng(n_dev + 60)
+    n = 2048
+    keys = rng.integers(0, 23, n).astype(np.uint64)
+    order = rng.integers(0, 1 << 16, n, dtype=np.uint32)
+    values = {"v": rng.integers(-(1 << 20), 1 << 20, n).astype(np.int32)}
+    funcs = {"ms": ("moving_sum", "v", 17), "ma": ("moving_avg", "v", 9),
+             "cs": ("running_sum", "v")}
+    _dist_check(keys, order, values, funcs, n_dev,
+                capacity_factor=float(n_dev))
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_distributed_moving_sum_float32_close_not_bitexact(n_dev):
+    # f32 moving_sum: when a partition extends back past the halo, the
+    # forced prefix restart rounds differently than the local
+    # full-partition prefix (dwindow halo comment) — the distributed
+    # result matches within the operator's own prefix-difference error
+    # bound, NOT bit-exactly. Values in [0, 1) over long partitions make
+    # the association difference visible without blowing the bound.
+    from tpu_qe.exchange.dsort import make_mesh
+    from tpu_qe.exchange.dwindow import distributed_window_numpy
+    rng = np.random.default_rng(n_dev + 90)
+    n = 4096
+    keys = rng.integers(0, 3, n).astype(np.uint64)  # long partitions
+    order = rng.integers(0, 1 << 16, n, dtype=np.uint32)
+    values = {"v": rng.random(n).astype(np.float32)}
+    funcs = {"ms": ("moving_sum", "v", 33)}
+    mesh = make_mesh(n_dev)
+    got = distributed_window_numpy(keys, funcs, mesh, order=order,
+                                   values=values,
+                                   capacity_factor=float(n_dev))
+    res = window(U64.from_numpy(keys), funcs, order=jnp.asarray(order),
+                 values={k: jnp.asarray(v) for k, v in values.items()})
+    want = np.asarray(res.cols["ms"])
+    np.testing.assert_allclose(got["ms"], want, rtol=1e-4, atol=1e-3)
 
 
 @pytest.mark.parametrize("n_dev", [4, 8])

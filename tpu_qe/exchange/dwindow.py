@@ -158,6 +158,15 @@ def _dwindow_shard(lo, hi, *rest, n_dev: int, samples_per_dev: int,
     # true partition starts because halo rows carry their real keys,
     # and the forced break at concat position 0 only ever lands exactly
     # k-1 rows before a head row, i.e. at the frame's own lower bound).
+    # "Exact" is bit-exact for INTEGER moving_sum (u64 pair differences
+    # are mod-2^64, indifferent to where the prefix restarts) and for
+    # moving_min/max (idempotent). f32 moving_sum is the one exception:
+    # when a partition extends back past the halo, the forced break
+    # restarts the f32 prefix, so the prefix difference ROUNDS
+    # differently than the local full-partition prefix — same exact
+    # value in reals, different f32 association; callers get the same
+    # error class as the local operator's own prefix-difference bound
+    # (error proportional to the partition prefix), not bit-identity.
     mov_spec = tuple(s for s in spec if s[1] in _MOVING)
     if mov_spec:
         H = max(int(f) for _, _, _, f in mov_spec) - 1

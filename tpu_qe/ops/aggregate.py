@@ -171,10 +171,11 @@ def group_aggregate(key: U64, value: jnp.ndarray | None = None,
 
     Integer "sum" returns an EXACT u64 result as a U64 (lo, hi) pair —
     sums never silently wrap mod 2^32 (the repo convention: padded/static
-    paths detect or avoid overflow, never truncate). For int32 columns
-    the pair sums the two's-complement bit patterns: `lo` is the familiar
-    mod-2^32 value; the exactness guarantee applies to unsigned values.
-    Float "sum" stays float32 (per-segment scan, see segmented_reduce).
+    paths detect or avoid overflow, never truncate). Value columns here
+    are uint32 or float32 (values double as sort keys in this path;
+    int32 columns go through group_aggregate_multi, whose sums
+    sign-extend to an exact SIGNED i64-in-U64). Float "sum" stays
+    float32 (per-segment scan, see segmented_reduce).
 
     "mean" is a derived aggregate: float32 sum/count (integer values use
     the exact u64 sum widened to f32; float values the per-segment float
@@ -637,6 +638,16 @@ def _group_aggregate_multi(key: U64, cols: tuple, spec: tuple,
                 if v.dtype == jnp.float32:
                     reduced.append((name, a, v.dtype,
                                     [jnp.cumsum(v, dtype=v.dtype)]))
+                elif v.dtype == jnp.int32:
+                    # sign-extend into the hi plane: the pair prefix is
+                    # the exact SIGNED sum in two's complement, and the
+                    # group difference (_diff_u64, mod 2^64) stays exact
+                    # — an i64-in-U64, same convention as ops/window.py
+                    reduced.append((name, a, v.dtype, list(
+                        cumsum_u64_pair(
+                            v.view(jnp.uint32),
+                            jnp.where(v < 0, jnp.uint32(0xFFFFFFFF),
+                                      jnp.uint32(0))))))
                 else:
                     reduced.append((name, a, v.dtype,
                                     list(cumsum_u64_pair(v))))
@@ -737,10 +748,13 @@ def group_aggregate_multi(key: U64, values: dict, aggs: dict,
         num_groups + overflow flag past the bound).
     Returns:
       MultiGroupResult; aggs dict keyed "column_agg". Integer sums are
-      EXACT u64 U64 (lo, hi) pairs (see group_aggregate); float sums use
-      a running-cumsum difference (rounding scales with the global
-      prefix — group_aggregate's per-segment scan is the accurate path
-      for a single float column).
+      EXACT U64 (lo, hi) pairs: the exact u64 sum for uint32 columns,
+      and for int32 columns the exact SIGNED sum as a two's-complement
+      i64-in-U64 (sign extension into the hi plane; read with
+      .to_numpy().astype(np.int64)). Float sums use a running-cumsum
+      difference (rounding scales with the global prefix —
+      group_aggregate's per-segment scan is the accurate path for a
+      single float column).
     """
     names = tuple(sorted(values))
     for nm in names:

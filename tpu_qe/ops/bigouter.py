@@ -264,7 +264,10 @@ def join_big_outer(n_l: int, n_r: int, how: str = "full",
     """
     assert how in ("left", "full"), how
     assert n_l < (1 << 32) and n_r < (1 << 31)  # lo = i<<1 injective
-    assert n_r % 2 == 0, "data model splits right rows by index parity"
+    # n_r >= 2: _lkey_of_index takes j % (n_r >> 1) — n_r == 0 would pass
+    # the parity/coverage guards and silently divide by zero under jit
+    assert n_r >= 2 and n_r % 2 == 0, \
+        "data model splits right rows by index parity (n_r >= 2, even)"
     assert (n_l + 1) // 2 >= n_r // 2, \
         "coverage: every even right index must be hit"
     full = how == "full"
@@ -338,39 +341,51 @@ def join_big_outer(n_l: int, n_r: int, how: str = "full",
             print(f"bigouter: resuming — {len(skip)}/{n_buckets} buckets "
                   "already joined")
     pending = {}
+    host_vals = {}
+    collected = []
     ceil_l, ceil_r = max(n_l - cap_l, 0), max(n_r - cap_r, 0)
     for b in range(n_buckets):
         if b in skip:
             continue
         cl = min(st_l[b], ceil_l)
         cr = min(st_r[b], ceil_r)
-        pending[b] = bucket_exec(
+        out = bucket_exec(
             jnp.int32(cl), jnp.int32(st_l[b] - cl), jnp.int32(sz_l[b]),
             jnp.int32(cr), jnp.int32(st_r[b] - cr), jnp.int32(sz_r[b]),
             llo, lhi, lidx, rlo, rhi, ridx)
+        if collect:
+            # read back NOW and drop the device planes before the next
+            # dispatch: each collect result holds cap_l + cap_r padded
+            # output planes, so retaining all buckets until a final
+            # readback loop scales peak HBM with n_buckets — the
+            # all-buckets-held OOM trap (CLAUDE.md). collect is the
+            # oracle-test path; losing dispatch pipelining costs nothing
+            # that matters there.
+            host_vals[b] = [int(np.asarray(x)) for x in out[:11]]
+            s_llo, s_lhi, o_lidx, o_m, o_rv, o_v = [
+                np.asarray(x) for x in out[11:17]]
+            keep = o_v.astype(bool)
+            k64 = (s_lhi.astype(np.uint64) << np.uint64(32)) \
+                | s_llo.astype(np.uint64)
+            ent = dict(key=k64[keep], lidx=o_lidx[keep],
+                       matched=o_m[keep].astype(bool),
+                       value=o_rv[keep])
+            if full:
+                ro_i, ro_v = np.asarray(out[17]), np.asarray(out[18])
+                ent["ro_ridx"] = ro_i[ro_v.astype(bool)]
+            collected.append(ent)
+            del out
+        else:
+            pending[b] = out
     matched = num_out = n_ro = rows_l = rows_r = expected = 0
     m_ok = v_ok = ro_ok = True
     ovf = 0
-    collected = []
     for b in range(n_buckets):
         if b in skip:
             vals = [int(v) for v in state.scalars[b]]
         else:
-            out = pending[b]
-            vals = [int(np.asarray(x)) for x in out[:11]]
-            if collect:
-                s_llo, s_lhi, o_lidx, o_m, o_rv, o_v = [
-                    np.asarray(x) for x in out[11:17]]
-                keep = o_v.astype(bool)
-                k64 = (s_lhi.astype(np.uint64) << np.uint64(32)) \
-                    | s_llo.astype(np.uint64)
-                ent = dict(key=k64[keep], lidx=o_lidx[keep],
-                           matched=o_m[keep].astype(bool),
-                           value=o_rv[keep])
-                if full:
-                    ro_i, ro_v = np.asarray(out[17]), np.asarray(out[18])
-                    ent["ro_ridx"] = ro_i[ro_v.astype(bool)]
-                collected.append(ent)
+            vals = (host_vals[b] if collect else
+                    [int(np.asarray(x)) for x in pending.pop(b)])
             if state is not None:
                 state.record(b, vals)
         (mo, vo, ov, no, nm, ne, nl_b, nr_b, roo, nro, nodd) = vals

@@ -126,6 +126,10 @@ def quantile_big(n: int, qs, run_size: int = 1 << 26, seed: int = 7,
 
     # AOT-compile outside the timed region (remote compiles cost minutes
     # — CLAUDE.md; same discipline as sort/bigsort.py)
+    np.asarray(jnp.zeros(8, jnp.uint32)[:1])  # tunnel warmup: the
+    # process's FIRST transfer pays a one-time ~30 s data-path setup —
+    # without this line it landed inside the timed run loop (round-3
+    # battery read 43 s for a 3.3 s phase; measured 2026-08-19)
     mk = _make_sorted_run_keys.lower(
         jnp.uint32(0), n_run=run_size, seed=seed,
         key_bits=key_bits).compile()

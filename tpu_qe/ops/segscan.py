@@ -115,7 +115,7 @@ def cummax_u32(v: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
-def cumsum_u64_pair(v: jnp.ndarray):
+def cumsum_u64_pair(v: jnp.ndarray, vhi: jnp.ndarray | None = None):
     """Inclusive EXACT u64 prefix sum of u32 values as (lo, hi) planes.
 
     lo is the wrapping u32 cumsum; hi counts the wraps: each added value
@@ -125,7 +125,13 @@ def cumsum_u64_pair(v: jnp.ndarray):
     exact past 2^32 without 64-bit arithmetic (x64 is disabled on TPU).
     One blocked scan of the carry monoid replaces the two chained
     jnp.cumsum passes — u64 addition is associative, so the result is
-    bit-identical to the flat pair."""
+    bit-identical to the flat pair.
+
+    vhi: optional per-element hi-word inputs. With vhi = 0xFFFFFFFF on
+    negative rows (sign extension), int32 inputs sum EXACTLY as signed
+    values in two's complement mod 2^64 — the same carry monoid, since
+    pair addition is u64 addition regardless of what the hi plane
+    encodes."""
 
     def combine(a, b):
         lo = a[0] + b[0]
@@ -133,5 +139,6 @@ def cumsum_u64_pair(v: jnp.ndarray):
 
     lo, hi = scan_assoc(combine, (0, 0),
                         (v.astype(jnp.uint32),
-                         jnp.zeros(v.shape, jnp.uint32)))
+                         jnp.zeros(v.shape, jnp.uint32)
+                         if vhi is None else vhi))
     return lo, hi

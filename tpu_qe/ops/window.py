@@ -17,9 +17,11 @@ tuple-carrier associative_scan):
 - rank:       same, with the (key, order)-RUN start index instead;
 - dense_rank: cumsum of order-change flags, rebased per partition;
 - running_sum: per-segment inclusive scan — EXACT u64 (lo, hi) pair for
-  integer columns (never silently wraps mod 2^32, the repo convention),
-  per-segment float scan for float columns (rounding proportional to the
-  partition's own magnitude, see aggregate.segmented_reduce);
+  integer columns (never silently wraps mod 2^32, the repo convention;
+  int32 sign-extends into the hi plane so the pair is the exact signed
+  sum as a two's-complement i64-in-U64), per-segment float scan for
+  float columns (rounding proportional to the partition's own
+  magnitude, see aggregate.segmented_reduce);
 - running_min/max: segmented_reduce;
 - lag/lead: one-row shifts masked at partition boundaries;
 - first_value / last_value / ntile / percent_rank (whole-partition
@@ -215,9 +217,10 @@ def _window_sorted_cols(spec, scols, idx, is_new, order_new, is_last,
             if v.dtype == jnp.float32:
                 out[name] = segmented_reduce(v, is_new, "sum")
             else:
-                lo, hi = segmented_sum_u64(
-                    v.view(jnp.uint32), jnp.zeros_like(v, jnp.uint32),
-                    is_new)
+                # int32 sign-extends into the hi plane (_pair_planes):
+                # the U64 pair is the exact signed sum in two's
+                # complement (i64-in-U64); uint32 stays the exact u64.
+                lo, hi = segmented_sum_u64(*_pair_planes(v), is_new)
                 out[name] = U64(lo, hi)
         elif kind in ("running_min", "running_max"):
             out[name] = segmented_reduce(scols[col], is_new, kind[-3:])
@@ -287,6 +290,38 @@ def _shift_k(v, k: int, fill):
     return jnp.concatenate([jnp.full((k,), fill, v.dtype), v[:-k]])
 
 
+def _pair_planes(v):
+    """(lo, hi) u32 planes whose u64 pair sum is the EXACT integer sum.
+
+    uint32 columns zero-extend (hi = 0). int32 columns SIGN-extend: the
+    hi word is 0xFFFFFFFF on negative rows, so the pair sum equals the
+    true signed sum in two's complement mod 2^64 — an i64-in-U64. Pair
+    sums/differences downstream are mod-2^64 arithmetic, so prefix
+    differences and cross-device/bucket carries stay exact for signed
+    values too (without this, each negative row silently added 2^32;
+    see ADVICE round 3, ops/window.py moving_sum finding).
+    """
+    if v.dtype == jnp.int32:
+        return v.view(jnp.uint32), jnp.where(
+            v < 0, jnp.uint32(0xFFFFFFFF), jnp.uint32(0))
+    u = v.view(jnp.uint32) if v.dtype != jnp.uint32 else v
+    return u, jnp.zeros_like(u)
+
+
+def _pair_to_f32_signed(lo, hi, signed: bool):
+    """f32 value of a u64 pair; two's-complement i64 when signed."""
+    if not signed:
+        return (lo.astype(jnp.float32)
+                + hi.astype(jnp.float32) * jnp.float32(4294967296.0))
+    neg = hi >= jnp.uint32(0x80000000)
+    # |x| of a two's-complement negative: ~lo + 1 with carry into hi
+    mlo = jnp.where(neg, ~lo + jnp.uint32(1), lo)
+    mhi = jnp.where(neg, ~hi + (lo == 0).astype(jnp.uint32), hi)
+    mag = (mlo.astype(jnp.float32)
+           + mhi.astype(jnp.float32) * jnp.float32(4294967296.0))
+    return jnp.where(neg, -mag, mag)
+
+
 def _moving(kind: str, v, k: int, is_new, rn0):
     """Moving frame ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW, clamped
     to the partition (rn0 = row offset within its partition).
@@ -294,8 +329,11 @@ def _moving(kind: str, v, k: int, is_new, rn0):
     moving_sum: per-partition prefix minus its own value k rows back —
     the shifted operand is in-partition exactly when rn0 >= k, else the
     frame is the whole partition prefix and the subtrahend is zero.
-    EXACT u64 pair for integer columns; f32 per-partition prefix
-    difference for float (error proportional to the partition prefix).
+    EXACT u64 pair for uint32 columns; int32 columns sign-extend into
+    the hi plane so the pair is the exact SIGNED sum in two's
+    complement (i64-in-U64; prefix differences are mod-2^64 and stay
+    exact). f32 per-partition prefix difference for float (error
+    proportional to the partition prefix).
 
     moving_min/max: T = log2(largest power of two P <= k) doubling
     steps build partition-clamped width-2^t window reductions from
@@ -318,9 +356,7 @@ def _moving(kind: str, v, k: int, is_new, rn0):
             ms = s - jnp.where(rn0 >= k,
                                _shift_k(s, k, jnp.float32(0)), 0.0)
         else:
-            u = v.view(jnp.uint32) if v.dtype != jnp.uint32 else v
-            lo, hi = segmented_sum_u64(u, jnp.zeros_like(u, jnp.uint32),
-                                       is_new)
+            lo, hi = segmented_sum_u64(*_pair_planes(v), is_new)
             in_part = rn0 >= k
             blo = jnp.where(in_part, _shift_k(lo, k, jnp.uint32(0)),
                             jnp.uint32(0))
@@ -330,8 +366,7 @@ def _moving(kind: str, v, k: int, is_new, rn0):
             ohi = hi - bhi - (lo < blo).astype(jnp.uint32)
             if kind == "moving_sum":
                 return U64(olo, ohi)
-            ms = (olo.astype(jnp.float32)
-                  + ohi.astype(jnp.float32) * jnp.float32(4294967296.0))
+            ms = _pair_to_f32_signed(olo, ohi, v.dtype == jnp.int32)
         cnt = jnp.minimum(rn0 + 1, jnp.uint32(k)).astype(jnp.float32)
         return ms / cnt
     # moving_min / moving_max
@@ -395,9 +430,11 @@ def window(key: U64, funcs: dict, order: jnp.ndarray | None = None,
         moving_* is the SQL frame ROWS BETWEEN k-1 PRECEDING AND
         CURRENT ROW with STATIC width k, clamped at partition starts:
         sums via shifted per-partition prefix differences (integer
-        moving_sum is an EXACT U64 pair), min/max via O(log k)
+        moving_sum is an EXACT U64 pair; int32 sign-extends, so the
+        pair reads as a two's-complement i64), min/max via O(log k)
         partition-masked doubling shifts, moving_avg = sum/frame-rows
-        as f32 — all static relayouts, no gathers (see _moving).
+        as f32 (sign-correct for int32) — all static relayouts, no
+        gathers (see _moving).
       order: optional (n,) ORDER BY column (uint32/int32/float32). Ties —
         and the no-order case — resolve by input position, so results are
         deterministic. rank/dense_rank require `order`.
@@ -406,10 +443,13 @@ def window(key: U64, funcs: dict, order: jnp.ndarray | None = None,
         WindowResult.pos maps each row to its input position — the cheap
         form when the caller keeps the sorted stream anyway).
 
-    Integer running_sum returns an EXACT u64 U64 pair; float running_sum
-    uses the per-segment scan (error proportional to the partition's own
-    prefix). One lax.sort + O(#funcs) segmented sweeps; "input" adds one
-    restore sort.
+    Integer running_sum/moving_sum return an EXACT U64 pair: the exact
+    u64 sum for uint32 columns, the exact SIGNED sum as a
+    two's-complement i64-in-U64 for int32 columns (sign extension into
+    the hi plane; interpret with U64.to_numpy().astype(np.int64)).
+    Float running_sum uses the per-segment scan (error proportional to
+    the partition's own prefix). One lax.sort + O(#funcs) segmented
+    sweeps; "input" adds one restore sort.
     """
     spec = _canon_funcs(funcs)
     if output not in ("input", "sorted"):
