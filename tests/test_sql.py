@@ -1,0 +1,489 @@
+"""SQL front-end vs the sqlite3 oracle (tpu_qe/sql/).
+
+Every query runs through BOTH engines over identical data; results
+compare exactly for integer columns and to f32-scale tolerance for
+float aggregates (sqlite computes in f64, the engine in f32).
+
+Alignment choices (documented in sql/executor.py):
+- the engine is NULL-free: outer-join NULLs are zero-filled + a
+  `<binding>__matched` mask column, so oracle queries wrap right
+  columns in COALESCE(col, 0) and NULL-sensitive tests read the mask;
+- window running sums are ROWS-framed; oracle queries say ROWS
+  BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW explicitly (SQL's
+  default RANGE frame merges order-ties) and use unique order values;
+- LAG/LEAD default fill is 0 → LAG(x, 1, 0) in the oracle.
+"""
+
+import sqlite3
+
+import numpy as np
+import pytest
+
+from tpu_qe.sql import Database, SqlError
+from tpu_qe.sql.parser import parse
+
+
+def _mk_data(seed=0, n=2000, m=500):
+    rng = np.random.default_rng(seed)
+    t = {
+        "k": rng.integers(0, 12, n).astype(np.uint32),
+        "g": rng.integers(0, 5, n).astype(np.uint32),
+        "v": rng.integers(-1000, 1000, n).astype(np.int32),
+        "u": rng.integers(0, 1000, n).astype(np.uint32),
+        "f": (rng.random(n).astype(np.float32) * 10 - 5),
+        "id": np.arange(n, dtype=np.uint32),
+    }
+    r = {
+        "k": rng.integers(0, 16, m).astype(np.uint32),
+        "w": rng.integers(0, 100, m).astype(np.int32),
+        "rid": np.arange(m, dtype=np.uint32),
+    }
+    return t, r
+
+
+@pytest.fixture(scope="module")
+def engines():
+    t, r = _mk_data()
+    db = Database()
+    db.register("t", t)
+    db.register("r", r)
+    con = sqlite3.connect(":memory:")
+    for name, cols in (("t", t), ("r", r)):
+        names = sorted(cols)
+        con.execute(f"CREATE TABLE {name} ({', '.join(names)})")
+        rows = list(zip(*[
+            cols[c].astype(np.float64) if cols[c].dtype.kind == "f"
+            else cols[c].astype(np.int64) for c in names]))
+        con.executemany(
+            f"INSERT INTO {name} VALUES ({','.join('?' * len(names))})",
+            [tuple(float(x) if isinstance(x, np.floating) else int(x)
+                   for x in row) for row in rows])
+    return db, con
+
+
+def _fetch_sqlite(con, sql):
+    cur = con.execute(sql)
+    names = [d[0] for d in cur.description]
+    rows = cur.fetchall()
+    return {nm: np.array([row[i] for row in rows])
+            for i, nm in enumerate(names)}
+
+
+def _canon(cols: dict):
+    """Row-order canonicalization: stable lexsort over every column
+    (floats rounded to 1e-4 so engine/oracle rounding can't reorder)."""
+    names = sorted(cols)
+    n = len(cols[names[0]]) if names else 0
+    keys = []
+    for nm in reversed(names):
+        c = np.asarray(cols[nm])
+        keys.append(np.round(c.astype(np.float64), 4) if c.dtype.kind
+                    == "f" else c)
+    perm = np.lexsort(keys) if keys and n else np.arange(n)
+    return {nm: np.asarray(cols[nm])[perm] for nm in names}
+
+
+def check(db, con, sql, sqlite_sql=None, ordered=False, rtol=1e-5,
+          atol=1e-4):
+    got = db.sql(sql)
+    want = _fetch_sqlite(con, sqlite_sql or sql)
+    assert sorted(got) == sorted(want), (sorted(got), sorted(want))
+    if not ordered:
+        got, want = _canon(got), _canon(want)
+    for nm in want:
+        g, w = np.asarray(got[nm]), want[nm]
+        assert len(g) == len(w), (nm, len(g), len(w), sql)
+        if g.dtype.kind == "f" or w.dtype.kind == "f":
+            np.testing.assert_allclose(
+                g.astype(np.float64), w.astype(np.float64),
+                rtol=rtol, atol=atol, err_msg=f"{nm}: {sql}")
+        else:
+            np.testing.assert_array_equal(
+                g.astype(np.int64), w.astype(np.int64),
+                err_msg=f"{nm}: {sql}")
+
+
+# ---------------------------------------------------------------------------
+# projection / WHERE / expressions
+# ---------------------------------------------------------------------------
+
+class TestScanFilter:
+    def test_projection_arithmetic(self, engines):
+        check(*engines,
+              "SELECT id, v + 2 * u AS a, v - u AS b FROM t "
+              "WHERE k < 4 ORDER BY id", ordered=True)
+
+    def test_where_and_or_not(self, engines):
+        check(*engines,
+              "SELECT id FROM t WHERE (k = 3 OR k = 5) AND NOT v < 0 "
+              "ORDER BY id", ordered=True)
+
+    def test_between_in(self, engines):
+        check(*engines,
+              "SELECT id, v FROM t WHERE v BETWEEN -10 AND 25 "
+              "AND k IN (1, 2, 9) ORDER BY id", ordered=True)
+
+    def test_case_when(self, engines):
+        check(*engines,
+              "SELECT id, CASE WHEN v < 0 THEN 0 - v WHEN v < 100 "
+              "THEN v ELSE 100 END AS c FROM t ORDER BY id",
+              ordered=True)
+
+    def test_integer_division_truncates_toward_zero(self, engines):
+        check(*engines,
+              "SELECT id, v / 7 AS q, v % 7 AS r FROM t ORDER BY id",
+              ordered=True)
+
+    def test_float_compare_and_arith(self, engines):
+        check(*engines,
+              "SELECT id, f * 2.0 + 1.0 AS x FROM t WHERE f > 0.5 "
+              "ORDER BY id", ordered=True)
+
+    def test_select_star(self, engines):
+        check(*engines, "SELECT * FROM r ORDER BY rid", ordered=True)
+
+    def test_limit(self, engines):
+        check(*engines,
+              "SELECT id, v FROM t ORDER BY v, id LIMIT 17",
+              ordered=True)
+
+
+# ---------------------------------------------------------------------------
+# GROUP BY / aggregates
+# ---------------------------------------------------------------------------
+
+class TestGroupBy:
+    def test_count_sum_min_max(self, engines):
+        check(*engines,
+              "SELECT k, COUNT(*) AS c, SUM(v) AS s, MIN(v) AS mn, "
+              "MAX(v) AS mx FROM t GROUP BY k ORDER BY k", ordered=True)
+
+    def test_signed_sums_exact(self, engines):
+        # int32 negatives: exact signed sums (the aggregate
+        # sign-extension path)
+        db, con = engines
+        got = db.sql("SELECT k, SUM(v) AS s FROM t GROUP BY k ORDER BY k")
+        want = _fetch_sqlite(con,
+                             "SELECT k, SUM(v) AS s FROM t GROUP BY k "
+                             "ORDER BY k")
+        assert (want["s"] < 0).any() or (got["s"] < 0).any()
+        np.testing.assert_array_equal(got["s"].astype(np.int64),
+                                      want["s"])
+
+    def test_avg(self, engines):
+        check(*engines,
+              "SELECT k, AVG(v) AS a, AVG(u) AS b FROM t GROUP BY k "
+              "ORDER BY k", ordered=True)
+
+    def test_two_column_group(self, engines):
+        check(*engines,
+              "SELECT k, g, COUNT(*) AS c, SUM(u) AS s FROM t "
+              "GROUP BY k, g ORDER BY k, g", ordered=True)
+
+    def test_group_by_int32_signed_keys(self, engines):
+        check(*engines,
+              "SELECT v % 5 AS m, COUNT(*) AS c FROM t GROUP BY m "
+              "ORDER BY m",
+              "SELECT v % 5 AS m, COUNT(*) AS c FROM t GROUP BY m "
+              "ORDER BY m")
+
+    def test_having(self, engines):
+        check(*engines,
+              "SELECT k, COUNT(*) AS c FROM t GROUP BY k "
+              "HAVING COUNT(*) > 160 ORDER BY k", ordered=True)
+
+    def test_having_on_sum(self, engines):
+        check(*engines,
+              "SELECT g, SUM(v) AS s FROM t GROUP BY g "
+              "HAVING SUM(v) < 0 ORDER BY g", ordered=True)
+
+    def test_count_distinct(self, engines):
+        check(*engines,
+              "SELECT k, COUNT(DISTINCT g) AS d, "
+              "COUNT(DISTINCT v) AS dv FROM t GROUP BY k ORDER BY k",
+              ordered=True)
+
+    def test_global_aggregate_no_group_by(self, engines):
+        check(*engines,
+              "SELECT COUNT(*) AS c, SUM(v) AS s, MIN(f) AS mn, "
+              "MAX(f) AS mx, AVG(u) AS a FROM t")
+
+    def test_where_then_group(self, engines):
+        check(*engines,
+              "SELECT g, SUM(u) AS s FROM t WHERE v > 0 AND k <> 7 "
+              "GROUP BY g ORDER BY g", ordered=True)
+
+    def test_agg_expression(self, engines):
+        check(*engines,
+              "SELECT k, SUM(v) + COUNT(*) AS x, "
+              "MAX(v) - MIN(v) AS spread FROM t GROUP BY k ORDER BY k",
+              ordered=True)
+
+    def test_float_sum(self, engines):
+        check(*engines,
+              "SELECT k, SUM(f) AS s FROM t GROUP BY k ORDER BY k",
+              ordered=True, rtol=1e-4, atol=1e-2)
+
+
+# ---------------------------------------------------------------------------
+# joins
+# ---------------------------------------------------------------------------
+
+class TestJoins:
+    def test_inner_join(self, engines):
+        check(*engines,
+              "SELECT t.id, r.rid, t.v, r.w FROM t "
+              "JOIN r ON t.k = r.k ORDER BY t.id, r.rid", ordered=True)
+
+    def test_inner_join_aggregate(self, engines):
+        check(*engines,
+              "SELECT g, COUNT(*) AS c, SUM(w) AS s FROM t "
+              "JOIN r ON t.k = r.k GROUP BY g ORDER BY g", ordered=True)
+
+    def test_left_join_zero_fill(self, engines):
+        # engine NULL convention: unmatched right columns read 0
+        check(*engines,
+              "SELECT id, w FROM t LEFT JOIN r ON t.k = r.k "
+              "ORDER BY id, w",
+              "SELECT id, COALESCE(w, 0) AS w FROM t "
+              "LEFT JOIN r ON t.k = r.k ORDER BY id, COALESCE(w, 0)",
+              ordered=True)
+
+    def test_left_join_matched_mask(self, engines):
+        check(*engines,
+              "SELECT id, r__matched FROM t LEFT JOIN r ON t.k = r.k "
+              "ORDER BY id, r__matched",
+              "SELECT id, (w IS NOT NULL) AS r__matched FROM t "
+              "LEFT JOIN r ON t.k = r.k ORDER BY id, 2", ordered=True)
+
+    def test_join_on_value_columns(self, engines):
+        # non-key-typed join columns (i32 = i32)
+        check(*engines,
+              "SELECT t.id, r.rid FROM t JOIN r ON t.v = r.w "
+              "ORDER BY t.id, r.rid", ordered=True)
+
+    def test_full_outer_counts(self, engines):
+        db, con = engines
+        got = db.sql("SELECT id, rid, r__matched, __left_matched "
+                     "FROM t FULL JOIN r ON t.k = r.k")
+        # sqlite (3.39+) supports FULL OUTER JOIN
+        want = _fetch_sqlite(
+            con, "SELECT id, rid, (rid IS NOT NULL) AS m, "
+                 "(id IS NOT NULL) AS lm FROM t "
+                 "FULL OUTER JOIN r ON t.k = r.k")
+        assert len(got["id"]) == len(want["id"])
+        assert int(got["r__matched"].sum()) == int(want["m"].sum())
+        assert int(got["__left_matched"].sum()) == int(want["lm"].sum())
+
+
+# ---------------------------------------------------------------------------
+# DISTINCT / set operations
+# ---------------------------------------------------------------------------
+
+class TestSetOps:
+    def test_select_distinct(self, engines):
+        check(*engines,
+              "SELECT DISTINCT k, g FROM t ORDER BY k, g", ordered=True)
+
+    def test_union_distinct(self, engines):
+        check(*engines,
+              "SELECT k FROM t UNION SELECT k FROM r ORDER BY k",
+              ordered=True)
+
+    def test_union_all(self, engines):
+        check(*engines,
+              "SELECT v FROM t WHERE k = 1 UNION ALL "
+              "SELECT w FROM r WHERE k = 1 ORDER BY v",
+              "SELECT v FROM t WHERE k = 1 UNION ALL "
+              "SELECT w AS v FROM r WHERE k = 1 ORDER BY v",
+              ordered=True)
+
+    def test_intersect(self, engines):
+        check(*engines,
+              "SELECT v FROM t INTERSECT SELECT w FROM r ORDER BY v",
+              ordered=True)
+
+    def test_except(self, engines):
+        check(*engines,
+              "SELECT k FROM t EXCEPT SELECT k FROM r ORDER BY k",
+              ordered=True)
+
+
+# ---------------------------------------------------------------------------
+# window functions
+# ---------------------------------------------------------------------------
+
+class TestWindows:
+    def test_row_number_rank(self, engines):
+        # unique order inside partitions: id is globally unique
+        check(*engines,
+              "SELECT id, ROW_NUMBER() OVER (PARTITION BY k ORDER BY id)"
+              " AS rn, RANK() OVER (PARTITION BY k ORDER BY id) AS rk "
+              "FROM t ORDER BY id", ordered=True)
+
+    def test_rank_dense_rank_with_ties(self, engines):
+        check(*engines,
+              "SELECT id, RANK() OVER (PARTITION BY k ORDER BY g) AS rk,"
+              " DENSE_RANK() OVER (PARTITION BY k ORDER BY g) AS dr "
+              "FROM t ORDER BY id", ordered=True)
+
+    def test_running_sum(self, engines):
+        check(*engines,
+              "SELECT id, SUM(v) OVER (PARTITION BY k ORDER BY id) AS s "
+              "FROM t ORDER BY id",
+              "SELECT id, SUM(v) OVER (PARTITION BY k ORDER BY id "
+              "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s "
+              "FROM t ORDER BY id", ordered=True)
+
+    def test_running_min_max(self, engines):
+        check(*engines,
+              "SELECT id, MIN(v) OVER (PARTITION BY g ORDER BY id) AS a,"
+              " MAX(v) OVER (PARTITION BY g ORDER BY id) AS b "
+              "FROM t ORDER BY id",
+              "SELECT id, MIN(v) OVER (PARTITION BY g ORDER BY id "
+              "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a, "
+              "MAX(v) OVER (PARTITION BY g ORDER BY id "
+              "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b "
+              "FROM t ORDER BY id", ordered=True)
+
+    def test_lag_lead(self, engines):
+        check(*engines,
+              "SELECT id, LAG(v) OVER (PARTITION BY k ORDER BY id) AS a,"
+              " LEAD(v) OVER (PARTITION BY k ORDER BY id) AS b "
+              "FROM t ORDER BY id",
+              "SELECT id, LAG(v, 1, 0) OVER (PARTITION BY k ORDER BY id)"
+              " AS a, LEAD(v, 1, 0) OVER (PARTITION BY k ORDER BY id) "
+              "AS b FROM t ORDER BY id", ordered=True)
+
+    def test_first_last_value(self, engines):
+        check(*engines,
+              "SELECT id, FIRST_VALUE(v) OVER (PARTITION BY k "
+              "ORDER BY id) AS a, LAST_VALUE(v) OVER (PARTITION BY k "
+              "ORDER BY id) AS b FROM t ORDER BY id",
+              "SELECT id, FIRST_VALUE(v) OVER (PARTITION BY k "
+              "ORDER BY id) AS a, LAST_VALUE(v) OVER (PARTITION BY k "
+              "ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+              "UNBOUNDED FOLLOWING) AS b FROM t ORDER BY id",
+              ordered=True)
+
+    def test_ntile_percent_rank(self, engines):
+        check(*engines,
+              "SELECT id, NTILE(4) OVER (PARTITION BY k ORDER BY id) "
+              "AS q, PERCENT_RANK() OVER (PARTITION BY k ORDER BY id) "
+              "AS p FROM t ORDER BY id", ordered=True)
+
+    def test_window_two_partition_columns(self, engines):
+        check(*engines,
+              "SELECT id, ROW_NUMBER() OVER (PARTITION BY k, g "
+              "ORDER BY id) AS rn FROM t ORDER BY id", ordered=True)
+
+
+# ---------------------------------------------------------------------------
+# randomized fuzz: templates over random data vs sqlite
+# ---------------------------------------------------------------------------
+
+TEMPLATES = [
+    ("SELECT id, v + u * 2 AS x FROM t WHERE v % {p} = {q} ORDER BY id",
+     None),
+    ("SELECT k, COUNT(*) AS c, SUM(v) AS s, MIN(u) AS m FROM t "
+     "WHERE u > {q} GROUP BY k ORDER BY k", None),
+    ("SELECT k, g, AVG(v) AS a FROM t GROUP BY k, g "
+     "HAVING COUNT(*) > {p} ORDER BY k, g", None),
+    ("SELECT g, SUM(w) AS s FROM t JOIN r ON t.k = r.k "
+     "WHERE v > {q} GROUP BY g ORDER BY g", None),
+    ("SELECT id, SUM(u) OVER (PARTITION BY g ORDER BY id) AS s FROM t "
+     "WHERE k < {p} ORDER BY id",
+     "SELECT id, SUM(u) OVER (PARTITION BY g ORDER BY id ROWS BETWEEN "
+     "UNBOUNDED PRECEDING AND CURRENT ROW) AS s FROM t WHERE k < {p} "
+     "ORDER BY id"),
+    ("SELECT DISTINCT g, k FROM t WHERE v BETWEEN {q} AND {r} "
+     "ORDER BY g, k", None),
+]
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_sql_fuzz(seed):
+    rng = np.random.default_rng(seed)
+    t, r = _mk_data(seed=seed + 100, n=1500, m=300)
+    db = Database()
+    db.register("t", t)
+    db.register("r", r)
+    con = sqlite3.connect(":memory:")
+    for name, cols in (("t", t), ("r", r)):
+        names = sorted(cols)
+        con.execute(f"CREATE TABLE {name} ({', '.join(names)})")
+        con.executemany(
+            f"INSERT INTO {name} VALUES ({','.join('?' * len(names))})",
+            [tuple(float(cols[c][i]) if cols[c].dtype.kind == "f"
+                   else int(cols[c][i]) for c in names)
+             for i in range(len(cols[names[0]]))])
+    for tmpl, oracle_tmpl in TEMPLATES:
+        p = int(rng.integers(2, 9))
+        q = int(rng.integers(-50, 400))
+        rr = q + int(rng.integers(10, 500))
+        sql = tmpl.format(p=p, q=q, r=rr)
+        o = (oracle_tmpl or tmpl).format(p=p, q=q, r=rr)
+        check(db, con, sql, o, ordered=True)
+
+
+# ---------------------------------------------------------------------------
+# parser-level checks and error paths
+# ---------------------------------------------------------------------------
+
+class TestParserErrors:
+    def test_parse_roundtrip_smoke(self):
+        q = parse("SELECT a, SUM(b) AS s FROM t WHERE a > 1 AND b < 2 "
+                  "GROUP BY a HAVING COUNT(*) > 3 ORDER BY a DESC "
+                  "LIMIT 10")
+        assert q.limit == 10
+        assert q.selects[0].group_by[0].name == "a"
+        assert q.order_by[0].desc
+
+    def test_unknown_table(self):
+        with pytest.raises(SqlError, match="unknown table"):
+            Database().sql("SELECT x FROM nope")
+
+    def test_unknown_column(self):
+        db = Database()
+        db.register("t", {"a": np.zeros(4, np.uint32)})
+        with pytest.raises(SqlError, match="unknown column"):
+            db.sql("SELECT b FROM t")
+
+    def test_bad_syntax_position(self):
+        with pytest.raises(SqlError, match="expected"):
+            parse("SELECT FROM t")
+
+    def test_ambiguous_after_join(self):
+        db = Database()
+        db.register("a", {"k": np.arange(4, dtype=np.uint32),
+                          "v": np.arange(4, dtype=np.uint32)})
+        db.register("b", {"k": np.arange(4, dtype=np.uint32),
+                          "v": np.arange(4, dtype=np.uint32)})
+        with pytest.raises(SqlError, match="unknown column"):
+            db.sql("SELECT v FROM a JOIN b ON a.k = b.k")
+        out = db.sql("SELECT a.v, b.v AS bv FROM a JOIN b ON a.k = b.k "
+                     "ORDER BY a.v")
+        assert len(out["v"]) == 4 and len(out["bv"]) == 4
+
+    def test_u64_arithmetic_rejected(self):
+        db = Database()
+        db.register("t", {"h": np.arange(4, dtype=np.uint64),
+                          "v": np.arange(4, dtype=np.uint32)})
+        with pytest.raises(SqlError, match="u64"):
+            db.sql("SELECT h + 1 AS x FROM t")
+
+    def test_u64_group_and_compare(self):
+        db = Database()
+        h = np.array([5, 5, (1 << 40) + 1, (1 << 40) + 1, 7],
+                     dtype=np.uint64)
+        v = np.array([1, 2, 3, 4, 5], dtype=np.uint32)
+        db.register("t", {"h": h, "v": v})
+        out = db.sql("SELECT h, COUNT(*) AS c, SUM(v) AS s FROM t "
+                     "GROUP BY h ORDER BY h")
+        np.testing.assert_array_equal(out["h"],
+                                      np.array([5, 7, (1 << 40) + 1],
+                                               np.uint64))
+        np.testing.assert_array_equal(out["c"], [2, 1, 2])
+        np.testing.assert_array_equal(out["s"], [3, 5, 7])
+        out2 = db.sql(f"SELECT v FROM t WHERE h > {1 << 39} ORDER BY v")
+        np.testing.assert_array_equal(out2["v"], [3, 4])

@@ -1,0 +1,1037 @@
+"""SQL executor: logical planning + execution over the device operators.
+
+The front door to the engine: `Database.sql("SELECT ...")` parses
+(sql/parser.py), binds column references against registered Tables, and
+executes on device through the operator families —
+
+    row-level expressions      jnp elementwise programs (WHERE masks,
+                               projected expressions, CASE WHEN)
+    WHERE                      ops/filter.compact (stable partition sort)
+    JOIN (inner/left/full)     ops/join.join_inner / join_outer with the
+                               exact-count + overflow-retry budget
+                               discipline (never silent truncation)
+    GROUP BY / aggregates      ops/aggregate.group_aggregate_multi (one
+                               shared key sort; EXACT u64/i64 integer
+                               sums) + group_aggregate for
+                               COUNT(DISTINCT x)
+    window calls               ops/window.window (one composite sort)
+    ORDER BY / LIMIT           ops/orderby.sort_by_multi (row results);
+                               group frames order on the host (they are
+                               G-bounded readbacks, i.e. output-scale)
+    UNION/INTERSECT/EXCEPT     ops/setops.set_op (+ ALL variants from
+                               the returned exact per-side
+                               multiplicities)
+
+Host/device boundary: n-row work always runs on device; once a result
+is reduced to output scale (a compacted group frame, a LIMIT head, a
+set-op key table) it is read back and finished with numpy — the same
+boundary every readback-and-verify path in the engine draws.
+
+Type model: columns are uint32 / int32 / float32 / u64 (U64 pairs).
+There are no NULLs in the data model; LEFT/FULL OUTER joins surface
+SQL's NULLs as zero-filled right columns plus a boolean
+`<binding>__matched` column (COALESCE(col, 0) semantics — tests align
+the sqlite oracle with exactly that rewrite). Integer arithmetic is
+32-bit with C-style truncating / and % (sqlite's semantics at 32-bit
+width); aggregate SUM of integer columns is exact 64-bit.
+
+Reference contrast: the reference hard-codes one pipeline over one
+buffer layout (/root/reference/src/main.rs:376-688 — scene -> morton ->
+sort); this layer composes the generalized operators from arbitrary
+declarative queries.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_qe.bits import U64, sortable_u32, sortable_u32_inverse
+from tpu_qe.table import Table
+from tpu_qe.sql import parser as P
+
+SqlError = P.SqlError
+
+_AGG_FUNCS = frozenset(["count", "sum", "min", "max", "avg"])
+_WINDOW_FUNCS = {
+    "row_number": "row_number", "rank": "rank", "dense_rank": "dense_rank",
+    "sum": "running_sum", "min": "running_min", "max": "running_max",
+    "lag": "lag", "lead": "lead", "first_value": "first_value",
+    "last_value": "last_value", "ntile": "ntile",
+    "percent_rank": "percent_rank",
+}
+
+
+# ---------------------------------------------------------------------------
+# typed values: a device array + SQL-ish type tag
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class TV:
+    """Typed value: jnp array (or U64) + tag in
+    {"u32","i32","f32","u64","bool"}."""
+    arr: object
+    tag: str
+
+
+def _tag_of(col) -> str:
+    if isinstance(col, U64):
+        return "u64"
+    return {"uint32": "u32", "int32": "i32", "float32": "f32",
+            "bool": "bool"}[str(col.dtype)]
+
+
+def _np_of(col, tag: str) -> np.ndarray:
+    if tag == "u64":
+        return col.to_numpy()
+    return np.asarray(col)
+
+
+def _lift_key(col, tag: str) -> U64:
+    """Injective map of any column type into a u64 key (order-preserving
+    for 32-bit types via bits.sortable_u32; equality-preserving always).
+    """
+    if tag == "u64":
+        return col
+    if tag == "bool":
+        return U64(col.astype(jnp.uint32), jnp.zeros_like(col, jnp.uint32))
+    b = sortable_u32(col)
+    return U64(b, jnp.zeros_like(b))
+
+
+def _unlift_key(lo: np.ndarray, tag: str) -> np.ndarray:
+    """Host-side inverse of _lift_key's lo plane for 32-bit types."""
+    if tag == "u32":
+        return lo
+    if tag == "i32":
+        return (lo ^ np.uint32(0x80000000)).view(np.int32)
+    if tag == "f32":
+        was_positive = (lo >> 31) == 1
+        return np.where(was_positive, lo ^ np.uint32(0x80000000),
+                        ~lo).view(np.float32)
+    raise SqlError(f"cannot invert key tag {tag}")
+
+
+# ---------------------------------------------------------------------------
+# expression evaluation (device, elementwise)
+# ---------------------------------------------------------------------------
+
+def _promote(a: TV, b: TV) -> str:
+    for t in (a.tag, b.tag):
+        if t in ("u64", "bigint"):
+            raise SqlError("arithmetic on u64 values is not supported "
+                           "(u64 columns serve as keys; compare/group/"
+                           "join them instead)")
+    if "f32" in (a.tag, b.tag):
+        return "f32"
+    if "i32" in (a.tag, b.tag) or "bool" in (a.tag, b.tag):
+        return "i32"
+    return "u32"
+
+
+def _cast(v: TV, tag: str, n: int) -> object:
+    arr = v.arr
+    if not hasattr(arr, "shape") or arr.shape == ():
+        arr = jnp.broadcast_to(arr, (n,))
+    dt = {"u32": jnp.uint32, "i32": jnp.int32, "f32": jnp.float32,
+          "bool": jnp.bool_}[tag]
+    if v.tag == "bool" and tag != "bool":
+        return arr.astype(dt)
+    if v.tag == "u32" and tag == "i32":
+        return arr.view(jnp.int32) if arr.dtype == jnp.uint32 \
+            else arr.astype(dt)
+    return arr.astype(dt)
+
+
+class _RowEnv:
+    """Column bindings for row-level expression evaluation."""
+
+    def __init__(self, table: Table, names: dict, tags: dict):
+        self.table = table          # physical Table
+        self.names = names          # ref key -> physical column name
+        self.tags = tags            # physical column name -> tag
+
+    def resolve(self, col: P.Col) -> str:
+        k = col.key
+        if k in self.names:
+            return self.names[k]
+        raise SqlError(f"unknown column {k!r} (known: "
+                       f"{sorted(self.names)})")
+
+    def col(self, col: P.Col) -> TV:
+        phys = self.resolve(col)
+        c = self.table[phys]
+        return TV(c, self.tags[phys])
+
+
+def _eval(e, env: _RowEnv, n: int) -> TV:
+    """Evaluate a scalar (non-aggregate, non-window) expression to a TV
+    over the env's rows. Literals stay 0-d and broadcast lazily."""
+    if isinstance(e, P.Lit):
+        v = e.value
+        if isinstance(v, float):
+            return TV(jnp.float32(v), "f32")
+        if isinstance(v, int):
+            if -(1 << 31) <= v < (1 << 31):
+                return TV(jnp.int32(v), "i32")
+            if 0 <= v < (1 << 32):
+                return TV(jnp.uint32(v), "u32")
+            if 0 <= v < (1 << 64):
+                # stays a host int: valid only against u64 columns
+                return TV(v, "bigint")
+            raise SqlError(f"integer literal {v} out of u64 range")
+        raise SqlError("string literals are only supported in "
+                       "comparisons against string-typed columns "
+                       "(none exist in this engine)")
+    if isinstance(e, P.Col):
+        return env.col(e)
+    if isinstance(e, P.Unary):
+        v = _eval(e.operand, env, n)
+        if e.op == "not":
+            if v.tag != "bool":
+                raise SqlError("NOT applied to a non-boolean")
+            return TV(~v.arr, "bool")
+        tag = "f32" if v.tag == "f32" else "i32"
+        return TV(-_cast(v, tag, n), tag)
+    if isinstance(e, P.Binary):
+        return _eval_binary(e, env, n)
+    if isinstance(e, P.Between):
+        lo = P.Binary(">=", e.operand, e.lo)
+        hi = P.Binary("<=", e.operand, e.hi)
+        out = _eval(P.Binary("and", lo, hi), env, n)
+        return TV(~out.arr, "bool") if e.negated else out
+    if isinstance(e, P.InList):
+        ors = None
+        for item in e.items:
+            t = P.Binary("=", e.operand, item)
+            ors = t if ors is None else P.Binary("or", ors, t)
+        out = _eval(ors, env, n)
+        return TV(~out.arr, "bool") if e.negated else out
+    if isinstance(e, P.Case):
+        default = (_eval(e.default, env, n) if e.default is not None
+                   else TV(jnp.int32(0), "i32"))
+        tag = default.tag
+        vals = []
+        for cond, val in e.whens:
+            tv = _eval(val, env, n)
+            tag = _promote(TV(None, tag), TV(None, tv.tag)) \
+                if (tag, tv.tag) != (tag, tag) else _promote(
+                    TV(None, tag), tv)
+            vals.append(tv)
+        out = _cast(default, tag, n)
+        # SQL CASE takes the FIRST matching WHEN: apply in reverse so
+        # earlier arms overwrite later ones
+        for (cond, _), tv in list(zip(e.whens, vals))[::-1]:
+            c = _eval(cond, env, n)
+            if c.tag != "bool":
+                raise SqlError("CASE WHEN condition must be boolean")
+            out = jnp.where(c.arr, _cast(tv, tag, n), out)
+        return TV(out, tag)
+    if isinstance(e, P.Call):
+        raise SqlError(f"misplaced call {e.func}(...) — aggregates need "
+                       "GROUP BY context, window calls need OVER")
+    raise SqlError(f"unsupported expression node {type(e).__name__}")
+
+
+def _u64_eq(a: U64, b: U64):
+    return (a.lo == b.lo) & (a.hi == b.hi)
+
+
+def _u64_lt(a: U64, b: U64):
+    return (a.hi < b.hi) | ((a.hi == b.hi) & (a.lo < b.lo))
+
+
+def _eval_binary(e: P.Binary, env: _RowEnv, n: int) -> TV:
+    op = e.op
+    a = _eval(e.left, env, n)
+    b = _eval(e.right, env, n)
+    if op in ("and", "or"):
+        if a.tag != "bool" or b.tag != "bool":
+            raise SqlError(f"{op.upper()} applied to non-booleans")
+        return TV(a.arr & b.arr if op == "and" else a.arr | b.arr, "bool")
+
+    if "u64" in (a.tag, b.tag):
+        if op not in ("=", "<>", "<", "<=", ">", ">="):
+            raise SqlError("only comparisons are supported on u64 "
+                           "columns")
+        if a.tag != "u64" or b.tag != "u64":
+            # literal side: lift a non-negative integer literal
+            lit, col = (a, b) if a.tag != "u64" else (b, a)
+            if lit.tag == "bigint":
+                iv = int(lit.arr)
+            else:
+                v = np.asarray(lit.arr)
+                if v.ndim != 0:
+                    raise SqlError("u64 columns compare against u64 "
+                                   "columns or integer literals")
+                iv = int(v)
+            if iv < 0:
+                raise SqlError("u64 compared against a negative literal")
+            pair = U64(jnp.uint32(iv & 0xFFFFFFFF), jnp.uint32(iv >> 32))
+            a2, b2 = ((pair, col.arr) if a.tag != "u64"
+                      else (col.arr, pair))
+        else:
+            a2, b2 = a.arr, b.arr
+        if op == "=":
+            return TV(_u64_eq(a2, b2), "bool")
+        if op == "<>":
+            return TV(~_u64_eq(a2, b2), "bool")
+        if op == "<":
+            return TV(_u64_lt(a2, b2), "bool")
+        if op == ">":
+            return TV(_u64_lt(b2, a2), "bool")
+        if op == "<=":
+            return TV(~_u64_lt(b2, a2), "bool")
+        return TV(~_u64_lt(a2, b2), "bool")
+
+    tag = _promote(a, b)
+    x, y = _cast(a, tag, n), _cast(b, tag, n)
+    if op in ("=", "<>", "<", "<=", ">", ">="):
+        f = {"=": jnp.equal, "<>": jnp.not_equal, "<": jnp.less,
+             "<=": jnp.less_equal, ">": jnp.greater,
+             ">=": jnp.greater_equal}[op]
+        return TV(f(x, y), "bool")
+    if op == "+":
+        return TV(x + y, tag)
+    if op == "-":
+        return TV(x - y, tag)
+    if op == "*":
+        return TV(x * y, tag)
+    if op in ("/", "%"):
+        if tag == "f32":
+            if op == "/":
+                return TV(x / y, tag)
+            q = jnp.trunc(x / y)
+            return TV(x - q * y, tag)
+        # SQL (sqlite) integer / truncates toward zero and % takes the
+        # dividend's sign (C semantics); jnp's // floors. floor == trunc
+        # unless the operand signs differ and the division is inexact —
+        # then the floored quotient is one below trunc. y == 0 is a
+        # query error (guarded so the device program stays total).
+        ysafe = jnp.where(y == 0, jnp.ones((), y.dtype), y)
+        q = x // ysafe
+        r = x - q * ysafe
+        if tag == "i32":
+            adj = ((r != 0) & ((x < 0) != (y < 0))).astype(q.dtype)
+            q = q + adj
+            r = r - adj * ysafe
+        return TV(q if op == "/" else r, tag)
+    raise SqlError(f"unsupported operator {op!r}")
+
+
+# ---------------------------------------------------------------------------
+# AST analysis helpers
+# ---------------------------------------------------------------------------
+
+def _walk(e):
+    yield e
+    if isinstance(e, P.Unary):
+        yield from _walk(e.operand)
+    elif isinstance(e, P.Binary):
+        yield from _walk(e.left)
+        yield from _walk(e.right)
+    elif isinstance(e, P.Between):
+        yield from _walk(e.operand)
+        yield from _walk(e.lo)
+        yield from _walk(e.hi)
+    elif isinstance(e, P.InList):
+        yield from _walk(e.operand)
+        for it in e.items:
+            yield from _walk(it)
+    elif isinstance(e, P.Case):
+        for c, v in e.whens:
+            yield from _walk(c)
+            yield from _walk(v)
+        if e.default is not None:
+            yield from _walk(e.default)
+    elif isinstance(e, P.Call):
+        for a in e.args:
+            if a != "*":
+                yield from _walk(a)
+
+
+def _calls(e, *, window: bool):
+    return [c for c in _walk(e)
+            if isinstance(c, P.Call) and (c.window is not None) == window]
+
+
+# ---------------------------------------------------------------------------
+# result frames (host side, output-scale)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class Frame:
+    """Output-scale numpy columns (dense, no padding)."""
+    cols: dict                   # name -> np array
+    tags: dict                   # name -> tag
+
+    @property
+    def num_rows(self) -> int:
+        return len(next(iter(self.cols.values()))) if self.cols else 0
+
+
+def _frame_order_limit(fr: Frame, order_by, limit) -> Frame:
+    """ORDER BY + LIMIT on a host frame. np.lexsort takes keys least-
+    significant first (last key is primary), so the input-position key
+    goes first (stable tie-break) and order items are appended in
+    reverse."""
+    if order_by:
+        keys = [np.arange(fr.num_rows)]
+        for item in reversed(order_by):
+            name = item.col.key
+            if name not in fr.cols:
+                # qualified ref vs auto-named output (t.id -> id), or
+                # bare ref vs a qualified output column
+                cands = [c for c in fr.cols
+                         if c == name.split(".")[-1]
+                         or c.split(".")[-1] == name]
+                if len(cands) != 1:
+                    raise SqlError(
+                        f"ORDER BY column {name!r} is not in the "
+                        f"result (columns: {sorted(fr.cols)})")
+                name = cands[0]
+            k = fr.cols[name]
+            if item.desc:
+                if k.dtype == np.uint64:
+                    k = np.iinfo(np.uint64).max - k
+                elif k.dtype.kind == "f":
+                    k = -k.astype(np.float64)
+                else:
+                    k = -(k.astype(np.int64))
+            keys.append(k)
+        perm = np.lexsort(keys)
+        fr = Frame({k: v[perm] for k, v in fr.cols.items()}, fr.tags)
+    if limit is not None:
+        fr = Frame({k: v[:limit] for k, v in fr.cols.items()}, fr.tags)
+    return fr
+
+
+# ---------------------------------------------------------------------------
+# Database
+# ---------------------------------------------------------------------------
+
+class Database:
+    """Named-table registry + SQL entry point.
+
+    >>> db = Database()
+    >>> db.register("t", {"k": np.arange(8, dtype=np.uint32),
+    ...                   "v": np.ones(8, np.float32)})
+    >>> db.sql("SELECT k, SUM(v) AS s FROM t GROUP BY k ORDER BY k")
+    """
+
+    def __init__(self):
+        self._tables: dict[str, Table] = {}
+
+    def register(self, name: str, table) -> None:
+        if not isinstance(table, Table):
+            table = Table.from_numpy(table)
+        self._tables[name.lower()] = table
+
+    def sql(self, query: str) -> dict:
+        """Run one SQL query; returns {column_name: numpy array}."""
+        q = P.parse(query)
+        frames = [self._select(s) for s in q.selects]
+        fr = frames[0]
+        for (op, all_), nxt in zip(q.set_ops, frames[1:]):
+            fr = self._set_op(fr, nxt, op, all_)
+        fr = _frame_order_limit(fr, q.order_by, q.limit)
+        return dict(fr.cols)
+
+    # -- FROM/JOIN ----------------------------------------------------------
+    def _bind_table(self, ref: P.TableRef):
+        t = self._tables.get(ref.name.lower())
+        if t is None:
+            raise SqlError(f"unknown table {ref.name!r}")
+        phys, names, tags = {}, {}, {}
+        for c in t.column_names:
+            pname = f"{ref.binding}.{c}"
+            phys[pname] = t[c]
+            names[pname] = pname
+            names.setdefault(c, pname)
+            tags[pname] = _tag_of(t[c])
+        return Table(phys), names, tags
+
+    def _from_clause(self, sel: P.Select):
+        table, names, tags = self._bind_table(sel.table)
+        ambiguous: set[str] = set()
+        for j in sel.joins:
+            rt, rnames, rtags = self._bind_table(j.table)
+            # resolve keys: left from current env, right from the new one
+            lenv = _RowEnv(table, names, tags)
+            renv = _RowEnv(rt, rnames, rtags)
+            ltv = lenv.col(j.left_col)
+            rtv = renv.col(j.right_col)
+            # lifted u64 join keys ride as a temp column through the
+            # operator (dropped from the output below)
+            lt = table.with_column("__sqlkey",
+                                   _lift_key(ltv.arr, ltv.tag))
+            rt2 = rt.with_column("__sqlkey", _lift_key(rtv.arr, rtv.tag))
+            from tpu_qe.ops import join as J
+            budget = max(table.num_rows, rt.num_rows, 16)
+            while True:
+                # exact-count overflow-retry discipline: num_out is exact
+                # even past the budget, so one readback decides the rerun
+                if j.how == "inner":
+                    res = J.join_inner(lt, rt2, key="__sqlkey",
+                                       out_budget=budget)
+                    matched = None
+                else:
+                    res = J.join_outer(lt, rt2, key="__sqlkey",
+                                       how=j.how, out_budget=budget)
+                    matched = res.matched
+                num = int(np.asarray(res.num_out))
+                if num <= budget:
+                    out, valid_n = res.table.drop("__sqlkey"), num
+                    break
+                budget = max(2 * budget, num)
+            # merge environments; clashes become ambiguous bare names
+            newnames = dict(names)
+            for k, v in rnames.items():
+                if "." not in k and k in newnames:
+                    ambiguous.add(k)
+                    continue
+                newnames[k] = v
+            newtags = dict(tags)
+            newtags.update(rtags)
+            cols = {pname: out[pname] for pname in set(newnames.values())}
+            if matched is not None:
+                # NULL surface: right columns of unmatched left rows are
+                # zero-filled by the operator; the mask column lets
+                # queries distinguish real zeros (COALESCE semantics)
+                mname = f"{j.table.binding}__matched"
+                cols[mname] = matched.astype(jnp.uint32)
+                newnames[mname] = mname
+                newtags[mname] = "u32"
+            if j.how == "full":
+                # right-only rows: real right side, NULL (zero) left side
+                # — appended below the left-expanded section, with
+                # __left_matched marking which side is real per row
+                ro, n_ro = res.right_only, int(np.asarray(
+                    res.num_right_only))
+                cols2 = {}
+                for pname, c in cols.items():
+                    if pname == mname:
+                        rr = jnp.ones(n_ro, jnp.uint32)
+                    elif pname in ro:
+                        r = ro[pname]
+                        rr = (U64(r.lo[:n_ro], r.hi[:n_ro])
+                              if isinstance(r, U64) else r[:n_ro])
+                    elif isinstance(c, U64):
+                        rr = U64(jnp.zeros(n_ro, jnp.uint32),
+                                 jnp.zeros(n_ro, jnp.uint32))
+                    else:
+                        rr = jnp.zeros(n_ro, c.dtype)
+                    if isinstance(c, U64):
+                        cols2[pname] = U64(
+                            jnp.concatenate([c.lo[:valid_n], rr.lo]),
+                            jnp.concatenate([c.hi[:valid_n], rr.hi]))
+                    else:
+                        cols2[pname] = jnp.concatenate([c[:valid_n], rr])
+                lm = "__left_matched"
+                cols2[lm] = jnp.concatenate(
+                    [jnp.ones(valid_n, jnp.uint32),
+                     jnp.zeros(n_ro, jnp.uint32)])
+                newnames[lm] = lm
+                newtags[lm] = "u32"
+                cols = cols2
+                valid_n = valid_n + n_ro
+            table = Table(cols)
+            names, tags = newnames, newtags
+            # slice to the exact output rows (host boundary: num_out was
+            # already read back for the overflow check)
+            table = table.head(valid_n) if j.how != "full" else table
+        for a in ambiguous:
+            names.pop(a, None)
+        return table, names, tags
+
+    # -- SELECT core ----------------------------------------------------------
+    def _select(self, sel: P.Select) -> Frame:
+        table, names, tags = self._from_clause(sel)
+        env = _RowEnv(table, names, tags)
+        n = table.num_rows
+
+        if sel.where is not None:
+            tv = _eval(sel.where, env, n)
+            if tv.tag != "bool":
+                raise SqlError("WHERE must be boolean")
+            from tpu_qe.ops.filter import compact
+            mask = jnp.broadcast_to(tv.arr, (n,))
+            ct, cnt = compact(table, mask)
+            k = int(np.asarray(cnt))
+            table = ct.head(k)
+            env = _RowEnv(table, names, tags)
+            n = k
+
+        if sel.group_by or self._has_aggs(sel):
+            fr = self._grouped(sel, env, n)
+        else:
+            fr = self._plain(sel, env, n)
+        if sel.distinct:
+            fr = self._distinct_frame(fr)
+        return fr
+
+    @staticmethod
+    def _has_aggs(sel: P.Select) -> bool:
+        for it in sel.items:
+            if it.expr == "*":
+                continue
+            if _calls(it.expr, window=False):
+                return True
+        return False
+
+    # -- plain (non-aggregate) SELECT -----------------------------------------
+    def _plain(self, sel: P.Select, env: _RowEnv, n: int) -> Frame:
+        # window calls first: one ops/window call per (partition, order)
+        # spec computes every requested function in one composite sort
+        wcols = self._window_columns(sel, env, n)
+        cols, tags = {}, {}
+        for i, it in enumerate(sel.items):
+            if it.expr == "*":
+                for ref, phys in sorted(env.names.items()):
+                    if "." in ref:
+                        continue
+                    c = env.table[phys]
+                    cols[ref] = _np_of(c, env.tags[phys])
+                    tags[ref] = env.tags[phys]
+                continue
+            name = it.alias or self._auto_name(it.expr, i)
+            if id(it.expr) in wcols:
+                arr, tag = wcols[id(it.expr)]
+                cols[name], tags[name] = arr, tag
+                continue
+            tv = _eval(it.expr, env, n)
+            arr = tv.arr
+            if not isinstance(arr, U64) and (not hasattr(arr, "shape")
+                                             or arr.shape == ()):
+                arr = jnp.broadcast_to(arr, (n,))
+            cols[name] = _np_of(arr, tv.tag)
+            tags[name] = tv.tag
+        return Frame(cols, tags)
+
+    def _window_columns(self, sel: P.Select, env: _RowEnv, n: int) -> dict:
+        """Evaluate every windowed call in the select list; returns
+        {id(Call): (np array, tag)} keyed by AST node identity."""
+        calls = []
+        for it in sel.items:
+            if it.expr == "*":
+                continue
+            for c in _calls(it.expr, window=True):
+                if c is not it.expr:
+                    raise SqlError("window calls must be top-level "
+                                   "select items (no arithmetic around "
+                                   "them yet)")
+                calls.append(c)
+        if not calls:
+            return {}
+        from tpu_qe.ops.window import window as run_window
+        out = {}
+        # group calls by (partition cols, order col) — each distinct spec
+        # is one device window program
+        by_spec: dict = {}
+        for c in calls:
+            key = (tuple(col.key for col in c.window.partition_by),
+                   c.window.order_by.key if c.window.order_by else None)
+            by_spec.setdefault(key, []).append(c)
+        for (pcols, ocol), cs in by_spec.items():
+            if not pcols:
+                raise SqlError("OVER () without PARTITION BY is not "
+                               "supported")
+            ptvs = [env.col(P.Col(*reversed(p.split("."))) if "." in p
+                            else P.Col(p)) for p in pcols]
+            if len(ptvs) == 1:
+                pkey = _lift_key(ptvs[0].arr, ptvs[0].tag)
+            elif len(ptvs) == 2 and all(t.tag != "u64" for t in ptvs):
+                pkey = U64(sortable_u32(ptvs[1].arr),
+                           sortable_u32(ptvs[0].arr))
+            else:
+                raise SqlError("PARTITION BY supports one column of any "
+                               "type or two 32-bit columns")
+            order = None
+            if ocol is not None:
+                otv = env.col(P.Col(*reversed(ocol.split("."))) if "."
+                              in ocol else P.Col(ocol))
+                if otv.tag == "u64":
+                    raise SqlError("u64 ORDER BY inside OVER is not "
+                                   "supported")
+                order = otv.arr
+            funcs, values, tagof = {}, {}, {}
+            for i, c in enumerate(cs):
+                wname = f"w{i}"
+                kind = _WINDOW_FUNCS.get(c.func)
+                if kind is None:
+                    raise SqlError(f"unknown window function {c.func}")
+                if kind in ("row_number", "rank", "dense_rank",
+                            "percent_rank"):
+                    funcs[wname] = (kind,)
+                    tagof[wname] = ("f32" if kind == "percent_rank"
+                                    else "u32")
+                elif kind == "ntile":
+                    if len(c.args) != 1 or not isinstance(c.args[0],
+                                                          P.Lit):
+                        raise SqlError("ntile takes an integer literal")
+                    funcs[wname] = (kind, int(c.args[0].value))
+                    tagof[wname] = "u32"
+                else:
+                    if len(c.args) < 1 or not isinstance(c.args[0], P.Col):
+                        raise SqlError(f"{c.func}(...) OVER needs a "
+                                       "plain column argument")
+                    vtv = env.col(c.args[0])
+                    vn = f"v{i}"
+                    values[vn] = vtv.arr
+                    if kind in ("lag", "lead"):
+                        funcs[wname] = (kind, vn, 0)
+                        tagof[wname] = vtv.tag
+                    else:
+                        if kind in ("running_sum",) and ocol is None:
+                            raise SqlError(
+                                f"{c.func}(x) OVER (PARTITION BY ...) "
+                                "without ORDER BY (whole-partition "
+                                "total) is not supported; add ORDER BY "
+                                "for the running form")
+                        funcs[wname] = (kind, vn)
+                        tagof[wname] = ("i64" if kind == "running_sum"
+                                        and vtv.tag in ("u32", "i32")
+                                        else vtv.tag)
+            res = run_window(pkey, funcs, order=order, values=values)
+            for i, c in enumerate(cs):
+                wname = f"w{i}"
+                v = res.cols[wname]
+                tag = tagof[wname]
+                if isinstance(v, U64):
+                    raw = v.to_numpy()
+                    # integer running sums: u32 inputs are non-negative
+                    # (u64 view exact); i32 sign-extended pairs read as
+                    # two's-complement i64
+                    vtag = None
+                    for a in c.args:
+                        if isinstance(a, P.Col):
+                            vtag = env.tags[env.resolve(a)]
+                    arr = (raw.view(np.int64) if vtag == "i32"
+                           else raw)
+                    out[id(c)] = (arr, "i64")
+                else:
+                    out[id(c)] = (_np_of(v, tag) if tag != "f32"
+                                  else np.asarray(v), tag)
+        return out
+
+    @staticmethod
+    def _auto_name(e, i: int) -> str:
+        if isinstance(e, P.Col):
+            return e.name
+        if isinstance(e, P.Call):
+            return f"{e.func}_{i}" if i else e.func
+        return f"col_{i}"
+
+    # -- GROUP BY / aggregates --------------------------------------------
+    def _grouped(self, sel: P.Select, env: _RowEnv, n: int) -> Frame:
+        gcols = list(sel.group_by)
+        # GROUP BY may name a select-item alias of a row expression
+        # (GROUP BY v % 5 AS m) — evaluate the aliased expression as the
+        # group column, sqlite-style
+        aliases = {it.alias: it.expr for it in sel.items
+                   if it.expr != "*" and it.alias
+                   and not _calls(it.expr, window=False)}
+        gtvs = []
+        for c in gcols:
+            if c.table is None and c.name not in env.names \
+                    and c.name in aliases:
+                gtvs.append(_eval(aliases[c.name], env, n))
+            else:
+                gtvs.append(env.col(c))
+        # composite group key
+        if not gcols:
+            gkey = U64(jnp.zeros(n, jnp.uint32), jnp.zeros(n, jnp.uint32))
+        elif len(gtvs) == 1:
+            gkey = _lift_key(gtvs[0].arr, gtvs[0].tag)
+        elif len(gtvs) == 2 and all(t.tag != "u64" for t in gtvs):
+            gkey = U64(sortable_u32(gtvs[1].arr),
+                       sortable_u32(gtvs[0].arr))
+        else:
+            raise SqlError("GROUP BY supports one column of any type or "
+                           "two 32-bit columns")
+
+        # collect aggregate calls from items + HAVING
+        aggcalls: list[P.Call] = []
+        for it in sel.items:
+            if it.expr != "*":
+                aggcalls += _calls(it.expr, window=False)
+        if sel.having is not None:
+            aggcalls += _calls(sel.having, window=False)
+        for c in aggcalls:
+            if c.func not in _AGG_FUNCS or c.window is not None:
+                raise SqlError(f"unknown aggregate {c.func}")
+
+        # run the multi-aggregate: values keyed by source column
+        values, aggspec = {}, {}
+        distinct_cols = []
+        for c in aggcalls:
+            if c.func == "count" and (c.args == ("*",) or not c.distinct):
+                continue        # derived from the count agg below
+            if c.distinct:
+                if c.func != "count":
+                    raise SqlError("DISTINCT is only supported inside "
+                                   "COUNT()")
+                if not isinstance(c.args[0], P.Col):
+                    raise SqlError("COUNT(DISTINCT x) needs a plain "
+                                   "column")
+                distinct_cols.append(env.resolve(c.args[0]))
+                continue
+            if not (len(c.args) == 1 and isinstance(c.args[0], P.Col)):
+                raise SqlError(f"{c.func}(...) argument must be a plain "
+                               "column (expressions inside aggregates "
+                               "are not supported yet)")
+            phys = env.resolve(c.args[0])
+            if env.tags[phys] == "u64":
+                raise SqlError("aggregates over u64 columns are not "
+                               "supported")
+            values[phys] = env.table[phys]
+            want = {"avg": ("sum",), "count": ()}.get(c.func, (c.func,))
+            aggspec[phys] = tuple(sorted(set(aggspec.get(phys, ()))
+                                         | set(want)))
+        from tpu_qe.ops.aggregate import (group_aggregate,
+                                          group_aggregate_multi)
+        # always compute count (COUNT(*), AVG denominators, HAVING)
+        if values:
+            first = sorted(values)[0]
+            aggspec[first] = tuple(sorted(set(aggspec[first])
+                                          | {"count"}))
+        mres = (group_aggregate_multi(gkey, values, aggspec)
+                if values else group_aggregate(gkey, aggs=("count",)))
+        g = int(np.asarray(mres.num_groups))
+        gkeys_lo = mres.key.to_numpy()[:g]
+
+        # per-group frame of aggregate results (numpy, G-bounded)
+        agg_np: dict[str, np.ndarray] = {}
+        if values:
+            first = sorted(values)[0]
+            cnt = np.asarray(mres.aggs[f"{first}_count"])[:g]
+        else:
+            cnt = np.asarray(mres.aggs["count"])[:g]
+        for name, arr in (mres.aggs or {}).items():
+            if isinstance(arr, U64):
+                raw = arr.to_numpy()[:g]
+                src = name.rsplit("_", 1)[0]
+                agg_np[name] = (raw.view(np.int64)
+                                if env.tags.get(src) == "i32" else raw)
+            else:
+                agg_np[name] = np.asarray(arr)[:g]
+        for phys in distinct_cols:
+            tv = env.table[phys]
+            dres = group_aggregate(gkey, sortable_u32(tv)
+                                   if env.tags[phys] != "u64" else tv.lo,
+                                   aggs=("count_distinct",))
+            dg = int(np.asarray(dres.num_groups))
+            assert dg == g, (dg, g)
+            agg_np[f"{phys}_count_distinct"] = np.asarray(
+                dres.aggs["count_distinct"])[:g]
+
+        # group-key output values
+        gvals: dict[str, np.ndarray] = {}
+        if len(gtvs) == 1:
+            t = gtvs[0]
+            if t.tag == "u64":
+                gvals[gcols[0].key] = mres.key.to_numpy()[:g]
+            else:
+                gvals[gcols[0].key] = _unlift_key(
+                    np.asarray(mres.key.lo)[:g], t.tag)
+        elif len(gtvs) == 2:
+            khi = np.asarray(mres.key.hi)[:g]
+            klo = np.asarray(mres.key.lo)[:g]
+            gvals[gcols[0].key] = _unlift_key(khi, gtvs[0].tag)
+            gvals[gcols[1].key] = _unlift_key(klo, gtvs[1].tag)
+
+        def agg_value(c: P.Call) -> np.ndarray:
+            if c.func == "count":
+                if c.distinct:
+                    phys = env.resolve(c.args[0])
+                    return agg_np[f"{phys}_count_distinct"].astype(
+                        np.int64)
+                return cnt.astype(np.int64)
+            phys = env.resolve(c.args[0])
+            if c.func == "avg":
+                s = agg_np[f"{phys}_sum"]
+                s = (s.astype(np.float64) if s.dtype != np.float32
+                     else s.astype(np.float64))
+                return (s / np.maximum(cnt, 1)).astype(np.float64)
+            v = agg_np[f"{phys}_{c.func}"]
+            if c.func == "sum":
+                return (v.astype(np.float64) if v.dtype == np.float32
+                        else v.astype(np.int64) if v.dtype == np.int64
+                        else v)  # u64 stays u64
+            return v
+
+        # evaluate items / HAVING on the numpy group frame
+        def eval_grouped(e) -> np.ndarray:
+            if isinstance(e, P.Call):
+                return agg_value(e)
+            if isinstance(e, P.Col):
+                k = e.key
+                for c2, tv in zip(gcols, gtvs):
+                    if (c2.key == k or c2.name == e.name
+                            and (e.table is None)):
+                        return gvals[c2.key]
+                raise SqlError(f"column {k!r} is not in GROUP BY")
+            if isinstance(e, P.Lit):
+                return np.asarray(e.value)
+            if isinstance(e, P.Unary):
+                v = eval_grouped(e.operand)
+                return ~v.astype(bool) if e.op == "not" else -v
+            if isinstance(e, P.Binary):
+                a, b = eval_grouped(e.left), eval_grouped(e.right)
+                return _np_binop(e.op, a, b)
+            if isinstance(e, P.Case):
+                out = (eval_grouped(e.default)
+                       if e.default is not None else np.int64(0))
+                out = np.broadcast_to(out, (g,)).copy()
+                for cond, val in list(e.whens)[::-1]:
+                    m = eval_grouped(cond).astype(bool)
+                    out = np.where(m, np.broadcast_to(
+                        eval_grouped(val), (g,)), out)
+                return out
+            raise SqlError(f"unsupported grouped expression "
+                           f"{type(e).__name__}")
+
+        keep = np.ones(g, bool)
+        if sel.having is not None:
+            keep = np.broadcast_to(
+                eval_grouped(sel.having).astype(bool), (g,))
+        cols, tags = {}, {}
+        for i, it in enumerate(sel.items):
+            if it.expr == "*":
+                raise SqlError("SELECT * with GROUP BY is not supported")
+            name = it.alias or self._auto_name(it.expr, i)
+            if name in gvals:
+                # the item IS a group key (direct column or the aliased
+                # expression the GROUP BY named)
+                v = gvals[name]
+            else:
+                v = np.broadcast_to(eval_grouped(it.expr), (g,))
+            cols[name] = np.asarray(v)[keep]
+            tags[name] = str(cols[name].dtype)
+        return Frame(cols, tags)
+
+    # -- DISTINCT / set ops (host side on output-scale frames) -------------
+    @staticmethod
+    def _distinct_frame(fr: Frame) -> Frame:
+        if not fr.cols:
+            return fr
+        names = sorted(fr.cols)
+        arr = np.stack([fr.cols[k].view(np.uint64)
+                        if fr.cols[k].dtype == np.uint64
+                        else fr.cols[k].astype(np.float64).view(np.uint64)
+                        if fr.cols[k].dtype.kind == "f"
+                        else fr.cols[k].astype(np.int64).view(np.uint64)
+                        for k in names])
+        _, idx = np.unique(arr, axis=1, return_index=True)
+        idx.sort()
+        return Frame({k: v[idx] for k, v in fr.cols.items()}, fr.tags)
+
+    @staticmethod
+    def _set_op(a: Frame, b: Frame, op: str, all_: bool) -> Frame:
+        na, nb = sorted(a.cols), sorted(b.cols)
+        if len(na) != len(nb):
+            raise SqlError(f"{op.upper()}: mismatched column counts")
+        if op == "union" and all_:
+            cols = {k: np.concatenate([a.cols[k], b.cols[kb]])
+                    for k, kb in zip(na, nb)}
+            return Frame(cols, a.tags)
+        if len(na) != 1:
+            raise SqlError(f"{op.upper()} supports single-column selects "
+                           "(use UNION ALL for multi-column append)")
+        ka, kb = a.cols[na[0]], b.cols[nb[0]]
+        if ka.dtype != kb.dtype:
+            raise SqlError(f"{op.upper()}: mismatched column dtypes "
+                           f"({ka.dtype} vs {kb.dtype})")
+        from tpu_qe.ops.setops import set_op as dev_set_op
+        pa = U64.from_numpy(_lift64_np(ka))
+        pb = U64.from_numpy(_lift64_np(kb))
+        keys, c_a, c_b, num = dev_set_op(pa, pb, op)
+        m = int(np.asarray(num))
+        k64 = keys.to_numpy()[:m]
+        ca = np.asarray(c_a)[:m].astype(np.int64)
+        cb = np.asarray(c_b)[:m].astype(np.int64)
+        if not all_:
+            reps = np.ones(m, np.int64)
+        elif op == "union":
+            reps = ca + cb
+        elif op == "intersect":
+            reps = np.minimum(ca, cb)
+        else:
+            reps = np.maximum(ca - cb, 0)
+        vals = np.repeat(k64, reps)
+        return Frame({na[0]: _unlift64_np(vals, ka.dtype)}, a.tags)
+
+
+def _lift64_np(k: np.ndarray) -> np.ndarray:
+    """Order- and equality-preserving injective map of a host frame
+    column into u64 (set-op key lifting). Inverse: _unlift64_np."""
+    if k.dtype == np.uint64:
+        return k
+    if k.dtype == np.uint32:
+        return k.astype(np.uint64)
+    if k.dtype == np.int32:
+        return (k.view(np.uint32).astype(np.uint64)
+                ^ np.uint64(0x80000000))
+    if k.dtype == np.int64:
+        return k.view(np.uint64) ^ np.uint64(1 << 63)
+    if k.dtype == np.float32:
+        b = k.view(np.uint32)
+        s = (b >> 31) == 1
+        return np.where(s, ~b, b | np.uint32(0x80000000)).astype(
+            np.uint64)
+    if k.dtype == np.float64:
+        b = k.view(np.uint64)
+        s = (b >> 63) == 1
+        return np.where(s, ~b, b | np.uint64(1 << 63))
+    raise SqlError(f"set-op over unsupported dtype {k.dtype}")
+
+
+def _unlift64_np(v: np.ndarray, dtype) -> np.ndarray:
+    if dtype == np.uint64:
+        return v
+    if dtype == np.uint32:
+        return v.astype(np.uint32)
+    if dtype == np.int32:
+        return (v.astype(np.uint32) ^ np.uint32(0x80000000)).view(
+            np.int32)
+    if dtype == np.int64:
+        return (v ^ np.uint64(1 << 63)).view(np.int64)
+    if dtype == np.float32:
+        b = v.astype(np.uint32)
+        was_pos = (b >> 31) == 1
+        return np.where(was_pos, b ^ np.uint32(0x80000000), ~b).view(
+            np.float32)
+    if dtype == np.float64:
+        was_pos = (v >> 63) == 1
+        return np.where(was_pos, v ^ np.uint64(1 << 63), ~v).view(
+            np.float64)
+    raise SqlError(f"set-op over unsupported dtype {dtype}")
+
+
+def _np_binop(op: str, a, b):
+    if op == "and":
+        return a.astype(bool) & b.astype(bool)
+    if op == "or":
+        return a.astype(bool) | b.astype(bool)
+    if op in ("=", "<>", "<", "<=", ">", ">="):
+        f = {"=": np.equal, "<>": np.not_equal, "<": np.less,
+             "<=": np.less_equal, ">": np.greater,
+             ">=": np.greater_equal}[op]
+        return f(a, b)
+    if op == "+":
+        return a + b
+    if op == "-":
+        return a - b
+    if op == "*":
+        return a * b
+    if op == "/":
+        if np.asarray(a).dtype.kind == "f" or np.asarray(b).dtype.kind \
+                == "f":
+            return a / b
+        return np.trunc(np.asarray(a, np.float64)
+                        / np.asarray(b, np.float64)).astype(np.int64)
+    if op == "%":
+        return np.fmod(np.asarray(a, np.int64), np.asarray(b, np.int64))
+    raise SqlError(f"unsupported operator {op!r}")
