@@ -88,6 +88,63 @@ def test_group_quantile_single_row_groups_and_one_group():
     assert int(np.asarray(res.quantiles)[0, 0]) == 499  # ceil(.5*1000)-1
 
 
+@pytest.mark.parametrize("mg", [40, 64, 128])
+def test_group_quantile_max_groups_matches_default(mg):
+    # the searchsorted + bounded-gather extraction must equal the
+    # compaction-sort default on the valid prefix (same recipe/test as
+    # aggregate's max_groups path)
+    rng = np.random.default_rng(5)
+    n = 6000
+    keys = rng.integers(0, 40, n).astype(np.uint64)
+    vals = rng.integers(-500, 500, n, dtype=np.int64).astype(np.int32)
+    import jax.numpy as jnp
+    base = group_quantile(_u64(keys), jnp.asarray(vals), QS)
+    got = group_quantile(_u64(keys), jnp.asarray(vals), QS,
+                         max_groups=mg)
+    ng = int(base.num_groups)
+    assert int(got.num_groups) == ng
+    assert int(got.overflow) == 0
+    np.testing.assert_array_equal(np.asarray(got.key.lo)[:ng],
+                                  np.asarray(base.key.lo)[:ng])
+    np.testing.assert_array_equal(np.asarray(got.quantiles)[:, :ng],
+                                  np.asarray(base.quantiles)[:, :ng])
+    np.testing.assert_array_equal(np.asarray(got.count)[:ng],
+                                  np.asarray(base.count)[:ng])
+
+
+def test_group_quantile_max_groups_overflow_detected():
+    import jax.numpy as jnp
+    keys = np.arange(100, dtype=np.uint64)  # 100 groups > bound of 10
+    vals = np.arange(100, dtype=np.uint32)
+    res = group_quantile(_u64(keys), jnp.asarray(vals), [0.5],
+                         max_groups=10)
+    assert int(res.num_groups) == 100       # exact even past the bound
+    assert int(res.overflow) == 1
+    # the 10 extracted groups are the first 10 (ascending keys), correct
+    np.testing.assert_array_equal(np.asarray(res.key.lo), np.arange(10))
+    np.testing.assert_array_equal(np.asarray(res.quantiles)[0],
+                                  np.arange(10))
+
+
+def test_group_quantile_cont_max_groups_matches_default():
+    from tpu_qe.ops.quantile import group_quantile_cont
+    rng = np.random.default_rng(6)
+    n = 4000
+    keys = rng.integers(0, 30, n).astype(np.uint64)
+    vals = rng.random(n).astype(np.float32)
+    import jax.numpy as jnp
+    base = group_quantile_cont(_u64(keys), jnp.asarray(vals),
+                               [0.25, 0.75])
+    got = group_quantile_cont(_u64(keys), jnp.asarray(vals),
+                              [0.25, 0.75], max_groups=32)
+    ng = int(base.num_groups)
+    assert int(got.num_groups) == ng and int(got.overflow) == 0
+    for f in ("lower", "upper", "frac", "value"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(got, f))[:, :ng],
+            np.asarray(getattr(base, f))[:, :ng], err_msg=f)
+
+
 def test_rank_math_exact_past_2_24():
     # the float path would mis-rank here: 0.5 * (2^24 + 3) isn't exact
     # in f32; the widening-multiply rank must hit ceil exactly

@@ -1,0 +1,143 @@
+"""Distributed SQL execution (Database.sql(..., mesh=)) vs the local
+SQL path on the CPU virtual mesh — the front-end drives the exchange/
+operators and must agree with the single-device plan bit-for-bit
+(integers) / to f32 tolerance (float aggregates combine in a different
+association across shards)."""
+
+import numpy as np
+import pytest
+
+from tpu_qe.exchange.dsort import make_mesh
+from tpu_qe.sql import Database, SqlError
+
+
+def _db(seed=0, n=2048, m=1024):
+    rng = np.random.default_rng(seed)
+    db = Database()
+    db.register("t", {
+        "k": rng.integers(0, 12, n).astype(np.uint32),
+        "v": rng.integers(0, 1000, n).astype(np.uint32),
+        "sv": rng.integers(-500, 500, n).astype(np.int32),
+        "f": rng.random(n).astype(np.float32),
+        "id": np.arange(n, dtype=np.uint32),
+    })
+    db.register("r", {
+        # UNIQUE keys (the FK/dimension shape the fused distributed
+        # join requires); evens only, so odd t.k values go unmatched
+        "k": (rng.permutation(m).astype(np.uint32) * 2),
+        "w": rng.integers(0, 100, m).astype(np.uint32),
+    })
+    return db
+
+
+def _cmp(local: dict, dist: dict, float_cols=(), rtol=1e-5):
+    assert sorted(local) == sorted(dist)
+    # canonicalize row order by the full row tuple
+    names = sorted(local)
+    perm_l = np.lexsort([np.asarray(local[n]).astype(np.float64)
+                         for n in reversed(names)])
+    perm_d = np.lexsort([np.asarray(dist[n]).astype(np.float64)
+                         for n in reversed(names)])
+    for n in names:
+        a = np.asarray(local[n])[perm_l]
+        b = np.asarray(dist[n])[perm_d]
+        assert len(a) == len(b), (n, len(a), len(b))
+        if n in float_cols or a.dtype.kind == "f" or b.dtype.kind == "f":
+            np.testing.assert_allclose(a.astype(np.float64),
+                                       b.astype(np.float64),
+                                       rtol=rtol, atol=1e-3, err_msg=n)
+        else:
+            np.testing.assert_array_equal(a.astype(np.int64),
+                                          b.astype(np.int64), err_msg=n)
+
+
+@pytest.mark.parametrize("n_dev", [1, 2, 8])
+def test_group_by_aggregates(n_dev):
+    db = _db(n_dev)
+    sql = ("SELECT k, COUNT(*) AS c, SUM(v) AS s, MIN(v) AS mn, "
+           "MAX(v) AS mx, AVG(v) AS a FROM t GROUP BY k ORDER BY k")
+    _cmp(db.sql(sql), db.sql(sql, mesh=make_mesh(n_dev)))
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_count_distinct(n_dev):
+    db = _db(n_dev + 10)
+    sql = ("SELECT k, COUNT(DISTINCT sv) AS d FROM t GROUP BY k "
+           "ORDER BY k")
+    _cmp(db.sql(sql), db.sql(sql, mesh=make_mesh(n_dev)))
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_float_aggregate(n_dev):
+    db = _db(n_dev + 20)
+    sql = "SELECT k, SUM(f) AS s, MAX(f) AS mx FROM t GROUP BY k ORDER BY k"
+    _cmp(db.sql(sql), db.sql(sql, mesh=make_mesh(n_dev)),
+         float_cols=("s", "mx"), rtol=1e-4)
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_fused_join_group_by(n_dev):
+    db = _db(n_dev + 30)
+    sql = ("SELECT t.k, COUNT(*) AS c, SUM(w) AS s FROM t "
+           "JOIN r ON t.k = r.k GROUP BY t.k ORDER BY t.k")
+    _cmp(db.sql(sql), db.sql(sql, mesh=make_mesh(n_dev)))
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_window(n_dev):
+    db = _db(n_dev + 40)
+    sql = ("SELECT id, ROW_NUMBER() OVER (PARTITION BY k ORDER BY id) "
+           "AS rn, SUM(v) OVER (PARTITION BY k ORDER BY id) AS s "
+           "FROM t ORDER BY id")
+    _cmp(db.sql(sql), db.sql(sql, mesh=make_mesh(n_dev)))
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_order_by_limit(n_dev):
+    db = _db(n_dev + 50)
+    sql = ("SELECT id, sv, k FROM t ORDER BY sv DESC, k, id LIMIT 64")
+    local = db.sql(sql)
+    dist = db.sql(sql, mesh=make_mesh(n_dev))
+    for nm in local:  # fully ordered: compare in place
+        np.testing.assert_array_equal(
+            np.asarray(local[nm]).astype(np.int64),
+            np.asarray(dist[nm]).astype(np.int64), err_msg=nm)
+
+
+@pytest.mark.parametrize("op", ["union", "intersect", "except"])
+def test_set_ops(op):
+    db = _db(60)
+    kw = {"union": "UNION", "intersect": "INTERSECT",
+          "except": "EXCEPT"}[op]
+    sql = f"SELECT v FROM t {kw} SELECT w AS v FROM r ORDER BY v"
+    local = db.sql(sql)
+    dist = db.sql(sql, mesh=make_mesh(8))
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(local["v"]).astype(np.uint64)),
+        np.sort(np.asarray(dist["v"]).astype(np.uint64)))
+
+
+def test_join_duplicate_right_keys_raise():
+    # the fused distributed join is the FK join; duplicate right keys
+    # (SQL one-to-many) must be detected, not silently pick-one
+    rng = np.random.default_rng(3)
+    db = Database()
+    db.register("t", {"k": rng.integers(0, 8, 256).astype(np.uint32)})
+    db.register("r", {"k": rng.integers(0, 8, 128).astype(np.uint32),
+                      "w": rng.integers(0, 9, 128).astype(np.uint32)})
+    with pytest.raises(SqlError, match="unique right join keys"):
+        db.sql("SELECT t.k, COUNT(*) AS c, SUM(w) AS s FROM t "
+               "JOIN r ON t.k = r.k GROUP BY t.k", mesh=make_mesh(2))
+
+
+def test_unsupported_shapes_raise():
+    db = _db(70)
+    mesh = make_mesh(2)
+    with pytest.raises(SqlError, match="WHERE"):
+        db.sql("SELECT k, COUNT(*) AS c FROM t WHERE v > 3 GROUP BY k",
+               mesh=mesh)
+    with pytest.raises(SqlError, match="int32 with negatives"):
+        db.sql("SELECT k, SUM(sv) AS s FROM t GROUP BY k", mesh=mesh)
+    with pytest.raises(SqlError, match="HAVING"):
+        db.sql("SELECT k, COUNT(*) AS c FROM t GROUP BY k "
+               "HAVING COUNT(*) > 2", mesh=mesh)

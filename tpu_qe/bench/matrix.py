@@ -288,14 +288,18 @@ def bench_quantile(n: int = 1 << 27, groups: int = 1 << 14,
     val = _rand_u32(k1, n)
 
     def run():
-        res = group_quantile(key, val, [(1, 1), 0.99])
+        # max_groups extraction: the compaction sort AND the rank
+        # gathers are groups-bounded (the default path's n-sized rank
+        # gathers measured ~2 s/q at 134M — they dominated the operator;
+        # see ops/quantile._group_layout_mg)
+        res = group_quantile(key, val, [(1, 1), 0.99],
+                             max_groups=groups)
         return res.num_groups, res.quantiles[:, :8]
 
     secs = measure(run, reps=reps)
-    # envelope: (key, value) sort (3 keys) + packed compaction (1 key +
-    # 2 payload planes); the Q rank gathers are num_groups-sized
-    sol = (lax_sort_seconds(n, 3, stable=False)
-           + lax_sort_seconds(n, 3, stable=False, num_keys=1))
+    # envelope: ONE (key, value) sort (3 keys); boundary cumsum +
+    # searchsorted + groups-sized gathers are sweeps/noise beside it
+    sol = lax_sort_seconds(n, 3, stable=False)
     return _emit(f"GROUP BY p50+p99 (exact), {n} rows, 1 chip", n, secs,
                  {"groups": groups, "sol_fraction": round(sol / secs, 3)})
 

@@ -1250,13 +1250,12 @@ def distributed_join_aggregate_numpy(lkeys, rkeys, rvals, mesh,
 # distributed set operations (UNION / INTERSECT / EXCEPT, distinct)
 # --------------------------------------------------------------------------
 
-def _dset_shard(alo, ahi, blo, bhi, *, op, n_dev, samples_per_dev,
-                capacity):
-    """Local (key, side) dedup with exact multiplicities (compression),
-    key-splitter routing, then the local set op on received tuples."""
+def _dset_dedup_route(alo, ahi, blo, bhi, *, n_dev, samples_per_dev):
+    """Shared first phase of the distributed set op: local (key, side)
+    dedup with exact multiplicities (the exchange-volume reducer) +
+    key-splitter routing. Returns (klo, khi, side, occ, is_real, dest,
+    my) with padded entries routed to their own device (zero demand)."""
     from tpu_qe.ops.aggregate import _shift_right_one
-    from tpu_qe.ops.segscan import cumsum_u32
-    from tpu_qe.ops.setops import _qualifies
 
     n_a, n_b = alo.shape[0], blo.shape[0]
     n = n_a + n_b
@@ -1287,9 +1286,48 @@ def _dset_shard(alo, ahi, blo, bhi, *, op, n_dev, samples_per_dev,
     my = jax.lax.axis_index(AXIS).astype(jnp.uint32)
     dest = route_by_splitters(klo, khi, sp_lo, sp_hi)
     dest = jnp.where(is_real, dest, my)
+    return klo, khi, res[3], occ, is_real, dest, my
+
+
+def _dset_plan_shard(alo, ahi, blo, bhi, *, n_dev, samples_per_dev):
+    """Planning pass: route distinct (key, side) tuples exactly like
+    _dset_shard and return the max off-diagonal bucket demand."""
+    from tpu_qe.exchange.shuffle import offdiag_demand
+
+    _, _, _, _, _, dest, _ = _dset_dedup_route(
+        alo, ahi, blo, bhi, n_dev=n_dev, samples_per_dev=samples_per_dev)
+    return offdiag_demand(dest, n_dev).reshape(1)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "samples_per_dev"))
+def plan_set_op_capacity(akey: U64, bkey: U64, mesh: Mesh,
+                         samples_per_dev: int = 128):
+    """Measured off-diagonal exchange demand for the set-op exchange
+    (distinct (key, side) tuples after local dedup)."""
+    n_dev = mesh.shape[AXIS]
+    spec = P(AXIS)
+    fn = shard_map(
+        functools.partial(_dset_plan_shard, n_dev=n_dev,
+                          samples_per_dev=samples_per_dev),
+        mesh=mesh, in_specs=(spec,) * 4, out_specs=spec, check_vma=False)
+    return fn(akey.lo, akey.hi, bkey.lo, bkey.hi)
+
+
+def _dset_shard(alo, ahi, blo, bhi, *, op, n_dev, samples_per_dev,
+                capacity):
+    """Local (key, side) dedup with exact multiplicities (compression),
+    key-splitter routing, then the local set op on received tuples."""
+    from tpu_qe.ops.aggregate import _shift_right_one
+    from tpu_qe.ops.segscan import cumsum_u32
+    from tpu_qe.ops.setops import _qualifies
+
+    n = alo.shape[0] + blo.shape[0]
+    klo, khi, sside, occ, is_real, dest, my = _dset_dedup_route(
+        alo, ahi, blo, bhi, n_dev=n_dev, samples_per_dev=samples_per_dev)
+    pos = jnp.arange(n, dtype=jnp.uint32)
     recv, _, _, _, overflow = exchange(
         dest,
-        [klo, khi, jnp.where(is_real, res[3], 0),
+        [klo, khi, jnp.where(is_real, sside, 0),
          jnp.where(is_real, occ, 0)],
         [_ONES, _ONES, jnp.uint32(0), jnp.uint32(0)], n_dev, capacity)
     rlo, rhi, rs, ro = recv
@@ -1361,11 +1399,14 @@ def distributed_set_op(akey: U64, bkey: U64, mesh: Mesh, op: str = "union",
 
 def distributed_set_op_numpy(a, b, mesh, op="union", **kw):
     """Host wrapper: result keys (ascending) + per-key (count_a,
-    count_b) multiplicities over all shards."""
+    count_b) multiplicities over all shards. capacity_factor="auto"
+    plans the distinct-tuple exchange demand (plan_set_op_capacity)."""
     sh = NamedSharding(mesh, P(AXIS))
     ua, ub = U64.from_numpy(a), U64.from_numpy(b)
     ak = U64(jax.device_put(ua.lo, sh), jax.device_put(ua.hi, sh))
     bk = U64(jax.device_put(ub.lo, sh), jax.device_put(ub.hi, sh))
+    kw = _auto_capacity(kw, mesh, plan_set_op_capacity, (ak, bk),
+                        ("capacity",))
     res = distributed_set_op(ak, bk, mesh=mesh, op=op, **kw)
     if int(np.asarray(res[-1]).max()):
         raise RuntimeError("exchange capacity overflow; raise "

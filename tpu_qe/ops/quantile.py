@@ -158,6 +158,7 @@ class GroupQuantileResult(NamedTuple):
     quantiles: jnp.ndarray    # (len(qs), n_padded) in value dtype
     count: jnp.ndarray        # (n_padded,) u32 rows per group
     num_groups: jnp.ndarray   # scalar u32, exact
+    overflow: jnp.ndarray | None = None  # u32, only when max_groups set
 
 
 def _group_layout(key: U64, value: jnp.ndarray):
@@ -187,28 +188,92 @@ def _group_layout(key: U64, value: jnp.ndarray):
     return sv, U64(klo, khi), start, cnt, num_groups
 
 
-@functools.partial(jax.jit, static_argnames=("spec",))
-def _group_quantile(key: U64, value: jnp.ndarray, spec: tuple
-                    ) -> GroupQuantileResult:
+def _group_layout_mg(key: U64, value: jnp.ndarray, max_groups: int):
+    """max_groups variant of _group_layout (the aggregate.py
+    low-cardinality recipe): the packed compaction sort is replaced by a
+    binary search over the boundary cumsum + max_groups-sized gathers —
+    and crucially the caller's rank gathers shrink from n to max_groups
+    entries. At 134M rows x 16K groups the default path's Q full-length
+    gathers (~68 M elem/s each) dominated the whole operator (~2 s per
+    q); with the bound they cost microseconds. Returns
+    (sv, gkey, start, cnt, num_groups, overflow, valid_g) where the
+    per-group planes are (max_groups,) and padded entries carry
+    all-ones keys / garbage counts (mask with valid_g)."""
+    from tpu_qe.ops.aggregate import _searchsorted_u32, _shift_right_one
+    from tpu_qe.ops.segscan import cumsum_u32
+
     n = key.lo.shape[0]
-    sv, gkey, start, cnt, num_groups = _group_layout(key, value)
+    assert n > 0, "group quantile of an empty stream"
+    assert n < (1 << 31), n
+    assert max_groups >= 1
+    vbits = sortable_u32(value)
+    shi, slo, sv = jax.lax.sort([key.hi, key.lo, vbits], num_keys=3,
+                                is_stable=False)
+    pos = jnp.arange(n, dtype=jnp.uint32)
+    is_new = ((pos == 0) | (slo != _shift_right_one(slo, 0))
+              | (shi != _shift_right_one(shi, 0)))
+    is_end = jnp.concatenate([is_new[1:], jnp.ones((1,), bool)])
+    cum_end = cumsum_u32(is_end.astype(jnp.uint32))
+    num_groups = cum_end[-1]
+    overflow = (num_groups > jnp.uint32(max_groups)).astype(jnp.uint32)
+    j1 = jnp.arange(1, max_groups + 1, dtype=jnp.uint32)
+    posc = jnp.minimum(_searchsorted_u32(cum_end, j1),
+                       n - 1).astype(jnp.uint32)
+    valid_g = jnp.arange(max_groups, dtype=jnp.uint32) < num_groups
+    ones = jnp.uint32(0xFFFFFFFF)
+    klo = jnp.where(valid_g, jnp.take(slo, posc), ones)
+    khi = jnp.where(valid_g, jnp.take(shi, posc), ones)
+    pos_end = jnp.where(valid_g, posc + 1, jnp.uint32(0))
+    # groups are consecutive in the sorted stream: group g starts where
+    # g-1 ended (the valid prefix; padded entries are masked downstream)
+    start = _shift_right_one(pos_end, 0)
+    cnt = pos_end - start
+    return sv, U64(klo, khi), start, cnt, num_groups, overflow, valid_g
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "max_groups"))
+def _group_quantile(key: U64, value: jnp.ndarray, spec: tuple,
+                    max_groups: int | None = None) -> GroupQuantileResult:
+    n = key.lo.shape[0]
+    if max_groups is not None:
+        sv, gkey, start, cnt, num_groups, overflow, valid_g = \
+            _group_layout_mg(key, value, max_groups)
+    else:
+        sv, gkey, start, cnt, num_groups = _group_layout(key, value)
+        overflow = valid_g = None
     qs_out = []
     for num, sh in spec:
         r = _disc_rank_device(num, sh, cnt)
         # clamp the padded tail (cnt garbage there) into bounds
         p = jnp.minimum(start + r, jnp.uint32(n - 1))
-        qs_out.append(sortable_u32_inverse(jnp.take(sv, p), value.dtype))
-    return GroupQuantileResult(gkey, jnp.stack(qs_out), cnt, num_groups)
+        v = jnp.take(sv, p)
+        if valid_g is not None:
+            v = jnp.where(valid_g, v, jnp.uint32(0))
+        qs_out.append(sortable_u32_inverse(v, value.dtype))
+    if valid_g is not None:
+        cnt = jnp.where(valid_g, cnt, jnp.uint32(0))
+    return GroupQuantileResult(gkey, jnp.stack(qs_out), cnt, num_groups,
+                               overflow)
 
 
-def group_quantile(key: U64, value: jnp.ndarray, qs) -> GroupQuantileResult:
+def group_quantile(key: U64, value: jnp.ndarray, qs,
+                   max_groups: int | None = None) -> GroupQuantileResult:
     """Exact per-group PERCENTILE_DISC: GROUP BY key, PERCENTILE_DISC(q)
     WITHIN GROUP (ORDER BY value) for each q.
 
     One (key, value) sort + the packed compaction sort + len(qs)
     rank gathers. Rank arithmetic is exact at any group size (widening
-    u32 multiply — see module docstring for the q grid)."""
-    return _group_quantile(key, value, canon_qs(qs))
+    u32 multiply — see module docstring for the q grid).
+
+    max_groups: when the caller can bound the group count, outputs pad
+    to max_groups and BOTH the compaction sort and the n-sized rank
+    gathers collapse to max_groups-bounded work (_group_layout_mg) —
+    at 134M rows x 16K groups this is the difference between the
+    gathers dominating the operator and costing nothing. num_groups
+    stays exact; past the bound the overflow flag is set (outputs
+    truncated, never silently wrong)."""
+    return _group_quantile(key, value, canon_qs(qs),
+                           max_groups=max_groups)
 
 
 def median(col):
@@ -272,19 +337,30 @@ class GroupContQuantileResult(NamedTuple):
     value: jnp.ndarray        # (Q, n_padded) f32 interpolation
     count: jnp.ndarray
     num_groups: jnp.ndarray
+    overflow: jnp.ndarray | None = None  # u32, only when max_groups set
 
 
-@functools.partial(jax.jit, static_argnames=("spec",))
-def _group_quantile_cont(key: U64, value: jnp.ndarray, spec: tuple
+@functools.partial(jax.jit, static_argnames=("spec", "max_groups"))
+def _group_quantile_cont(key: U64, value: jnp.ndarray, spec: tuple,
+                         max_groups: int | None = None
                          ) -> GroupContQuantileResult:
     n = key.lo.shape[0]
-    sv, gkey, start, cnt, num_groups = _group_layout(key, value)
+    if max_groups is not None:
+        sv, gkey, start, cnt, num_groups, overflow, valid_g = \
+            _group_layout_mg(key, value, max_groups)
+    else:
+        sv, gkey, start, cnt, num_groups = _group_layout(key, value)
+        overflow = valid_g = None
     lows, ups, fracs, vals = [], [], [], []
     for num, sh in spec:
         f, c, frac = _cont_rank_device(num, sh, cnt)
         pf = jnp.minimum(start + f, jnp.uint32(n - 1))
         pc = jnp.minimum(start + c, jnp.uint32(n - 1))
         lo_b, up_b = jnp.take(sv, pf), jnp.take(sv, pc)
+        if valid_g is not None:
+            lo_b = jnp.where(valid_g, lo_b, jnp.uint32(0))
+            up_b = jnp.where(valid_g, up_b, jnp.uint32(0))
+            frac = jnp.where(valid_g, frac, jnp.uint32(0))
         lower = sortable_u32_inverse(lo_b, value.dtype)
         upper = sortable_u32_inverse(up_b, value.dtype)
         lo_f = lower.astype(jnp.float32)
@@ -293,15 +369,21 @@ def _group_quantile_cont(key: U64, value: jnp.ndarray, spec: tuple
         ups.append(upper)
         fracs.append(frac)
         vals.append(lo_f + (upper.astype(jnp.float32) - lo_f) * frac_f)
+    if valid_g is not None:
+        cnt = jnp.where(valid_g, cnt, jnp.uint32(0))
     return GroupContQuantileResult(
         gkey, jnp.stack(lows), jnp.stack(ups), jnp.stack(fracs),
-        tuple(sh for _, sh in spec), jnp.stack(vals), cnt, num_groups)
+        tuple(sh for _, sh in spec), jnp.stack(vals), cnt, num_groups,
+        overflow)
 
 
-def group_quantile_cont(key: U64, value: jnp.ndarray, qs
+def group_quantile_cont(key: U64, value: jnp.ndarray, qs,
+                        max_groups: int | None = None
                         ) -> GroupContQuantileResult:
     """Exact per-group PERCENTILE_CONT: GROUP BY key,
     PERCENTILE_CONT(q) WITHIN GROUP (ORDER BY value) for each q — the
     same one-sort layout as group_quantile with two rank gathers per q
-    and the exact fractional numerator riding along."""
-    return _group_quantile_cont(key, value, canon_qs(qs))
+    and the exact fractional numerator riding along. max_groups: see
+    group_quantile (the gathers shrink from n to max_groups)."""
+    return _group_quantile_cont(key, value, canon_qs(qs),
+                                max_groups=max_groups)

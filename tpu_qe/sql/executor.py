@@ -429,15 +429,412 @@ class Database:
             table = Table.from_numpy(table)
         self._tables[name.lower()] = table
 
-    def sql(self, query: str) -> dict:
-        """Run one SQL query; returns {column_name: numpy array}."""
+    def sql(self, query: str, mesh=None) -> dict:
+        """Run one SQL query; returns {column_name: numpy array}.
+
+        mesh: optional jax.sharding.Mesh — recognized query shapes
+        execute through the distributed operator layer (exchange/),
+        sharded over the mesh (see _sql_distributed); unrecognized
+        shapes raise rather than silently falling back to one device.
+        """
         q = P.parse(query)
+        if mesh is not None:
+            return self._sql_distributed(q, mesh)
         frames = [self._select(s) for s in q.selects]
         fr = frames[0]
         for (op, all_), nxt in zip(q.set_ops, frames[1:]):
             fr = self._set_op(fr, nxt, op, all_)
         fr = _frame_order_limit(fr, q.order_by, q.limit)
         return dict(fr.cols)
+
+    # -- distributed execution (mesh=) --------------------------------------
+    def _sql_distributed(self, q: P.Query, mesh) -> dict:
+        """Execute recognized query shapes through the distributed layer
+        (exchange/dops, dwindow, dorderby) over a mesh.
+
+        Shapes (everything else raises — no silent one-device fallback):
+          - set-op chains of plain single-column SELECTs
+                                        -> distributed_set_op
+          - GROUP BY one column + COUNT/SUM/MIN/MAX/AVG/COUNT(DISTINCT)
+                                        -> distributed_aggregate /
+                                           distributed_count_distinct
+          - one inner JOIN + GROUP BY the join key, aggs over one right
+            column                      -> distributed_join_aggregate
+                                           (the fused two-exchange path)
+          - top-level window calls over plain columns
+                                        -> distributed_window
+          - plain column SELECT + ORDER BY -> distributed_order_by
+        Rows must divide the mesh (the exchange layer's static shard
+        shapes); int32 SUM/MIN/MAX with negatives raise (the distributed
+        aggregate combines u32 bit patterns — the signed-exact extension
+        lives in the in-core path only). HAVING/WHERE/DISTINCT are not
+        supported distributed.
+        """
+        def unsup(what):
+            return SqlError(f"{what} is not supported with mesh= "
+                            "(distributed shapes: see _sql_distributed)")
+
+        if len(q.selects) > 1:
+            fr = self._dist_setop_chain(q, mesh)
+            return dict(_frame_order_limit(fr, q.order_by, q.limit).cols)
+        sel = q.selects[0]
+        if sel.where is not None:
+            raise unsup("WHERE")
+        if sel.having is not None:
+            raise unsup("HAVING")
+        if sel.distinct:
+            raise unsup("SELECT DISTINCT")
+        if sel.joins:
+            fr = self._dist_join_agg(sel, mesh)
+        elif sel.group_by or self._has_aggs(sel):
+            fr = self._dist_group(sel, mesh)
+        elif any(it.expr != "*" and _calls(it.expr, window=True)
+                 for it in sel.items):
+            fr = self._dist_window(sel, mesh)
+        else:
+            fr = self._dist_order_by(sel, q, mesh)
+            return dict(Frame({k: v[:q.limit] for k, v in fr.cols.items()}
+                              if q.limit is not None else fr.cols,
+                              fr.tags).cols)
+        return dict(_frame_order_limit(fr, q.order_by, q.limit).cols)
+
+    def _dist_table(self, ref: P.TableRef):
+        t = self._tables.get(ref.name.lower())
+        if t is None:
+            raise SqlError(f"unknown table {ref.name!r}")
+        cols = t.to_numpy()
+        tags = {nm: _tag_of(t[nm]) for nm in t.column_names}
+        return cols, tags
+
+    @staticmethod
+    def _plain_col(e, what="distributed select items") -> str:
+        if not isinstance(e, P.Col):
+            raise SqlError(f"{what} must be plain columns")
+        return e.name
+
+    def _dist_setop_chain(self, q: P.Query, mesh) -> Frame:
+        from tpu_qe.exchange.dops import distributed_set_op_numpy
+        sides = []
+        for sel in q.selects:
+            if (sel.joins or sel.where is not None or sel.group_by
+                    or len(sel.items) != 1 or sel.items[0].expr == "*"):
+                raise SqlError("distributed set ops take plain "
+                               "single-column SELECTs")
+            cols, tags = self._dist_table(sel.table)
+            nm = self._plain_col(sel.items[0].expr)
+            out = sel.items[0].alias or nm
+            sides.append((cols[nm], tags[nm], out))
+        if len(sides) != 2:
+            raise SqlError("distributed set ops take exactly two "
+                           "selects (intermediate results do not "
+                           "re-shard)")
+        (acol, atag, aname) = sides[0]
+        (bcol, _, _) = sides[1]
+        op, all_ = q.set_ops[0]
+        if all_:
+            raise SqlError("ALL set-op variants are not supported "
+                           "distributed (exact multiplicities are "
+                           "returned by the operator; expand locally)")
+        keys, _ca, _cb = distributed_set_op_numpy(
+            _lift64_np(acol), _lift64_np(bcol), mesh, op=op,
+            capacity_factor="auto")
+        return Frame({aname: _unlift64_np(np.sort(keys), acol.dtype)},
+                     {aname: atag})
+
+    def _agg_calls_of(self, sel: P.Select):
+        calls = []
+        for it in sel.items:
+            if it.expr == "*":
+                raise SqlError("SELECT * in a distributed aggregate")
+            cs = _calls(it.expr, window=False)
+            if cs and (len(cs) != 1 or cs[0] is not it.expr):
+                raise SqlError("distributed aggregates must be "
+                               "top-level select items")
+            calls += cs
+        return calls
+
+    def _dist_group(self, sel: P.Select, mesh) -> Frame:
+        from tpu_qe.exchange.dops import (distributed_aggregate_numpy,
+                                          distributed_count_distinct_numpy)
+        cols, tags = self._dist_table(sel.table)
+        if len(sel.group_by) != 1:
+            raise SqlError("distributed GROUP BY takes exactly one "
+                           "column")
+        gname = sel.group_by[0].name
+        if gname not in cols:
+            raise SqlError(f"unknown column {gname!r}")
+        gkey = _lift64_np(cols[gname])
+        calls = self._agg_calls_of(sel)
+        # plan one distributed_aggregate per value column; COUNT(*)
+        # rides any of them (or a dedicated count when none)
+        per_col: dict[str, set] = {}
+        distinct_cols = []
+        for c in calls:
+            if c.func not in _AGG_FUNCS:
+                raise SqlError(f"unknown aggregate {c.func}")
+            if c.distinct:
+                if c.func != "count":
+                    raise SqlError("DISTINCT only inside COUNT()")
+                distinct_cols.append(self._plain_col(c.args[0]))
+                continue
+            if c.func == "count":
+                continue
+            vn = self._plain_col(c.args[0])
+            if tags[vn] == "u64":
+                raise SqlError("aggregates over u64 columns are not "
+                               "supported")
+            want = {"avg": {"sum", "count"}}.get(c.func, {c.func})
+            per_col.setdefault(vn, set()).update(want)
+            if tags[vn] == "i32" and (per_col[vn] & {"sum", "min", "max"}
+                                      ) and (cols[vn] < 0).any():
+                raise SqlError(
+                    "distributed SUM/MIN/MAX over int32 with negatives "
+                    "is not supported (u32 bit-pattern combine); use "
+                    "the local path or bias-map the column")
+        results: dict[str, dict] = {}
+        need_count = True
+        for vn, aggs in per_col.items():
+            aggs = set(aggs)
+            if need_count:
+                aggs.add("count")
+                need_count = False
+            res = distributed_aggregate_numpy(
+                gkey, cols[vn], mesh, aggs=tuple(sorted(aggs)),
+                capacity_factor="auto")
+            for k, row in res.items():
+                dst = results.setdefault(k, {})
+                for a, v in row.items():
+                    dst[f"{vn}_{a}"] = v
+                    if a == "count":
+                        dst["__count"] = v
+        if need_count:
+            res = distributed_aggregate_numpy(
+                gkey, np.zeros(len(gkey), np.uint32), mesh,
+                aggs=("count",), capacity_factor="auto")
+            for k, row in res.items():
+                results.setdefault(k, {})["__count"] = row["count"]
+        for vn in distinct_cols:
+            if tags[vn] == "u64":
+                raise SqlError("COUNT(DISTINCT) over u64 columns is not "
+                               "supported distributed")
+            bits = (cols[vn] if tags[vn] == "u32"
+                    else np.asarray(sortable_u32(jnp.asarray(cols[vn]))))
+            res = distributed_count_distinct_numpy(
+                gkey, bits, mesh, capacity_factor="auto")
+            for k, v in res.items():
+                results.setdefault(k, {})[f"{vn}_count_distinct"] = v
+        gvals = np.array(sorted(results), np.uint64)
+        g = len(gvals)
+
+        def col_of(c: P.Call) -> np.ndarray:
+            if c.func == "count" and not c.distinct:
+                return np.array([results[k]["__count"] for k in gvals],
+                                np.int64)
+            vn = self._plain_col(c.args[0])
+            if c.distinct:
+                return np.array(
+                    [results[k][f"{vn}_count_distinct"] for k in gvals],
+                    np.int64)
+            if c.func == "avg":
+                s = np.array([results[k][f"{vn}_sum"] for k in gvals],
+                             np.float64)
+                n = np.array([results[k]["__count"] for k in gvals],
+                             np.float64)
+                return s / np.maximum(n, 1)
+            v = np.array([results[k][f"{vn}_{c.func}"] for k in gvals])
+            if c.func in ("min", "max") and tags[vn] != "u32":
+                v = _unlift64_np(v.astype(np.uint64), cols[vn].dtype) \
+                    if tags[vn] == "u64" else v.astype(cols[vn].dtype) \
+                    if tags[vn] == "f32" else v
+            return v
+
+        out, otags = {}, {}
+        for i, it in enumerate(sel.items):
+            name = it.alias or self._auto_name(it.expr, i)
+            if isinstance(it.expr, P.Col) and it.expr.name == gname:
+                out[name] = _unlift64_np(gvals, cols[gname].dtype)
+            elif isinstance(it.expr, P.Call):
+                out[name] = col_of(it.expr)
+            else:
+                raise SqlError("distributed aggregate items are the "
+                               "group column or aggregate calls")
+            otags[name] = str(out[name].dtype)
+        return Frame(out, otags)
+
+    def _dist_join_agg(self, sel: P.Select, mesh) -> Frame:
+        from tpu_qe.exchange.dops import distributed_join_aggregate_numpy
+        if len(sel.joins) != 1 or sel.joins[0].how != "inner":
+            raise SqlError("distributed joins: exactly one INNER JOIN")
+        j = sel.joins[0]
+        lcols, ltags = self._dist_table(sel.table)
+        rcols, rtags = self._dist_table(j.table)
+        lb, rb = sel.table.binding, j.table.binding
+
+        def side_of(c: P.Col):
+            if c.table == lb or (c.table is None and c.name in lcols
+                                 and c.name not in rcols):
+                return "l", c.name
+            if c.table == rb or (c.table is None and c.name in rcols):
+                return "r", c.name
+            raise SqlError(f"cannot resolve {c.key!r}")
+
+        ls, lkn = side_of(j.left_col)
+        rs, rkn = side_of(j.right_col)
+        if (ls, rs) == ("r", "l"):
+            lkn, rkn = rkn, lkn
+        lkey, rkey = _lift64_np(lcols[lkn]), _lift64_np(rcols[rkn])
+        if len(sel.group_by) != 1:
+            raise SqlError("distributed join needs GROUP BY the join "
+                           "key (the fused join->GROUP BY path)")
+        gs, gn = side_of(sel.group_by[0])
+        if gs != "l" or gn != lkn:
+            raise SqlError("distributed join aggregates GROUP BY the "
+                           "LEFT join key")
+        calls = self._agg_calls_of(sel)
+        vcols = set()
+        aggs = set()
+        for c in calls:
+            if c.distinct:
+                raise SqlError("COUNT(DISTINCT) is not supported in the "
+                               "distributed fused join")
+            if c.func == "count":
+                aggs.add("count")
+                continue
+            s, vn = side_of(c.args[0]) if c.args and isinstance(
+                c.args[0], P.Col) else (None, None)
+            if s != "r":
+                raise SqlError("distributed fused join aggregates RIGHT "
+                               "value columns")
+            vcols.add(vn)
+            aggs.update({"avg": {"sum", "count"}}.get(c.func, {c.func}))
+        if len(vcols) != 1:
+            raise SqlError("distributed fused join takes exactly one "
+                           "right value column")
+        vn = vcols.pop()
+        if rtags[vn] == "i32" and ({"sum", "min", "max"} & aggs) \
+                and (rcols[vn] < 0).any():
+            raise SqlError("distributed SUM/MIN/MAX over int32 with "
+                           "negatives is not supported")
+        # the fused path is the FK join: the straddler-broadcast bound
+        # (n_dev-1 slots) holds only for unique right keys, and SQL's
+        # one-to-many JOIN semantics differ from FK pick-one anyway —
+        # detect the shape here rather than overflow inside the exchange
+        if len(np.unique(rcols[rkn])) != len(rcols[rkn]):
+            raise SqlError("distributed fused join requires unique "
+                           "right join keys (the FK/dimension shape)")
+        aggs.add("count")
+        res = distributed_join_aggregate_numpy(
+            lkey, rkey, rcols[vn], mesh, aggs=tuple(sorted(aggs)),
+            capacity_factor="auto")
+        gvals = np.array(sorted(res), np.uint64)
+
+        def col_of(c: P.Call):
+            if c.func == "count":
+                return np.array([res[k]["count"] for k in gvals],
+                                np.int64)
+            if c.func == "avg":
+                s = np.array([res[k]["sum"] for k in gvals], np.float64)
+                n = np.array([res[k]["count"] for k in gvals],
+                             np.float64)
+                return s / np.maximum(n, 1)
+            return np.array([res[k][c.func] for k in gvals])
+
+        out, otags = {}, {}
+        for i, it in enumerate(sel.items):
+            name = it.alias or self._auto_name(it.expr, i)
+            if isinstance(it.expr, P.Col):
+                out[name] = _unlift64_np(gvals, lcols[lkn].dtype)
+            elif isinstance(it.expr, P.Call):
+                out[name] = col_of(it.expr)
+            else:
+                raise SqlError("distributed join items are the group "
+                               "column or aggregate calls")
+            otags[name] = str(out[name].dtype)
+        return Frame(out, otags)
+
+    def _dist_window(self, sel: P.Select, mesh) -> Frame:
+        from tpu_qe.exchange.dwindow import distributed_window_numpy
+        cols, tags = self._dist_table(sel.table)
+        funcs, values, plain = {}, {}, []
+        spec = None
+        for i, it in enumerate(sel.items):
+            if it.expr == "*":
+                raise SqlError("SELECT * with distributed windows")
+            name = it.alias or self._auto_name(it.expr, i)
+            if isinstance(it.expr, P.Col):
+                plain.append((name, it.expr.name))
+                continue
+            c = it.expr
+            if not (isinstance(c, P.Call) and c.window is not None):
+                raise SqlError("distributed window items are plain "
+                               "columns or window calls")
+            if len(c.window.partition_by) != 1:
+                raise SqlError("distributed windows partition by one "
+                               "column")
+            key = (c.window.partition_by[0].name,
+                   c.window.order_by.name if c.window.order_by else None)
+            if spec is None:
+                spec = key
+            elif spec != key:
+                raise SqlError("distributed windows share one "
+                               "(PARTITION BY, ORDER BY) spec")
+            kind = _WINDOW_FUNCS.get(c.func)
+            if kind is None:
+                raise SqlError(f"unknown window function {c.func}")
+            if kind in ("row_number", "rank", "dense_rank",
+                        "percent_rank"):
+                funcs[name] = (kind,)
+            elif kind == "ntile":
+                funcs[name] = (kind, int(c.args[0].value))
+            else:
+                vn = self._plain_col(c.args[0], "window arguments")
+                if (kind == "running_sum" and tags[vn] == "i32"
+                        and (cols[vn] < 0).any()):
+                    raise SqlError(
+                        "distributed SUM OVER int32 with negatives is "
+                        "not supported (sign-extended pair sums are "
+                        "in-core only)")
+                values[vn] = cols[vn]
+                funcs[name] = ((kind, vn, 0) if kind in ("lag", "lead")
+                               else (kind, vn))
+        if spec is None:
+            raise SqlError("no window calls found")
+        pname, oname = spec
+        res = distributed_window_numpy(
+            _lift64_np(cols[pname]), funcs, mesh,
+            order=None if oname is None else cols[oname],
+            values=values, capacity_factor="auto")
+        out, otags = {}, {}
+        for i, it in enumerate(sel.items):
+            name = it.alias or self._auto_name(it.expr, i)
+            if isinstance(it.expr, P.Col):
+                out[name] = cols[it.expr.name]
+            else:
+                out[name] = res[name]
+            otags[name] = str(out[name].dtype)
+        return Frame(out, otags)
+
+    def _dist_order_by(self, sel: P.Select, q: P.Query, mesh) -> Frame:
+        from tpu_qe.exchange.dorderby import distributed_order_by_numpy
+        cols, tags = self._dist_table(sel.table)
+        sel_names = []
+        for i, it in enumerate(sel.items):
+            if it.expr == "*":
+                sel_names += [(nm, nm) for nm in sorted(cols)]
+                continue
+            nm = self._plain_col(it.expr)
+            sel_names.append((it.alias or nm, nm))
+        if not q.order_by:
+            raise SqlError("distributed plain SELECT needs ORDER BY "
+                           "(it IS the distributed operator)")
+        by = [(item.col.name, "desc" if item.desc else "asc")
+              for item in q.order_by]
+        need = {src for _, src in sel_names} | {b[0] for b in by}
+        st, _pos = distributed_order_by_numpy(
+            {nm: cols[nm] for nm in need}, by, mesh,
+            capacity_factor="auto")
+        return Frame({out: st[src] for out, src in sel_names},
+                     {out: tags[src] for out, src in sel_names})
 
     # -- FROM/JOIN ----------------------------------------------------------
     def _bind_table(self, ref: P.TableRef):

@@ -276,13 +276,18 @@ class Table:
         from tpu_qe.ops.quantile import quantile
         return quantile(self._cols[key], qs)
 
-    def group_quantile(self, key: str, value: str, qs):
-        """Per-group exact PERCENTILE_DISC: GROUP BY key over value."""
+    def group_quantile(self, key: str, value: str, qs,
+                       max_groups: int | None = None):
+        """Per-group exact PERCENTILE_DISC: GROUP BY key over value.
+        max_groups bounds the extraction (ops/quantile.py) — pass it
+        when the cardinality is known; the rank gathers then cost
+        O(max_groups) instead of O(n)."""
         from tpu_qe.ops.quantile import group_quantile
         k = self._cols[key]
         if not isinstance(k, U64):
             raise TypeError(f"group key {key!r} must be u64")
-        return group_quantile(k, self._cols[value], qs)
+        return group_quantile(k, self._cols[value], qs,
+                              max_groups=max_groups)
 
     def quantile_cont(self, qs, key: str = "key"):
         """Exact global PERCENTILE_CONT (lower/upper/frac exact; f32
@@ -290,13 +295,15 @@ class Table:
         from tpu_qe.ops.quantile import quantile_cont
         return quantile_cont(self._cols[key], qs)
 
-    def group_quantile_cont(self, key: str, value: str, qs):
+    def group_quantile_cont(self, key: str, value: str, qs,
+                            max_groups: int | None = None):
         """Per-group exact PERCENTILE_CONT: GROUP BY key over value."""
         from tpu_qe.ops.quantile import group_quantile_cont
         k = self._cols[key]
         if not isinstance(k, U64):
             raise TypeError(f"group key {key!r} must be u64")
-        return group_quantile_cont(k, self._cols[value], qs)
+        return group_quantile_cont(k, self._cols[value], qs,
+                                   max_groups=max_groups)
 
     def top_k(self, k: int, key: str = "key", largest: bool = False):
         """k rows with the smallest/largest u64 key, best first (stable
