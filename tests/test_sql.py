@@ -487,3 +487,128 @@ class TestParserErrors:
         np.testing.assert_array_equal(out["s"], [3, 5, 7])
         out2 = db.sql(f"SELECT v FROM t WHERE h > {1 << 39} ORDER BY v")
         np.testing.assert_array_equal(out2["v"], [3, 4])
+
+
+# ---------------------------------------------------------------------------
+# ordered-set aggregates: PERCENTILE_DISC / PERCENTILE_CONT / MEDIAN
+# (numpy oracle — sqlite3 has no percentile functions)
+# ---------------------------------------------------------------------------
+
+def _disc_oracle(v: np.ndarray, q: float) -> float:
+    s = np.sort(v)
+    n = len(s)
+    r = min(max(int(np.ceil(q * n)) - 1, 0), n - 1)
+    return s[r]
+
+
+class TestPercentiles:
+    def test_global_median_and_disc(self):
+        rng = np.random.default_rng(3)
+        v = rng.integers(-500, 500, 1001).astype(np.int32)
+        db = Database()
+        db.register("t", {"v": v})
+        out = db.sql("SELECT MEDIAN(v) AS m, "
+                     "PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY v) "
+                     "AS p25 FROM t")
+        assert out["m"][0] == _disc_oracle(v, 0.5)
+        assert out["p25"][0] == _disc_oracle(v, 0.25)
+
+    def test_group_percentile_disc(self):
+        rng = np.random.default_rng(4)
+        k = rng.integers(0, 7, 3000).astype(np.uint32)
+        v = rng.integers(0, 10000, 3000).astype(np.uint32)
+        db = Database()
+        db.register("t", {"k": k, "v": v})
+        out = db.sql("SELECT k, PERCENTILE_DISC(0.9) WITHIN GROUP "
+                     "(ORDER BY v) AS p90, COUNT(*) AS c FROM t "
+                     "GROUP BY k ORDER BY k")
+        for i, kk in enumerate(out["k"]):
+            grp = v[k == kk]
+            assert out["p90"][i] == _disc_oracle(grp, 0.9), kk
+            assert out["c"][i] == len(grp)
+
+    def test_group_percentile_cont_matches_numpy_linear(self):
+        rng = np.random.default_rng(5)
+        k = rng.integers(0, 5, 2000).astype(np.uint32)
+        v = rng.integers(0, 1000, 2000).astype(np.int32)
+        db = Database()
+        db.register("t", {"k": k, "v": v})
+        out = db.sql("SELECT k, PERCENTILE_CONT(0.75) WITHIN GROUP "
+                     "(ORDER BY v) AS p FROM t GROUP BY k ORDER BY k")
+        for i, kk in enumerate(out["k"]):
+            want = np.percentile(v[k == kk], 75, method="linear")
+            np.testing.assert_allclose(out["p"][i], want, rtol=1e-5)
+
+    def test_median_in_having(self):
+        k = np.repeat(np.arange(4, dtype=np.uint32), 5)
+        v = np.arange(20, dtype=np.int32)      # group g holds 5g..5g+4
+        db = Database()
+        db.register("t", {"k": k, "v": v})
+        out = db.sql("SELECT k FROM t GROUP BY k "
+                     "HAVING MEDIAN(v) > 7 ORDER BY k")
+        np.testing.assert_array_equal(out["k"], [2, 3])
+
+    def test_percentile_with_where_and_other_aggs(self):
+        rng = np.random.default_rng(6)
+        k = rng.integers(0, 3, 999).astype(np.uint32)
+        v = rng.integers(-50, 50, 999).astype(np.int32)
+        db = Database()
+        db.register("t", {"k": k, "v": v})
+        out = db.sql("SELECT k, SUM(v) AS s, MEDIAN(v) AS m FROM t "
+                     "WHERE v <> 0 GROUP BY k ORDER BY k")
+        sel = v != 0
+        for i, kk in enumerate(out["k"]):
+            grp = v[sel & (k == kk)]
+            assert out["s"][i] == grp.sum()
+            assert out["m"][i] == _disc_oracle(grp, 0.5)
+
+    def test_percentile_requires_within(self):
+        db = Database()
+        db.register("t", {"v": np.arange(8, dtype=np.uint32)})
+        with pytest.raises(SqlError, match="WITHIN GROUP"):
+            db.sql("SELECT PERCENTILE_DISC(0.5) FROM t")
+
+    def test_within_on_plain_agg_rejected(self):
+        db = Database()
+        db.register("t", {"v": np.arange(8, dtype=np.uint32)})
+        with pytest.raises(SqlError, match="WITHIN GROUP"):
+            db.sql("SELECT SUM(0.5) WITHIN GROUP (ORDER BY v) FROM t")
+
+
+# ---------------------------------------------------------------------------
+# device-resident ORDER BY / LIMIT (row-scale frames stay on device;
+# the readback is LIMIT-bounded — executor._device_order_limit)
+# ---------------------------------------------------------------------------
+
+class TestDeviceOrderLimit:
+    def test_order_limit_matches_host_semantics(self, engines):
+        db, con = engines
+        check(db, con,
+              "SELECT id, v, f FROM t WHERE v > 0 "
+              "ORDER BY v DESC, id LIMIT 17", ordered=True)
+
+    def test_limit_without_order(self, engines):
+        db, _ = engines
+        out = db.sql("SELECT id FROM t LIMIT 5")
+        assert len(out["id"]) == 5   # any 5 rows; engine takes the head
+        np.testing.assert_array_equal(out["id"], np.arange(5))
+
+    def test_order_by_bool_expression(self):
+        db = Database()
+        db.register("t", {"v": np.array([3, 1, 2, 4], np.int32)})
+        out = db.sql("SELECT v, v > 2 AS big FROM t ORDER BY big, v")
+        np.testing.assert_array_equal(out["v"], [1, 2, 3, 4])
+        np.testing.assert_array_equal(out["big"],
+                                      [False, False, True, True])
+
+    def test_order_by_window_i64_sum_host_fallback(self):
+        # i64 pair-sum window outputs take the host lexsort fallback
+        k = np.zeros(6, np.uint32)
+        v = np.array([5, -3, 10, -20, 1, 2], np.int32)
+        o = np.arange(6, dtype=np.uint32)
+        db = Database()
+        db.register("t", {"k": k, "v": v, "o": o})
+        out = db.sql("SELECT o, SUM(v) OVER (PARTITION BY k ORDER BY o)"
+                     " AS s FROM t ORDER BY s LIMIT 3")
+        want = np.sort(np.cumsum(v))[:3]
+        np.testing.assert_array_equal(out["s"], want)

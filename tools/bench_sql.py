@@ -71,6 +71,7 @@ def main():
     t_sql = time.perf_counter() - t0
 
     def direct():
+        from tpu_qe.sql.executor import _head_np
         mask = (v % jnp.int32(4)) != 0
         ct, cnt = compact(Table({"k": key, "v": v}), mask)
         m = int(np.asarray(cnt))
@@ -78,10 +79,13 @@ def main():
         gkey = U64(ct["k"], jnp.zeros(m, jnp.uint32))
         res = group_aggregate_multi(gkey, {"v": ct["v"]},
                                     {"v": ("sum", "min", "max", "count")})
+        # G-bounded readbacks: slice on device before the transfer (the
+        # padded outputs are n-sized; np.asarray(x)[:g] would ship them
+        # whole over the ~25-30 MB/s tunnel)
         g = int(np.asarray(res.num_groups))
-        return {"k": np.asarray(res.key.lo)[:g],
-                "s": res.aggs["v_sum"].to_numpy()[:g].view(np.int64),
-                "c": np.asarray(res.aggs["v_count"])[:g]}
+        return {"k": _head_np(res.key.lo, g),
+                "s": _head_np(res.aggs["v_sum"], g).view(np.int64),
+                "c": _head_np(res.aggs["v_count"], g)}
 
     ref = direct()
     t0 = time.perf_counter()

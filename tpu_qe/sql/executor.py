@@ -45,6 +45,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -55,6 +56,9 @@ from tpu_qe.sql import parser as P
 SqlError = P.SqlError
 
 _AGG_FUNCS = frozenset(["count", "sum", "min", "max", "avg"])
+# ordered-set aggregates: PERCENTILE_DISC/CONT(q) WITHIN GROUP
+# (ORDER BY col) + MEDIAN(col) sugar — ops/quantile.py at group scale
+_PCT_FUNCS = frozenset(["percentile_disc", "percentile_cont", "median"])
 _WINDOW_FUNCS = {
     "row_number": "row_number", "rank": "rank", "dense_rank": "dense_rank",
     "sum": "running_sum", "min": "running_min", "max": "running_max",
@@ -87,6 +91,28 @@ def _np_of(col, tag: str) -> np.ndarray:
     if tag == "u64":
         return col.to_numpy()
     return np.asarray(col)
+
+
+def _pow2_cap(g: int, n: int) -> int:
+    c = 1
+    while c < g:
+        c <<= 1
+    return min(c, n)
+
+
+def _head_np(arr, g: int) -> np.ndarray:
+    """Read back only the first g rows of a padded device array.
+
+    Slices ON DEVICE to a pow2 cap first (a bounded set of slice shapes,
+    so compile count stays O(log n)) — `np.asarray(arr)[:g]` would ship
+    the WHOLE padded buffer over the ~25-30 MB/s tunnel before slicing
+    (measured: a G-bounded group frame read back at n=134M scale cost
+    ~80 s of pure transfer; g-bounded it is milliseconds)."""
+    if isinstance(arr, U64):
+        cap = _pow2_cap(g, arr.lo.shape[0])
+        return U64(arr.lo[:cap], arr.hi[:cap]).to_numpy()[:g]
+    cap = _pow2_cap(g, arr.shape[0])
+    return np.asarray(arr[:cap])[:g]
 
 
 def _lift_key(col, tag: str) -> U64:
@@ -363,35 +389,109 @@ def _calls(e, *, window: bool):
 
 @dataclasses.dataclass
 class Frame:
-    """Output-scale numpy columns (dense, no padding)."""
-    cols: dict                   # name -> np array
+    """Result columns + tags. Columns may be HOST numpy arrays
+    (output-scale frames: group tables, set-op keys) or still-DEVICE
+    arrays/U64 pairs (row-scale frames from plain SELECTs) — device
+    columns stay on device until `_materialize`, so ORDER BY / LIMIT
+    can run there and the host transfer is bounded by the LIMIT head
+    rather than n (the tunnel moves ~25-30 MB/s; a full-n readback of
+    a 134M-row frame costs minutes)."""
+    cols: dict                   # name -> np array | jnp array | U64
     tags: dict                   # name -> tag
 
     @property
     def num_rows(self) -> int:
-        return len(next(iter(self.cols.values()))) if self.cols else 0
+        if not self.cols:
+            return 0
+        c = next(iter(self.cols.values()))
+        return c.lo.shape[0] if isinstance(c, U64) else c.shape[0]
+
+
+def _is_dev(col) -> bool:
+    return isinstance(col, (U64, jax.Array))
+
+
+def _materialize(fr: Frame) -> Frame:
+    """Read every still-device column back to numpy (honoring tags:
+    device bools that rode a sort as uint32 come back as np.bool_)."""
+    cols = {}
+    for k, v in fr.cols.items():
+        if isinstance(v, U64):
+            raw = v.to_numpy()
+            cols[k] = (raw.view(np.int64) if fr.tags.get(k) == "i64sum"
+                       else raw)
+        elif isinstance(v, jax.Array):
+            a = np.asarray(v)
+            cols[k] = a.astype(bool) if fr.tags.get(k) == "bool" else a
+        else:
+            cols[k] = v
+    return Frame(cols, fr.tags)
+
+
+def _resolve_order_name(fr: Frame, name: str) -> str:
+    if name in fr.cols:
+        return name
+    # qualified ref vs auto-named output (t.id -> id), or bare ref vs a
+    # qualified output column
+    cands = [c for c in fr.cols
+             if c == name.split(".")[-1] or c.split(".")[-1] == name]
+    if len(cands) != 1:
+        raise SqlError(f"ORDER BY column {name!r} is not in the "
+                       f"result (columns: {sorted(fr.cols)})")
+    return cands[0]
+
+
+_DEV_SORT_TAGS = frozenset(["u32", "i32", "f32", "u64", "bool"])
+
+
+def _device_order_limit(fr: Frame, order_by, limit) -> Frame | None:
+    """ORDER BY + LIMIT executed on device (ops/orderby.sort_by_multi,
+    the engine's one-lexicographic-sort operator) when every column is
+    still device-resident with a sortable tag; LIMIT heads are sliced
+    on device so only `limit` rows cross the tunnel. Returns None when
+    the frame shape needs the host path (mixed host columns, i64
+    window outputs)."""
+    if not all(_is_dev(v) and fr.tags.get(k) in _DEV_SORT_TAGS
+               for k, v in fr.cols.items()):
+        return None
+    cols = {k: (v.astype(jnp.uint32) if not isinstance(v, U64)
+                and v.dtype == jnp.bool_ else v)
+            for k, v in fr.cols.items()}
+    if order_by:
+        from tpu_qe.ops.orderby import sort_by_multi
+        by = []
+        seen = set()
+        for item in order_by:
+            nm = _resolve_order_name(fr, item.col.key)
+            if nm in seen:
+                continue        # later duplicate keys cannot re-order
+            seen.add(nm)
+            by.append((nm, "desc" if item.desc else "asc"))
+        t = sort_by_multi(Table(cols), by)
+        cols = {k: t[k] for k in cols}
+    if limit is not None:
+        cols = {k: (U64(v.lo[:limit], v.hi[:limit])
+                    if isinstance(v, U64) else v[:limit])
+                for k, v in cols.items()}
+    return _materialize(Frame(cols, fr.tags))
 
 
 def _frame_order_limit(fr: Frame, order_by, limit) -> Frame:
-    """ORDER BY + LIMIT on a host frame. np.lexsort takes keys least-
-    significant first (last key is primary), so the input-position key
-    goes first (stable tie-break) and order items are appended in
-    reverse."""
+    """ORDER BY + LIMIT: on device while the frame still is (row-scale
+    results), else host np.lexsort (output-scale group frames).
+    np.lexsort takes keys least-significant first (last key is
+    primary), so the input-position key goes first (stable tie-break)
+    and order items are appended in reverse."""
+    if (order_by or limit is not None) and any(
+            _is_dev(v) for v in fr.cols.values()):
+        out = _device_order_limit(fr, order_by, limit)
+        if out is not None:
+            return out
+    fr = _materialize(fr)
     if order_by:
         keys = [np.arange(fr.num_rows)]
         for item in reversed(order_by):
-            name = item.col.key
-            if name not in fr.cols:
-                # qualified ref vs auto-named output (t.id -> id), or
-                # bare ref vs a qualified output column
-                cands = [c for c in fr.cols
-                         if c == name.split(".")[-1]
-                         or c.split(".")[-1] == name]
-                if len(cands) != 1:
-                    raise SqlError(
-                        f"ORDER BY column {name!r} is not in the "
-                        f"result (columns: {sorted(fr.cols)})")
-                name = cands[0]
+            name = _resolve_order_name(fr, item.col.key)
             k = fr.cols[name]
             if item.desc:
                 if k.dtype == np.uint64:
@@ -441,11 +541,13 @@ class Database:
         if mesh is not None:
             return self._sql_distributed(q, mesh)
         frames = [self._select(s) for s in q.selects]
+        if len(frames) > 1:
+            frames = [_materialize(f) for f in frames]
         fr = frames[0]
         for (op, all_), nxt in zip(q.set_ops, frames[1:]):
             fr = self._set_op(fr, nxt, op, all_)
         fr = _frame_order_limit(fr, q.order_by, q.limit)
-        return dict(fr.cols)
+        return dict(_materialize(fr).cols)
 
     # -- distributed execution (mesh=) --------------------------------------
     def _sql_distributed(self, q: P.Query, mesh) -> dict:
@@ -966,7 +1068,7 @@ class Database:
         else:
             fr = self._plain(sel, env, n)
         if sel.distinct:
-            fr = self._distinct_frame(fr)
+            fr = self._distinct_frame(_materialize(fr))
         return fr
 
     @staticmethod
@@ -981,7 +1083,10 @@ class Database:
     # -- plain (non-aggregate) SELECT -----------------------------------------
     def _plain(self, sel: P.Select, env: _RowEnv, n: int) -> Frame:
         # window calls first: one ops/window call per (partition, order)
-        # spec computes every requested function in one composite sort
+        # spec computes every requested function in one composite sort.
+        # Columns stay ON DEVICE here — _frame_order_limit runs ORDER
+        # BY / LIMIT there and _materialize draws the readback boundary
+        # at output scale (LIMIT heads transfer `limit` rows, not n).
         wcols = self._window_columns(sel, env, n)
         cols, tags = {}, {}
         for i, it in enumerate(sel.items):
@@ -989,8 +1094,7 @@ class Database:
                 for ref, phys in sorted(env.names.items()):
                     if "." in ref:
                         continue
-                    c = env.table[phys]
-                    cols[ref] = _np_of(c, env.tags[phys])
+                    cols[ref] = env.table[phys]
                     tags[ref] = env.tags[phys]
                 continue
             name = it.alias or self._auto_name(it.expr, i)
@@ -1003,7 +1107,7 @@ class Database:
             if not isinstance(arr, U64) and (not hasattr(arr, "shape")
                                              or arr.shape == ()):
                 arr = jnp.broadcast_to(arr, (n,))
-            cols[name] = _np_of(arr, tv.tag)
+            cols[name] = arr
             tags[name] = tv.tag
         return Frame(cols, tags)
 
@@ -1097,20 +1201,18 @@ class Database:
                 v = res.cols[wname]
                 tag = tagof[wname]
                 if isinstance(v, U64):
-                    raw = v.to_numpy()
                     # integer running sums: u32 inputs are non-negative
                     # (u64 view exact); i32 sign-extended pairs read as
-                    # two's-complement i64
+                    # two's-complement i64 — both resolved at
+                    # _materialize via the tag (stays on device here)
                     vtag = None
                     for a in c.args:
                         if isinstance(a, P.Col):
                             vtag = env.tags[env.resolve(a)]
-                    arr = (raw.view(np.int64) if vtag == "i32"
-                           else raw)
-                    out[id(c)] = (arr, "i64")
+                    out[id(c)] = (v, "i64sum" if vtag == "i32"
+                                  else "u64sum")
                 else:
-                    out[id(c)] = (_np_of(v, tag) if tag != "f32"
-                                  else np.asarray(v), tag)
+                    out[id(c)] = (v, tag)
         return out
 
     @staticmethod
@@ -1157,13 +1259,48 @@ class Database:
         if sel.having is not None:
             aggcalls += _calls(sel.having, window=False)
         for c in aggcalls:
-            if c.func not in _AGG_FUNCS or c.window is not None:
+            if (c.func not in _AGG_FUNCS and c.func not in _PCT_FUNCS) \
+                    or c.window is not None:
                 raise SqlError(f"unknown aggregate {c.func}")
+
+        # ordered-set aggregates: collect (value col, disc|cont, q)
+        # specs per call — executed below via ops/quantile group_*
+        pct_specs: dict[tuple, list] = {}   # (phys, kind) -> [(num,shift)]
+        pct_of: dict[int, tuple] = {}       # id(call) -> (phys, kind, qi)
+        from tpu_qe.ops.quantile import canon_qs
+        for c in aggcalls:
+            if c.func not in _PCT_FUNCS:
+                if c.within_order is not None:
+                    raise SqlError(f"{c.func} does not take WITHIN GROUP")
+                continue
+            if c.func == "median":
+                if len(c.args) != 1 or not isinstance(c.args[0], P.Col) \
+                        or c.within_order is not None:
+                    raise SqlError("MEDIAN takes one plain column")
+                phys, kind, q = env.resolve(c.args[0]), "disc", (1, 1)
+            else:
+                if c.within_order is None:
+                    raise SqlError(f"{c.func} needs WITHIN GROUP "
+                                   "(ORDER BY col)")
+                if len(c.args) != 1 or not isinstance(c.args[0], P.Lit):
+                    raise SqlError(f"{c.func} takes one numeric literal")
+                kind = "disc" if c.func == "percentile_disc" else "cont"
+                phys = env.resolve(c.within_order)
+                (q,) = canon_qs([float(c.args[0].value)])
+            if env.tags[phys] == "u64":
+                raise SqlError("percentiles over u64 columns are not "
+                               "supported in SQL (use Table.quantile)")
+            qlist = pct_specs.setdefault((phys, kind), [])
+            if q not in qlist:
+                qlist.append(q)
+            pct_of[id(c)] = (phys, kind, qlist.index(q))
 
         # run the multi-aggregate: values keyed by source column
         values, aggspec = {}, {}
         distinct_cols = []
         for c in aggcalls:
+            if c.func in _PCT_FUNCS:
+                continue        # handled via pct_specs below
             if c.func == "count" and (c.args == ("*",) or not c.distinct):
                 continue        # derived from the count agg below
             if c.distinct:
@@ -1197,23 +1334,24 @@ class Database:
         mres = (group_aggregate_multi(gkey, values, aggspec)
                 if values else group_aggregate(gkey, aggs=("count",)))
         g = int(np.asarray(mres.num_groups))
-        gkeys_lo = mres.key.to_numpy()[:g]
 
-        # per-group frame of aggregate results (numpy, G-bounded)
+        # per-group frame of aggregate results (numpy, G-bounded: every
+        # padded n-sized device output is head-sliced ON DEVICE before
+        # the transfer — see _head_np)
         agg_np: dict[str, np.ndarray] = {}
         if values:
             first = sorted(values)[0]
-            cnt = np.asarray(mres.aggs[f"{first}_count"])[:g]
+            cnt = _head_np(mres.aggs[f"{first}_count"], g)
         else:
-            cnt = np.asarray(mres.aggs["count"])[:g]
+            cnt = _head_np(mres.aggs["count"], g)
         for name, arr in (mres.aggs or {}).items():
             if isinstance(arr, U64):
-                raw = arr.to_numpy()[:g]
+                raw = _head_np(arr, g)
                 src = name.rsplit("_", 1)[0]
                 agg_np[name] = (raw.view(np.int64)
                                 if env.tags.get(src) == "i32" else raw)
             else:
-                agg_np[name] = np.asarray(arr)[:g]
+                agg_np[name] = _head_np(arr, g)
         for phys in distinct_cols:
             tv = env.table[phys]
             dres = group_aggregate(gkey, sortable_u32(tv)
@@ -1221,25 +1359,47 @@ class Database:
                                    aggs=("count_distinct",))
             dg = int(np.asarray(dres.num_groups))
             assert dg == g, (dg, g)
-            agg_np[f"{phys}_count_distinct"] = np.asarray(
-                dres.aggs["count_distinct"])[:g]
+            agg_np[f"{phys}_count_distinct"] = _head_np(
+                dres.aggs["count_distinct"], g)
+        # ordered-set aggregates: one group_quantile[_cont] per
+        # (value column, kind) computes every requested q in one sorted
+        # layout; readbacks are g-bounded device head slices
+        pct_np: dict[tuple, np.ndarray] = {}
+        if pct_specs:
+            from tpu_qe.ops.quantile import (group_quantile,
+                                             group_quantile_cont)
+            for (phys, kind), qlist in pct_specs.items():
+                val = env.table[phys]
+                if kind == "disc":
+                    qr = group_quantile(gkey, val, qlist)
+                    rows = qr.quantiles
+                else:
+                    qr = group_quantile_cont(gkey, val, qlist)
+                    rows = qr.value          # f32 interpolation (SQL's
+                    #                          double for numeric cols)
+                qg = int(np.asarray(qr.num_groups))
+                assert qg == g, (qg, g)
+                for qi in range(len(qlist)):
+                    pct_np[(phys, kind, qi)] = _head_np(rows[qi], g)
 
         # group-key output values
         gvals: dict[str, np.ndarray] = {}
         if len(gtvs) == 1:
             t = gtvs[0]
             if t.tag == "u64":
-                gvals[gcols[0].key] = mres.key.to_numpy()[:g]
+                gvals[gcols[0].key] = _head_np(mres.key, g)
             else:
                 gvals[gcols[0].key] = _unlift_key(
-                    np.asarray(mres.key.lo)[:g], t.tag)
+                    _head_np(mres.key.lo, g), t.tag)
         elif len(gtvs) == 2:
-            khi = np.asarray(mres.key.hi)[:g]
-            klo = np.asarray(mres.key.lo)[:g]
+            khi = _head_np(mres.key.hi, g)
+            klo = _head_np(mres.key.lo, g)
             gvals[gcols[0].key] = _unlift_key(khi, gtvs[0].tag)
             gvals[gcols[1].key] = _unlift_key(klo, gtvs[1].tag)
 
         def agg_value(c: P.Call) -> np.ndarray:
+            if c.func in _PCT_FUNCS:
+                return pct_np[pct_of[id(c)]]
             if c.func == "count":
                 if c.distinct:
                     phys = env.resolve(c.args[0])
@@ -1346,9 +1506,9 @@ class Database:
         pb = U64.from_numpy(_lift64_np(kb))
         keys, c_a, c_b, num = dev_set_op(pa, pb, op)
         m = int(np.asarray(num))
-        k64 = keys.to_numpy()[:m]
-        ca = np.asarray(c_a)[:m].astype(np.int64)
-        cb = np.asarray(c_b)[:m].astype(np.int64)
+        k64 = _head_np(keys, m)
+        ca = _head_np(c_a, m).astype(np.int64)
+        cb = _head_np(c_b, m).astype(np.int64)
         if not all_:
             reps = np.ones(m, np.int64)
         elif op == "union":

@@ -68,7 +68,7 @@ KEYWORDS = frozenset(
     """select from where group by having order limit as and or not
     join inner left right full outer on distinct union intersect except
     all asc desc over partition case when then else end between in is
-    null true false cast""".split()
+    null true false cast within""".split()
 )
 
 
@@ -160,6 +160,7 @@ class Call:
     args: tuple                # expr args; ("*",) for COUNT(*)
     distinct: bool = False     # COUNT(DISTINCT x)
     window: "WindowSpec | None" = None
+    within_order: "Col | None" = None  # f(q) WITHIN GROUP (ORDER BY col)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -504,7 +505,20 @@ class _Parser:
                 lst.append(self.expr())
             args = tuple(lst)
         self.expect_op(")")
-        return self._maybe_over(Call(fname, args, distinct))
+        return self._maybe_over(self._maybe_within(
+            Call(fname, args, distinct)))
+
+    def _maybe_within(self, c: Call) -> Call:
+        # ordered-set aggregate: f(q) WITHIN GROUP (ORDER BY col)
+        if not self.kw("within"):
+            return c
+        self.expect_kw("group")
+        self.expect_op("(")
+        self.expect_kw("order")
+        self.expect_kw("by")
+        col = self.colref()
+        self.expect_op(")")
+        return dataclasses.replace(c, within_order=col)
 
     def _maybe_over(self, c: Call) -> Call:
         if not self.kw("over"):
