@@ -612,3 +612,53 @@ class TestDeviceOrderLimit:
                      " AS s FROM t ORDER BY s LIMIT 3")
         want = np.sort(np.cumsum(v))[:3]
         np.testing.assert_array_equal(out["s"], want)
+
+
+# ---------------------------------------------------------------------------
+# expressions inside aggregate arguments (synthetic value columns)
+# ---------------------------------------------------------------------------
+
+class TestAggExpressions:
+    def test_sum_product(self, engines):
+        db, con = engines
+        check(db, con, "SELECT k, SUM(v * 2) AS s, SUM(v + u) AS t2 "
+                       "FROM t GROUP BY k ORDER BY k", ordered=True)
+
+    def test_count_distinct_expr(self, engines):
+        db, con = engines
+        check(db, con, "SELECT g, COUNT(DISTINCT v % 7) AS d FROM t "
+                       "GROUP BY g ORDER BY g", ordered=True)
+
+    def test_avg_min_max_exprs(self, engines):
+        db, con = engines
+        check(db, con,
+              "SELECT k, AVG(v - u) AS a, MIN(-v) AS mn, "
+              "MAX(v % 13) AS mx FROM t GROUP BY k ORDER BY k",
+              ordered=True)
+
+    def test_case_inside_sum(self, engines):
+        db, con = engines
+        check(db, con,
+              "SELECT g, SUM(CASE WHEN v > 0 THEN v ELSE 0 END) AS s "
+              "FROM t GROUP BY g ORDER BY g", ordered=True)
+
+    def test_shared_expr_evaluated_once(self, engines):
+        db, con = engines
+        check(db, con,
+              "SELECT k, SUM(v % 5) AS s, AVG(v % 5) AS a FROM t "
+              "GROUP BY k ORDER BY k", ordered=True)
+
+    def test_median_of_expression(self):
+        k = np.repeat(np.arange(3, dtype=np.uint32), 7)
+        v = np.arange(21, dtype=np.int32)
+        db = Database()
+        db.register("t", {"k": k, "v": v})
+        out = db.sql("SELECT k, MEDIAN(v * 2) AS m FROM t GROUP BY k "
+                     "ORDER BY k")
+        np.testing.assert_array_equal(
+            out["m"], [2 * np.median(v[k == kk]) for kk in range(3)])
+
+    def test_nested_agg_rejected(self, engines):
+        db, _ = engines
+        with pytest.raises(SqlError, match="nested"):
+            db.sql("SELECT k, SUM(v + COUNT(*)) AS s FROM t GROUP BY k")

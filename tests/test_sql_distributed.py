@@ -141,3 +141,21 @@ def test_unsupported_shapes_raise():
     with pytest.raises(SqlError, match="HAVING"):
         db.sql("SELECT k, COUNT(*) AS c FROM t GROUP BY k "
                "HAVING COUNT(*) > 2", mesh=mesh)
+
+
+@pytest.mark.parametrize("n_dev", [1, 2, 8])
+def test_percentiles(n_dev):
+    db = _db(7)
+    sql = ("SELECT k, MEDIAN(v) AS m, PERCENTILE_DISC(0.9) WITHIN "
+           "GROUP (ORDER BY v) AS p90, COUNT(*) AS c FROM t "
+           "GROUP BY k ORDER BY k")
+    _cmp(db.sql(sql), db.sql(sql, mesh=make_mesh(n_dev)))
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_percentile_cont(n_dev):
+    db = _db(8)
+    sql = ("SELECT k, PERCENTILE_CONT(0.75) WITHIN GROUP "
+           "(ORDER BY v) AS p FROM t GROUP BY k ORDER BY k")
+    _cmp(db.sql(sql), db.sql(sql, mesh=make_mesh(n_dev)),
+         float_cols=("p",))

@@ -388,3 +388,24 @@ def distributed_group_quantile_numpy(keys, values, qs, mesh: Mesh,
     v = np.asarray(vals)[:, :ng]
     return {int((h << np.uint64(32)) | l): list(v[:, i])
             for i, (h, l) in enumerate(zip(khi, klo))}
+
+
+def distributed_group_quantile_cont_numpy(keys, values, qs, mesh: Mesh,
+                                          max_groups: int):
+    """Host wrapper for distributed_group_quantile_cont:
+    {key -> [f32 interpolated PERCENTILE_CONT per q]} over all shards
+    (the exact rational fields stay available on the device API)."""
+    sh = NamedSharding(mesh, P(AXIS))
+    u = U64.from_numpy(keys)
+    key = U64(jax.device_put(u.lo, sh), jax.device_put(u.hi, sh))
+    val = jax.device_put(jnp.asarray(values), sh)
+    gk, _lo, _up, _fr, _sh, v, cnt, ng, ovf = \
+        distributed_group_quantile_cont(key, val, qs, mesh, max_groups)
+    if int(ovf):
+        raise RuntimeError("distinct keys exceed max_groups")
+    ng = int(ng)
+    klo = np.asarray(gk.lo)[:ng].astype(np.uint64)
+    khi = np.asarray(gk.hi)[:ng].astype(np.uint64)
+    vv = np.asarray(v)[:, :ng]
+    return {int((h << np.uint64(32)) | l): list(vv[:, i])
+            for i, (h, l) in enumerate(zip(khi, klo))}

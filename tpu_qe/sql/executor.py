@@ -672,6 +672,8 @@ class Database:
         per_col: dict[str, set] = {}
         distinct_cols = []
         for c in calls:
+            if c.func in _PCT_FUNCS:
+                continue        # collected into pct_specs below
             if c.func not in _AGG_FUNCS:
                 raise SqlError(f"unknown aggregate {c.func}")
             if c.distinct:
@@ -693,6 +695,31 @@ class Database:
                     "distributed SUM/MIN/MAX over int32 with negatives "
                     "is not supported (u32 bit-pattern combine); use "
                     "the local path or bias-map the column")
+        # ordered-set aggregates ride the zero-row-movement bisection
+        # (exchange/dquantile) — collect specs like the local path
+        pct_specs: dict[tuple, list] = {}
+        pct_of: dict[int, tuple] = {}
+        from tpu_qe.ops.quantile import canon_qs
+        for c in calls:
+            if c.func not in _PCT_FUNCS:
+                continue
+            if c.func == "median":
+                vn, kind, q = self._plain_col(c.args[0]), "disc", (1, 1)
+            else:
+                if c.within_order is None:
+                    raise SqlError(f"{c.func} needs WITHIN GROUP "
+                                   "(ORDER BY col)")
+                kind = "disc" if c.func == "percentile_disc" else "cont"
+                vn = c.within_order.name
+                (q,) = canon_qs([float(c.args[0].value)])
+            if tags[vn] == "u64":
+                raise SqlError("percentiles over u64 columns are not "
+                               "supported distributed")
+            qlist = pct_specs.setdefault((vn, kind), [])
+            if q not in qlist:
+                qlist.append(q)
+            pct_of[id(c)] = (vn, kind, qlist.index(q))
+
         results: dict[str, dict] = {}
         need_count = True
         for vn, aggs in per_col.items():
@@ -725,10 +752,40 @@ class Database:
                 gkey, bits, mesh, capacity_factor="auto")
             for k, v in res.items():
                 results.setdefault(k, {})[f"{vn}_count_distinct"] = v
+        if pct_specs:
+            from tpu_qe.exchange.dquantile import (
+                distributed_group_quantile_cont_numpy,
+                distributed_group_quantile_numpy)
+            for (vn, kind), qlist in pct_specs.items():
+                fn = (distributed_group_quantile_numpy if kind == "disc"
+                      else distributed_group_quantile_cont_numpy)
+                # plan-then-retry on the exact overflow signal: the
+                # operator detects (never truncates silently) when
+                # distinct keys exceed max_groups
+                mg = 1024
+                while True:
+                    try:
+                        res = fn(gkey, cols[vn], qlist, mesh,
+                                 max_groups=mg)
+                        break
+                    except RuntimeError:
+                        if mg >= len(gkey):
+                            raise
+                        mg = min(mg * 4, max(len(gkey), 1))
+                for k, v in res.items():
+                    dst = results.setdefault(k, {})
+                    for qi, val in enumerate(v):
+                        dst[f"{vn}_{kind}_{qi}"] = val
         gvals = np.array(sorted(results), np.uint64)
         g = len(gvals)
 
         def col_of(c: P.Call) -> np.ndarray:
+            if c.func in _PCT_FUNCS:
+                vn, kind, qi = pct_of[id(c)]
+                vals = np.array([results[k][f"{vn}_{kind}_{qi}"]
+                                 for k in gvals])
+                return (vals if kind == "cont"
+                        else vals.astype(cols[vn].dtype))
             if c.func == "count" and not c.distinct:
                 return np.array([results[k]["__count"] for k in gvals],
                                 np.int64)
@@ -1068,7 +1125,7 @@ class Database:
         else:
             fr = self._plain(sel, env, n)
         if sel.distinct:
-            fr = self._distinct_frame(_materialize(fr))
+            fr = self._distinct_frame(fr)
         return fr
 
     @staticmethod
@@ -1263,6 +1320,39 @@ class Database:
                     or c.window is not None:
                 raise SqlError(f"unknown aggregate {c.func}")
 
+        # aggregate arguments: plain columns resolve directly;
+        # expressions (SUM(a*b), COUNT(DISTINCT x % 5)) evaluate to a
+        # synthetic device column once per distinct expression
+        extra_cols: dict[str, object] = {}     # synthetic name -> array
+        expr_names: dict[str, str] = {}        # repr(expr) -> name
+
+        def _value_of(arg) -> str:
+            if isinstance(arg, P.Col):
+                return env.resolve(arg)
+            rep = repr(arg)
+            if rep in expr_names:
+                return expr_names[rep]
+            if _calls(arg, window=False) or _calls(arg, window=True):
+                raise SqlError("nested calls inside aggregate "
+                               "arguments are not supported")
+            tv = _eval(arg, env, n)
+            arr = tv.arr
+            tag = tv.tag
+            if tag == "bool":
+                arr, tag = arr.astype(jnp.uint32), "u32"
+            if not isinstance(arr, U64) and (not hasattr(arr, "shape")
+                                             or arr.shape == ()):
+                arr = jnp.broadcast_to(arr, (n,))
+            nm = f"__aggexpr{len(expr_names)}"
+            expr_names[rep] = nm
+            extra_cols[nm] = arr
+            env.tags[nm] = tag
+            return nm
+
+        def _col_arr(phys: str):
+            return extra_cols[phys] if phys in extra_cols \
+                else env.table[phys]
+
         # ordered-set aggregates: collect (value col, disc|cont, q)
         # specs per call — executed below via ops/quantile group_*
         pct_specs: dict[tuple, list] = {}   # (phys, kind) -> [(num,shift)]
@@ -1274,10 +1364,10 @@ class Database:
                     raise SqlError(f"{c.func} does not take WITHIN GROUP")
                 continue
             if c.func == "median":
-                if len(c.args) != 1 or not isinstance(c.args[0], P.Col) \
-                        or c.within_order is not None:
-                    raise SqlError("MEDIAN takes one plain column")
-                phys, kind, q = env.resolve(c.args[0]), "disc", (1, 1)
+                if len(c.args) != 1 or c.within_order is not None:
+                    raise SqlError("MEDIAN takes one column or "
+                                   "expression")
+                phys, kind, q = _value_of(c.args[0]), "disc", (1, 1)
             else:
                 if c.within_order is None:
                     raise SqlError(f"{c.func} needs WITHIN GROUP "
@@ -1307,20 +1397,15 @@ class Database:
                 if c.func != "count":
                     raise SqlError("DISTINCT is only supported inside "
                                    "COUNT()")
-                if not isinstance(c.args[0], P.Col):
-                    raise SqlError("COUNT(DISTINCT x) needs a plain "
-                                   "column")
-                distinct_cols.append(env.resolve(c.args[0]))
+                distinct_cols.append(_value_of(c.args[0]))
                 continue
-            if not (len(c.args) == 1 and isinstance(c.args[0], P.Col)):
-                raise SqlError(f"{c.func}(...) argument must be a plain "
-                               "column (expressions inside aggregates "
-                               "are not supported yet)")
-            phys = env.resolve(c.args[0])
+            if len(c.args) != 1:
+                raise SqlError(f"{c.func}(...) takes one argument")
+            phys = _value_of(c.args[0])
             if env.tags[phys] == "u64":
                 raise SqlError("aggregates over u64 columns are not "
                                "supported")
-            values[phys] = env.table[phys]
+            values[phys] = _col_arr(phys)
             want = {"avg": ("sum",), "count": ()}.get(c.func, (c.func,))
             aggspec[phys] = tuple(sorted(set(aggspec.get(phys, ()))
                                          | set(want)))
@@ -1353,7 +1438,7 @@ class Database:
             else:
                 agg_np[name] = _head_np(arr, g)
         for phys in distinct_cols:
-            tv = env.table[phys]
+            tv = _col_arr(phys)
             dres = group_aggregate(gkey, sortable_u32(tv)
                                    if env.tags[phys] != "u64" else tv.lo,
                                    aggs=("count_distinct",))
@@ -1369,7 +1454,7 @@ class Database:
             from tpu_qe.ops.quantile import (group_quantile,
                                              group_quantile_cont)
             for (phys, kind), qlist in pct_specs.items():
-                val = env.table[phys]
+                val = _col_arr(phys)
                 if kind == "disc":
                     qr = group_quantile(gkey, val, qlist)
                     rows = qr.quantiles
@@ -1402,11 +1487,11 @@ class Database:
                 return pct_np[pct_of[id(c)]]
             if c.func == "count":
                 if c.distinct:
-                    phys = env.resolve(c.args[0])
+                    phys = _value_of(c.args[0])
                     return agg_np[f"{phys}_count_distinct"].astype(
                         np.int64)
                 return cnt.astype(np.int64)
-            phys = env.resolve(c.args[0])
+            phys = _value_of(c.args[0])
             if c.func == "avg":
                 s = agg_np[f"{phys}_sum"]
                 s = (s.astype(np.float64) if s.dtype != np.float32
@@ -1469,12 +1554,52 @@ class Database:
             tags[name] = str(cols[name].dtype)
         return Frame(cols, tags)
 
-    # -- DISTINCT / set ops (host side on output-scale frames) -------------
+    # -- DISTINCT / set ops -------------------------------------------------
     @staticmethod
     def _distinct_frame(fr: Frame) -> Frame:
         if not fr.cols:
             return fr
         names = sorted(fr.cols)
+        # device path: 1-2 still-device columns dedup through the GROUP
+        # BY boundary machinery (one sort, no aggregates) — the readback
+        # is bounded by the distinct count, not n
+        tags = [fr.tags.get(nm) for nm in names]
+        if (all(_is_dev(fr.cols[nm]) for nm in names)
+                and all(t in _DEV_SORT_TAGS for t in tags)
+                and (len(names) == 1
+                     or (len(names) == 2 and "u64" not in tags))):
+            from tpu_qe.ops.aggregate import group_aggregate
+
+            def lift32(nm, t):
+                c = fr.cols[nm]
+                return (c.astype(jnp.uint32) if t == "bool"
+                        else sortable_u32(c))
+            if len(names) == 1:
+                key = _lift_key(fr.cols[names[0]], tags[0])
+            else:
+                key = U64(lift32(names[1], tags[1]),
+                          lift32(names[0], tags[0]))
+            res = group_aggregate(key, aggs=("count",))
+            g = int(np.asarray(res.num_groups))
+
+            def unlift(plane, t):
+                if t == "bool":
+                    return plane.astype(bool)
+                if t == "u64":
+                    return plane          # handled below
+                return _unlift_key(plane, t)
+            if len(names) == 1 and tags[0] == "u64":
+                cols = {names[0]: _head_np(res.key, g)}
+            elif len(names) == 1:
+                cols = {names[0]: unlift(_head_np(res.key.lo, g),
+                                         tags[0])}
+            else:
+                cols = {names[0]: unlift(_head_np(res.key.hi, g),
+                                         tags[0]),
+                        names[1]: unlift(_head_np(res.key.lo, g),
+                                         tags[1])}
+            return Frame(cols, fr.tags)
+        fr = _materialize(fr)
         arr = np.stack([fr.cols[k].view(np.uint64)
                         if fr.cols[k].dtype == np.uint64
                         else fr.cols[k].astype(np.float64).view(np.uint64)
