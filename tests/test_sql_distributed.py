@@ -134,7 +134,8 @@ def test_unsupported_shapes_raise():
     db = _db(70)
     mesh = make_mesh(2)
     with pytest.raises(SqlError, match="WHERE"):
-        db.sql("SELECT k, COUNT(*) AS c FROM t WHERE v > 3 GROUP BY k",
+        # WHERE is supported only with GROUP BY aggregates distributed
+        db.sql("SELECT id, v FROM t WHERE v > 3 ORDER BY v",
                mesh=mesh)
     with pytest.raises(SqlError, match="int32 with negatives"):
         db.sql("SELECT k, SUM(sv) AS s FROM t GROUP BY k", mesh=mesh)
@@ -159,3 +160,37 @@ def test_percentile_cont(n_dev):
            "(ORDER BY v) AS p FROM t GROUP BY k ORDER BY k")
     _cmp(db.sql(sql), db.sql(sql, mesh=make_mesh(n_dev)),
          float_cols=("p",))
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_where_group_by(n_dev):
+    db = _db(9)
+    sql = ("SELECT k, COUNT(*) AS c, SUM(v) AS s, MEDIAN(v) AS m "
+           "FROM t WHERE v % 3 = 1 AND k < 9 GROUP BY k ORDER BY k")
+    _cmp(db.sql(sql), db.sql(sql, mesh=make_mesh(n_dev)))
+
+
+def test_where_count_distinct():
+    db = _db(10)
+    sql = ("SELECT k, COUNT(DISTINCT v) AS d FROM t WHERE v > 100 "
+           "GROUP BY k ORDER BY k")
+    _cmp(db.sql(sql), db.sql(sql, mesh=make_mesh(8)))
+
+
+def test_where_empty_result():
+    db = _db(11)
+    sql = ("SELECT k, COUNT(*) AS c FROM t WHERE v > 100000 "
+           "GROUP BY k")
+    out = db.sql(sql, mesh=make_mesh(4))
+    assert len(out["k"]) == 0 and len(out["c"]) == 0
+
+
+def test_non_dividing_rows():
+    # 2049 rows over 4 devices: the pad-group machinery lifts the
+    # rows-divide-the-mesh restriction
+    rng = np.random.default_rng(12)
+    db = Database()
+    db.register("t", {"k": rng.integers(0, 9, 2049).astype(np.uint32),
+                      "v": rng.integers(0, 99, 2049).astype(np.uint32)})
+    sql = "SELECT k, SUM(v) AS s, COUNT(*) AS c FROM t GROUP BY k ORDER BY k"
+    _cmp(db.sql(sql), db.sql(sql, mesh=make_mesh(4)))

@@ -249,8 +249,16 @@ def _dgq_shard(lo, hi, v, *, spec: tuple, max_groups: int,
     upacked = jnp.where(u_new, upos, upos | jnp.uint32(1 << 31))
     _, gklo, gkhi = jax.lax.sort([upacked, sulo, suhi], num_keys=1,
                                  is_stable=False)
-    gklo = jax.lax.slice(gklo, (0,), (max_groups,))
-    gkhi = jax.lax.slice(gkhi, (0,), (max_groups,))
+    # the union stack holds D*k keys, which may be SMALLER than
+    # max_groups (tiny shards with a generous bound): slice what exists
+    # and sentinel-pad the rest (pad rows are masked by g_valid)
+    gk = min(max_groups, m)
+    gklo = jax.lax.slice(gklo, (0,), (gk,))
+    gkhi = jax.lax.slice(gkhi, (0,), (gk,))
+    if gk < max_groups:
+        pad = jnp.full(max_groups - gk, _ONES, dtype=jnp.uint32)
+        gklo = jnp.concatenate([gklo, pad])
+        gkhi = jnp.concatenate([gkhi, pad])
     g_valid = jnp.arange(max_groups, dtype=jnp.uint32) < n_groups
 
     # exact global per-group row counts (start/end by key-only probes:

@@ -566,11 +566,15 @@ class Database:
           - top-level window calls over plain columns
                                         -> distributed_window
           - plain column SELECT + ORDER BY -> distributed_order_by
-        Rows must divide the mesh (the exchange layer's static shard
-        shapes); int32 SUM/MIN/MAX with negatives raise (the distributed
-        aggregate combines u32 bit patterns — the signed-exact extension
-        lives in the in-core path only). HAVING/WHERE/DISTINCT are not
-        supported distributed.
+        GROUP BY aggregates accept WHERE (device-evaluated mask +
+        reserved-pad-group re-sharding, which also lifts the
+        rows-divide-the-mesh restriction for that family) and the
+        ordered-set aggregates (PERCENTILE_DISC/CONT WITHIN GROUP,
+        MEDIAN) via the zero-row-movement bisection. Elsewhere rows
+        must divide the mesh; int32 SUM/MIN/MAX with negatives raise
+        (the distributed aggregate combines u32 bit patterns — the
+        signed-exact extension lives in the in-core path only).
+        HAVING / SELECT DISTINCT are not supported distributed.
         """
         def unsup(what):
             return SqlError(f"{what} is not supported with mesh= "
@@ -580,8 +584,9 @@ class Database:
             fr = self._dist_setop_chain(q, mesh)
             return dict(_frame_order_limit(fr, q.order_by, q.limit).cols)
         sel = q.selects[0]
-        if sel.where is not None:
-            raise unsup("WHERE")
+        if sel.where is not None and not (
+                not sel.joins and (sel.group_by or self._has_aggs(sel))):
+            raise unsup("WHERE outside GROUP BY aggregates")
         if sel.having is not None:
             raise unsup("HAVING")
         if sel.distinct:
@@ -655,6 +660,18 @@ class Database:
             calls += cs
         return calls
 
+    def _where_mask(self, sel: P.Select) -> np.ndarray:
+        """Distributed WHERE: the predicate is elementwise, so it runs
+        through the device expression engine over the registered table
+        and the boolean mask reads back once (the filtered frame then
+        re-shards through the numpy wrappers)."""
+        table, names, tags = self._bind_table(sel.table)
+        env = _RowEnv(table, names, tags)
+        tv = _eval(sel.where, env, table.num_rows)
+        if tv.tag != "bool":
+            raise SqlError("WHERE must be boolean")
+        return np.asarray(jnp.broadcast_to(tv.arr, (table.num_rows,)))
+
     def _dist_group(self, sel: P.Select, mesh) -> Frame:
         from tpu_qe.exchange.dops import (distributed_aggregate_numpy,
                                           distributed_count_distinct_numpy)
@@ -665,7 +682,30 @@ class Database:
         gname = sel.group_by[0].name
         if gname not in cols:
             raise SqlError(f"unknown column {gname!r}")
+        if sel.where is not None:
+            # WHERE is elementwise: evaluate the mask through the
+            # device expression engine, filter the host frame, and pad
+            # back to a mesh multiple below
+            mask = self._where_mask(sel)
+            cols = {k: v[mask] for k, v in cols.items()}
         gkey = _lift64_np(cols[gname])
+        # pad to a mesh multiple with a reserved group key (hi plane
+        # != 0 — 32-bit group columns lift with hi == 0, so the pad
+        # group cannot collide; it is dropped from the results). This
+        # also lifts the rows-divide-the-mesh restriction.
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        n_pad = (-len(gkey)) % n_dev
+        PADKEY = int(np.uint64(0xFFFFFFFFFFFFFFFF))
+        if n_pad or len(gkey) == 0:
+            n_pad = n_pad if len(gkey) else n_dev
+            if tags[gname] == "u64" and bool(
+                    (cols[gname] == np.uint64(PADKEY)).any()):
+                raise SqlError("cannot pad: the u64 group column uses "
+                               "the reserved max key")
+            gkey = np.concatenate(
+                [gkey, np.full(n_pad, PADKEY, np.uint64)])
+            cols = {k: np.concatenate([v, np.zeros(n_pad, v.dtype)])
+                    for k, v in cols.items()}
         calls = self._agg_calls_of(sel)
         # plan one distributed_aggregate per value column; COUNT(*)
         # rides any of them (or a dedicated count when none)
@@ -776,6 +816,7 @@ class Database:
                     dst = results.setdefault(k, {})
                     for qi, val in enumerate(v):
                         dst[f"{vn}_{kind}_{qi}"] = val
+        results.pop(PADKEY, None)     # the reserved padding group
         gvals = np.array(sorted(results), np.uint64)
         g = len(gvals)
 
