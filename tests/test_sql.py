@@ -662,3 +662,51 @@ class TestAggExpressions:
         db, _ = engines
         with pytest.raises(SqlError, match="nested"):
             db.sql("SELECT k, SUM(v + COUNT(*)) AS s FROM t GROUP BY k")
+
+
+# ---------------------------------------------------------------------------
+# window ROWS frames: SUM/MIN/MAX/AVG OVER (... ROWS BETWEEN k PRECEDING
+# AND CURRENT ROW) -> the moving_* family (sqlite oracle)
+# ---------------------------------------------------------------------------
+
+class TestWindowFrames:
+    def test_moving_sum_min_max(self, engines):
+        db, con = engines
+        check(db, con,
+              "SELECT id, SUM(u) OVER (PARTITION BY g ORDER BY id "
+              "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS ms, "
+              "MIN(u) OVER (PARTITION BY g ORDER BY id "
+              "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mn, "
+              "MAX(u) OVER (PARTITION BY g ORDER BY id "
+              "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mx "
+              "FROM t ORDER BY id LIMIT 300", ordered=True)
+
+    def test_moving_avg_signed(self, engines):
+        db, con = engines
+        check(db, con,
+              "SELECT id, AVG(v) OVER (PARTITION BY g ORDER BY id "
+              "ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS ma "
+              "FROM t ORDER BY id LIMIT 300", ordered=True, atol=1e-2)
+
+    def test_unbounded_preceding_is_running(self, engines):
+        db, con = engines
+        check(db, con,
+              "SELECT id, SUM(u) OVER (PARTITION BY g ORDER BY id "
+              "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rs "
+              "FROM t ORDER BY id LIMIT 300", ordered=True)
+
+    def test_frame_without_order_rejected(self):
+        db = Database()
+        db.register("t", {"g": np.zeros(4, np.uint32),
+                          "v": np.arange(4, dtype=np.uint32)})
+        with pytest.raises(SqlError, match="ORDER BY"):
+            db.sql("SELECT SUM(v) OVER (PARTITION BY g ROWS BETWEEN 2 "
+                   "PRECEDING AND CURRENT ROW) AS s FROM t")
+
+    def test_frame_on_rank_rejected(self):
+        db = Database()
+        db.register("t", {"g": np.zeros(4, np.uint32),
+                          "o": np.arange(4, dtype=np.uint32)})
+        with pytest.raises(SqlError, match="ROWS frame"):
+            db.sql("SELECT RANK() OVER (PARTITION BY g ORDER BY o ROWS "
+                   "BETWEEN 2 PRECEDING AND CURRENT ROW) AS r FROM t")

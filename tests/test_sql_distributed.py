@@ -194,3 +194,14 @@ def test_non_dividing_rows():
                       "v": rng.integers(0, 99, 2049).astype(np.uint32)})
     sql = "SELECT k, SUM(v) AS s, COUNT(*) AS c FROM t GROUP BY k ORDER BY k"
     _cmp(db.sql(sql), db.sql(sql, mesh=make_mesh(4)))
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_window_rows_frame(n_dev):
+    db = _db(13)
+    sql = ("SELECT id, SUM(v) OVER (PARTITION BY k ORDER BY id ROWS "
+           "BETWEEN 4 PRECEDING AND CURRENT ROW) AS ms, "
+           "AVG(v) OVER (PARTITION BY k ORDER BY id ROWS "
+           "BETWEEN 4 PRECEDING AND CURRENT ROW) AS ma FROM t")
+    _cmp(db.sql(sql), db.sql(sql, mesh=make_mesh(n_dev)),
+         float_cols=("ma",))

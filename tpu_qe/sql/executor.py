@@ -978,9 +978,22 @@ class Database:
             elif spec != key:
                 raise SqlError("distributed windows share one "
                                "(PARTITION BY, ORDER BY) spec")
-            kind = _WINDOW_FUNCS.get(c.func)
+            fr = c.window.frame_rows
+            if c.func == "avg" and fr is not None:
+                kind = "moving_avg"
+            else:
+                kind = _WINDOW_FUNCS.get(c.func)
             if kind is None:
                 raise SqlError(f"unknown window function {c.func}")
+            if fr is not None:
+                remap = {"running_sum": "moving_sum",
+                         "running_min": "moving_min",
+                         "running_max": "moving_max",
+                         "moving_avg": "moving_avg"}
+                if kind not in remap or c.window.order_by is None:
+                    raise SqlError("ROWS frames take SUM/MIN/MAX/AVG "
+                                   "with ORDER BY inside OVER")
+                kind = remap[kind]
             if kind in ("row_number", "rank", "dense_rank",
                         "percent_rank"):
                 funcs[name] = (kind,)
@@ -988,15 +1001,19 @@ class Database:
                 funcs[name] = (kind, int(c.args[0].value))
             else:
                 vn = self._plain_col(c.args[0], "window arguments")
-                if (kind == "running_sum" and tags[vn] == "i32"
-                        and (cols[vn] < 0).any()):
+                if (kind in ("running_sum", "moving_sum", "moving_avg")
+                        and tags[vn] == "i32" and (cols[vn] < 0).any()):
                     raise SqlError(
                         "distributed SUM OVER int32 with negatives is "
                         "not supported (sign-extended pair sums are "
                         "in-core only)")
                 values[vn] = cols[vn]
-                funcs[name] = ((kind, vn, 0) if kind in ("lag", "lead")
-                               else (kind, vn))
+                if kind in ("lag", "lead"):
+                    funcs[name] = (kind, vn, 0)
+                elif kind.startswith("moving_"):
+                    funcs[name] = (kind, vn, fr + 1)
+                else:
+                    funcs[name] = (kind, vn)
         if spec is None:
             raise SqlError("no window calls found")
         pname, oname = spec
@@ -1258,9 +1275,33 @@ class Database:
             funcs, values, tagof = {}, {}, {}
             for i, c in enumerate(cs):
                 wname = f"w{i}"
-                kind = _WINDOW_FUNCS.get(c.func)
+                fr = c.window.frame_rows
+                if c.func == "avg":
+                    kind = "moving_avg" if fr is not None else None
+                    if kind is None:
+                        raise SqlError(
+                            "AVG(x) OVER needs ROWS BETWEEN k "
+                            "PRECEDING AND CURRENT ROW (running "
+                            "average is not supported)")
+                else:
+                    kind = _WINDOW_FUNCS.get(c.func)
                 if kind is None:
                     raise SqlError(f"unknown window function {c.func}")
+                if fr is not None:
+                    # ROWS BETWEEN fr PRECEDING AND CURRENT ROW — the
+                    # moving-frame family (width fr+1, clamped at
+                    # partition starts; ops/window._moving)
+                    remap = {"running_sum": "moving_sum",
+                             "running_min": "moving_min",
+                             "running_max": "moving_max",
+                             "moving_avg": "moving_avg"}
+                    if kind not in remap:
+                        raise SqlError(f"{c.func} does not take a ROWS "
+                                       "frame")
+                    if ocol is None:
+                        raise SqlError("a ROWS frame needs ORDER BY "
+                                       "inside OVER")
+                    kind = remap[kind]
                 if kind in ("row_number", "rank", "dense_rank",
                             "percent_rank"):
                     funcs[wname] = (kind,)
@@ -1282,6 +1323,10 @@ class Database:
                     if kind in ("lag", "lead"):
                         funcs[wname] = (kind, vn, 0)
                         tagof[wname] = vtv.tag
+                    elif kind.startswith("moving_"):
+                        funcs[wname] = (kind, vn, fr + 1)
+                        tagof[wname] = ("f32" if kind == "moving_avg"
+                                        else vtv.tag)
                     else:
                         if kind in ("running_sum",) and ocol is None:
                             raise SqlError(

@@ -68,7 +68,8 @@ KEYWORDS = frozenset(
     """select from where group by having order limit as and or not
     join inner left right full outer on distinct union intersect except
     all asc desc over partition case when then else end between in is
-    null true false cast within""".split()
+    null true false cast within rows unbounded preceding current
+    row""".split()
 )
 
 
@@ -167,6 +168,9 @@ class Call:
 class WindowSpec:
     partition_by: tuple        # (Col, ...)
     order_by: "Col | None"
+    # ROWS BETWEEN frame_rows PRECEDING AND CURRENT ROW (None = the
+    # default running frame, UNBOUNDED PRECEDING .. CURRENT ROW)
+    frame_rows: int | None = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -534,9 +538,23 @@ class _Parser:
         if self.kw("order"):
             self.expect_kw("by")
             order = self.colref()
+        frame = None
+        if self.kw("rows"):
+            self.expect_kw("between")
+            if self.kw("unbounded"):
+                self.expect_kw("preceding")   # the default running frame
+            else:
+                if self.cur.kind != "int":
+                    raise self._err("integer or UNBOUNDED")
+                frame = int(self.cur.text)
+                self.i += 1
+                self.expect_kw("preceding")
+            self.expect_kw("and")
+            self.expect_kw("current")
+            self.expect_kw("row")
         self.expect_op(")")
         return dataclasses.replace(
-            c, window=WindowSpec(tuple(part), order))
+            c, window=WindowSpec(tuple(part), order, frame))
 
 
 def parse(src: str) -> Query:
