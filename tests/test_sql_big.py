@@ -1,0 +1,143 @@
+"""Out-of-core SQL (sql/bigexec.py): virtual-table queries vs the
+in-core SQL engine over the SAME materialized data at reduced scale.
+
+The virtual table's generators run per 4K-row run (multiple runs, a
+non-dividing tail); the oracle materializes the full column set once
+and runs the identical query through the in-core executor — results
+must agree exactly (integers) / to f32 tolerance (AVG, float sums
+combine in a different association)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_qe.hashing import murmur_fmix32
+from tpu_qe.sql import Database, SqlError
+
+N = (1 << 12) * 3 + 17          # non-dividing tail run
+RUN = 1 << 12
+
+
+def _gens():
+    return {
+        "k": lambda i: murmur_fmix32(i) & jnp.uint32(63),
+        "v": lambda i: ((murmur_fmix32(i ^ jnp.uint32(0xA5A5))
+                         & jnp.uint32(0xFFFF)).astype(jnp.int32)
+                        - jnp.int32(0x8000)),
+        "u": lambda i: murmur_fmix32(i ^ jnp.uint32(7)) & jnp.uint32(999),
+        "f": lambda i: (murmur_fmix32(i ^ jnp.uint32(3)) >> 8
+                        ).astype(jnp.float32) * jnp.float32(2.0 ** -24),
+    }
+
+
+@pytest.fixture(scope="module")
+def dbs():
+    big = Database()
+    big.register_virtual("t", N, _gens())
+    ref = Database()
+    idx = jnp.arange(N, dtype=jnp.uint32)
+    ref.register("t", {nm: np.asarray(fn(idx))
+                       for nm, fn in _gens().items()})
+    return big, ref
+
+
+def _cmp(got: dict, want: dict, float_cols=(), rtol=1e-5, atol=1e-3):
+    assert sorted(got) == sorted(want)
+    names = sorted(want)
+    pg = np.lexsort([np.asarray(got[n]).astype(np.float64)
+                     for n in reversed(names)])
+    pw = np.lexsort([np.asarray(want[n]).astype(np.float64)
+                     for n in reversed(names)])
+    for n in names:
+        a, b = np.asarray(got[n])[pg], np.asarray(want[n])[pw]
+        assert len(a) == len(b), (n, len(a), len(b))
+        if n in float_cols or a.dtype.kind == "f" or b.dtype.kind == "f":
+            np.testing.assert_allclose(a.astype(np.float64),
+                                       b.astype(np.float64),
+                                       rtol=rtol, atol=atol, err_msg=n)
+        else:
+            np.testing.assert_array_equal(a.astype(np.int64),
+                                          b.astype(np.int64), err_msg=n)
+
+
+def test_group_aggregates(dbs):
+    big, ref = dbs
+    sql = ("SELECT k, COUNT(*) AS c, SUM(v) AS s, MIN(v) AS mn, "
+           "MAX(v) AS mx, AVG(u) AS a FROM t GROUP BY k ORDER BY k")
+    _cmp(big.sql(sql, run_size=RUN), ref.sql(sql), float_cols=("a",))
+
+
+def test_where_having_limit(dbs):
+    big, ref = dbs
+    sql = ("SELECT k, SUM(u) AS s, COUNT(*) AS c FROM t "
+           "WHERE v > 0 AND u % 3 <> 1 GROUP BY k "
+           "HAVING COUNT(*) > 40 ORDER BY s DESC LIMIT 11")
+    got, want = big.sql(sql, run_size=RUN), ref.sql(sql)
+    for nm in want:   # fully ordered comparison
+        np.testing.assert_array_equal(
+            np.asarray(got[nm]).astype(np.int64),
+            np.asarray(want[nm]).astype(np.int64), err_msg=nm)
+
+
+def test_aggregate_expressions(dbs):
+    big, ref = dbs
+    sql = ("SELECT k, SUM(u * 2) AS s2, "
+           "SUM(CASE WHEN v > 0 THEN u ELSE 0 END) AS cs "
+           "FROM t GROUP BY k ORDER BY k")
+    _cmp(big.sql(sql, run_size=RUN), ref.sql(sql))
+
+
+def test_float_aggregates(dbs):
+    big, ref = dbs
+    sql = "SELECT k, SUM(f) AS s, MAX(f) AS mx FROM t GROUP BY k"
+    _cmp(big.sql(sql, run_size=RUN), ref.sql(sql),
+         float_cols=("s", "mx"), rtol=1e-4)
+
+
+def test_percentiles(dbs):
+    big, ref = dbs
+    sql = ("SELECT k, MEDIAN(v) AS m, PERCENTILE_DISC(0.9) WITHIN "
+           "GROUP (ORDER BY u) AS p90, PERCENTILE_CONT(0.25) WITHIN "
+           "GROUP (ORDER BY v) AS pc FROM t GROUP BY k ORDER BY k")
+    _cmp(big.sql(sql, run_size=RUN), ref.sql(sql), float_cols=("pc",),
+         rtol=1e-5)
+
+
+def test_percentile_with_where(dbs):
+    big, ref = dbs
+    sql = ("SELECT k, MEDIAN(u) AS m, COUNT(*) AS c FROM t "
+           "WHERE v % 2 = 0 GROUP BY k ORDER BY k")
+    _cmp(big.sql(sql, run_size=RUN), ref.sql(sql))
+
+
+def test_overflow_detected(dbs):
+    big, _ = dbs
+    with pytest.raises(SqlError, match="max_groups"):
+        big.sql("SELECT u, COUNT(*) AS c FROM t GROUP BY u",
+                run_size=RUN, max_groups=16)
+
+
+def test_count_only(dbs):
+    big, ref = dbs
+    sql = "SELECT k, COUNT(*) AS c FROM t GROUP BY k ORDER BY k"
+    _cmp(big.sql(sql, run_size=RUN), ref.sql(sql))
+
+
+def test_unsupported_shapes(dbs):
+    big, _ = dbs
+    with pytest.raises(SqlError, match="GROUP BY"):
+        big.sql("SELECT v FROM t ORDER BY v LIMIT 5", run_size=RUN)
+    with pytest.raises(SqlError, match="COUNT.DISTINCT"):
+        big.sql("SELECT k, COUNT(DISTINCT u) AS d FROM t GROUP BY k",
+                run_size=RUN)
+
+
+def test_virtual_name_collision():
+    db = Database()
+    db.register("x", {"a": np.zeros(4, np.uint32)})
+    with pytest.raises(SqlError, match="already"):
+        db.register_virtual("x", 16, {"a": lambda i: i})
+    db2 = Database()
+    db2.register_virtual("y", 16, {"a": lambda i: i})
+    with pytest.raises(SqlError, match="already"):
+        db2.register("y", {"a": np.zeros(4, np.uint32)})

@@ -18,7 +18,8 @@ plus the measurement family: bench-matrix (operator configs),
 bench-kernels (Pallas microbenches), and the out-of-core drivers
 bench-big / bench-bigjoin / bench-bigagg / bench-bigpipe /
 bench-bigtopk / bench-bigwindow / bench-bigquantile / bench-bigdistinct /
-bench-bigsetops
+bench-bigsetops / bench-bigsql (declarative GROUP BY over a virtual
+out-of-core table through sql/bigexec.py)
 (each prints one JSON line and exits nonzero if on-device verification
 fails; --distributed runs the mesh-composed variant where one exists).
 """
@@ -642,6 +643,79 @@ def _cmd_bench_bigtopk(args) -> int:
     return 0 if res.all_ok else 1
 
 
+def _cmd_bench_bigsql(args) -> int:
+    """Out-of-core SQL GROUP BY over a virtual table, with closed-form
+    verification: k = hash(i) & (groups-1), v = i — so after GROUP BY k
+    the counts sum to n, the exact u64 SUM(v) total is n(n-1)/2, the
+    global MIN is 0 and the global MAX is n-1 (min/max checked without
+    --where; the WHERE variant checks count totals against a host
+    recount of the mask on hash-regenerated indices)."""
+    import json
+    import time
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpu_qe.bench.sol import device_kind
+    from tpu_qe.hashing import murmur_fmix32, murmur_fmix32_numpy
+    from tpu_qe.sql import Database
+
+    n, groups = args.n, args.groups
+    assert groups & (groups - 1) == 0
+
+    db = Database()
+    db.register_virtual("big", n, {
+        "k": lambda i: murmur_fmix32(i) & jnp.uint32(groups - 1),
+        "v": lambda i: i,
+    })
+    sel = "k, COUNT(*) AS c, SUM(v) AS s, MIN(v) AS mn, MAX(v) AS mx"
+    if args.median:
+        sel += ", MEDIAN(v) AS md"
+    where = " WHERE v % 4 <> 3" if args.where else ""
+    sql = f"SELECT {sel} FROM big{where} GROUP BY k"
+
+    stats: dict = {}
+    t0 = time.perf_counter()
+    out = db.sql(sql, run_size=args.run_size, max_groups=groups,
+                 stats=stats)
+    wall = time.perf_counter() - t0 - stats.get("compile_s", 0.0)
+
+    c_total = int(out["c"].astype(np.int64).sum())
+    s_total = int(out["s"].astype(np.uint64).sum())
+    if args.where:
+        # closed-form expectations for the WHERE i % 4 != 3 mask over
+        # index space (exact python ints)
+        m = len(range(3, n, 4))
+        dropped_sum = m * 3 + 4 * (m * (m - 1) // 2)
+        exp_c = n - m
+        exp_s = (n * (n - 1)) // 2 - dropped_sum
+        ok = (c_total == exp_c and s_total == (exp_s % (1 << 64)))
+    else:
+        ok = (c_total == n and s_total == ((n * (n - 1)) // 2)
+              and int(out["mn"].min()) == 0
+              and int(out["mx"].max()) == n - 1
+              and len(out["k"]) == groups)
+        if args.median:
+            ok = ok and len(out["md"]) == groups
+    out_j = {
+        "metric": f"out-of-core SQL GROUP BY {n} rows -> "
+                  f"{len(out['k'])} groups, 1 chip"
+                  + (" (+MEDIAN)" if args.median else "")
+                  + (" (+WHERE)" if args.where else ""),
+        "value": round(n / wall),
+        "unit": "rows/s",
+        "time_s": round(wall, 3),
+        "phase_runs_s": round(stats.get("runs_s", 0.0), 3),
+        "phase_combine_s": round(stats.get("combine_s", 0.0), 3),
+        "phase_pct_s": round(stats.get("pct_s", 0.0), 3),
+        "compile_s": round(stats.get("compile_s", 0.0), 3),
+        "verified": bool(ok),
+        "device": device_kind(),
+    }
+    print(json.dumps(out_j))
+    return 0 if ok else 1
+
+
 def _cmd_info(args) -> int:
     import jax
 
@@ -912,6 +986,19 @@ def main(argv=None) -> int:
                     help="keep the composed machinery even at D=1")
     pw.add_argument("--verbose-big", action="store_true")
     pw.set_defaults(fn=_cmd_bench_bigwindow)
+
+    pz = sub.add_parser("bench-bigsql",
+                        help="out-of-core SQL: GROUP BY aggregates over "
+                             "a device-generated virtual table "
+                             "(sql/bigexec.py)")
+    pz.add_argument("--n", type=int, default=1 << 30)
+    pz.add_argument("--run-size", type=int, default=1 << 26)
+    pz.add_argument("--groups", type=int, default=1 << 16)
+    pz.add_argument("--median", action="store_true",
+                    help="add MEDIAN(v) (the per-group bisection phase)")
+    pz.add_argument("--where", action="store_true",
+                    help="add a WHERE filter (fused validity mask)")
+    pz.set_defaults(fn=_cmd_bench_bigsql)
 
     pi = sub.add_parser("info", help="device + config report")
     pi.set_defaults(fn=_cmd_info)

@@ -523,21 +523,51 @@ class Database:
 
     def __init__(self):
         self._tables: dict[str, Table] = {}
+        self._virtual: dict = {}       # name -> bigexec.VirtualTable
 
     def register(self, name: str, table) -> None:
+        if name.lower() in self._virtual:
+            raise SqlError(f"{name!r} is already a virtual table")
         if not isinstance(table, Table):
             table = Table.from_numpy(table)
         self._tables[name.lower()] = table
 
-    def sql(self, query: str, mesh=None) -> dict:
+    def register_virtual(self, name: str, n: int, columns: dict) -> None:
+        """Register an out-of-core VIRTUAL table: n device-generated
+        rows whose columns are traceable fns(idx u32 array) -> array.
+        Queries against it run through the out-of-core executor
+        (sql/bigexec.py) — per-run partial aggregation, data never
+        materializes whole."""
+        if name.lower() in self._tables:
+            raise SqlError(f"{name!r} is already a registered table")
+        from tpu_qe.sql.bigexec import probe_virtual
+        self._virtual[name.lower()] = probe_virtual(n, columns)
+
+    def sql(self, query: str, mesh=None, run_size: int = 1 << 26,
+            max_groups: int = 1 << 16, stats: dict | None = None
+            ) -> dict:
         """Run one SQL query; returns {column_name: numpy array}.
 
         mesh: optional jax.sharding.Mesh — recognized query shapes
         execute through the distributed operator layer (exchange/),
         sharded over the mesh (see _sql_distributed); unrecognized
         shapes raise rather than silently falling back to one device.
+
+        run_size / max_groups apply to VIRTUAL (out-of-core) tables:
+        rows per device run and the per-run group-table bound (exact
+        overflow detection — raise it if a query reports overflow).
         """
         q = P.parse(query)
+        vt = self._virtual.get(q.selects[0].table.name.lower())
+        if vt is not None:
+            if mesh is not None:
+                raise SqlError("mesh= with a virtual table is not "
+                               "supported (the out-of-core executor "
+                               "is single-chip; see ops/dbigagg for "
+                               "the distributed composition)")
+            from tpu_qe.sql.bigexec import select_big
+            return select_big(vt, q, run_size=run_size,
+                              max_groups=max_groups, stats=stats)
         if mesh is not None:
             return self._sql_distributed(q, mesh)
         frames = [self._select(s) for s in q.selects]
