@@ -470,12 +470,12 @@ def _big_group_quantiles(vt, where, gname, vexpr, vname, kind, qlist,
     c_run = _time.perf_counter() - tc
     packed_runs = [run_exec(jnp.uint32(r)) for r in range(n_runs)]
 
-    @jax.jit
-    def count_le_in_group(sg, sv, n_valid, glo, cand):
+    def _count_le(sg, sv, n_valid, glo, cand):
         """Per group: #valid rows of that group with value bits <= cand
         in this run — a hand-rolled vectorized binary search over the
         lexicographic (sg, sv) pairs (the dquantile._count_lt_trip
-        pattern; jnp.searchsorted takes one plane only)."""
+        pattern; jnp.searchsorted takes one plane only). Trace-time
+        helper, composed into the one-dispatch programs below."""
         n = sg.shape[0]
         lo_b = jnp.zeros(glo.shape, jnp.uint32)
         hi_b = jnp.full(glo.shape, n, jnp.uint32)
@@ -497,20 +497,46 @@ def _big_group_quantiles(vt, where, gname, vexpr, vname, kind, qlist,
         start = jnp.minimum(
             jnp.searchsorted(sg, glo, side="left").astype(jnp.uint32),
             n_valid)
-        return (end - start).astype(jnp.int32)
+        # u32 totals stay exact across runs: a group's count across
+        # ALL runs is <= n < 2^32
+        return (end - start).astype(jnp.uint32)
 
-    full = jnp.full(g, 0xFFFFFFFF, jnp.uint32)
-    sg0, sv0, nv0 = packed_runs[0]
+    def _count_all(runs_in, glo, cand):
+        tot = jnp.zeros(glo.shape, jnp.uint32)
+        for sg, sv, nv in runs_in:
+            tot = tot + _count_le(sg, sv, nv, glo, cand)
+        return tot
+
+    @jax.jit
+    def group_counts(runs_in, glo):
+        return _count_all(runs_in, glo,
+                          jnp.full(glo.shape, 0xFFFFFFFF, jnp.uint32))
+
+    @jax.jit
+    def select_ranks_device(runs_in, glo, ranks):
+        """Greedy 32-round bisection for the (r+1)-th smallest value
+        bit pattern per group, ENTIRELY on device: every round counts
+        across all resident runs inside this one program (the per-round
+        per-run host dispatch variant paid ~512 round trips at 1B/16
+        runs — 74.5 s of pct phase; this is one dispatch total)."""
+        def per_bit(j, cand):
+            trial = cand | (jnp.uint32(1)
+                            << (jnp.uint32(31) - j.astype(jnp.uint32)))
+            below = _count_all(runs_in, glo, trial - jnp.uint32(1))
+            # if strictly-below is still <= rank, the rank element has
+            # this bit set
+            return jnp.where(below <= ranks, trial, cand)
+
+        return jax.lax.fori_loop(0, 32, per_bit,
+                                 jnp.zeros(glo.shape, jnp.uint32))
+
     tc = _time.perf_counter()
-    count_exec = count_le_in_group.lower(sg0, sv0, nv0, uk_lo,
-                                         full).compile()
+    cnt_exec = group_counts.lower(packed_runs, uk_lo).compile()
+    sel_exec = select_ranks_device.lower(
+        packed_runs, uk_lo, jnp.zeros(g, jnp.uint32)).compile()
     if compile_acc is not None:
         compile_acc[0] += c_run + (_time.perf_counter() - tc)
-    count_le_in_group = count_exec
-    cnt = np.zeros(g, np.int64)
-    for sg, sv, n_valid in packed_runs:
-        cnt += np.asarray(count_le_in_group(
-            sg, sv, n_valid, uk_lo, full)).astype(np.int64)
+    cnt = np.asarray(cnt_exec(packed_runs, uk_lo)).astype(np.int64)
 
     def rank_of(num, sh):
         r = np.minimum(np.maximum(
@@ -518,22 +544,10 @@ def _big_group_quantiles(vt, where, gname, vexpr, vname, kind, qlist,
         return r
 
     def select_rank(ranks: np.ndarray) -> np.ndarray:
-        """Greedy 32-round bisection: the (r+1)-th smallest value bit
-        pattern per group (ranks: (g,) int64)."""
-        cand = np.zeros(g, np.uint32)
-        for bit in range(31, -1, -1):
-            trial = cand | np.uint32(1 << bit)
-            # #values <= trial-1 per group == #values < trial
-            below = np.zeros(g, np.int64)
-            probe = jnp.asarray(trial - np.uint32(1))
-            for sg, sv, n_valid in packed_runs:
-                below += np.asarray(count_le_in_group(
-                    sg, sv, n_valid, uk_lo, probe)).astype(np.int64)
-            # if strictly-below is still <= rank, the rank element has
-            # this bit set
-            cand = np.where(below <= ranks, trial, cand).astype(
-                np.uint32)
-        return cand
+        assert (ranks < (1 << 32)).all() and (ranks >= 0).all()
+        return np.asarray(sel_exec(packed_runs,
+                                   uk_lo,
+                                   jnp.asarray(ranks.astype(np.uint32))))
 
     vtag = _expr_tag(vt, vexpr) or "u32"
 
