@@ -134,14 +134,17 @@ def test_unsupported_shapes_raise():
     db = _db(70)
     mesh = make_mesh(2)
     with pytest.raises(SqlError, match="WHERE"):
-        # WHERE is supported only with GROUP BY aggregates distributed
-        db.sql("SELECT id, v FROM t WHERE v > 3 ORDER BY v",
-               mesh=mesh)
+        # WHERE rides GROUP BY / ORDER BY shapes; windows keep raising
+        # (partition carry chains do not commute with pad rows)
+        db.sql("SELECT id, ROW_NUMBER() OVER (PARTITION BY k ORDER BY "
+               "id) AS rn FROM t WHERE v > 3", mesh=mesh)
     with pytest.raises(SqlError, match="int32 with negatives"):
         db.sql("SELECT k, SUM(sv) AS s FROM t GROUP BY k", mesh=mesh)
     with pytest.raises(SqlError, match="HAVING"):
-        db.sql("SELECT k, COUNT(*) AS c FROM t GROUP BY k "
-               "HAVING COUNT(*) > 2", mesh=mesh)
+        # HAVING rides the GROUP BY family only; the fused join keeps
+        # raising
+        db.sql("SELECT t.k, COUNT(*) AS c FROM t JOIN r ON t.k = r.k "
+               "GROUP BY t.k HAVING COUNT(*) > 2", mesh=mesh)
 
 
 @pytest.mark.parametrize("n_dev", [1, 2, 8])
@@ -205,3 +208,54 @@ def test_window_rows_frame(n_dev):
            "BETWEEN 4 PRECEDING AND CURRENT ROW) AS ma FROM t")
     _cmp(db.sql(sql), db.sql(sql, mesh=make_mesh(n_dev)),
          float_cols=("ma",))
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_having(n_dev):
+    db = _db(14)
+    sql = ("SELECT k, COUNT(*) AS c, SUM(v) AS s FROM t GROUP BY k "
+           "HAVING COUNT(*) > 150 AND MIN(v) < 100 ORDER BY k")
+    _cmp(db.sql(sql), db.sql(sql, mesh=make_mesh(n_dev)))
+
+
+def test_having_with_where_and_median():
+    db = _db(15)
+    sql = ("SELECT k, MEDIAN(v) AS m FROM t WHERE v % 2 = 0 GROUP BY k "
+           "HAVING MEDIAN(v) > 400 ORDER BY k")
+    _cmp(db.sql(sql), db.sql(sql, mesh=make_mesh(8)))
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_where_order_by(n_dev):
+    db = _db(16)
+    sql = ("SELECT id, v, f FROM t WHERE v % 3 = 1 "
+           "ORDER BY v DESC, f, id")
+    local = db.sql(sql)
+    dist = db.sql(sql, mesh=make_mesh(n_dev))
+    for nm in local:
+        np.testing.assert_array_equal(
+            np.asarray(local[nm]).astype(np.float64),
+            np.asarray(dist[nm]).astype(np.float64), err_msg=nm)
+
+
+def test_where_order_by_float_key_desc():
+    db = _db(17)
+    sql = "SELECT id, f FROM t WHERE f > 0.5 ORDER BY f DESC, id"
+    local = db.sql(sql)
+    dist = db.sql(sql, mesh=make_mesh(4))
+    for nm in local:
+        np.testing.assert_array_equal(
+            np.asarray(local[nm]).astype(np.float64),
+            np.asarray(dist[nm]).astype(np.float64), err_msg=nm)
+
+
+def test_order_by_non_dividing_rows():
+    rng = np.random.default_rng(18)
+    db = Database()
+    db.register("t", {"v": rng.integers(0, 50, 1027).astype(np.uint32),
+                      "id": np.arange(1027, dtype=np.uint32)})
+    sql = "SELECT id, v FROM t ORDER BY v, id"
+    local = db.sql(sql)
+    dist = db.sql(sql, mesh=make_mesh(4))
+    for nm in local:
+        np.testing.assert_array_equal(local[nm], dist[nm], err_msg=nm)

@@ -614,11 +614,14 @@ class Database:
             fr = self._dist_setop_chain(q, mesh)
             return dict(_frame_order_limit(fr, q.order_by, q.limit).cols)
         sel = q.selects[0]
-        if sel.where is not None and not (
+        if sel.where is not None:
+            wind = any(it.expr != "*" and _calls(it.expr, window=True)
+                       for it in sel.items)
+            if sel.joins or wind:
+                raise unsup("WHERE with joins or windows")
+        if sel.having is not None and not (
                 not sel.joins and (sel.group_by or self._has_aggs(sel))):
-            raise unsup("WHERE outside GROUP BY aggregates")
-        if sel.having is not None:
-            raise unsup("HAVING")
+            raise unsup("HAVING outside GROUP BY aggregates")
         if sel.distinct:
             raise unsup("SELECT DISTINCT")
         if sel.joins:
@@ -688,6 +691,8 @@ class Database:
                 raise SqlError("distributed aggregates must be "
                                "top-level select items")
             calls += cs
+        if sel.having is not None:
+            calls += _calls(sel.having, window=False)
         return calls
 
     def _where_mask(self, sel: P.Select) -> np.ndarray:
@@ -889,6 +894,29 @@ class Database:
                 raise SqlError("distributed aggregate items are the "
                                "group column or aggregate calls")
             otags[name] = str(out[name].dtype)
+        if sel.having is not None:
+            # HAVING on the replicated G-bounded group frame (host)
+            def eval_h(e):
+                if isinstance(e, P.Call):
+                    return col_of(e)
+                if isinstance(e, P.Col):
+                    if e.name == gname:
+                        return _unlift64_np(gvals, cols[gname].dtype)
+                    raise SqlError(f"HAVING column {e.key!r} is not "
+                                   "the group column")
+                if isinstance(e, P.Lit):
+                    return np.asarray(e.value)
+                if isinstance(e, P.Unary):
+                    v = eval_h(e.operand)
+                    return ~v.astype(bool) if e.op == "not" else -v
+                if isinstance(e, P.Binary):
+                    return _np_binop(e.op, eval_h(e.left),
+                                     eval_h(e.right))
+                raise SqlError("unsupported HAVING expression "
+                               f"{type(e).__name__}")
+            keep = np.broadcast_to(eval_h(sel.having).astype(bool),
+                                   (g,))
+            out = {k: v[keep] for k, v in out.items()}
         return Frame(out, otags)
 
     def _dist_join_agg(self, sel: P.Select, mesh) -> Frame:
@@ -1061,6 +1089,26 @@ class Database:
             otags[name] = str(out[name].dtype)
         return Frame(out, otags)
 
+    @staticmethod
+    def _order_pad_extreme(dtype, desc: bool):
+        """The value that sorts LAST under the given direction — pads
+        built from it land at the global tail of the distributed ORDER
+        BY (their transformed planes are all-ones and their input
+        positions exceed every real row's, so the stability tie-break
+        keeps them strictly after any equal real row)."""
+        if dtype == np.uint32:
+            return np.uint32(0) if desc else np.uint32(0xFFFFFFFF)
+        if dtype == np.int32:
+            return np.int32(-(1 << 31)) if desc \
+                else np.int32((1 << 31) - 1)
+        if dtype == np.float32:
+            bits = 0xFFFFFFFF if desc else 0x7FFFFFFF   # -NaN / +NaN
+            return np.array([bits], np.uint32).view(np.float32)[0]
+        if dtype == np.uint64:
+            return np.uint64(0) if desc \
+                else np.uint64(0xFFFFFFFFFFFFFFFF)
+        raise SqlError(f"ORDER BY over unsupported dtype {dtype}")
+
     def _dist_order_by(self, sel: P.Select, q: P.Query, mesh) -> Frame:
         from tpu_qe.exchange.dorderby import distributed_order_by_numpy
         cols, tags = self._dist_table(sel.table)
@@ -1076,10 +1124,31 @@ class Database:
                            "(it IS the distributed operator)")
         by = [(item.col.name, "desc" if item.desc else "asc")
               for item in q.order_by]
+        if sel.where is not None:
+            mask = self._where_mask(sel)
+            cols = {k: v[mask] for k, v in cols.items()}
         need = {src for _, src in sel_names} | {b[0] for b in by}
+        # pad to a mesh multiple with rows that sort strictly last
+        # (also lifts the rows-divide-the-mesh restriction here)
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        m = len(next(iter(cols.values())))
+        n_pad = (-m) % n_dev if m else n_dev
+        if n_pad:
+            dirs = dict(by)
+            def pad_col(nm):
+                c = cols[nm]
+                if nm in dirs:
+                    v = self._order_pad_extreme(c.dtype,
+                                                dirs[nm] == "desc")
+                    return np.full(n_pad, v, c.dtype)
+                return np.zeros(n_pad, c.dtype)
+            cols = {nm: np.concatenate([cols[nm], pad_col(nm)])
+                    for nm in cols}
         st, _pos = distributed_order_by_numpy(
             {nm: cols[nm] for nm in need}, by, mesh,
             capacity_factor="auto")
+        if n_pad:
+            st = {nm: v[:-n_pad] for nm, v in st.items()}
         return Frame({out: st[src] for out, src in sel_names},
                      {out: tags[src] for out, src in sel_names})
 
