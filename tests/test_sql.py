@@ -710,3 +710,25 @@ class TestWindowFrames:
         with pytest.raises(SqlError, match="ROWS frame"):
             db.sql("SELECT RANK() OVER (PARTITION BY g ORDER BY o ROWS "
                    "BETWEEN 2 PRECEDING AND CURRENT ROW) AS r FROM t")
+
+
+# -- review-finding regressions ---------------------------------------------
+
+def test_contextual_keywords_stay_identifiers():
+    db = Database()
+    db.register("t", {"current": np.arange(4, dtype=np.uint32),
+                      "rows": np.arange(4, dtype=np.uint32),
+                      "within": np.arange(4, dtype=np.uint32)})
+    out = db.sql("SELECT current, rows, within FROM t "
+                 "ORDER BY current DESC LIMIT 2")
+    np.testing.assert_array_equal(out["current"], [3, 2])
+    np.testing.assert_array_equal(out["rows"], [3, 2])
+
+
+def test_count_distinct_u64_rejected():
+    db = Database()
+    db.register("t", {"k": np.zeros(4, np.uint32),
+                      "h": np.array([5, 5 | (1 << 32), 5, 7],
+                                    np.uint64)})
+    with pytest.raises(SqlError, match="u64"):
+        db.sql("SELECT k, COUNT(DISTINCT h) AS d FROM t GROUP BY k")

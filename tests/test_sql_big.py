@@ -141,3 +141,42 @@ def test_virtual_name_collision():
     db2.register_virtual("y", 16, {"a": lambda i: i})
     with pytest.raises(SqlError, match="already"):
         db2.register("y", {"a": np.zeros(4, np.uint32)})
+
+
+# -- review-finding regressions ---------------------------------------------
+
+def test_median_expression_without_other_aggs():
+    db = Database()
+    db.register_virtual("t", 4096, {
+        "k": lambda i: i & jnp.uint32(7),
+        "v": lambda i: murmur_fmix32(i) & jnp.uint32(999)})
+    got = db.sql("SELECT k, MEDIAN(v * 2) AS m FROM t GROUP BY k "
+                 "ORDER BY k", run_size=1024)
+    idx = jnp.arange(4096, dtype=jnp.uint32)
+    k = np.asarray(idx & jnp.uint32(7))
+    v2 = np.asarray(murmur_fmix32(idx) & jnp.uint32(999)) * 2
+    for i, kk in enumerate(got["k"]):
+        s = np.sort(v2[k == kk])
+        assert got["m"][i] == s[(len(s) + 1) // 2 - 1], kk
+    got2 = db.sql("SELECT k, COUNT(*) AS c, MEDIAN(v * 2) AS m FROM t "
+                  "GROUP BY k", run_size=1024)
+    assert (got2["c"] == 512).all()
+
+
+def test_unaliased_duplicate_aggs_do_not_collide(dbs):
+    big, ref = dbs
+    sql = "SELECT k, SUM(u), SUM(v) FROM t GROUP BY k ORDER BY k"
+    got, want = big.sql(sql, run_size=RUN), ref.sql(sql)
+    assert sorted(got) == sorted(want) and len(got) == 3
+    for nm in want:
+        np.testing.assert_array_equal(
+            np.asarray(got[nm]).astype(np.int64),
+            np.asarray(want[nm]).astype(np.int64), err_msg=nm)
+
+
+def test_run_size_u32_wrap_rejected():
+    db = Database()
+    db.register_virtual("t", (1 << 32) - 1, {"k": lambda i: i})
+    with pytest.raises(SqlError, match="u32 index space"):
+        db.sql("SELECT k, COUNT(*) AS c FROM t GROUP BY k",
+               run_size=3 << 24)

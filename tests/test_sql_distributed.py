@@ -259,3 +259,15 @@ def test_order_by_non_dividing_rows():
     dist = db.sql(sql, mesh=make_mesh(4))
     for nm in local:
         np.testing.assert_array_equal(local[nm], dist[nm], err_msg=nm)
+
+
+def test_u64_reserved_max_group_key_rejected():
+    # a real group keyed 2^64-1 must be DETECTED, never silently
+    # dropped as the padding group
+    db = Database()
+    db.register("t", {
+        "k": np.array([1, 1, (1 << 64) - 1, (1 << 64) - 1], np.uint64),
+        "v": np.arange(4, dtype=np.uint32)})
+    with pytest.raises(SqlError, match="reserved"):
+        db.sql("SELECT k, COUNT(*) AS c FROM t GROUP BY k",
+               mesh=make_mesh(2))

@@ -288,9 +288,23 @@ def select_big(vt: VirtualTable, q: P.Query, run_size: int = 1 << 26,
         aggspec[first] = tuple(sorted(set(aggspec[first]) | {"count"}))
 
     n_runs = (vt.n + run_size - 1) // run_size
+    if n_runs * run_size >= (1 << 32):
+        # idx = r*run_size + arange(run_size) must not wrap u32: wrapped
+        # tail indices would pass the `idx < n` mask and double-count
+        raise SqlError(f"run_size {run_size} does not tile n={vt.n} "
+                       "inside u32 index space — pick a run_size whose "
+                       "rounded-up tiling stays below 2^32")
     cap = min(max_groups, run_size)
-    run_fn = _make_run_fn(vt, sel.where, gname, value_exprs, aggspec,
+    # only columns with an aggregate spec enter the run program —
+    # percentile-only expressions are (re)generated by the pct phase's
+    # own sorted-planes program, never wastefully evaluated here
+    run_values = {vn: value_exprs[vn] for vn in aggspec}
+    run_fn = _make_run_fn(vt, sel.where, gname, run_values, aggspec,
                           run_size, cap)
+    # static signedness of integer-sum columns, probed ONCE (not per
+    # run inside the readback loop)
+    sum_signed = {vn: _expr_tag(vt, value_exprs[vn]) == "i32"
+                  for vn in aggspec}
     import time as _time
     np.asarray(jnp.zeros(8, jnp.uint32)[:1])    # tunnel warmup
     tc = _time.perf_counter()
@@ -317,7 +331,7 @@ def select_big(vt: VirtualTable, q: P.Query, run_size: int = 1 << 26,
             if isinstance(arr, U64):
                 raw = _head_np(arr, ng)
                 src = name.rsplit("_", 1)[0]
-                signed = _expr_tag(vt, value_exprs.get(src)) == "i32"
+                signed = sum_signed.get(src, False)
                 aggs_np[name] = (raw.view(np.int64) if signed else raw)
                 tags_of_agg[name] = "sum_i64" if signed else "sum_u64"
             else:
@@ -389,12 +403,12 @@ def select_big(vt: VirtualTable, q: P.Query, run_size: int = 1 << 26,
     keep = np.ones(g, bool)
     if sel.having is not None:
         keep = np.broadcast_to(eval_g(sel.having).astype(bool), (g,))
+    from tpu_qe.sql.executor import Database as _Database
     cols, tags = {}, {}
     for i, it in enumerate(sel.items):
-        name = it.alias or (it.expr.name if isinstance(it.expr, P.Col)
-                            else it.expr.func if isinstance(it.expr,
-                                                            P.Call)
-                            else f"col_{i}")
+        # same auto-naming as the in-core executor (duplicate functions
+        # get positional suffixes instead of silently colliding)
+        name = it.alias or _Database._auto_name(it.expr, i)
         v = np.broadcast_to(eval_g(it.expr), (g,))
         cols[name] = np.asarray(v)[keep]
         tags[name] = str(cols[name].dtype)

@@ -717,6 +717,17 @@ class Database:
         gname = sel.group_by[0].name
         if gname not in cols:
             raise SqlError(f"unknown column {gname!r}")
+        PADKEY = int(np.uint64(0xFFFFFFFFFFFFFFFF))
+        # the all-ones u64 key is RESERVED at this layer (results drop
+        # it as the padding group; the quantile exchange uses it as the
+        # distinct-key sentinel) — 32-bit group columns cannot produce
+        # it (they lift with hi == 0); reject it on u64 columns rather
+        # than silently dropping a real group
+        if tags[gname] == "u64" and bool(
+                (cols[gname] == np.uint64(PADKEY)).any()):
+            raise SqlError("u64 group keys may not use the reserved "
+                           "max value 2^64-1 (distributed padding / "
+                           "sentinel key)")
         if sel.where is not None:
             # WHERE is elementwise: evaluate the mask through the
             # device expression engine, filter the host frame, and pad
@@ -724,19 +735,13 @@ class Database:
             mask = self._where_mask(sel)
             cols = {k: v[mask] for k, v in cols.items()}
         gkey = _lift64_np(cols[gname])
-        # pad to a mesh multiple with a reserved group key (hi plane
-        # != 0 — 32-bit group columns lift with hi == 0, so the pad
-        # group cannot collide; it is dropped from the results). This
-        # also lifts the rows-divide-the-mesh restriction.
+        # pad to a mesh multiple with the reserved group key (dropped
+        # from the results). This also lifts the rows-divide-the-mesh
+        # restriction.
         n_dev = int(np.prod(list(mesh.shape.values())))
         n_pad = (-len(gkey)) % n_dev
-        PADKEY = int(np.uint64(0xFFFFFFFFFFFFFFFF))
         if n_pad or len(gkey) == 0:
             n_pad = n_pad if len(gkey) else n_dev
-            if tags[gname] == "u64" and bool(
-                    (cols[gname] == np.uint64(PADKEY)).any()):
-                raise SqlError("cannot pad: the u64 group column uses "
-                               "the reserved max key")
             gkey = np.concatenate(
                 [gkey, np.full(n_pad, PADKEY, np.uint64)])
             cols = {k: np.concatenate([v, np.zeros(n_pad, v.dtype)])
@@ -834,10 +839,12 @@ class Database:
             for (vn, kind), qlist in pct_specs.items():
                 fn = (distributed_group_quantile_numpy if kind == "disc"
                       else distributed_group_quantile_cont_numpy)
-                # plan-then-retry on the exact overflow signal: the
-                # operator detects (never truncates silently) when
-                # distinct keys exceed max_groups
-                mg = 1024
+                # the exact group count is already known from the
+                # aggregate pass above (results covers every group incl.
+                # the pad group) — seed max_groups there so the retry
+                # loop (kept as the exact-overflow backstop) never
+                # pays a wasted execution + remote recompile
+                mg = _pow2_cap(max(len(results), 1) + 1, 1 << 62)
                 while True:
                     try:
                         res = fn(gkey, cols[vn], qlist, mesh,
@@ -1624,8 +1631,14 @@ class Database:
                 agg_np[name] = _head_np(arr, g)
         for phys in distinct_cols:
             tv = _col_arr(phys)
-            dres = group_aggregate(gkey, sortable_u32(tv)
-                                   if env.tags[phys] != "u64" else tv.lo,
+            if env.tags[phys] == "u64":
+                # the count_distinct agg dedups ONE u32 plane riding the
+                # (key, value) sort; dropping the hi plane would
+                # undercount pairs sharing low bits — reject, like the
+                # distributed path
+                raise SqlError("COUNT(DISTINCT) over u64 columns is "
+                               "not supported")
+            dres = group_aggregate(gkey, sortable_u32(tv),
                                    aggs=("count_distinct",))
             dg = int(np.asarray(dres.num_groups))
             assert dg == g, (dg, g)

@@ -68,8 +68,10 @@ KEYWORDS = frozenset(
     """select from where group by having order limit as and or not
     join inner left right full outer on distinct union intersect except
     all asc desc over partition case when then else end between in is
-    null true false cast within rows unbounded preceding current
-    row""".split()
+    null true false cast""".split()
+# Context-sensitive words (WITHIN GROUP, ROWS BETWEEN frames): matched
+# as plain name tokens only where the grammar expects them, so columns
+# named "rows", "current", "within", ... keep parsing as identifiers.
 )
 
 
@@ -254,6 +256,19 @@ class _Parser:
 
     def expect_kw(self, word: str):
         if not self.kw(word):
+            raise self._err(word.upper())
+
+    def ctx_kw(self, word: str) -> bool:
+        """Consume a CONTEXTUAL keyword: a name token matching `word`
+        case-insensitively (not reserved — see the KEYWORDS note)."""
+        t = self.cur
+        if t.kind == "name" and t.text.lower() == word:
+            self.i += 1
+            return True
+        return False
+
+    def expect_ctx(self, word: str):
+        if not self.ctx_kw(word):
             raise self._err(word.upper())
 
     def op(self, text: str) -> bool:
@@ -514,7 +529,7 @@ class _Parser:
 
     def _maybe_within(self, c: Call) -> Call:
         # ordered-set aggregate: f(q) WITHIN GROUP (ORDER BY col)
-        if not self.kw("within"):
+        if not self.ctx_kw("within"):
             return c
         self.expect_kw("group")
         self.expect_op("(")
@@ -539,19 +554,19 @@ class _Parser:
             self.expect_kw("by")
             order = self.colref()
         frame = None
-        if self.kw("rows"):
+        if self.ctx_kw("rows"):
             self.expect_kw("between")
-            if self.kw("unbounded"):
-                self.expect_kw("preceding")   # the default running frame
+            if self.ctx_kw("unbounded"):
+                self.expect_ctx("preceding")  # the default running frame
             else:
                 if self.cur.kind != "int":
                     raise self._err("integer or UNBOUNDED")
                 frame = int(self.cur.text)
                 self.i += 1
-                self.expect_kw("preceding")
+                self.expect_ctx("preceding")
             self.expect_kw("and")
-            self.expect_kw("current")
-            self.expect_kw("row")
+            self.expect_ctx("current")
+            self.expect_ctx("row")
         self.expect_op(")")
         return dataclasses.replace(
             c, window=WindowSpec(tuple(part), order, frame))
