@@ -732,3 +732,82 @@ def test_count_distinct_u64_rejected():
                                     np.uint64)})
     with pytest.raises(SqlError, match="u64"):
         db.sql("SELECT k, COUNT(DISTINCT h) AS d FROM t GROUP BY k")
+
+
+# -- second review pass regressions -------------------------------------------
+
+class TestReviewPass2:
+    def test_large_u32_vs_int_literal(self):
+        db = Database()
+        db.register("t", {"u": np.array([3000000000, 5], np.uint32)})
+        out = db.sql("SELECT u FROM t WHERE u > 5")
+        np.testing.assert_array_equal(out["u"], [3000000000])
+        # negative literal: every u32 is greater
+        out = db.sql("SELECT u FROM t WHERE u > -1 ORDER BY u")
+        np.testing.assert_array_equal(out["u"], [5, 3000000000])
+
+    def test_large_u32_vs_i32_column_compare(self):
+        db = Database()
+        db.register("t", {"u": np.array([3000000000, 5], np.uint32),
+                          "s": np.array([-2, 10], np.int32)})
+        out = db.sql("SELECT u FROM t WHERE u > s ORDER BY u")
+        np.testing.assert_array_equal(out["u"], [3000000000])
+
+    def test_union_all_positional_columns(self):
+        db = Database()
+        db.register("t", {"a": np.array([1], np.uint32),
+                          "b": np.array([2], np.uint32)})
+        db.register("r", {"c": np.array([3], np.uint32),
+                          "a2": np.array([4], np.uint32)})
+        out = db.sql("SELECT a, b FROM t UNION ALL "
+                     "SELECT c, a2 FROM r ORDER BY a")
+        # positional: c lands under 'a', a2 under 'b'
+        np.testing.assert_array_equal(out["a"], [1, 3])
+        np.testing.assert_array_equal(out["b"], [2, 4])
+
+    def test_select_star_join_keeps_join_key(self):
+        db = Database()
+        db.register("t", {"id": np.arange(3, dtype=np.uint32),
+                          "v": np.arange(3, dtype=np.uint32) * 10})
+        db.register("u", {"id": np.arange(3, dtype=np.uint32),
+                          "w": np.arange(3, dtype=np.uint32) * 100})
+        out = db.sql("SELECT * FROM t JOIN u ON id = id ORDER BY v")
+        assert sorted(out) == ["t.id", "u.id", "v", "w"], sorted(out)
+        np.testing.assert_array_equal(out["t.id"], [0, 1, 2])
+        np.testing.assert_array_equal(out["u.id"], [0, 1, 2])
+
+    def test_aggregate_aliased_to_group_name(self):
+        db = Database()
+        db.register("s", {"g": np.array([0, 0, 1], np.uint32),
+                          "x": np.array([8, 9, 4], np.uint32)})
+        out = db.sql("SELECT g AS gg, SUM(x) AS g FROM s GROUP BY g "
+                     "ORDER BY gg")
+        np.testing.assert_array_equal(out["gg"], [0, 1])
+        np.testing.assert_array_equal(out["g"], [17, 4])
+
+    def test_lag_default_honored_offset_rejected(self, engines):
+        db, con = engines
+        check(db, con,
+              "SELECT id, LAG(v, 1, 42) OVER (PARTITION BY g ORDER BY "
+              "id) AS l FROM t ORDER BY id LIMIT 200", ordered=True)
+        with pytest.raises(SqlError, match="offset"):
+            db.sql("SELECT LAG(v, 2) OVER (PARTITION BY g ORDER BY id)"
+                   " AS l FROM t")
+
+    def test_running_min_without_order_rejected(self):
+        db = Database()
+        db.register("s", {"g": np.zeros(4, np.uint32),
+                          "x": np.array([5, 3, 9, 4], np.uint32)})
+        with pytest.raises(SqlError, match="ORDER BY"):
+            db.sql("SELECT MIN(x) OVER (PARTITION BY g) AS m FROM s")
+
+    def test_join_on_either_operand_order(self):
+        db = Database()
+        db.register("t", {"k": np.arange(4, dtype=np.uint32),
+                          "v": np.arange(4, dtype=np.uint32)})
+        db.register("u", {"k": np.arange(0, 8, 2, dtype=np.uint32),
+                          "w": np.arange(4, dtype=np.uint32)})
+        a = db.sql("SELECT v, w FROM t JOIN u ON t.k = u.k ORDER BY v")
+        b = db.sql("SELECT v, w FROM t JOIN u ON u.k = t.k ORDER BY v")
+        np.testing.assert_array_equal(a["v"], b["v"])
+        np.testing.assert_array_equal(a["w"], b["w"])

@@ -1321,10 +1321,8 @@ def _dset_shard(alo, ahi, blo, bhi, *, op, n_dev, samples_per_dev,
     from tpu_qe.ops.segscan import cumsum_u32
     from tpu_qe.ops.setops import _qualifies
 
-    n = alo.shape[0] + blo.shape[0]
     klo, khi, sside, occ, is_real, dest, my = _dset_dedup_route(
         alo, ahi, blo, bhi, n_dev=n_dev, samples_per_dev=samples_per_dev)
-    pos = jnp.arange(n, dtype=jnp.uint32)
     recv, _, _, _, overflow = exchange(
         dest,
         [klo, khi, jnp.where(is_real, sside, 0),

@@ -75,9 +75,12 @@ _WINDOW_FUNCS = {
 @dataclasses.dataclass
 class TV:
     """Typed value: jnp array (or U64) + tag in
-    {"u32","i32","f32","u64","bool"}."""
+    {"u32","i32","f32","u64","bool"}. lit_value carries the host value
+    of integer literals (mixed u32/i32 arithmetic retags nonnegative
+    literals instead of bit-viewing a large u32 column as signed)."""
     arr: object
     tag: str
+    lit_value: int | float | None = None
 
 
 def _tag_of(col) -> str:
@@ -201,9 +204,9 @@ def _eval(e, env: _RowEnv, n: int) -> TV:
             return TV(jnp.float32(v), "f32")
         if isinstance(v, int):
             if -(1 << 31) <= v < (1 << 31):
-                return TV(jnp.int32(v), "i32")
+                return TV(jnp.int32(v), "i32", lit_value=v)
             if 0 <= v < (1 << 32):
-                return TV(jnp.uint32(v), "u32")
+                return TV(jnp.uint32(v), "u32", lit_value=v)
             if 0 <= v < (1 << 64):
                 # stays a host int: valid only against u64 columns
                 return TV(v, "bigint")
@@ -242,9 +245,7 @@ def _eval(e, env: _RowEnv, n: int) -> TV:
         vals = []
         for cond, val in e.whens:
             tv = _eval(val, env, n)
-            tag = _promote(TV(None, tag), TV(None, tv.tag)) \
-                if (tag, tv.tag) != (tag, tag) else _promote(
-                    TV(None, tag), tv)
+            tag = _promote(TV(None, tag), TV(None, tv.tag))
             vals.append(tv)
         out = _cast(default, tag, n)
         # SQL CASE takes the FIRST matching WHEN: apply in reverse so
@@ -261,12 +262,49 @@ def _eval(e, env: _RowEnv, n: int) -> TV:
     raise SqlError(f"unsupported expression node {type(e).__name__}")
 
 
+def _lag_fill(c):
+    """Validate LAG/LEAD(col [, offset [, default]]) arguments: the
+    window operator implements one-row shifts, so offsets other than 1
+    are rejected loudly (they were previously parsed and silently
+    ignored); the default literal becomes the partition-edge fill."""
+    off = 1
+    fill = 0
+    if len(c.args) >= 2:
+        if not isinstance(c.args[1], P.Lit):
+            raise SqlError(f"{c.func} offset must be a literal")
+        off = int(c.args[1].value)
+    if len(c.args) >= 3:
+        if not isinstance(c.args[2], P.Lit):
+            raise SqlError(f"{c.func} default must be a literal")
+        fill = c.args[2].value
+    if off != 1:
+        raise SqlError(f"{c.func} offset {off} is not supported (the "
+                       "window operator implements one-row shifts)")
+    if len(c.args) > 3:
+        raise SqlError(f"{c.func} takes at most three arguments")
+    return fill
+
+
 def _u64_eq(a: U64, b: U64):
     return (a.lo == b.lo) & (a.hi == b.hi)
 
 
 def _u64_lt(a: U64, b: U64):
     return (a.hi < b.hi) | ((a.hi == b.hi) & (a.lo < b.lo))
+
+
+def _u64_cmp(op: str, a: U64, b: U64):
+    if op == "=":
+        return _u64_eq(a, b)
+    if op == "<>":
+        return ~_u64_eq(a, b)
+    if op == "<":
+        return _u64_lt(a, b)
+    if op == ">":
+        return _u64_lt(b, a)
+    if op == "<=":
+        return ~_u64_lt(b, a)
+    return ~_u64_lt(a, b)
 
 
 def _eval_binary(e: P.Binary, env: _RowEnv, n: int) -> TV:
@@ -300,17 +338,35 @@ def _eval_binary(e: P.Binary, env: _RowEnv, n: int) -> TV:
                       else (col.arr, pair))
         else:
             a2, b2 = a.arr, b.arr
-        if op == "=":
-            return TV(_u64_eq(a2, b2), "bool")
-        if op == "<>":
-            return TV(~_u64_eq(a2, b2), "bool")
-        if op == "<":
-            return TV(_u64_lt(a2, b2), "bool")
-        if op == ">":
-            return TV(_u64_lt(b2, a2), "bool")
-        if op == "<=":
-            return TV(~_u64_lt(b2, a2), "bool")
-        return TV(~_u64_lt(a2, b2), "bool")
+        return TV(_u64_cmp(op, a2, b2), "bool")
+
+    if {a.tag, b.tag} == {"u32", "i32"}:
+        # mixed signedness: bit-viewing a large u32 as i32 silently
+        # corrupts comparisons/division (u > 5 empty for u >= 2^31).
+        # A nonnegative int literal joins the u32 side losslessly;
+        # otherwise comparisons go exact via sign-aware i64-in-U64
+        # pairs (arithmetic keeps the documented mod-2^32 semantics).
+        if a.tag == "i32" and a.lit_value is not None \
+                and a.lit_value >= 0:
+            a = TV(jnp.uint32(a.lit_value), "u32", a.lit_value)
+        elif b.tag == "i32" and b.lit_value is not None \
+                and b.lit_value >= 0:
+            b = TV(jnp.uint32(b.lit_value), "u32", b.lit_value)
+        elif op in ("=", "<>", "<", "<=", ">", ">="):
+            def pair64(t: TV) -> U64:
+                arr = t.arr
+                if not hasattr(arr, "shape") or arr.shape == ():
+                    arr = jnp.broadcast_to(arr, (n,))
+                if t.tag == "u32":
+                    lo, hi = arr, jnp.zeros_like(arr)
+                else:
+                    lo = arr.view(jnp.uint32)
+                    hi = jnp.where(arr < jnp.int32(0),
+                                   jnp.uint32(0xFFFFFFFF), jnp.uint32(0))
+                # flip the sign bit of the hi word: signed-64 order
+                # becomes unsigned pair order
+                return U64(lo, hi ^ jnp.uint32(0x80000000))
+            return TV(_u64_cmp(op, pair64(a), pair64(b)), "bool")
 
     tag = _promote(a, b)
     x, y = _cast(a, tag, n), _cast(b, tag, n)
@@ -1074,10 +1130,16 @@ class Database:
                         "in-core only)")
                 values[vn] = cols[vn]
                 if kind in ("lag", "lead"):
-                    funcs[name] = (kind, vn, 0)
+                    funcs[name] = (kind, vn, _lag_fill(c))
                 elif kind.startswith("moving_"):
                     funcs[name] = (kind, vn, fr + 1)
                 else:
+                    if kind in ("running_sum", "running_min",
+                                "running_max") \
+                            and c.window.order_by is None:
+                        raise SqlError(
+                            f"{c.func}(x) OVER without ORDER BY (the "
+                            "whole-partition frame) is not supported")
                     funcs[name] = (kind, vn)
         if spec is None:
             raise SqlError("no window calls found")
@@ -1181,8 +1243,13 @@ class Database:
             # resolve keys: left from current env, right from the new one
             lenv = _RowEnv(table, names, tags)
             renv = _RowEnv(rt, rnames, rtags)
-            ltv = lenv.col(j.left_col)
-            rtv = renv.col(j.right_col)
+            try:
+                ltv = lenv.col(j.left_col)
+                rtv = renv.col(j.right_col)
+            except SqlError:
+                # ON u.k = t.k — SQL accepts either operand order
+                ltv = lenv.col(j.right_col)
+                rtv = renv.col(j.left_col)
             # lifted u64 join keys ride as a temp column through the
             # operator (dropped from the output below)
             lt = table.with_column("__sqlkey",
@@ -1312,8 +1379,14 @@ class Database:
         cols, tags = {}, {}
         for i, it in enumerate(sel.items):
             if it.expr == "*":
+                # every physical column exactly once: the bare name
+                # where it is unambiguous, else the qualified ref (SQL
+                # * after a join returns BOTH sides' columns — incl.
+                # the join key, whose bare name is ambiguous)
+                bare = {phys for ref, phys in env.names.items()
+                        if "." not in ref}
                 for ref, phys in sorted(env.names.items()):
-                    if "." in ref:
+                    if ("." in ref) == (phys in bare):
                         continue
                     cols[ref] = env.table[phys]
                     tags[ref] = env.tags[phys]
@@ -1427,18 +1500,19 @@ class Database:
                     vn = f"v{i}"
                     values[vn] = vtv.arr
                     if kind in ("lag", "lead"):
-                        funcs[wname] = (kind, vn, 0)
+                        funcs[wname] = (kind, vn, _lag_fill(c))
                         tagof[wname] = vtv.tag
                     elif kind.startswith("moving_"):
                         funcs[wname] = (kind, vn, fr + 1)
                         tagof[wname] = ("f32" if kind == "moving_avg"
                                         else vtv.tag)
                     else:
-                        if kind in ("running_sum",) and ocol is None:
+                        if kind in ("running_sum", "running_min",
+                                    "running_max") and ocol is None:
                             raise SqlError(
                                 f"{c.func}(x) OVER (PARTITION BY ...) "
-                                "without ORDER BY (whole-partition "
-                                "total) is not supported; add ORDER BY "
+                                "without ORDER BY (the whole-partition "
+                                "frame) is not supported; add ORDER BY "
                                 "for the running form")
                         funcs[wname] = (kind, vn)
                         tagof[wname] = ("i64" if kind == "running_sum"
@@ -1482,10 +1556,12 @@ class Database:
                    if it.expr != "*" and it.alias
                    and not _calls(it.expr, window=False)}
         gtvs = []
+        alias_gcols: set[str] = set()
         for c in gcols:
             if c.table is None and c.name not in env.names \
                     and c.name in aliases:
                 gtvs.append(_eval(aliases[c.name], env, n))
+                alias_gcols.add(c.name)
             else:
                 gtvs.append(env.col(c))
         # composite group key
@@ -1742,9 +1818,21 @@ class Database:
             if it.expr == "*":
                 raise SqlError("SELECT * with GROUP BY is not supported")
             name = it.alias or self._auto_name(it.expr, i)
-            if name in gvals:
-                # the item IS a group key (direct column or the aliased
-                # expression the GROUP BY named)
+            # the group-key shortcut applies only when the item IS a
+            # group key: a direct column reference matching a GROUP BY
+            # column, or exactly the aliased expression the GROUP BY
+            # named. Anything else sharing the name (an aggregate
+            # aliased to the group column, an expression OVER the key)
+            # evaluates through eval_grouped instead of being silently
+            # replaced by the key values.
+            is_gkey = name in gvals and (
+                (isinstance(it.expr, P.Col) and any(
+                    c2.key == it.expr.key
+                    or (it.expr.table is None and c2.name == it.expr.name)
+                    for c2 in gcols))
+                or (name in alias_gcols
+                    and aliases.get(name) is it.expr))
+            if is_gkey:
                 v = gvals[name]
             else:
                 v = np.broadcast_to(eval_grouped(it.expr), (g,))
@@ -1796,7 +1884,9 @@ class Database:
                                          tags[0]),
                         names[1]: unlift(_head_np(res.key.lo, g),
                                          tags[1])}
-            return Frame(cols, fr.tags)
+            # preserve the frame's positional column order (set ops
+            # pair positionally downstream)
+            return Frame({k: cols[k] for k in fr.cols}, fr.tags)
         fr = _materialize(fr)
         arr = np.stack([fr.cols[k].view(np.uint64)
                         if fr.cols[k].dtype == np.uint64
@@ -1810,7 +1900,9 @@ class Database:
 
     @staticmethod
     def _set_op(a: Frame, b: Frame, op: str, all_: bool) -> Frame:
-        na, nb = sorted(a.cols), sorted(b.cols)
+        # SQL set ops pair columns POSITIONALLY (frames preserve
+        # select-item order); output names come from the first select
+        na, nb = list(a.cols), list(b.cols)
         if len(na) != len(nb):
             raise SqlError(f"{op.upper()}: mismatched column counts")
         if op == "union" and all_:
