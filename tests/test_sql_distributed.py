@@ -134,10 +134,10 @@ def test_unsupported_shapes_raise():
     db = _db(70)
     mesh = make_mesh(2)
     with pytest.raises(SqlError, match="WHERE"):
-        # WHERE rides GROUP BY / ORDER BY shapes; windows keep raising
-        # (partition carry chains do not commute with pad rows)
-        db.sql("SELECT id, ROW_NUMBER() OVER (PARTITION BY k ORDER BY "
-               "id) AS rn FROM t WHERE v > 3", mesh=mesh)
+        # WHERE rides GROUP BY / ORDER BY / window shapes; the fused
+        # join keeps raising
+        db.sql("SELECT t.k, COUNT(*) AS c FROM t JOIN r ON t.k = r.k "
+               "WHERE v > 3 GROUP BY t.k", mesh=mesh)
     with pytest.raises(SqlError, match="int32 with negatives"):
         db.sql("SELECT k, SUM(sv) AS s FROM t GROUP BY k", mesh=mesh)
     with pytest.raises(SqlError, match="HAVING"):
@@ -271,3 +271,23 @@ def test_u64_reserved_max_group_key_rejected():
     with pytest.raises(SqlError, match="reserved"):
         db.sql("SELECT k, COUNT(*) AS c FROM t GROUP BY k",
                mesh=make_mesh(2))
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_where_window(n_dev):
+    db = _db(19)
+    sql = ("SELECT id, ROW_NUMBER() OVER (PARTITION BY k ORDER BY id) "
+           "AS rn, SUM(v) OVER (PARTITION BY k ORDER BY id) AS s "
+           "FROM t WHERE v % 2 = 0")
+    _cmp(db.sql(sql), db.sql(sql, mesh=make_mesh(n_dev)))
+
+
+def test_window_non_dividing_rows():
+    rng = np.random.default_rng(20)
+    db = Database()
+    db.register("t", {"k": rng.integers(0, 5, 1027).astype(np.uint32),
+                      "o": np.arange(1027, dtype=np.uint32),
+                      "v": rng.integers(0, 9, 1027).astype(np.uint32)})
+    sql = ("SELECT o, RANK() OVER (PARTITION BY k ORDER BY o) AS r "
+           "FROM t")
+    _cmp(db.sql(sql), db.sql(sql, mesh=make_mesh(4)))

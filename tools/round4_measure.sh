@@ -37,3 +37,11 @@ step python tools/bench_sql.py --n $((1<<27)) --groups 4096
 # 4. signed-sum aggregate cost control: the sign-extension adds one
 #    where+select per int32 sum operand — confirm group-by rate holds
 step python -m tpu_qe bench-matrix -- --configs filter_agg
+
+# 5. round-4 session-2 additions: out-of-core SQL (virtual tables),
+#    the re-measured join (restore-operand shave), per-group quantiles
+#    with the max_groups extraction
+step python -m tpu_qe bench-bigsql --n $((1<<30))
+step python -m tpu_qe bench-bigsql --n $((1<<30)) --where
+step python -m tpu_qe bench-matrix -- --configs join
+step python -m tpu_qe bench-matrix -- --configs quantile

@@ -652,15 +652,18 @@ class Database:
           - top-level window calls over plain columns
                                         -> distributed_window
           - plain column SELECT + ORDER BY -> distributed_order_by
-        GROUP BY aggregates accept WHERE (device-evaluated mask +
-        reserved-pad-group re-sharding, which also lifts the
-        rows-divide-the-mesh restriction for that family) and the
-        ordered-set aggregates (PERCENTILE_DISC/CONT WITHIN GROUP,
-        MEDIAN) via the zero-row-movement bisection. Elsewhere rows
-        must divide the mesh; int32 SUM/MIN/MAX with negatives raise
-        (the distributed aggregate combines u32 bit patterns — the
-        signed-exact extension lives in the in-core path only).
-        HAVING / SELECT DISTINCT are not supported distributed.
+        GROUP BY aggregates, ORDER BY, and windows accept WHERE
+        (device-evaluated mask + reserved-pad re-sharding: a pad GROUP
+        key / pad PARTITION / direction-extreme ORDER rows — which also
+        lifts the rows-divide-the-mesh restriction for those shapes);
+        GROUP BY takes HAVING (evaluated on the replicated G-bounded
+        group frame) and the ordered-set aggregates
+        (PERCENTILE_DISC/CONT WITHIN GROUP, MEDIAN) via the
+        zero-row-movement bisection. int32 SUM/MIN/MAX with negatives
+        raise (the distributed aggregate combines u32 bit patterns —
+        the signed-exact extension lives in the in-core path only).
+        SELECT DISTINCT and WHERE-with-JOIN are not supported
+        distributed.
         """
         def unsup(what):
             return SqlError(f"{what} is not supported with mesh= "
@@ -670,11 +673,8 @@ class Database:
             fr = self._dist_setop_chain(q, mesh)
             return dict(_frame_order_limit(fr, q.order_by, q.limit).cols)
         sel = q.selects[0]
-        if sel.where is not None:
-            wind = any(it.expr != "*" and _calls(it.expr, window=True)
-                       for it in sel.items)
-            if sel.joins or wind:
-                raise unsup("WHERE with joins or windows")
+        if sel.where is not None and sel.joins:
+            raise unsup("WHERE with joins")
         if sel.having is not None and not (
                 not sel.joins and (sel.group_by or self._has_aggs(sel))):
             raise unsup("HAVING outside GROUP BY aggregates")
@@ -1076,6 +1076,14 @@ class Database:
     def _dist_window(self, sel: P.Select, mesh) -> Frame:
         from tpu_qe.exchange.dwindow import distributed_window_numpy
         cols, tags = self._dist_table(sel.table)
+        if sel.where is not None:
+            # WHERE before windows is SQL semantics; the filtered frame
+            # pads back to a mesh multiple below with a RESERVED pad
+            # partition (hi != 0 — 32-bit partition keys cannot collide),
+            # so real partitions' carry chains never see pad rows and
+            # the pad outputs trim off the tail
+            mask = self._where_mask(sel)
+            cols = {k: v[mask] for k, v in cols.items()}
         funcs, values, plain = {}, {}, []
         spec = None
         for i, it in enumerate(sel.items):
@@ -1144,9 +1152,25 @@ class Database:
         if spec is None:
             raise SqlError("no window calls found")
         pname, oname = spec
+        PADKEY = np.uint64(0xFFFFFFFFFFFFFFFF)
+        pkey = _lift64_np(cols[pname])
+        if tags[pname] == "u64" and bool((pkey == PADKEY).any()):
+            raise SqlError("u64 partition keys may not use the "
+                           "reserved max value 2^64-1")
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        m = len(pkey)
+        n_pad = (-m) % n_dev if m else n_dev
+        if n_pad:
+            pkey = np.concatenate([pkey,
+                                   np.full(n_pad, PADKEY, np.uint64)])
+            values = {k: np.concatenate([v, np.zeros(n_pad, v.dtype)])
+                      for k, v in values.items()}
+        order = None if oname is None else cols[oname]
+        if n_pad and order is not None:
+            order = np.concatenate([order,
+                                    np.zeros(n_pad, order.dtype)])
         res = distributed_window_numpy(
-            _lift64_np(cols[pname]), funcs, mesh,
-            order=None if oname is None else cols[oname],
+            pkey, funcs, mesh, order=order,
             values=values, capacity_factor="auto")
         out, otags = {}, {}
         for i, it in enumerate(sel.items):
@@ -1154,7 +1178,8 @@ class Database:
             if isinstance(it.expr, P.Col):
                 out[name] = cols[it.expr.name]
             else:
-                out[name] = res[name]
+                # pad-partition outputs sit at the input-order tail
+                out[name] = (res[name][:m] if n_pad else res[name])
             otags[name] = str(out[name].dtype)
         return Frame(out, otags)
 
