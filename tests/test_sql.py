@@ -398,6 +398,19 @@ TEMPLATES = [
      "ORDER BY id"),
     ("SELECT DISTINCT g, k FROM t WHERE v BETWEEN {q} AND {r} "
      "ORDER BY g, k", None),
+    # aggregate-argument expressions (synthetic value columns)
+    ("SELECT k, SUM(v % {p}) AS s, COUNT(DISTINCT u % {p}) AS d, "
+     "AVG(v + u) AS a FROM t GROUP BY k ORDER BY k", None),
+    ("SELECT g, SUM(CASE WHEN v > {q} THEN u ELSE 0 END) AS cs "
+     "FROM t GROUP BY g ORDER BY g", None),
+    # window ROWS frames (the moving_* family)
+    ("SELECT id, SUM(u) OVER (PARTITION BY g ORDER BY id ROWS BETWEEN "
+     "{p} PRECEDING AND CURRENT ROW) AS ms, MAX(u) OVER (PARTITION BY "
+     "g ORDER BY id ROWS BETWEEN {p} PRECEDING AND CURRENT ROW) AS mm "
+     "FROM t WHERE v > {q} ORDER BY id", None),
+    # LAG with an explicit default
+    ("SELECT id, LAG(v, 1, {q}) OVER (PARTITION BY g ORDER BY id) AS l "
+     "FROM t ORDER BY id LIMIT 500", None),
 ]
 
 
@@ -811,3 +824,33 @@ class TestReviewPass2:
         b = db.sql("SELECT v, w FROM t JOIN u ON u.k = t.k ORDER BY v")
         np.testing.assert_array_equal(a["v"], b["v"])
         np.testing.assert_array_equal(a["w"], b["w"])
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_percentile_fuzz(seed):
+    """Randomized percentile queries vs a numpy oracle (sqlite3 has no
+    percentile functions)."""
+    rng = np.random.default_rng(300 + seed)
+    n = int(rng.integers(500, 3000))
+    k = rng.integers(0, rng.integers(2, 9), n).astype(np.uint32)
+    v = rng.integers(-1000, 1000, n).astype(np.int32)
+    db = Database()
+    db.register("t", {"k": k, "v": v})
+    q = round(float(rng.uniform(0.05, 0.95)), 3)
+    out = db.sql(f"SELECT k, PERCENTILE_DISC({q}) WITHIN GROUP "
+                 f"(ORDER BY v) AS p, PERCENTILE_CONT({q}) WITHIN "
+                 f"GROUP (ORDER BY v) AS pc FROM t GROUP BY k "
+                 f"ORDER BY k")
+    # the engine snaps q to the 2^-20 grid — exact for 3-decimal q
+    # within float tolerance of ranks; use the snapped value
+    from tpu_qe.ops.quantile import canon_qs, disc_rank
+    (num, sh) = canon_qs([q])[0]
+    for i, kk in enumerate(out["k"]):
+        grp = np.sort(v[k == kk])
+        assert out["p"][i] == grp[disc_rank(num, sh, len(grp))], (kk, q)
+        t = num * (len(grp) - 1)
+        fl, frac = t >> sh, (t - ((t >> sh) << sh)) / (1 << sh)
+        want = grp[fl] + (grp[min(fl + 1, len(grp) - 1)]
+                          - grp[fl]) * frac
+        np.testing.assert_allclose(out["pc"][i], want, rtol=1e-5,
+                                   atol=1e-3)
