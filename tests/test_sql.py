@@ -798,13 +798,19 @@ class TestReviewPass2:
         np.testing.assert_array_equal(out["gg"], [0, 1])
         np.testing.assert_array_equal(out["g"], [17, 4])
 
-    def test_lag_default_honored_offset_rejected(self, engines):
+    def test_lag_default_and_offsets(self, engines):
         db, con = engines
         check(db, con,
               "SELECT id, LAG(v, 1, 42) OVER (PARTITION BY g ORDER BY "
               "id) AS l FROM t ORDER BY id LIMIT 200", ordered=True)
-        with pytest.raises(SqlError, match="offset"):
-            db.sql("SELECT LAG(v, 2) OVER (PARTITION BY g ORDER BY id)"
+        # static offsets: relayout shifts + rank masks (previously
+        # parsed and silently ignored, then rejected)
+        check(db, con,
+              "SELECT id, LAG(v, 3, -7) OVER (PARTITION BY g ORDER BY "
+              "id) AS l, LEAD(u, 2, 0) OVER (PARTITION BY g ORDER BY "
+              "id) AS ld FROM t ORDER BY id LIMIT 500", ordered=True)
+        with pytest.raises(SqlError, match=">= 1"):
+            db.sql("SELECT LAG(v, 0) OVER (PARTITION BY g ORDER BY id)"
                    " AS l FROM t")
 
     def test_running_min_without_order_rejected(self):

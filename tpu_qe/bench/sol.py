@@ -91,6 +91,18 @@ def sort_sol_seconds(n: int, num_passes: int, payload_cols: int = 1,
 _SORT_C = 2.94e-12       # s per element * log2(n)^2 * KEY operand (v5e,
                          # measured 2026-08-17: stable 2-key+1-payload
                          # 64M sort = 345 ms with payload weight 0.59)
+                         # Per-mix calibration error, measured 2026-08-19
+                         # at 200M rows (round-4 join decomposition,
+                         # round4_measured.jsonl): the (3-key+1-payload)
+                         # unstable sort implies C = 3.48e-12 and the
+                         # (1-key+1-payload) one C = 4.01e-12 — i.e. the
+                         # log2^2 scaling from the 64M calibration point
+                         # underprices 200M sorts by ~20-35%. Operator
+                         # sol_fractions built on raw lax.sort calls
+                         # (join: 0.859) therefore understate true
+                         # envelope proximity; the join's measured glue
+                         # is ZERO (integrated op beats its isolated
+                         # phases summed).
 _SORT_PAYLOAD = 0.59     # payload-operand cost as a fraction of a key
                          # operand (measured 2026-08-17: 2-key sorts with
                          # 0-3 payloads -> 79.8 ms marginal vs 135 ms/key)

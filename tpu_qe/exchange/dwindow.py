@@ -633,6 +633,13 @@ def distributed_window(key: U64, funcs: dict, mesh: Mesh,
                              for _, k, _, _ in spec):
         raise ValueError("rank/dense_rank/percent_rank require an "
                          "order column")
+    if any(k in ("lag", "lead") and isinstance(f, tuple)
+           for _, k, _, f in spec):
+        # canon packs an offset != 1 as a (fill, k) pair — the
+        # distributed boundary carries hold exactly ONE edge value per
+        # partition, so offset-k shifts are in-core only
+        raise ValueError("distributed lag/lead support offset 1 only "
+                         "(the boundary carry is one row)")
     values = values or {}
     needed = tuple(sorted({c for _, _, c, _ in spec if c is not None}))
     for c in needed:

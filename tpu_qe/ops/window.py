@@ -102,6 +102,16 @@ def _canon_funcs(funcs: dict) -> tuple:
             if not (isinstance(fill, int) and fill >= 1):
                 raise ValueError(f"{kind} needs a static frame width "
                                  f">= 1, got {fill!r}")
+        if kind in ("lag", "lead"):
+            # spec is (kind, col[, fill[, offset]]) — a static offset
+            # k != 1 rides the fill slot as a (fill, k) pair (the same
+            # slot-packing precedent as moving's width)
+            off = f[3] if len(f) > 3 else 1
+            if not (isinstance(off, int) and off >= 1):
+                raise ValueError(f"{kind} offset must be an int >= 1, "
+                                 f"got {off!r}")
+            if off != 1:
+                fill = (fill, off)
         if kind == "ntile":
             # spec is ("ntile", k) — k rides the col slot syntactically
             # but is the static bucket count
@@ -231,13 +241,38 @@ def _window_sorted_cols(spec, scols, idx, is_new, order_new, is_last,
                                 idx - part_start)
         elif kind == "lag":
             v = scols[col]
-            f = jnp.asarray(fill, v.dtype)
-            out[name] = jnp.where(is_new, f, _shift_right_one(v, f))
+            f_, k_ = fill if isinstance(fill, tuple) else (fill, 1)
+            f = jnp.asarray(f_, v.dtype)
+            if k_ == 1:
+                out[name] = jnp.where(is_new, f, _shift_right_one(v, f))
+            else:
+                # offset-k: static relayout + a rank-within-partition
+                # mask (rows with fewer than k predecessors fill)
+                if part_start is None:
+                    part_start = cummax_u32(
+                        jnp.where(is_new, idx, jnp.uint32(0)))
+                rn0 = idx - part_start
+                out[name] = jnp.where(rn0 >= jnp.uint32(k_),
+                                      _shift_k(v, k_, f_), f)
         elif kind == "lead":
             v = scols[col]
-            f = jnp.asarray(fill, v.dtype)
-            nxt = jnp.concatenate([v[1:], jnp.full((1,), f, v.dtype)])
-            out[name] = jnp.where(is_last, f, nxt)
+            f_, k_ = fill if isinstance(fill, tuple) else (fill, 1)
+            f = jnp.asarray(f_, v.dtype)
+            if k_ == 1:
+                nxt = jnp.concatenate([v[1:],
+                                       jnp.full((1,), f, v.dtype)])
+                out[name] = jnp.where(is_last, f, nxt)
+            else:
+                if part_end is None:
+                    m1 = jnp.uint32(idx.shape[0] - 1)
+                    b = jnp.flip(is_last)
+                    rev_start = cummax_u32(
+                        jnp.where(b, idx, jnp.uint32(0)))
+                    part_end = m1 - jnp.flip(rev_start)
+                nxt = jnp.concatenate([v[k_:],
+                                       jnp.full((k_,), f, v.dtype)])
+                out[name] = jnp.where(idx + jnp.uint32(k_) <= part_end,
+                                      nxt, f)
         elif kind == "first_value":
             # forward last-valid fill with the flag ONLY at partition
             # starts = the partition's first value at every row (the
@@ -417,7 +452,7 @@ def window(key: U64, funcs: dict, order: jnp.ndarray | None = None,
       funcs: out_name -> spec; spec is "row_number" / ("rank",) /
         ("dense_rank",) / ("percent_rank",) /
         ("running_sum"|"running_min"|"running_max", value_col) /
-        ("lag"|"lead", value_col[, fill]) /
+        ("lag"|"lead", value_col[, fill[, offset]]) /
         ("first_value"|"last_value", value_col) / ("ntile", k) /
         ("moving_sum"|"moving_min"|"moving_max"|"moving_avg",
         value_col, k).

@@ -262,27 +262,29 @@ def _eval(e, env: _RowEnv, n: int) -> TV:
     raise SqlError(f"unsupported expression node {type(e).__name__}")
 
 
-def _lag_fill(c):
-    """Validate LAG/LEAD(col [, offset [, default]]) arguments: the
-    window operator implements one-row shifts, so offsets other than 1
-    are rejected loudly (they were previously parsed and silently
-    ignored); the default literal becomes the partition-edge fill."""
+def _lag_args(c) -> tuple:
+    """Validate LAG/LEAD(col [, offset [, default]]) arguments: returns
+    (fill, offset). Static offsets run as relayout shifts + a
+    rank-within-partition mask in the window operator (previously
+    parsed and silently ignored)."""
+    def lit(e, what):
+        if isinstance(e, P.Lit):
+            return e.value
+        if isinstance(e, P.Unary) and e.op == "-" \
+                and isinstance(e.operand, P.Lit):
+            return -e.operand.value
+        raise SqlError(f"{c.func} {what} must be a literal")
     off = 1
     fill = 0
     if len(c.args) >= 2:
-        if not isinstance(c.args[1], P.Lit):
-            raise SqlError(f"{c.func} offset must be a literal")
-        off = int(c.args[1].value)
+        off = int(lit(c.args[1], "offset"))
     if len(c.args) >= 3:
-        if not isinstance(c.args[2], P.Lit):
-            raise SqlError(f"{c.func} default must be a literal")
-        fill = c.args[2].value
-    if off != 1:
-        raise SqlError(f"{c.func} offset {off} is not supported (the "
-                       "window operator implements one-row shifts)")
+        fill = lit(c.args[2], "default")
+    if off < 1:
+        raise SqlError(f"{c.func} offset must be >= 1, got {off}")
     if len(c.args) > 3:
         raise SqlError(f"{c.func} takes at most three arguments")
-    return fill
+    return fill, off
 
 
 def _u64_eq(a: U64, b: U64):
@@ -1138,7 +1140,12 @@ class Database:
                         "in-core only)")
                 values[vn] = cols[vn]
                 if kind in ("lag", "lead"):
-                    funcs[name] = (kind, vn, _lag_fill(c))
+                    fill, off = _lag_args(c)
+                    if off != 1:
+                        raise SqlError(
+                            f"distributed {c.func} supports offset 1 "
+                            "only (one-row boundary carries)")
+                    funcs[name] = (kind, vn, fill)
                 elif kind.startswith("moving_"):
                     funcs[name] = (kind, vn, fr + 1)
                 else:
@@ -1525,7 +1532,8 @@ class Database:
                     vn = f"v{i}"
                     values[vn] = vtv.arr
                     if kind in ("lag", "lead"):
-                        funcs[wname] = (kind, vn, _lag_fill(c))
+                        fill, off = _lag_args(c)
+                        funcs[wname] = (kind, vn, fill, off)
                         tagof[wname] = vtv.tag
                     elif kind.startswith("moving_"):
                         funcs[wname] = (kind, vn, fr + 1)
