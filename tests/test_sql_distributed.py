@@ -291,3 +291,18 @@ def test_window_non_dividing_rows():
     sql = ("SELECT o, RANK() OVER (PARTITION BY k ORDER BY o) AS r "
            "FROM t")
     _cmp(db.sql(sql), db.sql(sql, mesh=make_mesh(4)))
+
+
+def test_where_window_rows_frame():
+    db = _db(21)
+    sql = ("SELECT id, SUM(v) OVER (PARTITION BY k ORDER BY id ROWS "
+           "BETWEEN 3 PRECEDING AND CURRENT ROW) AS ms FROM t "
+           "WHERE v % 3 <> 2")
+    _cmp(db.sql(sql), db.sql(sql, mesh=make_mesh(4)))
+
+
+def test_distributed_lag_offset_rejected():
+    db = _db(22)
+    with pytest.raises(SqlError, match="offset 1"):
+        db.sql("SELECT LAG(v, 2) OVER (PARTITION BY k ORDER BY id) "
+               "AS l FROM t", mesh=make_mesh(2))
