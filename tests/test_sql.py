@@ -860,3 +860,45 @@ def test_percentile_fuzz(seed):
                           - grp[fl]) * frac
         np.testing.assert_allclose(out["pc"][i], want, rtol=1e-5,
                                    atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# whole-partition aggregate frames + running averages / counts
+# ---------------------------------------------------------------------------
+
+class TestWholePartitionFrames:
+    def test_sum_min_max_over_partition(self, engines):
+        check(*engines,
+              "SELECT id, SUM(u) OVER (PARTITION BY g) AS s, "
+              "MIN(v) OVER (PARTITION BY g) AS mn, "
+              "MAX(v) OVER (PARTITION BY g) AS mx "
+              "FROM t ORDER BY id LIMIT 400", ordered=True)
+
+    def test_signed_total_sum(self, engines):
+        check(*engines,
+              "SELECT id, SUM(v) OVER (PARTITION BY k) AS s FROM t "
+              "ORDER BY id LIMIT 400", ordered=True)
+
+    def test_avg_over_partition_and_running(self, engines):
+        db, con = engines
+        check(db, con,
+              "SELECT id, AVG(v) OVER (PARTITION BY g) AS a "
+              "FROM t ORDER BY id LIMIT 400", ordered=True, atol=1e-2)
+        check(db, con,
+              "SELECT id, AVG(v) OVER (PARTITION BY g ORDER BY id) "
+              "AS a FROM t ORDER BY id LIMIT 400",
+              "SELECT id, AVG(v) OVER (PARTITION BY g ORDER BY id "
+              "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a "
+              "FROM t ORDER BY id LIMIT 400", ordered=True, atol=1e-2)
+
+    def test_count_over_partition_and_running(self, engines):
+        db, con = engines
+        check(db, con,
+              "SELECT id, COUNT(*) OVER (PARTITION BY g) AS c "
+              "FROM t ORDER BY id LIMIT 400", ordered=True)
+        check(db, con,
+              "SELECT id, COUNT(*) OVER (PARTITION BY g ORDER BY id) "
+              "AS c FROM t ORDER BY id LIMIT 400",
+              "SELECT id, COUNT(*) OVER (PARTITION BY g ORDER BY id "
+              "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c "
+              "FROM t ORDER BY id LIMIT 400", ordered=True)

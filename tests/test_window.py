@@ -259,3 +259,69 @@ def test_table_window_method():
     np.testing.assert_array_equal(got["cum"], want["cum"])
     with pytest.raises(ValueError, match="already exists"):
         t.window("cell", {"gain": ("row_number",)}, order="t")
+
+
+def test_whole_partition_aggregate_frames():
+    """total_sum/min/max/avg, partition_count, running_avg vs a python
+    loop oracle (int32 negatives: exact signed totals)."""
+    import numpy as np
+
+    from tpu_qe.bits import U64
+    from tpu_qe.ops.window import window
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    k = rng.integers(0, 17, n).astype(np.uint32)
+    v = rng.integers(-(1 << 20), 1 << 20, n).astype(np.int32)
+    o = rng.permutation(n).astype(np.uint32)
+    key = U64(jnp.asarray(k), jnp.zeros(n, jnp.uint32))
+    res = window(key, {
+        "ts": ("total_sum", "v"),
+        "tmn": ("total_min", "v"),
+        "tmx": ("total_max", "v"),
+        "ta": ("total_avg", "v"),
+        "pc": ("partition_count",),
+        "ra": ("running_avg", "v"),
+    }, order=jnp.asarray(o), values={"v": jnp.asarray(v)})
+    ts = res.cols["ts"].to_numpy().view(np.int64)
+    pc = np.asarray(res.cols["pc"])
+    ta = np.asarray(res.cols["ta"])
+    ra = np.asarray(res.cols["ra"])
+    tmn, tmx = np.asarray(res.cols["tmn"]), np.asarray(res.cols["tmx"])
+    for kk in np.unique(k):
+        m = k == kk
+        grp = v[m].astype(np.int64)
+        assert (ts[m] == grp.sum()).all()
+        assert (pc[m] == m.sum()).all()
+        assert (tmn[m] == grp.min()).all() and (tmx[m] == grp.max()).all()
+        np.testing.assert_allclose(ta[m], grp.sum() / len(grp),
+                                   rtol=1e-5, atol=1e-2)
+        # running average follows the ORDER BY column
+        order_idx = np.argsort(o[m], kind="stable")
+        want = (np.cumsum(grp[order_idx]).astype(np.float64)
+                / np.arange(1, len(grp) + 1))
+        np.testing.assert_allclose(ra[m][order_idx], want, rtol=1e-5,
+                                   atol=1e-2)
+
+
+def test_lag_lead_offsets_vs_loop():
+    import numpy as np
+
+    from tpu_qe.bits import U64
+    from tpu_qe.ops.window import window
+
+    rng = np.random.default_rng(12)
+    n = 500
+    k = rng.integers(0, 7, n).astype(np.uint32)
+    v = rng.integers(0, 1000, n).astype(np.uint32)
+    o = np.arange(n, dtype=np.uint32)
+    key = U64(jnp.asarray(k), jnp.zeros(n, jnp.uint32))
+    res = window(key, {"l3": ("lag", "v", 77, 3),
+                       "d2": ("lead", "v", 88, 2)},
+                 order=jnp.asarray(o), values={"v": jnp.asarray(v)})
+    l3, d2 = np.asarray(res.cols["l3"]), np.asarray(res.cols["d2"])
+    for kk in np.unique(k):
+        m = np.where(k == kk)[0]     # already in order (o == position)
+        for j, row in enumerate(m):
+            assert l3[row] == (v[m[j - 3]] if j >= 3 else 77)
+            assert d2[row] == (v[m[j + 2]] if j + 2 < len(m) else 88)

@@ -640,6 +640,11 @@ def distributed_window(key: U64, funcs: dict, mesh: Mesh,
         # partition, so offset-k shifts are in-core only
         raise ValueError("distributed lag/lead support offset 1 only "
                          "(the boundary carry is one row)")
+    from tpu_qe.ops.window import _TOTAL
+    if any(k in _TOTAL for _, k, _, _ in spec):
+        raise ValueError("whole-partition aggregate frames "
+                         f"({', '.join(_TOTAL)}) are in-core only for "
+                         "now (they need the backward total carry)")
     values = values or {}
     needed = tuple(sorted({c for _, _, c, _ in spec if c is not None}))
     for c in needed:

@@ -64,8 +64,16 @@ _WHOLE = ("first_value", "last_value", "ntile", "percent_rank")
 # windows construction with per-step partition masking — O(log k)
 # static shifts, idempotency absorbs the overlap
 _MOVING = ("moving_sum", "moving_min", "moving_max", "moving_avg")
+# whole-partition AGGREGATE frames (SQL's agg OVER (PARTITION BY k)
+# with no ORDER BY): the running form's value at the partition END
+# broadcast back over the partition (the last_value trick applied to
+# the running output — one extra flipped sweep); partition_count is
+# the partition extent itself. running_avg = exact running sum pair /
+# row_number as f32 (sign-correct for int32).
+_TOTAL = ("total_sum", "total_min", "total_max", "total_avg",
+          "partition_count", "running_avg")
 _VALID_FUNCS = (("row_number", "rank", "dense_rank", "lag", "lead")
-                + _RUNNING + _WHOLE + _MOVING)
+                + _RUNNING + _WHOLE + _MOVING + _TOTAL)
 
 
 class WindowResult(NamedTuple):
@@ -94,7 +102,10 @@ def _canon_funcs(funcs: dict) -> tuple:
         col = f[1] if len(f) > 1 else None
         fill = f[2] if len(f) > 2 else 0
         if kind in _RUNNING + _MOVING + ("lag", "lead", "first_value",
-                                         "last_value") and col is None:
+                                         "last_value", "total_sum",
+                                         "total_min", "total_max",
+                                         "total_avg", "running_avg") \
+                and col is None:
             raise ValueError(f"{kind} needs a value column")
         if kind in _MOVING:
             # spec is (kind, col, k) — the static frame width rides the
@@ -234,6 +245,62 @@ def _window_sorted_cols(spec, scols, idx, is_new, order_new, is_last,
                 out[name] = U64(lo, hi)
         elif kind in ("running_min", "running_max"):
             out[name] = segmented_reduce(scols[col], is_new, kind[-3:])
+        elif kind in _TOTAL:
+            def bcast(x):
+                # partition-END value broadcast back over the partition
+                # (first_value of the REVERSED stream — a relayout + one
+                # fill sweep, no gathers)
+                b = jnp.flip(is_last)
+                return jnp.flip(_seg_fill(jnp.flip(x), b, b))
+            if kind == "partition_count":
+                if part_start is None:
+                    part_start = cummax_u32(
+                        jnp.where(is_new, idx, jnp.uint32(0)))
+                if part_end is None:
+                    m1 = jnp.uint32(idx.shape[0] - 1)
+                    b = jnp.flip(is_last)
+                    rev_start = cummax_u32(
+                        jnp.where(b, idx, jnp.uint32(0)))
+                    part_end = m1 - jnp.flip(rev_start)
+                out[name] = part_end - part_start + 1
+            elif kind in ("total_min", "total_max"):
+                out[name] = bcast(segmented_reduce(scols[col], is_new,
+                                                   kind[-3:]))
+            else:            # total_sum / total_avg / running_avg
+                v = scols[col]
+                if v.dtype == jnp.float32:
+                    rs = segmented_reduce(v, is_new, "sum")
+                    tot = (rs if kind == "running_avg"
+                           else bcast(rs))
+                    totf = tot
+                    pair = None
+                else:
+                    lo, hi = segmented_sum_u64(*_pair_planes(v), is_new)
+                    if kind != "running_avg":
+                        lo, hi = bcast(lo), bcast(hi)
+                    pair = U64(lo, hi)
+                    totf = None
+                if kind == "total_sum":
+                    out[name] = pair if pair is not None else totf
+                else:
+                    if part_start is None:
+                        part_start = cummax_u32(
+                            jnp.where(is_new, idx, jnp.uint32(0)))
+                    if kind == "running_avg":
+                        den = (idx - part_start + 1).astype(jnp.float32)
+                    else:
+                        if part_end is None:
+                            m1 = jnp.uint32(idx.shape[0] - 1)
+                            b = jnp.flip(is_last)
+                            rev_start = cummax_u32(
+                                jnp.where(b, idx, jnp.uint32(0)))
+                            part_end = m1 - jnp.flip(rev_start)
+                        den = (part_end - part_start + 1).astype(
+                            jnp.float32)
+                    num = (totf if totf is not None
+                           else _pair_to_f32_signed(
+                               pair.lo, pair.hi, v.dtype == jnp.int32))
+                    out[name] = num / den
         elif kind in _MOVING:
             if part_start is None:
                 part_start = cummax_u32(jnp.where(is_new, idx, jnp.uint32(0)))

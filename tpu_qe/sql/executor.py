@@ -1112,10 +1112,14 @@ class Database:
             fr = c.window.frame_rows
             if c.func == "avg" and fr is not None:
                 kind = "moving_avg"
+            elif c.func == "count" and c.window.order_by is not None:
+                kind = "row_number"     # running COUNT(*) == row_number
             else:
                 kind = _WINDOW_FUNCS.get(c.func)
             if kind is None:
-                raise SqlError(f"unknown window function {c.func}")
+                raise SqlError(f"unknown window function {c.func} "
+                               "(whole-partition aggregate frames are "
+                               "in-core only)")
             if fr is not None:
                 remap = {"running_sum": "moving_sum",
                          "running_min": "moving_min",
@@ -1488,12 +1492,17 @@ class Database:
                 wname = f"w{i}"
                 fr = c.window.frame_rows
                 if c.func == "avg":
-                    kind = "moving_avg" if fr is not None else None
-                    if kind is None:
-                        raise SqlError(
-                            "AVG(x) OVER needs ROWS BETWEEN k "
-                            "PRECEDING AND CURRENT ROW (running "
-                            "average is not supported)")
+                    # frame -> moving; ORDER BY -> running; neither ->
+                    # whole-partition average
+                    kind = ("moving_avg" if fr is not None
+                            else "running_avg" if ocol is not None
+                            else "total_avg")
+                elif c.func == "count":
+                    # COUNT(*) OVER: running count IS row_number (the
+                    # engine's ROWS framing); no ORDER BY -> the
+                    # partition size on every row
+                    kind = ("row_number" if ocol is not None
+                            else "partition_count")
                 else:
                     kind = _WINDOW_FUNCS.get(c.func)
                 if kind is None:
@@ -1514,7 +1523,7 @@ class Database:
                                        "inside OVER")
                     kind = remap[kind]
                 if kind in ("row_number", "rank", "dense_rank",
-                            "percent_rank"):
+                            "percent_rank", "partition_count"):
                     funcs[wname] = (kind,)
                     tagof[wname] = ("f32" if kind == "percent_rank"
                                     else "u32")
@@ -1542,15 +1551,18 @@ class Database:
                     else:
                         if kind in ("running_sum", "running_min",
                                     "running_max") and ocol is None:
-                            raise SqlError(
-                                f"{c.func}(x) OVER (PARTITION BY ...) "
-                                "without ORDER BY (the whole-partition "
-                                "frame) is not supported; add ORDER BY "
-                                "for the running form")
+                            # no ORDER BY: the whole-partition frame
+                            kind = {"running_sum": "total_sum",
+                                    "running_min": "total_min",
+                                    "running_max": "total_max"}[kind]
                         funcs[wname] = (kind, vn)
-                        tagof[wname] = ("i64" if kind == "running_sum"
-                                        and vtv.tag in ("u32", "i32")
-                                        else vtv.tag)
+                        tagof[wname] = (
+                            "f32" if kind in ("running_avg",
+                                              "total_avg")
+                            else "i64" if kind in ("running_sum",
+                                                   "total_sum")
+                            and vtv.tag in ("u32", "i32")
+                            else vtv.tag)
             res = run_window(pkey, funcs, order=order, values=values)
             for i, c in enumerate(cs):
                 wname = f"w{i}"
