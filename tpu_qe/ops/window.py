@@ -570,14 +570,17 @@ def window(key: U64, funcs: dict, order: jnp.ndarray | None = None,
         z32 = jnp.zeros(0, jnp.uint32)
         cols = {}
         for name, kind, col, _ in spec:
-            if (kind in ("running_sum", "moving_sum")
+            if (kind in ("running_sum", "moving_sum", "total_sum")
                     and values[col].dtype != jnp.float32):
                 cols[name] = U64(z32, z32)
             elif kind in _RUNNING + ("moving_sum", "moving_min",
                                      "moving_max", "lag", "lead",
-                                     "first_value", "last_value"):
+                                     "first_value", "last_value",
+                                     "total_sum", "total_min",
+                                     "total_max"):
                 cols[name] = jnp.zeros(0, values[col].dtype)
-            elif kind in ("percent_rank", "moving_avg"):
+            elif kind in ("percent_rank", "moving_avg", "total_avg",
+                          "running_avg"):
                 cols[name] = jnp.zeros(0, jnp.float32)
             else:
                 cols[name] = z32
