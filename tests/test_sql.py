@@ -813,12 +813,15 @@ class TestReviewPass2:
             db.sql("SELECT LAG(v, 0) OVER (PARTITION BY g ORDER BY id)"
                    " AS l FROM t")
 
-    def test_running_min_without_order_rejected(self):
+    def test_min_without_order_is_partition_min(self):
+        # MIN OVER (PARTITION BY g) without ORDER BY is the
+        # whole-partition frame (a silent input-order prefix min before
+        # the review fix; now the total_min window kind)
         db = Database()
         db.register("s", {"g": np.zeros(4, np.uint32),
                           "x": np.array([5, 3, 9, 4], np.uint32)})
-        with pytest.raises(SqlError, match="ORDER BY"):
-            db.sql("SELECT MIN(x) OVER (PARTITION BY g) AS m FROM s")
+        out = db.sql("SELECT MIN(x) OVER (PARTITION BY g) AS m FROM s")
+        np.testing.assert_array_equal(out["m"], [3, 3, 3, 3])
 
     def test_join_on_either_operand_order(self):
         db = Database()
