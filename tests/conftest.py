@@ -26,3 +26,24 @@ if _platform == "cpu":
     jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_enable_x64", True)
+
+
+# --- auto-retry tests whose xdist WORKER crashed -------------------------
+#
+# This host's XLA:CPU compiler segfaults flakily deep into long processes
+# (CLAUDE.md "Platform gotchas"): one worker dies ~45 min into a full run
+# and takes whichever test it was compiling down with it ("[gwN] node
+# down"). The test itself passes standalone every time. Reschedule a
+# crashed item ONCE on a fresh worker so a full-suite run is green
+# without human adjudication; a test that crashes twice is a real
+# failure and reports normally.
+
+_crash_retried: set = set()
+
+
+def pytest_handlecrashitem(crashitem, report, sched):
+    """xdist hook: called on the controller when a worker crashes."""
+    if crashitem not in _crash_retried:
+        _crash_retried.add(crashitem)
+        sched.mark_test_pending(crashitem)
+        report.outcome = "rerun"  # suppress the failure report

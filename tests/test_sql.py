@@ -905,3 +905,39 @@ class TestWholePartitionFrames:
               "SELECT id, COUNT(*) OVER (PARTITION BY g ORDER BY id "
               "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c "
               "FROM t ORDER BY id LIMIT 400", ordered=True)
+
+
+class TestAdviceR4:
+    """Regression tests for the round-4 advisor findings."""
+
+    def test_union_all_mismatched_dtypes_rejected(self):
+        # u64 UNION ALL f32 would silently promote to float64 and
+        # corrupt u64 values > 2^53
+        db = Database()
+        db.register("t", {"a": np.array([(1 << 60) + 1], np.uint64)})
+        db.register("r", {"b": np.array([1.5], np.float32)})
+        with pytest.raises(SqlError, match="mismatched column dtypes"):
+            db.sql("SELECT a FROM t UNION ALL SELECT b FROM r")
+
+    def test_union_all_matched_u64_exact(self):
+        db = Database()
+        db.register("t", {"a": np.array([(1 << 60) + 1], np.uint64)})
+        db.register("r", {"b": np.array([(1 << 61) + 3], np.uint64)})
+        out = db.sql("SELECT a FROM t UNION ALL SELECT b FROM r "
+                     "ORDER BY a")
+        np.testing.assert_array_equal(
+            out["a"], np.array([(1 << 60) + 1, (1 << 61) + 3],
+                               np.uint64))
+
+    def test_lag_non_integer_offset_rejected(self):
+        db = Database()
+        db.register("t", {"g": np.zeros(4, np.uint32),
+                          "v": np.arange(4, dtype=np.uint32),
+                          "id": np.arange(4, dtype=np.uint32)})
+        with pytest.raises(SqlError, match="integer"):
+            db.sql("SELECT LAG(v, 1.5) OVER (PARTITION BY g ORDER BY "
+                   "id) AS l FROM t")
+
+    def test_quantile_overflow_is_dedicated_type(self):
+        from tpu_qe.exchange.dquantile import QuantileOverflow
+        assert issubclass(QuantileOverflow, RuntimeError)

@@ -306,3 +306,30 @@ def test_distributed_lag_offset_rejected():
     with pytest.raises(SqlError, match="offset 1"):
         db.sql("SELECT LAG(v, 2) OVER (PARTITION BY k ORDER BY id) "
                "AS l FROM t", mesh=make_mesh(2))
+
+
+def test_u64_reserved_key_filtered_out_by_where_ok():
+    # the reserved-key rejection must run on the FILTERED column: a
+    # WHERE that removes every reserved-key row makes the query valid
+    # (ADVICE r4)
+    db = Database()
+    db.register("t", {
+        "k": np.array([1, 1, (1 << 64) - 1, 2], np.uint64),
+        "v": np.array([10, 20, 30, 40], np.uint32)})
+    out = db.sql("SELECT k, COUNT(*) AS c FROM t "
+                 "WHERE v < 30 GROUP BY k ORDER BY k",
+                 mesh=make_mesh(2))
+    np.testing.assert_array_equal(out["k"], np.array([1], np.uint64))
+    np.testing.assert_array_equal(out["c"], [2])
+
+
+def test_distributed_group_quantile_overflow_type():
+    # the retry loop must catch ONLY the dedicated overflow type
+    from tpu_qe.exchange.dquantile import (QuantileOverflow,
+                                           distributed_group_quantile_numpy)
+    mesh = make_mesh(2)
+    keys = np.arange(256, dtype=np.uint64)
+    vals = np.zeros(256, np.uint32)
+    with pytest.raises(QuantileOverflow):
+        distributed_group_quantile_numpy(keys, vals, [(1, 1)], mesh,
+                                         max_groups=16)

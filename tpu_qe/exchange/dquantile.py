@@ -42,6 +42,12 @@ from tpu_qe.ops.quantile import (ContQuantileResult, canon_qs, cont_rank,
 _ONES = jnp.uint32(0xFFFFFFFF)
 
 
+class QuantileOverflow(RuntimeError):
+    """Distinct group keys exceeded max_groups (exact detection; the
+    caller may retry with a larger cap). A dedicated type so retry
+    loops never swallow unrelated RuntimeErrors (ADVICE r4)."""
+
+
 def _count_lt_pair(shi, slo, c_hi, c_lo):
     """#rows with (hi, lo) < (c_hi, c_lo), per candidate. shi/slo is the
     locally (hi, lo)-sorted shard; candidates are (Q,) u32 vectors.
@@ -389,7 +395,7 @@ def distributed_group_quantile_numpy(keys, values, qs, mesh: Mesh,
     gk, vals, cnt, ng, ovf = distributed_group_quantile(
         key, val, qs, mesh, max_groups)
     if int(ovf):
-        raise RuntimeError("distinct keys exceed max_groups")
+        raise QuantileOverflow("distinct keys exceed max_groups")
     ng = int(ng)
     klo = np.asarray(gk.lo)[:ng].astype(np.uint64)
     khi = np.asarray(gk.hi)[:ng].astype(np.uint64)
@@ -410,7 +416,7 @@ def distributed_group_quantile_cont_numpy(keys, values, qs, mesh: Mesh,
     gk, _lo, _up, _fr, _sh, v, cnt, ng, ovf = \
         distributed_group_quantile_cont(key, val, qs, mesh, max_groups)
     if int(ovf):
-        raise RuntimeError("distinct keys exceed max_groups")
+        raise QuantileOverflow("distinct keys exceed max_groups")
     ng = int(ng)
     klo = np.asarray(gk.lo)[:ng].astype(np.uint64)
     khi = np.asarray(gk.hi)[:ng].astype(np.uint64)

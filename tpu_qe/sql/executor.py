@@ -277,7 +277,11 @@ def _lag_args(c) -> tuple:
     off = 1
     fill = 0
     if len(c.args) >= 2:
-        off = int(lit(c.args[1], "offset"))
+        off = lit(c.args[1], "offset")
+        if not isinstance(off, int):
+            # int(1.5) would silently shift by 1 — reject instead
+            raise SqlError(f"{c.func} offset must be an integer "
+                           f"literal, got {off!r}")
     if len(c.args) >= 3:
         fill = lit(c.args[2], "default")
     if off < 1:
@@ -625,7 +629,8 @@ class Database:
                                "the distributed composition)")
             from tpu_qe.sql.bigexec import select_big
             return select_big(vt, q, run_size=run_size,
-                              max_groups=max_groups, stats=stats)
+                              max_groups=max_groups, stats=stats,
+                              db=self)
         if mesh is not None:
             return self._sql_distributed(q, mesh)
         frames = [self._select(s) for s in q.selects]
@@ -776,22 +781,24 @@ class Database:
         if gname not in cols:
             raise SqlError(f"unknown column {gname!r}")
         PADKEY = int(np.uint64(0xFFFFFFFFFFFFFFFF))
-        # the all-ones u64 key is RESERVED at this layer (results drop
-        # it as the padding group; the quantile exchange uses it as the
-        # distinct-key sentinel) — 32-bit group columns cannot produce
-        # it (they lift with hi == 0); reject it on u64 columns rather
-        # than silently dropping a real group
-        if tags[gname] == "u64" and bool(
-                (cols[gname] == np.uint64(PADKEY)).any()):
-            raise SqlError("u64 group keys may not use the reserved "
-                           "max value 2^64-1 (distributed padding / "
-                           "sentinel key)")
         if sel.where is not None:
             # WHERE is elementwise: evaluate the mask through the
             # device expression engine, filter the host frame, and pad
             # back to a mesh multiple below
             mask = self._where_mask(sel)
             cols = {k: v[mask] for k, v in cols.items()}
+        # the all-ones u64 key is RESERVED at this layer (results drop
+        # it as the padding group; the quantile exchange uses it as the
+        # distinct-key sentinel) — 32-bit group columns cannot produce
+        # it (they lift with hi == 0); reject it on u64 columns rather
+        # than silently dropping a real group. Checked AFTER the WHERE
+        # filter: a query whose predicate removes every reserved-key
+        # row is valid (ADVICE r4).
+        if tags[gname] == "u64" and bool(
+                (cols[gname] == np.uint64(PADKEY)).any()):
+            raise SqlError("u64 group keys may not use the reserved "
+                           "max value 2^64-1 (distributed padding / "
+                           "sentinel key)")
         gkey = _lift64_np(cols[gname])
         # pad to a mesh multiple with the reserved group key (dropped
         # from the results). This also lifts the rows-divide-the-mesh
@@ -902,13 +909,17 @@ class Database:
                 # the pad group) — seed max_groups there so the retry
                 # loop (kept as the exact-overflow backstop) never
                 # pays a wasted execution + remote recompile
+                from tpu_qe.exchange.dquantile import QuantileOverflow
                 mg = _pow2_cap(max(len(results), 1) + 1, 1 << 62)
                 while True:
                     try:
                         res = fn(gkey, cols[vn], qlist, mesh,
                                  max_groups=mg)
                         break
-                    except RuntimeError:
+                    except QuantileOverflow:
+                        # only the exact-overflow signal retries with a
+                        # larger cap; any other failure surfaces at once
+                        # (each retry pays a remote recompile)
                         if mg >= len(gkey):
                             raise
                         mg = min(mg * 4, max(len(gkey), 1))
@@ -1951,6 +1962,15 @@ class Database:
         if len(na) != len(nb):
             raise SqlError(f"{op.upper()}: mismatched column counts")
         if op == "union" and all_:
+            # positional pairing must also match dtypes: concatenating
+            # u64 with float silently promotes to float64 and corrupts
+            # u64 values > 2^53 (ADVICE r4 — 'never truncate silently')
+            for k, kb in zip(na, nb):
+                if a.cols[k].dtype != b.cols[kb].dtype:
+                    raise SqlError(
+                        f"UNION ALL: mismatched column dtypes at "
+                        f"{k!r}/{kb!r} ({a.cols[k].dtype} vs "
+                        f"{b.cols[kb].dtype})")
             cols = {k: np.concatenate([a.cols[k], b.cols[kb]])
                     for k, kb in zip(na, nb)}
             return Frame(cols, a.tags)
