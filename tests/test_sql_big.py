@@ -27,6 +27,7 @@ def _gens():
         "u": lambda i: murmur_fmix32(i ^ jnp.uint32(7)) & jnp.uint32(999),
         "f": lambda i: (murmur_fmix32(i ^ jnp.uint32(3)) >> 8
                         ).astype(jnp.float32) * jnp.float32(2.0 ** -24),
+        "id": lambda i: i,
     }
 
 
@@ -125,11 +126,11 @@ def test_count_only(dbs):
 
 def test_unsupported_shapes(dbs):
     big, _ = dbs
-    with pytest.raises(SqlError, match="GROUP BY"):
-        big.sql("SELECT v FROM t ORDER BY v LIMIT 5", run_size=RUN)
-    with pytest.raises(SqlError, match="COUNT.DISTINCT"):
-        big.sql("SELECT k, COUNT(DISTINCT u) AS d FROM t GROUP BY k",
-                run_size=RUN)
+    # row-scale results still demand a LIMIT (readback boundary)
+    with pytest.raises(SqlError, match="LIMIT"):
+        big.sql("SELECT v FROM t ORDER BY v", run_size=RUN)
+    with pytest.raises(SqlError, match="LIMIT"):
+        big.sql("SELECT v FROM t", run_size=RUN)
 
 
 def test_virtual_name_collision():
@@ -180,3 +181,129 @@ def test_run_size_u32_wrap_rejected():
     with pytest.raises(SqlError, match="u32 index space"):
         db.sql("SELECT k, COUNT(*) AS c FROM t GROUP BY k",
                run_size=3 << 24)
+
+
+# -- round-5 verbs: heads, ORDER BY/LIMIT, DISTINCT, global/2-col GROUP BY --
+
+def test_head_limit_no_where(dbs):
+    big, ref = dbs
+    sql = "SELECT k, v, u FROM t LIMIT 37"
+    got, want = big.sql(sql, run_size=RUN), ref.sql(sql)
+    for nm in want:   # row order is index order on both engines
+        np.testing.assert_array_equal(
+            np.asarray(got[nm]).astype(np.int64),
+            np.asarray(want[nm]).astype(np.int64), err_msg=nm)
+
+
+def test_select_star_limit(dbs):
+    big, ref = dbs
+    sql = "SELECT * FROM t LIMIT 21"
+    got, want = big.sql(sql, run_size=RUN), ref.sql(sql)
+    assert sorted(got) == sorted(want)
+    for nm in want:
+        np.testing.assert_allclose(
+            np.asarray(got[nm]).astype(np.float64),
+            np.asarray(want[nm]).astype(np.float64), err_msg=nm)
+
+
+def test_head_limit_where_spans_runs(dbs):
+    # the predicate is sparse enough that the head spans several runs
+    big, ref = dbs
+    sql = "SELECT k, u, v % 7 AS m FROM t WHERE u % 97 = 3 LIMIT 60"
+    got, want = big.sql(sql, run_size=RUN), ref.sql(sql)
+    for nm in want:
+        np.testing.assert_array_equal(
+            np.asarray(got[nm]).astype(np.int64),
+            np.asarray(want[nm]).astype(np.int64), err_msg=nm)
+
+
+def test_orderby_limit(dbs):
+    big, ref = dbs
+    sql = ("SELECT k, v, u, id FROM t WHERE u % 3 = 1 "
+           "ORDER BY v DESC, u, id LIMIT 25")
+    got, want = big.sql(sql, run_size=RUN), ref.sql(sql)
+    for nm in want:
+        np.testing.assert_array_equal(
+            np.asarray(got[nm]).astype(np.int64),
+            np.asarray(want[nm]).astype(np.int64), err_msg=nm)
+
+
+def test_orderby_limit_float_and_alias(dbs):
+    big, ref = dbs
+    sql = "SELECT id, f * 2 AS d FROM t ORDER BY d DESC, id LIMIT 13"
+    got, want = big.sql(sql, run_size=RUN), ref.sql(sql)
+    np.testing.assert_array_equal(got["id"], want["id"])
+    np.testing.assert_allclose(got["d"], want["d"], rtol=1e-6)
+
+
+def test_orderby_limit_exceeds_matches(dbs):
+    big, ref = dbs
+    sql = ("SELECT id FROM t WHERE u = 17 AND k = 3 "
+           "ORDER BY id LIMIT 1000")
+    got, want = big.sql(sql, run_size=RUN), ref.sql(sql)
+    np.testing.assert_array_equal(got["id"], want["id"])
+
+
+def test_select_distinct(dbs):
+    big, ref = dbs
+    sql = "SELECT DISTINCT k FROM t WHERE v > 0 ORDER BY k"
+    got, want = big.sql(sql, run_size=RUN), ref.sql(sql)
+    np.testing.assert_array_equal(got["k"], want["k"])
+
+
+def test_select_distinct_two_cols(dbs):
+    big, ref = dbs
+    sql = ("SELECT DISTINCT k, u % 5 AS m FROM t "
+           "ORDER BY k, m LIMIT 100")
+    got, want = big.sql(sql, run_size=RUN), ref.sql(sql)
+    np.testing.assert_array_equal(got["k"], want["k"])
+    np.testing.assert_array_equal(got["m"], want["m"])
+
+
+def test_global_aggregates(dbs):
+    big, ref = dbs
+    sql = ("SELECT COUNT(*) AS c, SUM(v) AS s, MIN(v) AS mn, "
+           "MAX(u) AS mx, AVG(u) AS a FROM t WHERE u % 2 = 0")
+    got, want = big.sql(sql, run_size=RUN), ref.sql(sql)
+    for nm in ("c", "s", "mn", "mx"):
+        np.testing.assert_array_equal(
+            np.asarray(got[nm]).astype(np.int64),
+            np.asarray(want[nm]).astype(np.int64), err_msg=nm)
+    np.testing.assert_allclose(got["a"], want["a"], rtol=1e-6)
+
+
+def test_global_median(dbs):
+    big, ref = dbs
+    sql = "SELECT MEDIAN(v) AS md, COUNT(*) AS c FROM t"
+    got, want = big.sql(sql, run_size=RUN), ref.sql(sql)
+    np.testing.assert_array_equal(got["md"], want["md"])
+    np.testing.assert_array_equal(got["c"], want["c"])
+
+
+def test_group_by_two_columns(dbs):
+    big, ref = dbs
+    sql = ("SELECT k, u % 3 AS m, COUNT(*) AS c, SUM(v) AS s, "
+           "MIN(u) AS mn FROM t GROUP BY k, m ORDER BY k, m")
+    got, want = big.sql(sql, run_size=RUN), ref.sql(sql)
+    for nm in want:
+        np.testing.assert_array_equal(
+            np.asarray(got[nm]).astype(np.int64),
+            np.asarray(want[nm]).astype(np.int64), err_msg=nm)
+
+
+def test_group_by_two_columns_signed_and_median(dbs):
+    big, ref = dbs
+    sql = ("SELECT v % 5 AS m, k % 2 AS b, COUNT(*) AS c, "
+           "MEDIAN(u) AS md FROM t GROUP BY m, b ORDER BY m, b")
+    got, want = big.sql(sql, run_size=RUN), ref.sql(sql)
+    for nm in want:
+        np.testing.assert_array_equal(
+            np.asarray(got[nm]).astype(np.int64),
+            np.asarray(want[nm]).astype(np.int64), err_msg=nm)
+
+
+def test_group_by_alias_expression(dbs):
+    big, ref = dbs
+    sql = ("SELECT u % 10 AS m, COUNT(*) AS c, SUM(v) AS s FROM t "
+           "GROUP BY m ORDER BY m")
+    _cmp(big.sql(sql, run_size=RUN), ref.sql(sql))
