@@ -31,14 +31,25 @@ def _gens():
     }
 
 
+def _dim():
+    # dimension keys cover 48 of the fact's 64 k-values (LEFT joins
+    # surface real unmatched rows); unique keys (FK contract)
+    dk = np.arange(48, dtype=np.uint32)
+    return {"dk": dk,
+            "w": (dk * np.uint32(2654435761)) >> np.uint32(22),
+            "r": (dk % 5).astype(np.int32) - np.int32(2)}
+
+
 @pytest.fixture(scope="module")
 def dbs():
     big = Database()
     big.register_virtual("t", N, _gens())
+    big.register("d", _dim())
     ref = Database()
     idx = jnp.arange(N, dtype=jnp.uint32)
     ref.register("t", {nm: np.asarray(fn(idx))
                        for nm, fn in _gens().items()})
+    ref.register("d", _dim())
     return big, ref
 
 
@@ -307,3 +318,84 @@ def test_group_by_alias_expression(dbs):
     sql = ("SELECT u % 10 AS m, COUNT(*) AS c, SUM(v) AS s FROM t "
            "GROUP BY m ORDER BY m")
     _cmp(big.sql(sql, run_size=RUN), ref.sql(sql))
+
+
+# -- JOIN over a virtual fact table x in-core dimension ----------------------
+
+def test_join_group_by_dim_col(dbs):
+    big, ref = dbs
+    sql = ("SELECT d.r AS r, COUNT(*) AS c, SUM(v) AS s, MAX(w) AS mw "
+           "FROM t JOIN d ON t.k = d.dk GROUP BY d.r ORDER BY r")
+    _cmp(big.sql(sql, run_size=RUN), ref.sql(sql))
+
+
+def test_left_join_matched_counts(dbs):
+    big, ref = dbs
+    sql = ("SELECT d__matched AS m, COUNT(*) AS c, SUM(u) AS s "
+           "FROM t LEFT JOIN d ON k = dk GROUP BY m ORDER BY m")
+    _cmp(big.sql(sql, run_size=RUN), ref.sql(sql))
+
+
+def test_join_where_on_dim(dbs):
+    big, ref = dbs
+    sql = ("SELECT k, COUNT(*) AS c, SUM(w) AS sw FROM t "
+           "JOIN d ON k = dk WHERE w > 500 AND v < 0 "
+           "GROUP BY k ORDER BY k")
+    _cmp(big.sql(sql, run_size=RUN), ref.sql(sql))
+
+
+def test_join_orderby_limit(dbs):
+    big, ref = dbs
+    # unique global tiebreak (id) makes the top-20 deterministic
+    sql = ("SELECT id, k, w FROM t JOIN d ON k = dk "
+           "ORDER BY w DESC, id LIMIT 20")
+    got, want = big.sql(sql, run_size=RUN), ref.sql(sql)
+    for nm in want:
+        np.testing.assert_array_equal(
+            np.asarray(got[nm]).astype(np.int64),
+            np.asarray(want[nm]).astype(np.int64), err_msg=nm)
+
+
+def test_join_head_star(dbs):
+    big, ref = dbs
+    # WHERE narrows to fewer rows than LIMIT: both engines return the
+    # full (order-free) match set — compare as sets of rows
+    sql = "SELECT * FROM t JOIN d ON k = dk WHERE id < 50 LIMIT 100"
+    _cmp(big.sql(sql, run_size=RUN), ref.sql(sql))
+
+
+def test_left_join_head_null_fill(dbs):
+    big, ref = dbs
+    sql = ("SELECT id, k, dk, w, d__matched FROM t LEFT JOIN d "
+           "ON k = dk WHERE id < 40 LIMIT 100")
+    _cmp(big.sql(sql, run_size=RUN), ref.sql(sql))
+
+
+def test_join_distinct(dbs):
+    big, ref = dbs
+    sql = "SELECT DISTINCT r FROM t JOIN d ON k = dk ORDER BY r"
+    _cmp(big.sql(sql, run_size=RUN), ref.sql(sql))
+
+
+def test_join_median_by_dim_group(dbs):
+    big, ref = dbs
+    sql = ("SELECT r, MEDIAN(v) AS md, COUNT(*) AS c FROM t "
+           "JOIN d ON k = dk GROUP BY r ORDER BY r")
+    _cmp(big.sql(sql, run_size=RUN), ref.sql(sql))
+
+
+def test_join_unsupported_shapes(dbs):
+    big, _ = dbs
+    with pytest.raises(SqlError, match="virtual x virtual"):
+        big.sql("SELECT COUNT(*) AS c FROM t JOIN t ON k = k")
+    with pytest.raises(SqlError, match="FULL OUTER"):
+        big.sql("SELECT COUNT(*) AS c FROM t FULL JOIN d ON k = dk")
+
+
+def test_join_duplicate_dim_keys_rejected():
+    big = Database()
+    big.register_virtual("t", 1 << 10, _gens())
+    big.register("dup", {"dk": np.array([1, 1, 2], np.uint32),
+                         "w": np.arange(3, dtype=np.uint32)})
+    with pytest.raises(SqlError, match="not unique"):
+        big.sql("SELECT COUNT(*) AS c FROM t JOIN dup ON k = dk")

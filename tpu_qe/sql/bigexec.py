@@ -346,26 +346,29 @@ def _probe_rowenv(vt: VirtualTable, prep: _JoinPrep | None) -> _RowEnv:
     return _RowEnv(Table(cols), prep.names, prep.tags)
 
 
-def _group_key_exprs(vt: VirtualTable, sel: P.Select):
-    """Resolve GROUP BY entries (plain columns or select-item aliases
-    of row expressions, sqlite-style) to (exprs, output names, tags).
-    0 entries = global aggregation (one group); 2 entries pack into
-    one U64 (hi = first col's sortable bits) exactly like the in-core
-    executor (executor.py _grouped)."""
+def _group_key_exprs(vt: VirtualTable, sel: P.Select,
+                     prep: _JoinPrep | None = None):
+    """Resolve GROUP BY entries (plain columns — fact or joined
+    dimension side — or select-item aliases of row expressions,
+    sqlite-style) to (exprs, output names, tags). 0 entries = global
+    aggregation (one group); 2 entries pack into one U64 (hi = first
+    col's sortable bits) exactly like the in-core executor
+    (executor.py _grouped)."""
     aliases = {it.alias: it.expr for it in sel.items
                if it.expr != "*" and it.alias
                and not _calls(it.expr, window=False)}
+    penv = _probe_rowenv(vt, prep)
     exprs, names, tags = [], [], []
     for c in sel.group_by:
-        if c.name in vt.columns:
-            e = P.Col(c.name)
+        if c.key in penv.names:
+            e = P.Col(c.name, c.table)
         elif c.table is None and c.name in aliases:
             e = aliases[c.name]
         else:
             raise SqlError(f"unknown column {c.key!r}")
         exprs.append(e)
         names.append(c.key)
-        tags.append(_expr_tag(vt, e) or "u32")
+        tags.append(_expr_tag(vt, e, prep) or "u32")
     if len(exprs) > 2:
         raise SqlError("GROUP BY supports at most two 32-bit columns "
                        "over big tables")
@@ -409,20 +412,17 @@ def _unpack_group_cols(uk: np.ndarray, gnames: list, gtags: list
 
 
 def _make_run_fn(vt: VirtualTable, where, gexprs: list, value_exprs: dict,
-                 aggspec: dict, run_size: int, cap: int):
-    """One jitted program shared by every run (r is a traced scalar)."""
+                 aggspec: dict, run_size: int, cap: int,
+                 prep: _JoinPrep | None = None):
+    """One jitted program shared by every run (r is a traced scalar;
+    the resident dimension planes — if any — ride as the dim arg
+    pytree, never closed over: CLAUDE.md HTTP-413 rule)."""
     from tpu_qe.ops.aggregate import group_aggregate, group_aggregate_multi
 
-    def run(r):
+    def run(r, dim):
         idx = (r * jnp.uint32(run_size)
                + jnp.arange(run_size, dtype=jnp.uint32))
-        env = _gen_env(vt, idx)
-        valid = idx < jnp.uint32(vt.n)      # tail-run mask
-        if where is not None:
-            tv = _eval(where, env, run_size)
-            if tv.tag != "bool":
-                raise SqlError("WHERE must be boolean")
-            valid = valid & jnp.broadcast_to(tv.arr, (run_size,))
+        env, valid = _build_env(vt, prep, where, idx, run_size, dim)
         ghi, glo = _group_planes(env, gexprs, run_size)
         gkey = U64(glo, ghi)
         vals = {}
@@ -544,12 +544,17 @@ def select_big(vt: VirtualTable, q: P.Query, run_size: int = 1 << 26,
 
 def _agg_big(vt: VirtualTable, q: P.Query, run_size: int,
              max_groups: int, verbose: bool = False,
-             stats: dict | None = None) -> dict:
+             stats: dict | None = None,
+             prep: _JoinPrep | None = None) -> dict:
     """GROUP BY (0, 1 or 2 key columns) aggregates over a virtual
     table — the ops/bigagg shape (per-run partials + exact host
-    combine; aggregation IS the compression)."""
+    combine; aggregation IS the compression). With prep, every run
+    joins its generated fact rows against the resident dimension
+    before grouping (the fused join->GROUP BY of ops/bigpipe, here as
+    declarative SQL: the joined stream never materializes)."""
     sel = q.selects[0]
-    gexprs, gnames, gtags = _group_key_exprs(vt, sel)
+    gexprs, gnames, gtags = _group_key_exprs(vt, sel, prep)
+    penv = _probe_rowenv(vt, prep)
 
     # collect aggregate calls (select items + HAVING)
     aggcalls = []
@@ -569,9 +574,7 @@ def _agg_big(vt: VirtualTable, q: P.Query, run_size: int,
 
     def _value_of(arg) -> str:
         if isinstance(arg, P.Col):
-            if arg.name not in vt.columns:
-                raise SqlError(f"unknown column {arg.key!r}")
-            return arg.name
+            return penv.resolve(arg)    # fact or joined dim column
         rep = repr(arg)
         if rep in expr_names:
             return expr_names[rep]
@@ -618,8 +621,8 @@ def _agg_big(vt: VirtualTable, q: P.Query, run_size: int,
         aggspec[vn] = tuple(sorted(set(aggspec.get(vn, ()))
                                    | set(want)))
     for vn in aggspec:
-        if isinstance(vn, str) and vn in vt.columns:
-            value_exprs.setdefault(vn, P.Col(vn))
+        # physical names round-trip through the env (names[phys]=phys)
+        value_exprs.setdefault(vn, P.Col(vn))
     # count always rides (COUNT(*), AVG denominators, HAVING)
     if aggspec:
         first = sorted(aggspec)[0]
@@ -638,21 +641,22 @@ def _agg_big(vt: VirtualTable, q: P.Query, run_size: int,
     # own sorted-planes program, never wastefully evaluated here
     run_values = {vn: value_exprs[vn] for vn in aggspec}
     run_fn = _make_run_fn(vt, sel.where, gexprs, run_values, aggspec,
-                          run_size, cap)
+                          run_size, cap, prep)
+    dim = prep.dim_dev if prep is not None else {}
     # static signedness of integer-sum columns, probed ONCE (not per
     # run inside the readback loop)
-    sum_signed = {vn: _expr_tag(vt, value_exprs[vn]) == "i32"
+    sum_signed = {vn: _expr_tag(vt, value_exprs[vn], prep) == "i32"
                   for vn in aggspec}
     import time as _time
     np.asarray(jnp.zeros(8, jnp.uint32)[:1])    # tunnel warmup
     tc = _time.perf_counter()
-    run_exec = run_fn.lower(jnp.uint32(0)).compile()
+    run_exec = run_fn.lower(jnp.uint32(0), dim).compile()
     compile_s = _time.perf_counter() - tc
 
     # queue every run before the first readback (dispatch round trips
     # cost ~35-70 ms each on the tunnel — CLAUDE.md)
     ta = _time.perf_counter()
-    pend = [run_exec(jnp.uint32(r)) for r in range(n_runs)]
+    pend = [run_exec(jnp.uint32(r), dim) for r in range(n_runs)]
     parts = []
     tags_of_agg: dict[str, str] = {}
     for r, res in enumerate(pend):
@@ -697,7 +701,7 @@ def _agg_big(vt: VirtualTable, q: P.Query, run_size: int,
         for (vn, kind), qlist in pct_specs.items():
             pct_host.update(_big_group_quantiles(
                 vt, sel.where, gexprs, value_exprs.get(vn, P.Col(vn)),
-                vn, kind, qlist, uk, run_size, pct_compile))
+                vn, kind, qlist, uk, run_size, pct_compile, prep))
     if stats is not None:
         stats.update(compile_s=compile_s + pct_compile[0],
                      runs_s=runs_s, combine_s=combine_s,
@@ -716,8 +720,9 @@ def _agg_big(vt: VirtualTable, q: P.Query, run_size: int,
 
     def eval_g(e) -> np.ndarray:
         # a select item may repeat an aliased group expression verbatim
-        # (SELECT v % 5 AS m ... GROUP BY m)
-        if not isinstance(e, (P.Col, P.Lit)) and repr(e) in gexpr_vals:
+        # (SELECT v % 5 AS m ... GROUP BY m — incl. a plain column
+        # aliased into the GROUP BY, e.g. d__matched AS m)
+        if not isinstance(e, P.Lit) and repr(e) in gexpr_vals:
             return gexpr_vals[repr(e)]
         if isinstance(e, P.Call):
             if e.func in _PCT_FUNCS:
@@ -761,15 +766,17 @@ def _agg_big(vt: VirtualTable, q: P.Query, run_size: int,
     return dict(_materialize(fr).cols)
 
 
-def _expr_tag(vt: VirtualTable, expr) -> str | None:
+def _expr_tag(vt: VirtualTable, expr, prep: _JoinPrep | None = None
+              ) -> str | None:
     """Static tag of an aggregate argument (column tag, or probe an
-    expression on 8 generated rows)."""
+    expression on 8 generated rows; joined dimension columns probe as
+    zeros of their dtype — tags only depend on dtypes)."""
     if expr is None:
         return None
-    if isinstance(expr, P.Col):
+    if prep is None and isinstance(expr, P.Col) and expr.table is None:
         return vt.tags.get(expr.name)
-    idx = jnp.arange(8, dtype=jnp.uint32)
-    tv = _eval(expr, _gen_env(vt, idx), 8)
+    env = _probe_rowenv(vt, prep)
+    tv = _eval(expr, env, 8)
     return "u32" if tv.tag == "bool" else tv.tag
 
 
@@ -780,7 +787,8 @@ def _expr_tag(vt: VirtualTable, expr) -> str | None:
 
 def _big_group_quantiles(vt, where, gexprs, vexpr, vname, kind, qlist,
                          uk: np.ndarray, run_size: int,
-                         compile_acc: list | None = None):
+                         compile_acc: list | None = None,
+                         prep: _JoinPrep | None = None):
     """Exact per-group PERCENTILE over the virtual table.
 
     Per-run (group hi, group lo, value bits)-sorted planes stay
@@ -813,14 +821,10 @@ def _big_group_quantiles(vt, where, gexprs, vexpr, vname, kind, qlist,
     # tail; segment bounds clamp to the valid prefix so even a real
     # all-ones group key with max value bits cannot collide with them.
     @jax.jit
-    def run_planes(r):
+    def run_planes(r, dim):
         idx = (r * jnp.uint32(run_size)
                + jnp.arange(run_size, dtype=jnp.uint32))
-        env = _gen_env(vt, idx)
-        valid = idx < jnp.uint32(vt.n)
-        if where is not None:
-            tv = _eval(where, env, run_size)
-            valid = valid & jnp.broadcast_to(tv.arr, (run_size,))
+        env, valid = _build_env(vt, prep, where, idx, run_size, dim)
         gh, gl = _group_planes(env, gexprs, run_size)
         tv = _eval(vexpr, env, run_size)
         bits = sortable_u32(tv.arr if tv.tag != "bool"
@@ -835,10 +839,11 @@ def _big_group_quantiles(vt, where, gexprs, vexpr, vname, kind, qlist,
         return sgh, sgl, sv, n_valid
 
     import time as _time
+    dim = prep.dim_dev if prep is not None else {}
     tc = _time.perf_counter()
-    run_exec = run_planes.lower(jnp.uint32(0)).compile()
+    run_exec = run_planes.lower(jnp.uint32(0), dim).compile()
     c_comp = _time.perf_counter() - tc
-    packed_runs = [run_exec(jnp.uint32(r)) for r in range(n_runs)]
+    packed_runs = [run_exec(jnp.uint32(r), dim) for r in range(n_runs)]
 
     def _group_pos(sgh, sgl, n_valid, qh, ql, le: bool):
         """Rank of (qh, ql) among the sorted 2-plane group keys — a
@@ -945,7 +950,7 @@ def _big_group_quantiles(vt, where, gexprs, vexpr, vname, kind, qlist,
         return np.asarray(sel_exec(packed_runs, starts, ends,
                                    jnp.asarray(ranks.astype(np.uint32))))
 
-    vtag = _expr_tag(vt, vexpr) or "u32"
+    vtag = _expr_tag(vt, vexpr, prep) or "u32"
 
     def unbits(b: np.ndarray) -> np.ndarray:
         return np.asarray(sortable_u32_inverse(jnp.asarray(b),
@@ -976,33 +981,52 @@ def _big_group_quantiles(vt, where, gexprs, vexpr, vname, kind, qlist,
 # plain SELECT ... LIMIT k over a virtual table (row heads)
 # ---------------------------------------------------------------------------
 
-def _select_items(vt: VirtualTable, sel: P.Select):
-    """Expand * and auto-name the select list -> [(name, expr), ...]."""
+def _select_items(vt: VirtualTable, sel: P.Select,
+                  prep: _JoinPrep | None = None):
+    """Expand * and auto-name the select list -> [(name, expr), ...].
+    With a join, * follows the in-core rule (executor._plain): every
+    physical column exactly once — the bare name where unambiguous,
+    else the qualified ref."""
     from tpu_qe.sql.executor import Database as _Database
     out = []
     for i, it in enumerate(sel.items):
         if it.expr == "*":
-            out += [(nm, P.Col(nm)) for nm in vt.columns]
+            if prep is None:
+                out += [(nm, P.Col(nm)) for nm in vt.columns]
+            else:
+                bare = {phys for ref, phys in prep.names.items()
+                        if "." not in ref}
+                for ref, phys in sorted(prep.names.items()):
+                    if ("." in ref) == (phys in bare):
+                        continue
+                    out.append((ref, P.Col(ref)))
         else:
             out.append((it.alias or _Database._auto_name(it.expr, i),
                         it.expr))
     return out
 
 
-def _emit_rows(vt: VirtualTable, items: list, idx: np.ndarray) -> dict:
+def _emit_rows(vt: VirtualTable, items: list, idx: np.ndarray,
+               prep: _JoinPrep | None = None) -> dict:
     """Evaluate the select list at the winning global row indices —
-    columns REGENERATE from idx (the virtual-table contract), so only
-    the k-bounded index set ever crosses the readback boundary."""
+    columns REGENERATE from idx (the virtual-table contract; with a
+    join the k-bounded rows RE-JOIN the resident dimension — the FK
+    join is deterministic, so regenerated matches equal the scan's),
+    so only the k-bounded index set ever crosses the readback
+    boundary."""
     m = len(idx)
+    dim = prep.dim_dev if prep is not None else {}
     if m == 0:
-        env = _gen_env(vt, jnp.zeros(1, jnp.uint32))
+        env, _ = _build_env(vt, prep, None, jnp.zeros(1, jnp.uint32),
+                            1, dim)
         out = {}
         for nm, e in items:
             tv = _eval(e, env, 1)
             a = np.asarray(jnp.broadcast_to(tv.arr, (1,)))[:0]
             out[nm] = a.astype(bool) if tv.tag == "bool" else a
         return out
-    env = _gen_env(vt, jnp.asarray(idx.astype(np.uint32)))
+    env, _ = _build_env(vt, prep, None,
+                        jnp.asarray(idx.astype(np.uint32)), m, dim)
     out = {}
     for nm, e in items:
         tv = _eval(e, env, m)
@@ -1011,7 +1035,8 @@ def _emit_rows(vt: VirtualTable, items: list, idx: np.ndarray) -> dict:
     return out
 
 
-def _head_big(vt: VirtualTable, q: P.Query, run_size: int) -> dict:
+def _head_big(vt: VirtualTable, q: P.Query, run_size: int,
+              prep: _JoinPrep | None = None) -> dict:
     """SELECT [cols|*] FROM big [WHERE p] LIMIT k — the first k
     qualifying rows in row order. Runs scan sequentially and stop as
     soon as k rows are found (readback per run is k-bounded)."""
@@ -1021,35 +1046,32 @@ def _head_big(vt: VirtualTable, q: P.Query, run_size: int) -> dict:
         raise SqlError("plain SELECT over a big table needs LIMIT "
                        "(the result would be a row-scale readback; "
                        "aggregate, or add LIMIT)")
-    items = _select_items(vt, sel)
-    if sel.where is None:
+    items = _select_items(vt, sel, prep)
+    if sel.where is None and (prep is None or prep.how == "left"):
+        # every row qualifies (LEFT joins keep all fact rows)
         idx = np.arange(min(k, vt.n), dtype=np.uint32)
-        return _emit_rows(vt, items, idx)
+        return _emit_rows(vt, items, idx, prep)
 
     head_cap = min(k, run_size)
     n_runs = (vt.n + run_size - 1) // run_size
 
     @jax.jit
-    def scan_run(r):
+    def scan_run(r, dim):
         idx = (r * jnp.uint32(run_size)
                + jnp.arange(run_size, dtype=jnp.uint32))
-        env = _gen_env(vt, idx)
-        valid = idx < jnp.uint32(vt.n)
-        tv = _eval(sel.where, env, run_size)
-        if tv.tag != "bool":
-            raise SqlError("WHERE must be boolean")
-        valid = valid & jnp.broadcast_to(tv.arr, (run_size,))
+        env, valid = _build_env(vt, prep, sel.where, idx, run_size, dim)
         pos = jnp.arange(run_size, dtype=jnp.uint32)
         key = jnp.where(valid, pos, pos | jnp.uint32(1 << 31))
         _, sidx = jax.lax.sort([key, idx], num_keys=1, is_stable=False)
         m = jnp.sum(valid.astype(jnp.uint32))
         return jax.lax.slice(sidx, (0,), (head_cap,)), m
 
-    scan_exec = scan_run.lower(jnp.uint32(0)).compile()
+    dim = prep.dim_dev if prep is not None else {}
+    scan_exec = scan_run.lower(jnp.uint32(0), dim).compile()
     got: list[np.ndarray] = []
     have = 0
     for r in range(n_runs):
-        head, m = scan_exec(jnp.uint32(r))
+        head, m = scan_exec(jnp.uint32(r), dim)
         take = min(int(np.asarray(m)), k - have)
         if take > 0:
             got.append(_head_np(head, take))
@@ -1058,7 +1080,7 @@ def _head_big(vt: VirtualTable, q: P.Query, run_size: int) -> dict:
             break
     idx = (np.concatenate(got).astype(np.uint32) if got
            else np.zeros(0, np.uint32))
-    return _emit_rows(vt, items, idx)
+    return _emit_rows(vt, items, idx, prep)
 
 
 # ---------------------------------------------------------------------------
@@ -1066,17 +1088,19 @@ def _head_big(vt: VirtualTable, q: P.Query, run_size: int) -> dict:
 # per-run selection composes exactly over runs)
 # ---------------------------------------------------------------------------
 
-def _order_exprs(vt: VirtualTable, sel: P.Select, order_by) -> list:
-    """Resolve ORDER BY entries (columns or select aliases) to
-    (expr, desc) pairs."""
+def _order_exprs(vt: VirtualTable, sel: P.Select, order_by,
+                 prep: _JoinPrep | None = None) -> list:
+    """Resolve ORDER BY entries (columns — fact or joined dimension
+    side — or select aliases) to (expr, desc) pairs."""
     aliases = {it.alias: it.expr for it in sel.items
                if it.expr != "*" and it.alias
                and not _calls(it.expr, window=False)}
+    penv = _probe_rowenv(vt, prep)
     out = []
     for oi in order_by:
         c = oi.col
-        if c.name in vt.columns:
-            e = P.Col(c.name)
+        if c.key in penv.names:
+            e = P.Col(c.name, c.table)
         elif c.table is None and c.name in aliases:
             e = aliases[c.name]
         else:
@@ -1086,7 +1110,8 @@ def _order_exprs(vt: VirtualTable, sel: P.Select, order_by) -> list:
 
 
 def _orderby_big(vt: VirtualTable, q: P.Query, run_size: int,
-                 stats: dict | None = None) -> dict:
+                 stats: dict | None = None,
+                 prep: _JoinPrep | None = None) -> dict:
     """SELECT ... FROM big [WHERE] ORDER BY e1 [DESC], ... LIMIT k.
 
     ops/bigtopk's selection-composes-over-runs shape generalized to
@@ -1103,8 +1128,8 @@ def _orderby_big(vt: VirtualTable, q: P.Query, run_size: int,
         raise SqlError("ORDER BY over a big table needs LIMIT "
                        "(row-scale readback; the driver tier "
                        "ops/bigorderby streams full orderings)")
-    items = _select_items(vt, sel)
-    oexprs = _order_exprs(vt, sel, q.order_by)
+    items = _select_items(vt, sel, prep)
+    oexprs = _order_exprs(vt, sel, q.order_by, prep)
     n_ord = len(oexprs)
     head_cap = min(k, run_size)
     n_runs = (vt.n + run_size - 1) // run_size
@@ -1114,16 +1139,10 @@ def _orderby_big(vt: VirtualTable, q: P.Query, run_size: int,
                        "run_size")
 
     @jax.jit
-    def run_topk(r):
+    def run_topk(r, dim):
         idx = (r * jnp.uint32(run_size)
                + jnp.arange(run_size, dtype=jnp.uint32))
-        env = _gen_env(vt, idx)
-        valid = idx < jnp.uint32(vt.n)
-        if sel.where is not None:
-            tv = _eval(sel.where, env, run_size)
-            if tv.tag != "bool":
-                raise SqlError("WHERE must be boolean")
-            valid = valid & jnp.broadcast_to(tv.arr, (run_size,))
+        env, valid = _build_env(vt, prep, sel.where, idx, run_size, dim)
         # invalid rows carry all-ones planes AND an all-ones idx so
         # they sort strictly last both inside this run and in the
         # candidate combine (a real idx is <= 2^32 - 2 by the n < 2^32
@@ -1146,8 +1165,9 @@ def _orderby_big(vt: VirtualTable, q: P.Query, run_size: int,
                       for p in srt),
                 m)
 
-    run_exec = run_topk.lower(jnp.uint32(0)).compile()
-    parts = [run_exec(jnp.uint32(r)) for r in range(n_runs)]
+    dim = prep.dim_dev if prep is not None else {}
+    run_exec = run_topk.lower(jnp.uint32(0), dim).compile()
+    parts = [run_exec(jnp.uint32(r), dim) for r in range(n_runs)]
 
     @jax.jit
     def combine(cands):
@@ -1162,7 +1182,7 @@ def _orderby_big(vt: VirtualTable, q: P.Query, run_size: int,
     total = sum(int(np.asarray(p[1])) for p in parts)
     out_m = min(k, total)
     idx = _head_np(win[-1], out_m).astype(np.uint32)
-    return _emit_rows(vt, items, idx)
+    return _emit_rows(vt, items, idx, prep)
 
 
 # ---------------------------------------------------------------------------
@@ -1171,13 +1191,14 @@ def _orderby_big(vt: VirtualTable, q: P.Query, run_size: int,
 # ---------------------------------------------------------------------------
 
 def _distinct_big(vt: VirtualTable, q: P.Query, run_size: int,
-                  max_groups: int, stats: dict | None = None) -> dict:
+                  max_groups: int, stats: dict | None = None,
+                  prep: _JoinPrep | None = None) -> dict:
     """SELECT DISTINCT e1[, e2] FROM big [WHERE] [ORDER BY/LIMIT]:
     per-run dedup of the packed (hi, lo) combo planes (only distinct
     combos leave each run, padded to max_groups with exact overflow
     detection) + one host np.unique combine."""
     sel = q.selects[0]
-    items = _select_items(vt, sel)
+    items = _select_items(vt, sel, prep)
     if not 1 <= len(items) <= 2:
         raise SqlError("SELECT DISTINCT over a big table supports one "
                        "or two 32-bit columns")
@@ -1187,21 +1208,15 @@ def _distinct_big(vt: VirtualTable, q: P.Query, run_size: int,
                            "big table is not supported")
     exprs = [e for _, e in items]
     names = [nm for nm, _ in items]
-    tags = [_expr_tag(vt, e) or "u32" for e in exprs]
+    tags = [_expr_tag(vt, e, prep) or "u32" for e in exprs]
     cap = min(max_groups, run_size)
     n_runs = (vt.n + run_size - 1) // run_size
 
     @jax.jit
-    def dedup_run(r):
+    def dedup_run(r, dim):
         idx = (r * jnp.uint32(run_size)
                + jnp.arange(run_size, dtype=jnp.uint32))
-        env = _gen_env(vt, idx)
-        valid = idx < jnp.uint32(vt.n)
-        if sel.where is not None:
-            tv = _eval(sel.where, env, run_size)
-            if tv.tag != "bool":
-                raise SqlError("WHERE must be boolean")
-            valid = valid & jnp.broadcast_to(tv.arr, (run_size,))
+        env, valid = _build_env(vt, prep, sel.where, idx, run_size, dim)
         gh, gl = _group_planes(env, exprs, run_size)
         inv = jnp.where(valid, jnp.uint32(0), jnp.uint32(1))
         sinv, sgh, sgl = jax.lax.sort([inv, gh, gl], num_keys=3,
@@ -1218,8 +1233,9 @@ def _distinct_big(vt: VirtualTable, q: P.Query, run_size: int,
         return (jax.lax.slice(res[1], (0,), (cap,)),
                 jax.lax.slice(res[2], (0,), (cap,)), m)
 
-    run_exec = dedup_run.lower(jnp.uint32(0)).compile()
-    parts = [run_exec(jnp.uint32(r)) for r in range(n_runs)]
+    dim = prep.dim_dev if prep is not None else {}
+    run_exec = dedup_run.lower(jnp.uint32(0), dim).compile()
+    parts = [run_exec(jnp.uint32(r), dim) for r in range(n_runs)]
     combos = []
     for r, (hh, ll, m) in enumerate(parts):
         mi = int(np.asarray(m))
@@ -1250,9 +1266,28 @@ def _setop_big(vt, q, run_size, max_groups, db):
                    "ops/bigsetops)")
 
 
-def _join_big_sql(vt, q, run_size, max_groups, db, stats):
-    raise SqlError("JOIN over big tables is not supported yet at the "
-                   "SQL layer (driver tier: ops/bigjoin, ops/bigpipe)")
+def _join_big_sql(vt, q: P.Query, run_size: int, max_groups: int, db,
+                  stats: dict | None) -> dict:
+    """JOIN over a virtual fact table: resolve the in-core dimension
+    once (_prep_join — resident planes, unique-key check), then run
+    the matching verb tier with the join threaded through every run
+    program. Aggregate queries are the fused join->GROUP BY of
+    ops/bigpipe as declarative SQL: the joined stream never
+    materializes — each run joins, masks, and partially aggregates in
+    ONE jitted program."""
+    prep = _prep_join(vt, q, db, run_size)
+    sel = q.selects[0]
+    if sel.distinct:
+        return _distinct_big(vt, q, run_size, max_groups, stats, prep)
+    has_aggs = (sel.having is not None
+                or any(_calls(it.expr, window=False)
+                       for it in sel.items if it.expr != "*"))
+    if sel.group_by or has_aggs:
+        return _agg_big(vt, q, run_size, max_groups, stats=stats,
+                        prep=prep)
+    if q.order_by:
+        return _orderby_big(vt, q, run_size, stats, prep)
+    return _head_big(vt, q, run_size, prep)
 
 
 def _window_big(vt, q, run_size, stats):
