@@ -399,3 +399,39 @@ def test_join_duplicate_dim_keys_rejected():
                          "w": np.arange(3, dtype=np.uint32)})
     with pytest.raises(SqlError, match="not unique"):
         big.sql("SELECT COUNT(*) AS c FROM t JOIN dup ON k = dk")
+
+
+# -- COUNT(DISTINCT) over big tables -----------------------------------------
+
+def test_count_distinct_by_group(dbs):
+    big, ref = dbs
+    sql = ("SELECT k, COUNT(DISTINCT u) AS cd, COUNT(*) AS c FROM t "
+           "GROUP BY k ORDER BY k")
+    _cmp(big.sql(sql, run_size=RUN), ref.sql(sql))
+
+
+def test_count_distinct_global_where(dbs):
+    big, ref = dbs
+    sql = "SELECT COUNT(DISTINCT k) AS cd FROM t WHERE v > 0"
+    _cmp(big.sql(sql, run_size=RUN), ref.sql(sql))
+
+
+def test_count_distinct_expression(dbs):
+    big, ref = dbs
+    sql = ("SELECT k % 4 AS m, COUNT(DISTINCT u % 50) AS cd, "
+           "SUM(v) AS s FROM t GROUP BY m ORDER BY m")
+    _cmp(big.sql(sql, run_size=RUN), ref.sql(sql))
+
+
+def test_count_distinct_join(dbs):
+    big, ref = dbs
+    sql = ("SELECT r, COUNT(DISTINCT k) AS cd FROM t "
+           "JOIN d ON k = dk GROUP BY r ORDER BY r")
+    _cmp(big.sql(sql, run_size=RUN), ref.sql(sql))
+
+
+def test_sum_distinct_rejected(dbs):
+    big, _ = dbs
+    with pytest.raises(SqlError, match="DISTINCT"):
+        big.sql("SELECT k, SUM(DISTINCT u) AS s FROM t GROUP BY k",
+                run_size=RUN)

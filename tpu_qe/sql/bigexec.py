@@ -571,6 +571,8 @@ def _agg_big(vt: VirtualTable, q: P.Query, run_size: int,
     expr_names: dict[str, str] = {}
     pct_specs: dict[tuple, list] = {}     # (vname, kind) -> [(num, sh)]
     pct_of: dict[int, tuple] = {}
+    cd_specs: list[str] = []              # COUNT(DISTINCT) value names
+    cd_of: dict[int, str] = {}
 
     def _value_of(arg) -> str:
         if isinstance(arg, P.Col):
@@ -610,8 +612,14 @@ def _agg_big(vt: VirtualTable, q: P.Query, run_size: int,
         if c.func not in _AGG_FUNCS or c.window is not None:
             raise SqlError(f"unknown aggregate {c.func}")
         if c.distinct:
-            raise SqlError("COUNT(DISTINCT) over big tables is not "
-                           "supported (use ops/bigdistinct directly)")
+            if c.func != "count":
+                raise SqlError(f"{c.func}(DISTINCT) is not supported "
+                               "(only COUNT)")
+            vn = _value_of(c.args[0])
+            if vn not in cd_specs:
+                cd_specs.append(vn)
+            cd_of[id(c)] = vn
+            continue
         if c.func == "count":
             continue
         if len(c.args) != 1:
@@ -702,6 +710,11 @@ def _agg_big(vt: VirtualTable, q: P.Query, run_size: int,
             pct_host.update(_big_group_quantiles(
                 vt, sel.where, gexprs, value_exprs.get(vn, P.Col(vn)),
                 vn, kind, qlist, uk, run_size, pct_compile, prep))
+    cd_host: dict[str, np.ndarray] = {}
+    for vn in cd_specs:
+        cd_host[vn] = _big_count_distinct(
+            vt, sel.where, gexprs, value_exprs.get(vn, P.Col(vn)),
+            uk, run_size, cap, prep, pct_compile)
     if stats is not None:
         stats.update(compile_s=compile_s + pct_compile[0],
                      runs_s=runs_s, combine_s=combine_s,
@@ -727,6 +740,8 @@ def _agg_big(vt: VirtualTable, q: P.Query, run_size: int,
         if isinstance(e, P.Call):
             if e.func in _PCT_FUNCS:
                 return pct_host[pct_of[id(e)]]
+            if e.distinct:
+                return cd_host[cd_of[id(e)]]
             if e.func == "count":
                 return cnt
             vn = _value_of(e.args[0])
@@ -974,6 +989,85 @@ def _big_group_quantiles(vt, where, gexprs, vexpr, vname, kind, qlist,
             ).astype(np.float64)
             out[(vname, kind, qi)] = (lo_v + (up_v - lo_v)
                                       * frac).astype(np.float32)
+    return out
+
+
+def _big_count_distinct(vt, where, gexprs, vexpr, uk: np.ndarray,
+                        run_size: int, cap: int,
+                        prep: _JoinPrep | None = None,
+                        compile_acc: list | None = None) -> np.ndarray:
+    """Exact per-group COUNT(DISTINCT expr) over the virtual table.
+
+    ops/bigdistinct's dedup-IS-the-compression invariant composed with
+    GROUP BY: each run sorts its (group hi, group lo, value bits)
+    triples and compacts the run-distinct pairs to a cap-bounded
+    padded prefix (exact overflow detection), then one host pass
+    de-duplicates pairs ACROSS runs and counts per group. Value
+    distinctness is bit-pattern distinctness of the sortable u32 form
+    — identical to the in-core executor's lifted-key dedup.
+    """
+    from tpu_qe.bits import sortable_u32
+    n_runs = (vt.n + run_size - 1) // run_size
+
+    @jax.jit
+    def dedup_run(r, dim):
+        idx = (r * jnp.uint32(run_size)
+               + jnp.arange(run_size, dtype=jnp.uint32))
+        env, valid = _build_env(vt, prep, where, idx, run_size, dim)
+        gh, gl = _group_planes(env, gexprs, run_size)
+        tv = _eval(vexpr, env, run_size)
+        arr = tv.arr if tv.tag != "bool" else tv.arr.astype(jnp.uint32)
+        if not hasattr(arr, "shape") or arr.shape == ():
+            arr = jnp.broadcast_to(arr, (run_size,))
+        vb = sortable_u32(arr)
+        inv = jnp.where(valid, jnp.uint32(0), jnp.uint32(1))
+        sinv, sgh, sgl, sv = jax.lax.sort([inv, gh, gl, vb],
+                                          num_keys=4, is_stable=False)
+        pos = jnp.arange(run_size, dtype=jnp.uint32)
+        prev_h = jnp.concatenate([sgh[:1] ^ jnp.uint32(1), sgh[:-1]])
+        prev_l = jnp.concatenate([sgl[:1], sgl[:-1]])
+        prev_v = jnp.concatenate([sv[:1], sv[:-1]])
+        is_new = ((pos == 0) | (sgh != prev_h) | (sgl != prev_l)
+                  | (sv != prev_v)) & (sinv == 0)
+        m = jnp.sum(is_new.astype(jnp.uint32))
+        packed = jnp.where(is_new, pos, jnp.uint32(0xFFFFFFFF))
+        res = jax.lax.sort([packed, sgh, sgl, sv], num_keys=1,
+                           is_stable=False)
+        return (jax.lax.slice(res[1], (0,), (cap,)),
+                jax.lax.slice(res[2], (0,), (cap,)),
+                jax.lax.slice(res[3], (0,), (cap,)), m)
+
+    import time as _time
+    dim = prep.dim_dev if prep is not None else {}
+    tc = _time.perf_counter()
+    run_exec = dedup_run.lower(jnp.uint32(0), dim).compile()
+    if compile_acc is not None:
+        compile_acc[0] += _time.perf_counter() - tc
+    parts = [run_exec(jnp.uint32(r), dim) for r in range(n_runs)]
+    gs, vs = [], []
+    for r, (hh, ll, vv, m) in enumerate(parts):
+        mi = int(np.asarray(m))
+        if mi > cap:
+            raise SqlError(
+                f"run {r}: more than max_groups={cap} distinct "
+                "(group, value) pairs per run — raise max_groups "
+                "(exact overflow detection, outputs never silently "
+                "truncated)")
+        hi = _head_np(hh, mi).astype(np.uint64)
+        lo = _head_np(ll, mi).astype(np.uint64)
+        gs.append((hi << np.uint64(32)) | lo)
+        vs.append(_head_np(vv, mi).astype(np.uint64))
+    g64 = np.concatenate(gs) if gs else np.zeros(0, np.uint64)
+    v32 = np.concatenate(vs) if vs else np.zeros(0, np.uint64)
+    # cross-run dedup of (group, value) pairs (run-distinct pairs can
+    # repeat across runs), then per-group counts aligned to uk
+    order = np.lexsort([v32, g64])
+    g64, v32 = g64[order], v32[order]
+    keep = np.ones(len(g64), bool)
+    keep[1:] = (g64[1:] != g64[:-1]) | (v32[1:] != v32[:-1])
+    gu, cnts = np.unique(g64[keep], return_counts=True)
+    out = np.zeros(len(uk), np.int64)
+    out[np.searchsorted(uk, gu)] = cnts
     return out
 
 
