@@ -435,3 +435,59 @@ def test_sum_distinct_rejected(dbs):
     with pytest.raises(SqlError, match="DISTINCT"):
         big.sql("SELECT k, SUM(DISTINCT u) AS s FROM t GROUP BY k",
                 run_size=RUN)
+
+
+# -- set operations over big tables ------------------------------------------
+
+def test_union_distinct(dbs):
+    big, ref = dbs
+    sql = ("SELECT u FROM t WHERE u < 300 UNION "
+           "SELECT u FROM t WHERE u >= 250 ORDER BY u")
+    _cmp(big.sql(sql, run_size=RUN), ref.sql(sql))
+
+
+def test_intersect_and_except(dbs):
+    big, ref = dbs
+    for op in ("INTERSECT", "EXCEPT"):
+        sql = (f"SELECT u FROM t WHERE u < 400 {op} "
+               "SELECT u FROM t WHERE u % 3 = 0 ORDER BY u")
+        _cmp(big.sql(sql, run_size=RUN), ref.sql(sql))
+
+
+def test_union_all_multiset(dbs):
+    big, ref = dbs
+    # single-column UNION ALL: multiset equality (both engines repeat
+    # keys by exact multiplicity; _cmp sorts)
+    sql = ("SELECT k FROM t WHERE v > 0 UNION ALL "
+           "SELECT k FROM t WHERE v > 16000")
+    _cmp(big.sql(sql, run_size=RUN), ref.sql(sql))
+
+
+def test_setop_virtual_x_incore(dbs):
+    big, ref = dbs
+    sql = "SELECT u FROM t WHERE u < 60 INTERSECT SELECT dk FROM d"
+    _cmp(big.sql(sql, run_size=RUN), ref.sql(sql))
+
+
+def test_setop_incore_first_side(dbs):
+    big, ref = dbs
+    # in-core side FIRST: routing still lands out-of-core
+    sql = "SELECT dk FROM d EXCEPT SELECT u FROM t WHERE u < 30"
+    _cmp(big.sql(sql, run_size=RUN), ref.sql(sql))
+
+
+def test_setop_signed_and_expression(dbs):
+    big, ref = dbs
+    sql = ("SELECT v % 7 AS m FROM t WHERE v > 0 UNION "
+           "SELECT v % 5 AS m FROM t WHERE v < 0 ORDER BY m LIMIT 9")
+    got, want = big.sql(sql, run_size=RUN), ref.sql(sql)
+    np.testing.assert_array_equal(
+        np.asarray(got["m"]).astype(np.int64),
+        np.asarray(want["m"]).astype(np.int64))
+
+
+def test_setop_dtype_mismatch_rejected(dbs):
+    big, _ = dbs
+    with pytest.raises(SqlError, match="dtype"):
+        big.sql("SELECT u FROM t UNION SELECT f FROM t",
+                run_size=RUN)

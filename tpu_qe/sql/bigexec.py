@@ -1354,10 +1354,161 @@ def _distinct_big(vt: VirtualTable, q: P.Query, run_size: int,
 # tiers wired in subsequent round-5 commits
 # ---------------------------------------------------------------------------
 
-def _setop_big(vt, q, run_size, max_groups, db):
-    raise SqlError("set operations over big tables are not "
-                   "supported yet at the SQL layer (driver tier: "
-                   "ops/bigsetops)")
+def _side_counts_virtual(vtab: VirtualTable, sel: P.Select,
+                         run_size: int, cap: int):
+    """One set-op side over a virtual table -> (sorted u64 lifted keys,
+    exact i64 multiplicities, np value dtype). ops/bigsetops' shape:
+    each run compacts its DISTINCT keys + exact occurrence counts to a
+    cap-bounded padded prefix (counts come free from the gaps between
+    first-occurrence positions in the sorted run), then one host
+    np.unique combine sums counts across runs."""
+    expr = sel.items[0].expr
+    tag = _expr_tag(vtab, expr) or "u32"
+    from tpu_qe.bits import sortable_u32
+    n_runs = (vtab.n + run_size - 1) // run_size
+
+    @jax.jit
+    def count_run(r):
+        idx = (r * jnp.uint32(run_size)
+               + jnp.arange(run_size, dtype=jnp.uint32))
+        env, valid = _build_env(vtab, None, sel.where, idx, run_size, {})
+        tv = _eval(expr, env, run_size)
+        arr = tv.arr if tv.tag != "bool" else tv.arr.astype(jnp.uint32)
+        if not hasattr(arr, "shape") or arr.shape == ():
+            arr = jnp.broadcast_to(arr, (run_size,))
+        bits = sortable_u32(arr)
+        inv = jnp.where(valid, jnp.uint32(0), jnp.uint32(1))
+        sinv, sb = jax.lax.sort([inv, bits], num_keys=2, is_stable=False)
+        pos = jnp.arange(run_size, dtype=jnp.uint32)
+        prev = jnp.concatenate([sb[:1] ^ jnp.uint32(1), sb[:-1]])
+        is_new = ((pos == 0) | (sb != prev)) & (sinv == 0)
+        m = jnp.sum(is_new.astype(jnp.uint32))
+        n_valid = jnp.sum(valid.astype(jnp.uint32))
+        newpos = jnp.where(is_new, pos, jnp.uint32(0xFFFFFFFF))
+        st, keys = jax.lax.sort([newpos, sb], num_keys=1,
+                                is_stable=False)
+        # count of key j = next first-occurrence position - own (the
+        # sentinel tail clamps to n_valid, so the last real key's count
+        # ends at the valid prefix)
+        nxt = jnp.minimum(
+            jnp.concatenate([st[1:], jnp.full((1,), 0xFFFFFFFF,
+                                              jnp.uint32)]), n_valid)
+        cnts = nxt - jnp.minimum(st, n_valid)
+        return (jax.lax.slice(keys, (0,), (cap,)),
+                jax.lax.slice(cnts, (0,), (cap,)), m)
+
+    run_exec = count_run.lower(jnp.uint32(0)).compile()
+    parts = [run_exec(jnp.uint32(r)) for r in range(n_runs)]
+    ks, cs = [], []
+    for r, (kk, cc, m) in enumerate(parts):
+        mi = int(np.asarray(m))
+        if mi > cap:
+            raise SqlError(
+                f"set-op side run {r}: more than max_groups={cap} "
+                "distinct keys per run — raise max_groups (exact "
+                "overflow detection, outputs never silently truncated)")
+        ks.append(_head_np(kk, mi).astype(np.uint64))
+        cs.append(_head_np(cc, mi).astype(np.int64))
+    keys = np.concatenate(ks) if ks else np.zeros(0, np.uint64)
+    cnts = np.concatenate(cs) if cs else np.zeros(0, np.int64)
+    uk, inv_ = np.unique(keys, return_inverse=True)
+    total = np.zeros(len(uk), np.int64)
+    np.add.at(total, inv_, cnts)
+    if getattr(sel, "distinct", False):
+        total = np.ones(len(uk), np.int64)
+    dt = {"u32": np.uint32, "i32": np.int32, "f32": np.float32}[tag]
+    return uk, total, np.dtype(dt)
+
+
+def _setop_big(vt, q: P.Query, run_size: int, max_groups: int,
+               db) -> dict:
+    """UNION / INTERSECT / EXCEPT [ALL] chains where at least one side
+    is a virtual table. Every side compresses to its exact
+    (distinct lifted key, multiplicity) table — dedup IS the
+    compression (ops/bigsetops) — and the chain folds on the host with
+    exact multiset algebra (the same count rules as the in-core
+    executor's _set_op: ALL -> sum/min/clamped-difference; else
+    presence). Output stays G-bounded until the final expansion, which
+    is capped at 2^26 rows (raise, never truncate)."""
+    from tpu_qe.sql.executor import (_lift64_np, _unlift64_np,
+                                     _materialize as _mat)
+    sides = []
+    out_name = None
+    for si, sel in enumerate(q.selects):
+        if (sel.group_by or sel.having is not None or sel.joins
+                or any(it.expr == "*" or _calls(it.expr, window=False)
+                       or _calls(it.expr, window=True)
+                       for it in sel.items)):
+            raise SqlError("set-op sides over big tables are plain "
+                           "single-column SELECTs (no aggregates, "
+                           "joins, or GROUP BY)")
+        if len(sel.items) != 1:
+            raise SqlError("set operations over big tables support "
+                           "single-column selects")
+        tname = sel.table.name.lower()
+        vside = getattr(db, "_virtual", {}).get(tname) if db else None
+        if vside is not None:
+            cap = min(max_groups, run_size)
+            uk, cnt, dt = _side_counts_virtual(vside, sel, run_size,
+                                               cap)
+        else:
+            if db is None or tname not in db._tables:
+                raise SqlError(f"unknown table {sel.table.name!r}")
+            fr = _mat(db._select(sel))
+            col = fr.cols[next(iter(fr.cols))]
+            lifted = _lift64_np(np.asarray(col))
+            uk, cnt = np.unique(lifted, return_counts=True)
+            cnt = cnt.astype(np.int64)
+            if sel.distinct:
+                cnt = np.ones(len(uk), np.int64)
+            dt = np.asarray(col).dtype
+        if out_name is None:
+            it = sel.items[0]
+            from tpu_qe.sql.executor import Database as _Database
+            out_name = it.alias or _Database._auto_name(it.expr, 0)
+        sides.append((uk, cnt, dt))
+
+    uk, cnt, dt = sides[0]
+    for (op, all_), (ukb, cntb, dtb) in zip(q.set_ops, sides[1:]):
+        if dt != dtb:
+            raise SqlError(f"{op.upper()}: mismatched column dtypes "
+                           f"({dt} vs {dtb})")
+
+        def look(keys, uks, cs):
+            i = np.searchsorted(uks, keys)
+            i = np.minimum(i, max(len(uks) - 1, 0))
+            hit = (uks[i] == keys) if len(uks) else \
+                np.zeros(len(keys), bool)
+            return np.where(hit, cs[i] if len(cs) else 0, 0)
+
+        if op == "union":
+            keys = np.union1d(uk, ukb)
+            c = look(keys, uk, cnt) + look(keys, ukb, cntb)
+            if not all_:
+                c = np.ones(len(keys), np.int64)
+        elif op == "intersect":
+            keys = np.intersect1d(uk, ukb)
+            c = (np.minimum(look(keys, uk, cnt), look(keys, ukb, cntb))
+                 if all_ else np.ones(len(keys), np.int64))
+        else:                   # except
+            c = np.maximum(cnt - look(uk, ukb, cntb), 0) if all_ \
+                else np.where(look(uk, ukb, cntb) > 0, 0, 1)
+            keep = c > 0
+            keys, c = uk[keep], c[keep]
+            if not all_:
+                c = np.ones(len(keys), np.int64)
+        uk, cnt = keys, c.astype(np.int64)
+
+    total = int(cnt.sum())
+    if total > (1 << 26):
+        raise SqlError(f"set-op result expands to {total} rows — "
+                       "exceeds the in-core combine (2^26); narrow "
+                       "with WHERE or use non-ALL semantics")
+    vals = np.repeat(uk, cnt)
+    out = _unlift64_np(vals, dt)
+    fr = Frame({out_name: out}, {out_name: str(out.dtype)})
+    fr = _frame_order_limit(fr, q.order_by, q.limit)
+    return dict(_materialize(fr).cols)
 
 
 def _join_big_sql(vt, q: P.Query, run_size: int, max_groups: int, db,

@@ -621,6 +621,13 @@ class Database:
         """
         q = P.parse(query)
         vt = self._virtual.get(q.selects[0].table.name.lower())
+        if vt is None and q.set_ops:
+            # a set-op chain is out-of-core if ANY side is virtual
+            # (bigexec._setop_big resolves every side itself)
+            for s in q.selects:
+                vt = self._virtual.get(s.table.name.lower())
+                if vt is not None:
+                    break
         if vt is not None:
             if mesh is not None:
                 raise SqlError("mesh= with a virtual table is not "
