@@ -491,3 +491,101 @@ def test_setop_dtype_mismatch_rejected(dbs):
     with pytest.raises(SqlError, match="dtype"):
         big.sql("SELECT u FROM t UNION SELECT f FROM t",
                 run_size=RUN)
+
+
+# -- window functions over big tables (LIMIT-bounded prefix exactness) -------
+
+def _cmp_ordered(got: dict, want: dict, rtol=1e-5):
+    assert sorted(got) == sorted(want)
+    for nm in want:
+        a, b = np.asarray(got[nm]), np.asarray(want[nm])
+        assert len(a) == len(b), (nm, len(a), len(b))
+        if a.dtype.kind == "f" or b.dtype.kind == "f":
+            np.testing.assert_allclose(a.astype(np.float64),
+                                       b.astype(np.float64),
+                                       rtol=rtol, atol=1e-4, err_msg=nm)
+        else:
+            np.testing.assert_array_equal(a.astype(np.int64),
+                                          b.astype(np.int64), err_msg=nm)
+
+
+def test_window_prefix_family(dbs):
+    big, ref = dbs
+    body = ("SELECT k, u, id, "
+            "ROW_NUMBER() OVER (PARTITION BY k ORDER BY u) AS rn, "
+            "RANK() OVER (PARTITION BY k ORDER BY u) AS rk, "
+            "SUM(v) OVER (PARTITION BY k ORDER BY u) AS rs, "
+            "LAG(u) OVER (PARTITION BY k ORDER BY u) AS lg "
+            "FROM t")
+    got = big.sql(body + " LIMIT 50", run_size=RUN)
+    want = ref.sql(body + " ORDER BY k, u, id LIMIT 50")
+    _cmp_ordered(got, want)
+
+
+def test_window_whole_partition(dbs):
+    big, ref = dbs
+    body = ("SELECT k, id, COUNT(*) OVER (PARTITION BY k) AS pc, "
+            "SUM(u) OVER (PARTITION BY k) AS ts, "
+            "MIN(v) OVER (PARTITION BY k) AS mn, "
+            "AVG(f) OVER (PARTITION BY k) AS av FROM t WHERE u < 700")
+    got = big.sql(body + " LIMIT 64", run_size=RUN)
+    want = ref.sql(body + " ORDER BY id LIMIT 64")
+    _cmp_ordered(got, want, rtol=1e-4)
+
+
+def test_window_mixed_specs(dbs):
+    big, ref = dbs
+    body = ("SELECT k, u, id, "
+            "ROW_NUMBER() OVER (PARTITION BY k ORDER BY u) AS rn, "
+            "COUNT(*) OVER (PARTITION BY u) AS pc2 "
+            "FROM t WHERE v > 0")
+    got = big.sql(body + " LIMIT 40", run_size=RUN)
+    want = ref.sql(body + " ORDER BY k, u, id LIMIT 40")
+    _cmp_ordered(got, want)
+
+
+def test_window_lead_offset(dbs):
+    big, ref = dbs
+    body = ("SELECT k, u, id, "
+            "LEAD(u, 3) OVER (PARTITION BY k ORDER BY u) AS ld, "
+            "FIRST_VALUE(u) OVER (PARTITION BY k ORDER BY u) AS fv "
+            "FROM t")
+    got = big.sql(body + " LIMIT 30", run_size=RUN)
+    want = ref.sql(body + " ORDER BY k, u, id LIMIT 30")
+    _cmp_ordered(got, want)
+
+
+def test_window_percent_rank_ntile(dbs):
+    big, ref = dbs
+    body = ("SELECT k, u, id, "
+            "PERCENT_RANK() OVER (PARTITION BY k ORDER BY u) AS pr, "
+            "NTILE(4) OVER (PARTITION BY k ORDER BY u) AS nt "
+            "FROM t")
+    got = big.sql(body + " LIMIT 50", run_size=RUN)
+    want = ref.sql(body + " ORDER BY k, u, id LIMIT 50")
+    _cmp_ordered(got, want)
+
+
+def test_window_moving_frame(dbs):
+    big, ref = dbs
+    body = ("SELECT k, u, id, SUM(u) OVER (PARTITION BY k ORDER BY u "
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ms FROM t")
+    got = big.sql(body + " LIMIT 30", run_size=RUN)
+    want = ref.sql(body + " ORDER BY k, u, id LIMIT 30")
+    _cmp_ordered(got, want)
+
+
+def test_window_unsupported_shapes(dbs):
+    big, _ = dbs
+    rn = "ROW_NUMBER() OVER (PARTITION BY k ORDER BY u) AS rn"
+    with pytest.raises(SqlError, match="LIMIT"):
+        big.sql(f"SELECT k, {rn} FROM t", run_size=RUN)
+    with pytest.raises(SqlError, match="composite"):
+        big.sql(f"SELECT k, {rn} FROM t ORDER BY k LIMIT 5",
+                run_size=RUN)
+    with pytest.raises(SqlError, match="last_value"):
+        big.sql("SELECT LAST_VALUE(u) OVER (PARTITION BY k ORDER BY u)"
+                " AS lv FROM t LIMIT 5", run_size=RUN)
+    with pytest.raises(SqlError, match="share one"):
+        big.sql(f"SELECT {rn}, RANK() OVER (PARTITION BY u ORDER BY v)"
+                " AS r2 FROM t LIMIT 5", run_size=RUN)

@@ -445,6 +445,65 @@ def _make_run_fn(vt: VirtualTable, where, gexprs: list, value_exprs: dict,
     return jax.jit(run)
 
 
+def _agg_partials(vt: VirtualTable, where, gexprs: list,
+                  run_values: dict, aggspec: dict, run_size: int,
+                  cap: int, prep: _JoinPrep | None, sum_signed: dict):
+    """Phases A+B of a grouped aggregation: run the shared per-run
+    partial-aggregation program over every run (queued before the
+    first readback — dispatch round trips cost ~35-70 ms each on the
+    tunnel), with exact per-run overflow detection, then the exact
+    host combine. Returns (sorted packed u64 group keys, host agg
+    arrays, (compile_s, runs_s, combine_s)). Shared by _agg_big and
+    the whole-partition window side channel (_window_big)."""
+    import time as _time
+    n_runs = (vt.n + run_size - 1) // run_size
+    run_fn = _make_run_fn(vt, where, gexprs, run_values, aggspec,
+                          run_size, cap, prep)
+    dim = prep.dim_dev if prep is not None else {}
+    np.asarray(jnp.zeros(8, jnp.uint32)[:1])    # tunnel warmup
+    tc = _time.perf_counter()
+    run_exec = run_fn.lower(jnp.uint32(0), dim).compile()
+    compile_s = _time.perf_counter() - tc
+
+    ta = _time.perf_counter()
+    pend = [run_exec(jnp.uint32(r), dim) for r in range(n_runs)]
+    parts = []
+    tags_of_agg: dict[str, str] = {}
+    for r, res in enumerate(pend):
+        ng = int(np.asarray(res["ng"]))
+        if res["ovf"] is not None and int(np.asarray(res["ovf"])):
+            raise SqlError(
+                f"run {r}: more than max_groups={cap} groups per run — "
+                "raise max_groups (exact overflow detection, outputs "
+                "never silently truncated)")
+        klo = _head_np(res["klo"], ng).astype(np.uint64)
+        khi = _head_np(res["khi"], ng).astype(np.uint64)
+        aggs_np = {}
+        for name, arr in res["aggs"].items():
+            if isinstance(arr, U64):
+                raw = _head_np(arr, ng)
+                src = name.rsplit("_", 1)[0]
+                signed = sum_signed.get(src, False)
+                aggs_np[name] = (raw.view(np.int64) if signed else raw)
+                tags_of_agg[name] = "sum_i64" if signed else "sum_u64"
+            else:
+                aggs_np[name] = _head_np(arr, ng)
+                if name.endswith("_count") or name == "count":
+                    tags_of_agg[name] = "count"
+                elif name.endswith("_sum"):
+                    tags_of_agg[name] = "sum_f32"
+                elif name.endswith("_min"):
+                    tags_of_agg[name] = "min"
+                else:
+                    tags_of_agg[name] = "max"
+        parts.append(((khi << np.uint64(32)) | klo, aggs_np))
+    runs_s = _time.perf_counter() - ta
+    tb = _time.perf_counter()
+    uk, agg_host = _combine_partials(parts, tags_of_agg)
+    combine_s = _time.perf_counter() - tb
+    return uk, agg_host, (compile_s, runs_s, combine_s)
+
+
 # ---------------------------------------------------------------------------
 # phase B: exact host combine of G-bounded partial tables
 # ---------------------------------------------------------------------------
@@ -527,7 +586,7 @@ def select_big(vt: VirtualTable, q: P.Query, run_size: int = 1 << 26,
     has_windows = any(_calls(it.expr, window=True)
                       for it in sel.items if it.expr != "*")
     if has_windows:
-        return _window_big(vt, q, run_size, stats)
+        return _window_big(vt, q, run_size, max_groups, stats)
     has_aggs = (sel.having is not None
                 or any(_calls(it.expr, window=False)
                        for it in sel.items if it.expr != "*"))
@@ -647,58 +706,15 @@ def _agg_big(vt: VirtualTable, q: P.Query, run_size: int,
     # only columns with an aggregate spec enter the run program —
     # percentile-only expressions are (re)generated by the pct phase's
     # own sorted-planes program, never wastefully evaluated here
+    import time as _time
     run_values = {vn: value_exprs[vn] for vn in aggspec}
-    run_fn = _make_run_fn(vt, sel.where, gexprs, run_values, aggspec,
-                          run_size, cap, prep)
-    dim = prep.dim_dev if prep is not None else {}
     # static signedness of integer-sum columns, probed ONCE (not per
     # run inside the readback loop)
     sum_signed = {vn: _expr_tag(vt, value_exprs[vn], prep) == "i32"
                   for vn in aggspec}
-    import time as _time
-    np.asarray(jnp.zeros(8, jnp.uint32)[:1])    # tunnel warmup
-    tc = _time.perf_counter()
-    run_exec = run_fn.lower(jnp.uint32(0), dim).compile()
-    compile_s = _time.perf_counter() - tc
-
-    # queue every run before the first readback (dispatch round trips
-    # cost ~35-70 ms each on the tunnel — CLAUDE.md)
-    ta = _time.perf_counter()
-    pend = [run_exec(jnp.uint32(r), dim) for r in range(n_runs)]
-    parts = []
-    tags_of_agg: dict[str, str] = {}
-    for r, res in enumerate(pend):
-        ng = int(np.asarray(res["ng"]))
-        if res["ovf"] is not None and int(np.asarray(res["ovf"])):
-            raise SqlError(
-                f"run {r}: more than max_groups={cap} groups per run — "
-                "raise max_groups (exact overflow detection, outputs "
-                "never silently truncated)")
-        klo = _head_np(res["klo"], ng).astype(np.uint64)
-        khi = _head_np(res["khi"], ng).astype(np.uint64)
-        aggs_np = {}
-        for name, arr in res["aggs"].items():
-            if isinstance(arr, U64):
-                raw = _head_np(arr, ng)
-                src = name.rsplit("_", 1)[0]
-                signed = sum_signed.get(src, False)
-                aggs_np[name] = (raw.view(np.int64) if signed else raw)
-                tags_of_agg[name] = "sum_i64" if signed else "sum_u64"
-            else:
-                aggs_np[name] = _head_np(arr, ng)
-                if name.endswith("_count") or name == "count":
-                    tags_of_agg[name] = "count"
-                elif name.endswith("_sum"):
-                    tags_of_agg[name] = "sum_f32"
-                elif name.endswith("_min"):
-                    tags_of_agg[name] = "min"
-                else:
-                    tags_of_agg[name] = "max"
-        parts.append(((khi << np.uint64(32)) | klo, aggs_np))
-    runs_s = _time.perf_counter() - ta
-    tb = _time.perf_counter()
-    uk, agg_host = _combine_partials(parts, tags_of_agg)
-    combine_s = _time.perf_counter() - tb
+    uk, agg_host, (compile_s, runs_s, combine_s) = _agg_partials(
+        vt, sel.where, gexprs, run_values, aggspec, run_size, cap,
+        prep, sum_signed)
     g = len(uk)
 
     # percentiles: bigquantile-shaped bisection over resident runs
@@ -1224,6 +1240,20 @@ def _orderby_big(vt: VirtualTable, q: P.Query, run_size: int,
                        "ops/bigorderby streams full orderings)")
     items = _select_items(vt, sel, prep)
     oexprs = _order_exprs(vt, sel, q.order_by, prep)
+    idx, _total = _topk_idx(vt, prep, sel.where, oexprs, k, run_size)
+    return _emit_rows(vt, items, idx, prep)
+
+
+def _topk_idx(vt: VirtualTable, prep: _JoinPrep | None, where,
+              oexprs: list, k: int, run_size: int):
+    """First k global row indices in the composite (transformed order
+    planes, idx) ascending order, WHERE-filtered — the ops/bigtopk
+    selection that composes exactly over runs (each run keeps its k
+    best; only R x k candidates reach the in-core combine). DESC
+    entries invert their sortable bits. With oexprs=[], the composite
+    is the global idx alone (row order). Returns (winning idx
+    np.uint32 IN composite order, total qualifying rows)."""
+    from tpu_qe.bits import sortable_u32
     n_ord = len(oexprs)
     head_cap = min(k, run_size)
     n_runs = (vt.n + run_size - 1) // run_size
@@ -1236,7 +1266,7 @@ def _orderby_big(vt: VirtualTable, q: P.Query, run_size: int,
     def run_topk(r, dim):
         idx = (r * jnp.uint32(run_size)
                + jnp.arange(run_size, dtype=jnp.uint32))
-        env, valid = _build_env(vt, prep, sel.where, idx, run_size, dim)
+        env, valid = _build_env(vt, prep, where, idx, run_size, dim)
         # invalid rows carry all-ones planes AND an all-ones idx so
         # they sort strictly last both inside this run and in the
         # candidate combine (a real idx is <= 2^32 - 2 by the n < 2^32
@@ -1275,8 +1305,7 @@ def _orderby_big(vt: VirtualTable, q: P.Query, run_size: int,
     win = combine(cand_tuples)
     total = sum(int(np.asarray(p[1])) for p in parts)
     out_m = min(k, total)
-    idx = _head_np(win[-1], out_m).astype(np.uint32)
-    return _emit_rows(vt, items, idx, prep)
+    return _head_np(win[-1], out_m).astype(np.uint32), total
 
 
 # ---------------------------------------------------------------------------
@@ -1535,7 +1564,269 @@ def _join_big_sql(vt, q: P.Query, run_size: int, max_groups: int, db,
     return _head_big(vt, q, run_size, prep)
 
 
-def _window_big(vt, q, run_size, stats):
-    raise SqlError("window functions over big tables are not "
-                   "supported yet at the SQL layer (driver tier: "
-                   "ops/bigwindow)")
+def _np_col(arr, tag) -> np.ndarray:
+    """Host view of one window/expression column (U64 running sums
+    resolve by tag exactly like executor._materialize)."""
+    if isinstance(arr, U64):
+        raw = ((np.asarray(arr.hi).astype(np.uint64) << np.uint64(32))
+               | np.asarray(arr.lo).astype(np.uint64))
+        return raw.view(np.int64) if tag == "i64sum" else raw
+    a = np.asarray(arr)
+    return a.astype(bool) if tag == "bool" else a
+
+
+def _window_big(vt: VirtualTable, q: P.Query, run_size: int,
+                max_groups: int, stats: dict | None = None) -> dict:
+    """Window functions over a virtual table — LIMIT-bounded PREFIX
+    exactness composed with G-bounded whole-partition aggregates.
+
+    The first k rows of the composite (PARTITION BY, ORDER BY, idx)
+    order form a global prefix of the window stream, and every
+    backward-looking window value (row_number / rank / dense_rank, the
+    running and moving families, lag, first_value) of a prefix row
+    depends only on rows IN that prefix. So the k output rows' values
+    are exact after selecting k+F candidate rows with the ops/bigtopk
+    composition (_topk_idx; F = the largest LEAD offset — bounded
+    forward reach extends the candidate set, only the first k rows are
+    emitted) and running the IN-CORE window machinery
+    (executor._window_columns, the ops/window.py segmented sweeps)
+    over the regenerated candidates. WHERE filters before windows (SQL
+    semantics) and the prefix property holds on the filtered stream.
+
+    Whole-partition kinds (COUNT/SUM/MIN/MAX/AVG OVER (PARTITION BY
+    ...) with no ORDER BY) are NOT prefix-computable — they ride the
+    G-bounded per-group aggregate machinery over the FULL table
+    (_agg_partials, exact sums) and join back by packed partition key;
+    percent_rank and ntile compose from the prefix-exact
+    rank/row_number and the side channel's exact partition sizes (the
+    ops/window.py:355-383 formulas). last_value (a whole-partition
+    argmax the partial tables do not carry) raises.
+
+    Output rows are IN the composite window order — ORDER BY outside
+    OVER raises (the prefix IS an order contract). The driver-tier
+    full-stream analogue (every row's window columns at 1B rows, no
+    LIMIT) is ops/bigwindow.py's bucket carry chain.
+    """
+    from tpu_qe.sql.executor import (Database as _D, _lag_args,
+                                     _window_kind)
+    sel = q.selects[0]
+    if sel.joins:
+        raise SqlError("window functions with JOIN over a big table "
+                       "are not supported")
+    if sel.group_by or sel.having is not None:
+        raise SqlError("window functions do not mix with GROUP BY")
+    k = q.limit
+    if k is None:
+        raise SqlError("window functions over a big table need LIMIT "
+                       "(row-scale readback otherwise); rows arrive "
+                       "in the window's composite (PARTITION BY, "
+                       "ORDER BY, idx) order")
+    if q.order_by:
+        raise SqlError("ORDER BY with big-table windows is not "
+                       "supported — output rows follow the window's "
+                       "composite (PARTITION BY, ORDER BY, idx) order")
+
+    WHOLE = {"partition_count", "total_sum", "total_min", "total_max",
+             "total_avg"}
+    COMPOSED = {"percent_rank", "ntile"}
+    wcalls = []
+    for it in sel.items:
+        if it.expr == "*":
+            raise SqlError("SELECT * with big-table windows is not "
+                           "supported (name the columns)")
+        cs = _calls(it.expr, window=True)
+        if cs:
+            if cs[0] is not it.expr:
+                raise SqlError("window calls must be top-level select "
+                               "items (no arithmetic around them yet)")
+            wcalls.append(cs[0])
+        elif _calls(it.expr, window=False):
+            raise SqlError("aggregates do not mix with window "
+                           "functions (add GROUP BY for aggregation)")
+    kinds = {id(c): _window_kind(c) for c in wcalls}
+    penv = _probe_rowenv(vt, None)
+
+    def pcols_of(c) -> list:
+        cols = []
+        for p in c.window.partition_by:
+            if p.key not in penv.names:
+                raise SqlError(f"unknown PARTITION BY column {p.key!r}")
+            cols.append(P.Col(p.name, p.table))
+        if not 1 <= len(cols) <= 2:
+            raise SqlError("PARTITION BY supports one or two 32-bit "
+                           "columns over big tables")
+        return cols
+
+    prefix_calls, whole_calls = [], []
+    for c in wcalls:
+        kind = kinds[id(c)]
+        if kind == "last_value":
+            raise SqlError("last_value over a big table is not "
+                           "supported (whole-partition argmax)")
+        if not c.window.partition_by:
+            raise SqlError("OVER () without PARTITION BY is not "
+                           "supported")
+        (whole_calls if kind in WHOLE else prefix_calls).append(c)
+
+    # the prefix needs ONE composite order (whole-partition aggregates
+    # may partition differently — they join back by key)
+    spec, F = None, 0
+    for c in prefix_calls:
+        key = (tuple(p.key for p in c.window.partition_by),
+               c.window.order_by.key if c.window.order_by else None)
+        if spec is None:
+            spec = key
+        elif key != spec:
+            raise SqlError("big-table window calls must share one "
+                           "(PARTITION BY, ORDER BY) spec — the "
+                           "prefix order contract (whole-partition "
+                           "aggregates may differ)")
+        if kinds[id(c)] == "lead":
+            F = max(F, _lag_args(c)[1])
+        if kinds[id(c)] in COMPOSED and c.window.order_by is None:
+            raise SqlError(f"{c.func} over a big table needs ORDER BY "
+                           "inside OVER")
+
+    if prefix_calls:
+        c0 = prefix_calls[0]
+        oexprs = [(e, False) for e in pcols_of(c0)]
+        ob = c0.window.order_by
+        if ob is not None:
+            if ob.key not in penv.names:
+                raise SqlError(f"unknown OVER ORDER BY column "
+                               f"{ob.key!r}")
+            oexprs.append((P.Col(ob.name, ob.table), False))
+    else:
+        oexprs = []                # row (global idx) order
+    idx, total = _topk_idx(vt, None, sel.where, oexprs, k + F, run_size)
+    m, k_out = len(idx), min(k, total)
+
+    # regenerated candidate env (selection already applied WHERE)
+    idx_pad = idx if m else np.zeros(1, np.uint32)
+    n_env = len(idx_pad)
+    env, _ = _build_env(vt, None, None,
+                        jnp.asarray(idx_pad.astype(np.uint32)),
+                        n_env, {})
+
+    # prefix-exact columns via the in-core evaluator; COMPOSED kinds
+    # get hidden rank/row_number base calls sharing the same spec
+    import dataclasses as _dc
+    pf_items = [it for it in sel.items
+                if _calls(it.expr, window=True)
+                and kinds[id(it.expr)] not in WHOLE
+                and kinds[id(it.expr)] not in COMPOSED]
+    hidden = {}
+    for c in wcalls:
+        if kinds[id(c)] in COMPOSED:
+            if kinds[id(c)] == "ntile" and not (
+                    len(c.args) == 1 and isinstance(c.args[0], P.Lit)):
+                raise SqlError("ntile takes an integer literal")
+            hidden[id(c)] = P.Call(
+                "rank" if kinds[id(c)] == "percent_rank"
+                else "row_number", (), window=c.window)
+    sel2 = _dc.replace(sel, where=None, items=tuple(pf_items) + tuple(
+        P.SelectItem(b, None) for b in hidden.values()))
+    wcols = _D._window_columns(sel2, env, n_env) if sel2.items else {}
+
+    # whole-partition / partition-size side channel: G-bounded exact
+    # per-group aggregates over the FULL table, joined back by key
+    side: dict[int, np.ndarray] = {}
+    by_part: dict[tuple, list] = {}
+    for c in whole_calls + [c for c in wcalls
+                            if kinds[id(c)] in COMPOSED]:
+        by_part.setdefault(tuple(p.key for p in c.window.partition_by),
+                           []).append(c)
+    for pk, cs in by_part.items():
+        gexprs = pcols_of(cs[0])
+        value_exprs, aggspec, vn_of = {}, {}, {}
+        for c in cs:
+            kind = kinds[id(c)]
+            if kind == "partition_count" or kind in COMPOSED:
+                continue    # partition sizes ride the count agg below
+            if len(c.args) != 1 or not isinstance(c.args[0], P.Col):
+                raise SqlError(f"{c.func}(...) OVER needs a plain "
+                               "column argument")
+            vn = penv.resolve(c.args[0])
+            vn_of[id(c)] = vn
+            want = {"total_sum": ("sum",), "total_min": ("min",),
+                    "total_max": ("max",), "total_avg": ("sum",)}[kind]
+            aggspec[vn] = tuple(sorted(set(aggspec.get(vn, ()))
+                                       | set(want)))
+            value_exprs[vn] = P.Col(vn)
+        if aggspec:
+            first = sorted(aggspec)[0]
+            aggspec[first] = tuple(sorted(set(aggspec[first])
+                                          | {"count"}))
+        cap = min(max_groups, run_size)
+        sum_signed = {vn: _expr_tag(vt, value_exprs[vn]) == "i32"
+                      for vn in aggspec}
+        uk, agg_host, _t = _agg_partials(
+            vt, sel.where, gexprs, value_exprs, aggspec, run_size,
+            cap, None, sum_signed)
+        if aggspec:
+            cnt = agg_host[f"{sorted(aggspec)[0]}_count"].astype(
+                np.int64)
+        else:
+            cnt = agg_host["count"].astype(np.int64)
+        gh, gl = _group_planes(env, gexprs, n_env)
+        packed = ((np.asarray(gh).astype(np.uint64) << np.uint64(32))
+                  | np.asarray(gl).astype(np.uint64))
+        row_g = np.searchsorted(uk, packed)   # every row's group is
+        for c in cs:                          # in uk (same WHERE)
+            kind = kinds[id(c)]
+            if kind == "partition_count" or kind in COMPOSED:
+                side[id(c)] = cnt[row_g]
+                continue
+            vn = vn_of[id(c)]
+            vtag = _expr_tag(vt, value_exprs[vn])
+            if kind == "total_avg":
+                s = agg_host[f"{vn}_sum"].astype(np.float64)
+                side[id(c)] = (s / np.maximum(
+                    cnt.astype(np.float64), 1))[row_g].astype(
+                        np.float32)
+            elif kind == "total_sum":
+                raw = agg_host[f"{vn}_sum"][row_g]
+                side[id(c)] = (raw.astype(np.float32)
+                               if vtag == "f32" else raw)
+            else:               # total_min / total_max (combine
+                ag = kind.rsplit("_", 1)[1]     # widened — cast back)
+                raw = agg_host[f"{vn}_{ag}"][row_g]
+                side[id(c)] = (raw.astype(np.float32)
+                               if vtag == "f32"
+                               else raw.astype(np.uint32)
+                               if vtag == "u32"
+                               else raw.astype(np.int32))
+
+    # emission: first k rows of the composite order
+    out = {}
+    for i, it in enumerate(sel.items):
+        name = it.alias or _D._auto_name(it.expr, i)
+        cs = _calls(it.expr, window=True)
+        if cs:
+            c = cs[0]
+            kind = kinds[id(c)]
+            if kind in WHOLE:
+                v = side[id(c)]
+            elif kind in COMPOSED:
+                cnt_full = side[id(c)].astype(np.int64)
+                base = _np_col(*wcols[id(hidden[id(c)])]).astype(
+                    np.int64)
+                if kind == "percent_rank":
+                    den = np.maximum(cnt_full - 1, 1).astype(
+                        np.float64)
+                    v = ((base - 1) / den).astype(np.float32)
+                else:           # ntile(t): ops/window.py:366-372
+                    t = int(c.args[0].value)
+                    rn0 = base - 1
+                    qq, rr = cnt_full // t, cnt_full % t
+                    big = rr * (qq + 1)
+                    v = (np.where(rn0 < big, rn0 // (qq + 1),
+                                  rr + (rn0 - big) // np.maximum(qq, 1))
+                         + 1).astype(np.uint32)
+            else:
+                v = _np_col(*wcols[id(c)])
+        else:
+            tv = _eval(it.expr, env, n_env)
+            v = _np_col(jnp.broadcast_to(tv.arr, (n_env,)), tv.tag)
+        out[name] = np.asarray(v)[:k_out]
+    return out

@@ -68,6 +68,42 @@ _WINDOW_FUNCS = {
 }
 
 
+def _window_kind(c) -> str:
+    """Effective window kind of one OVER call after the ORDER-BY
+    presence and ROWS-frame remaps — shared by the in-core evaluator
+    (_window_columns) and the out-of-core prefix classifier
+    (bigexec._window_big): AVG picks moving/running/total by frame and
+    ORDER BY; COUNT with ORDER BY IS row_number (the engine's ROWS
+    framing) and without is the partition size; a ROWS frame turns the
+    running family into the moving family (width frame_rows+1, clamped
+    at partition starts); running aggregates without ORDER BY are the
+    whole-partition frame (total_*)."""
+    ocol = c.window.order_by
+    fr = c.window.frame_rows
+    if c.func == "avg":
+        kind = ("moving_avg" if fr is not None
+                else "running_avg" if ocol is not None else "total_avg")
+    elif c.func == "count":
+        kind = ("row_number" if ocol is not None else "partition_count")
+    else:
+        kind = _WINDOW_FUNCS.get(c.func)
+    if kind is None:
+        raise SqlError(f"unknown window function {c.func}")
+    if fr is not None:
+        remap = {"running_sum": "moving_sum", "running_min": "moving_min",
+                 "running_max": "moving_max", "moving_avg": "moving_avg"}
+        if kind not in remap:
+            raise SqlError(f"{c.func} does not take a ROWS frame")
+        if ocol is None:
+            raise SqlError("a ROWS frame needs ORDER BY inside OVER")
+        kind = remap[kind]
+    if kind in ("running_sum", "running_min", "running_max") \
+            and ocol is None:
+        kind = {"running_sum": "total_sum", "running_min": "total_min",
+                "running_max": "total_max"}[kind]
+    return kind
+
+
 # ---------------------------------------------------------------------------
 # typed values: a device array + SQL-ish type tag
 # ---------------------------------------------------------------------------
@@ -1459,7 +1495,8 @@ class Database:
             tags[name] = tv.tag
         return Frame(cols, tags)
 
-    def _window_columns(self, sel: P.Select, env: _RowEnv, n: int) -> dict:
+    @staticmethod
+    def _window_columns(sel: P.Select, env: _RowEnv, n: int) -> dict:
         """Evaluate every windowed call in the select list; returns
         {id(Call): (np array, tag)} keyed by AST node identity."""
         calls = []
@@ -1509,37 +1546,7 @@ class Database:
             for i, c in enumerate(cs):
                 wname = f"w{i}"
                 fr = c.window.frame_rows
-                if c.func == "avg":
-                    # frame -> moving; ORDER BY -> running; neither ->
-                    # whole-partition average
-                    kind = ("moving_avg" if fr is not None
-                            else "running_avg" if ocol is not None
-                            else "total_avg")
-                elif c.func == "count":
-                    # COUNT(*) OVER: running count IS row_number (the
-                    # engine's ROWS framing); no ORDER BY -> the
-                    # partition size on every row
-                    kind = ("row_number" if ocol is not None
-                            else "partition_count")
-                else:
-                    kind = _WINDOW_FUNCS.get(c.func)
-                if kind is None:
-                    raise SqlError(f"unknown window function {c.func}")
-                if fr is not None:
-                    # ROWS BETWEEN fr PRECEDING AND CURRENT ROW — the
-                    # moving-frame family (width fr+1, clamped at
-                    # partition starts; ops/window._moving)
-                    remap = {"running_sum": "moving_sum",
-                             "running_min": "moving_min",
-                             "running_max": "moving_max",
-                             "moving_avg": "moving_avg"}
-                    if kind not in remap:
-                        raise SqlError(f"{c.func} does not take a ROWS "
-                                       "frame")
-                    if ocol is None:
-                        raise SqlError("a ROWS frame needs ORDER BY "
-                                       "inside OVER")
-                    kind = remap[kind]
+                kind = _window_kind(c)
                 if kind in ("row_number", "rank", "dense_rank",
                             "percent_rank", "partition_count"):
                     funcs[wname] = (kind,)
@@ -1567,12 +1574,6 @@ class Database:
                         tagof[wname] = ("f32" if kind == "moving_avg"
                                         else vtv.tag)
                     else:
-                        if kind in ("running_sum", "running_min",
-                                    "running_max") and ocol is None:
-                            # no ORDER BY: the whole-partition frame
-                            kind = {"running_sum": "total_sum",
-                                    "running_min": "total_min",
-                                    "running_max": "total_max"}[kind]
                         funcs[wname] = (kind, vn)
                         tagof[wname] = (
                             "f32" if kind in ("running_avg",
