@@ -643,6 +643,151 @@ def _cmd_bench_bigtopk(args) -> int:
     return 0 if res.all_ok else 1
 
 
+def _cmd_bench_bigsql_verb(args) -> int:
+    """Out-of-core SQL verb battery (round-5 VERDICT item #1): one
+    chip-measured line per big-SQL verb, each verified against a
+    CLOSED-FORM expectation at full scale.
+
+    Deterministic key layout (k = i & (G-1)) makes expectations exact:
+    every group holds exactly n/G rows; d = (i >> log2 G) & 255 cycles
+    within each group so COUNT(DISTINCT d) = min(256, n/G) exactly;
+    the (k, v)-composite window prefix enumerates partition 0's rows
+    v = 0, G, 2G, ... with closed-form running sums. The hashed table
+    (k = fmix(i) & (G-1)) backs the verbs whose expectations do not
+    need per-group counts (ORDER BY / head / DISTINCT)."""
+    import json
+    import time
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpu_qe.bench.sol import device_kind
+    from tpu_qe.hashing import murmur_fmix32, murmur_fmix32_numpy
+    from tpu_qe.sql import Database
+
+    n, G, verb = args.n, args.groups, args.verb
+    assert G & (G - 1) == 0 and n % G == 0 and n % 2 == 0
+    shift = G.bit_length() - 1
+    L = 128
+    per_g = n // G
+
+    db = Database()
+    db.register_virtual("big", n, {
+        "k": lambda i: murmur_fmix32(i) & jnp.uint32(G - 1),
+        "v": lambda i: i,
+    })
+    db.register_virtual("bigdet", n, {
+        "k": lambda i: i & jnp.uint32(G - 1),
+        "v": lambda i: i,
+        "d": lambda i: (i >> jnp.uint32(shift)) & jnp.uint32(255),
+    })
+    rows = n
+    mg = G
+
+    if verb == "orderby":
+        sql = f"SELECT v FROM big ORDER BY v DESC LIMIT {L}"
+
+        def check(out):
+            return np.array_equal(out["v"].astype(np.int64),
+                                  np.arange(n - 1, n - 1 - L, -1))
+    elif verb == "head":
+        # the qualifying rows live in the LAST run -> full scan
+        sql = f"SELECT k, v FROM big WHERE v >= {n - L} LIMIT {L}"
+
+        def check(out):
+            v = np.arange(n - L, n, dtype=np.uint32)
+            k = murmur_fmix32_numpy(v) & np.uint32(G - 1)
+            return (np.array_equal(out["v"], v)
+                    and np.array_equal(out["k"], k))
+    elif verb == "distinct":
+        sql = "SELECT DISTINCT k FROM big"
+
+        def check(out):
+            return np.array_equal(np.sort(out["k"]),
+                                  np.arange(G, dtype=np.uint32))
+    elif verb == "countdistinct":
+        sql = ("SELECT k, COUNT(DISTINCT d) AS cd FROM bigdet "
+               "GROUP BY k")
+        # the pair-dedup tier compacts (group, d) pairs per run: every
+        # run sees all G groups x 256 d values -> cap = G * 256 exactly
+        mg = G * 256
+
+        def check(out):
+            return (len(out["k"]) == G
+                    and np.array_equal(np.sort(out["k"]),
+                                       np.arange(G, dtype=np.uint32))
+                    and bool((out["cd"] == min(256, per_g)).all()))
+    elif verb == "join":
+        dk = np.arange(G, dtype=np.uint32)
+        db.register("dim", {"dk": dk,
+                            "w": (2 * dk + 1).astype(np.uint32),
+                            "grp": (dk & 15).astype(np.uint32)})
+        sql = ("SELECT grp, COUNT(*) AS c, SUM(w) AS s FROM bigdet "
+               "JOIN dim ON k = dk GROUP BY grp ORDER BY grp")
+
+        def check(out):
+            w = (2 * dk.astype(np.int64) + 1)
+            exp_s = np.array([per_g * int(w[(dk & 15) == t].sum())
+                              for t in range(16)], np.int64)
+            return (np.array_equal(out["grp"],
+                                   np.arange(16, dtype=np.uint32))
+                    and bool((out["c"].astype(np.int64)
+                              == n // 16).all())
+                    and np.array_equal(out["s"].astype(np.int64),
+                                       exp_s))
+    elif verb == "window":
+        sql = (f"SELECT k, v, "
+               "SUM(v) OVER (PARTITION BY k ORDER BY v) AS rs, "
+               "ROW_NUMBER() OVER (PARTITION BY k ORDER BY v) AS rn, "
+               "COUNT(v) OVER (PARTITION BY k) AS pc "
+               f"FROM bigdet LIMIT {L}")
+        rows = 2 * n        # prefix selection + whole-partition pass
+
+        def check(out):
+            j = np.arange(L, dtype=np.int64)
+            return (bool((out["k"] == 0).all())
+                    and np.array_equal(out["v"].astype(np.int64),
+                                       j * G)
+                    and np.array_equal(out["rs"].astype(np.int64),
+                                       G * j * (j + 1) // 2)
+                    and np.array_equal(out["rn"].astype(np.int64),
+                                       j + 1)
+                    and bool((out["pc"].astype(np.int64)
+                              == per_g).all()))
+    elif verb == "setops":
+        h = n // 2
+        db.register_virtual("seta", h,
+                            {"k": lambda i: i & jnp.uint32(G - 1)})
+        db.register_virtual("setb", h, {
+            "k": lambda i: (i & jnp.uint32(G // 2 - 1))
+            + jnp.uint32(G // 2)})
+        sql = "SELECT k FROM seta INTERSECT SELECT k FROM setb"
+
+        def check(out):
+            return np.array_equal(np.sort(out["k"]),
+                                  np.arange(G // 2, G, dtype=np.uint32))
+    else:
+        raise SystemExit(f"unknown --verb {verb!r}")
+
+    stats: dict = {}
+    t0 = time.perf_counter()
+    out = db.sql(sql, run_size=args.run_size, max_groups=mg,
+                 stats=stats)
+    wall = time.perf_counter() - t0 - stats.get("compile_s", 0.0)
+    ok = bool(check(out))
+    print(json.dumps({
+        "metric": f"out-of-core SQL {verb} {n} rows, 1 chip",
+        "value": round(rows / wall),
+        "unit": "rows/s",
+        "time_s": round(wall, 3),
+        "compile_s": round(stats.get("compile_s", 0.0), 3),
+        "sql": sql,
+        "verified": ok,
+        "device": device_kind(),
+    }))
+    return 0 if ok else 1
+
+
 def _cmd_bench_bigsql(args) -> int:
     """Out-of-core SQL GROUP BY over a virtual table, with closed-form
     verification: k = hash(i) & (groups-1), v = i — so after GROUP BY k
@@ -650,6 +795,8 @@ def _cmd_bench_bigsql(args) -> int:
     global MIN is 0 and the global MAX is n-1 (min/max checked without
     --where; the WHERE variant checks count totals against a host
     recount of the mask on hash-regenerated indices)."""
+    if args.verb != "groupby":
+        return _cmd_bench_bigsql_verb(args)
     import json
     import time
 
@@ -998,6 +1145,12 @@ def main(argv=None) -> int:
                     help="add MEDIAN(v) (the per-group bisection phase)")
     pz.add_argument("--where", action="store_true",
                     help="add a WHERE filter (fused validity mask)")
+    pz.add_argument("--verb", default="groupby",
+                    choices=["groupby", "orderby", "head", "distinct",
+                             "countdistinct", "join", "window",
+                             "setops"],
+                    help="which big-SQL verb to measure (each verified "
+                         "against a closed form at full scale)")
     pz.set_defaults(fn=_cmd_bench_bigsql)
 
     pi = sub.add_parser("info", help="device + config report")

@@ -581,7 +581,7 @@ def select_big(vt: VirtualTable, q: P.Query, run_size: int = 1 << 26,
     readbacks), combine_s (host merge), pct_s (percentile bisection
     rounds incl. their first-use compiles)."""
     if q.set_ops:
-        return _setop_big(vt, q, run_size, max_groups, db)
+        return _setop_big(vt, q, run_size, max_groups, db, stats)
     sel = q.selects[0]
     has_windows = any(_calls(it.expr, window=True)
                       for it in sel.items if it.expr != "*")
@@ -598,7 +598,7 @@ def select_big(vt: VirtualTable, q: P.Query, run_size: int = 1 << 26,
         return _agg_big(vt, q, run_size, max_groups, verbose, stats)
     if q.order_by:
         return _orderby_big(vt, q, run_size, stats)
-    return _head_big(vt, q, run_size)
+    return _head_big(vt, q, run_size, stats=stats)
 
 
 def _agg_big(vt: VirtualTable, q: P.Query, run_size: int,
@@ -732,7 +732,8 @@ def _agg_big(vt: VirtualTable, q: P.Query, run_size: int,
             vt, sel.where, gexprs, value_exprs.get(vn, P.Col(vn)),
             uk, run_size, cap, prep, pct_compile)
     if stats is not None:
-        stats.update(compile_s=compile_s + pct_compile[0],
+        stats.update(compile_s=stats.get("compile_s", 0.0)
+                     + compile_s + pct_compile[0],
                      runs_s=runs_s, combine_s=combine_s,
                      pct_s=_time.perf_counter() - tp - pct_compile[0],
                      n_runs=n_runs, groups=g)
@@ -1145,8 +1146,16 @@ def _emit_rows(vt: VirtualTable, items: list, idx: np.ndarray,
     return out
 
 
+def _add_compile_s(stats: dict | None, dt: float) -> None:
+    """Accumulate AOT-compile seconds into stats (house timing rule:
+    compiles are excluded from benched walls — BASELINE.md)."""
+    if stats is not None:
+        stats["compile_s"] = stats.get("compile_s", 0.0) + dt
+
+
 def _head_big(vt: VirtualTable, q: P.Query, run_size: int,
-              prep: _JoinPrep | None = None) -> dict:
+              prep: _JoinPrep | None = None,
+              stats: dict | None = None) -> dict:
     """SELECT [cols|*] FROM big [WHERE p] LIMIT k — the first k
     qualifying rows in row order. Runs scan sequentially and stop as
     soon as k rows are found (readback per run is k-bounded)."""
@@ -1177,7 +1186,10 @@ def _head_big(vt: VirtualTable, q: P.Query, run_size: int,
         return jax.lax.slice(sidx, (0,), (head_cap,)), m
 
     dim = prep.dim_dev if prep is not None else {}
+    import time as _time
+    tc = _time.perf_counter()
     scan_exec = scan_run.lower(jnp.uint32(0), dim).compile()
+    _add_compile_s(stats, _time.perf_counter() - tc)
     got: list[np.ndarray] = []
     have = 0
     for r in range(n_runs):
@@ -1240,12 +1252,14 @@ def _orderby_big(vt: VirtualTable, q: P.Query, run_size: int,
                        "ops/bigorderby streams full orderings)")
     items = _select_items(vt, sel, prep)
     oexprs = _order_exprs(vt, sel, q.order_by, prep)
-    idx, _total = _topk_idx(vt, prep, sel.where, oexprs, k, run_size)
+    idx, _total = _topk_idx(vt, prep, sel.where, oexprs, k, run_size,
+                            stats)
     return _emit_rows(vt, items, idx, prep)
 
 
 def _topk_idx(vt: VirtualTable, prep: _JoinPrep | None, where,
-              oexprs: list, k: int, run_size: int):
+              oexprs: list, k: int, run_size: int,
+              stats: dict | None = None):
     """First k global row indices in the composite (transformed order
     planes, idx) ascending order, WHERE-filtered — the ops/bigtopk
     selection that composes exactly over runs (each run keeps its k
@@ -1290,7 +1304,10 @@ def _topk_idx(vt: VirtualTable, prep: _JoinPrep | None, where,
                 m)
 
     dim = prep.dim_dev if prep is not None else {}
+    import time as _time
+    tc = _time.perf_counter()
     run_exec = run_topk.lower(jnp.uint32(0), dim).compile()
+    _add_compile_s(stats, _time.perf_counter() - tc)
     parts = [run_exec(jnp.uint32(r), dim) for r in range(n_runs)]
 
     @jax.jit
@@ -1357,7 +1374,10 @@ def _distinct_big(vt: VirtualTable, q: P.Query, run_size: int,
                 jax.lax.slice(res[2], (0,), (cap,)), m)
 
     dim = prep.dim_dev if prep is not None else {}
+    import time as _time
+    tc = _time.perf_counter()
     run_exec = dedup_run.lower(jnp.uint32(0), dim).compile()
+    _add_compile_s(stats, _time.perf_counter() - tc)
     parts = [run_exec(jnp.uint32(r), dim) for r in range(n_runs)]
     combos = []
     for r, (hh, ll, m) in enumerate(parts):
@@ -1384,7 +1404,8 @@ def _distinct_big(vt: VirtualTable, q: P.Query, run_size: int,
 # ---------------------------------------------------------------------------
 
 def _side_counts_virtual(vtab: VirtualTable, sel: P.Select,
-                         run_size: int, cap: int):
+                         run_size: int, cap: int,
+                         stats: dict | None = None):
     """One set-op side over a virtual table -> (sorted u64 lifted keys,
     exact i64 multiplicities, np value dtype). ops/bigsetops' shape:
     each run compacts its DISTINCT keys + exact occurrence counts to a
@@ -1426,7 +1447,10 @@ def _side_counts_virtual(vtab: VirtualTable, sel: P.Select,
         return (jax.lax.slice(keys, (0,), (cap,)),
                 jax.lax.slice(cnts, (0,), (cap,)), m)
 
+    import time as _time
+    tc = _time.perf_counter()
     run_exec = count_run.lower(jnp.uint32(0)).compile()
+    _add_compile_s(stats, _time.perf_counter() - tc)
     parts = [run_exec(jnp.uint32(r)) for r in range(n_runs)]
     ks, cs = [], []
     for r, (kk, cc, m) in enumerate(parts):
@@ -1450,7 +1474,7 @@ def _side_counts_virtual(vtab: VirtualTable, sel: P.Select,
 
 
 def _setop_big(vt, q: P.Query, run_size: int, max_groups: int,
-               db) -> dict:
+               db, stats: dict | None = None) -> dict:
     """UNION / INTERSECT / EXCEPT [ALL] chains where at least one side
     is a virtual table. Every side compresses to its exact
     (distinct lifted key, multiplicity) table — dedup IS the
@@ -1479,7 +1503,7 @@ def _setop_big(vt, q: P.Query, run_size: int, max_groups: int,
         if vside is not None:
             cap = min(max_groups, run_size)
             uk, cnt, dt = _side_counts_virtual(vside, sel, run_size,
-                                               cap)
+                                               cap, stats)
         else:
             if db is None or tname not in db._tables:
                 raise SqlError(f"unknown table {sel.table.name!r}")
@@ -1698,7 +1722,8 @@ def _window_big(vt: VirtualTable, q: P.Query, run_size: int,
             oexprs.append((P.Col(ob.name, ob.table), False))
     else:
         oexprs = []                # row (global idx) order
-    idx, total = _topk_idx(vt, None, sel.where, oexprs, k + F, run_size)
+    idx, total = _topk_idx(vt, None, sel.where, oexprs, k + F, run_size,
+                           stats)
     m, k_out = len(idx), min(k, total)
 
     # regenerated candidate env (selection already applied WHERE)
@@ -1763,6 +1788,7 @@ def _window_big(vt: VirtualTable, q: P.Query, run_size: int,
         uk, agg_host, _t = _agg_partials(
             vt, sel.where, gexprs, value_exprs, aggspec, run_size,
             cap, None, sum_signed)
+        _add_compile_s(stats, _t[0])
         if aggspec:
             cnt = agg_host[f"{sorted(aggspec)[0]}_count"].astype(
                 np.int64)
