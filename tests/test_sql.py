@@ -738,13 +738,73 @@ def test_contextual_keywords_stay_identifiers():
     np.testing.assert_array_equal(out["rows"], [3, 2])
 
 
-def test_count_distinct_u64_rejected():
+def test_count_distinct_u64():
+    # adversarial values sharing low 32 bits: dropping the hi plane
+    # would undercount (5 and 5|2^32 collide) — the dense-rank path
+    # must see 3 distinct values
     db = Database()
     db.register("t", {"k": np.zeros(4, np.uint32),
                       "h": np.array([5, 5 | (1 << 32), 5, 7],
                                     np.uint64)})
-    with pytest.raises(SqlError, match="u64"):
-        db.sql("SELECT k, COUNT(DISTINCT h) AS d FROM t GROUP BY k")
+    out = db.sql("SELECT k, COUNT(DISTINCT h) AS d FROM t GROUP BY k")
+    assert len(out["k"]) == 1 and int(out["d"][0]) == 3
+
+
+class TestMultiColumnGroupBy:
+    """GROUP BY beyond two 32-bit columns: the dense-group-id path
+    (executor._dense_group_ids — one multi-plane sort instead of U64
+    packing)."""
+
+    def test_three_columns(self, engines):
+        check(*engines,
+              "SELECT k, g, u % 3 AS m, COUNT(*) AS c, SUM(u) AS s, "
+              "MIN(v) AS mn, MAX(f) AS mx FROM t GROUP BY k, g, m "
+              "ORDER BY k, g, m")
+
+    def test_four_columns_where_having(self, engines):
+        check(*engines,
+              "SELECT k, g, u % 2 AS a, u % 3 AS b, COUNT(*) AS c "
+              "FROM t WHERE v > -500 GROUP BY k, g, a, b "
+              "HAVING COUNT(*) > 3 ORDER BY k, g, a, b")
+
+    def test_u64_member_composite(self):
+        # 2 columns with a u64 member also rides the dense-id path
+        rng = np.random.default_rng(7)
+        n = 512
+        h = (rng.integers(0, 6, n).astype(np.uint64) << np.uint64(40)
+             | rng.integers(0, 3, n).astype(np.uint64))
+        k = rng.integers(0, 4, n).astype(np.uint32)
+        v = rng.integers(0, 100, n).astype(np.uint32)
+        db = Database()
+        db.register("t", {"h": h, "k": k, "v": v})
+        out = db.sql("SELECT h, k, COUNT(*) AS c, SUM(v) AS s "
+                     "FROM t GROUP BY h, k ORDER BY h, k")
+        packed = [(int(a), int(b)) for a, b in zip(h, k)]
+        keys = sorted(set(packed))
+        assert [(int(a), int(b)) for a, b in zip(out["h"], out["k"])] \
+            == keys
+        for i, kk in enumerate(keys):
+            mask = np.array([p == kk for p in packed])
+            assert int(out["c"][i]) == int(mask.sum())
+            assert int(out["s"][i]) == int(v[mask].sum())
+
+    def test_three_columns_median(self, engines):
+        db, _con = engines
+        out = db.sql("SELECT k, g, u % 2 AS m, COUNT(*) AS c, "
+                     "MEDIAN(v) AS md FROM t GROUP BY k, g, m "
+                     "ORDER BY k, g, m")
+        t = db._tables["t"]
+        k = np.asarray(t["k"])
+        gc = np.asarray(t["g"])
+        u = np.asarray(t["u"])
+        v = np.asarray(t["v"])
+        for i in range(len(out["k"])):
+            mask = ((k == int(out["k"][i])) & (gc == int(out["g"][i]))
+                    & (u % 2 == int(out["m"][i])))
+            vals = np.sort(v[mask])
+            assert int(out["c"][i]) == len(vals)
+            # MEDIAN = percentile_disc(0.5): the lower middle element
+            assert int(out["md"][i]) == int(vals[(len(vals) - 1) // 2])
 
 
 # -- second review pass regressions -------------------------------------------

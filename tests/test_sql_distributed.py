@@ -14,12 +14,20 @@ from tpu_qe.sql import Database, SqlError
 def _db(seed=0, n=2048, m=1024):
     rng = np.random.default_rng(seed)
     db = Database()
+    k = rng.integers(0, 12, n).astype(np.uint32)
+    v = rng.integers(0, 1000, n).astype(np.uint32)
     db.register("t", {
-        "k": rng.integers(0, 12, n).astype(np.uint32),
-        "v": rng.integers(0, 1000, n).astype(np.uint32),
+        "k": k,
+        "v": v,
         "sv": rng.integers(-500, 500, n).astype(np.int32),
         "f": rng.random(n).astype(np.float32),
         "id": np.arange(n, dtype=np.uint32),
+        # derived columns (no extra rng draws — seeds stay stable):
+        # g2 for multi-column grouping, h64 for u64 COUNT(DISTINCT)
+        # with adversarial shared low bits
+        "g2": (np.arange(n, dtype=np.uint32) % 7),
+        "h64": ((v % 5).astype(np.uint64) << np.uint64(33))
+        | (k % 3).astype(np.uint64),
     })
     db.register("r", {
         # UNIQUE keys (the FK/dimension shape the fused distributed
@@ -133,11 +141,12 @@ def test_join_duplicate_right_keys_raise():
 def test_unsupported_shapes_raise():
     db = _db(70)
     mesh = make_mesh(2)
-    with pytest.raises(SqlError, match="WHERE"):
-        # WHERE rides GROUP BY / ORDER BY / window shapes; the fused
-        # join keeps raising
-        db.sql("SELECT t.k, COUNT(*) AS c FROM t JOIN r ON t.k = r.k "
-               "WHERE v > 3 GROUP BY t.k", mesh=mesh)
+    with pytest.raises(SqlError, match="one side"):
+        # WHERE with JOIN pushes down single-side predicates only — a
+        # predicate mixing both sides' columns keeps raising
+        db.sql("SELECT t.k, COUNT(*) AS c, SUM(w) AS s FROM t "
+               "JOIN r ON t.k = r.k WHERE v > 3 AND w < 50 "
+               "GROUP BY t.k", mesh=mesh)
     with pytest.raises(SqlError, match="int32 with negatives"):
         db.sql("SELECT k, SUM(sv) AS s FROM t GROUP BY k", mesh=mesh)
     with pytest.raises(SqlError, match="HAVING"):
@@ -333,3 +342,63 @@ def test_distributed_group_quantile_overflow_type():
     with pytest.raises(QuantileOverflow):
         distributed_group_quantile_numpy(keys, vals, [(1, 1)], mesh,
                                          max_groups=16)
+
+
+# -- round-5 wiring: multi-col GROUP BY, DISTINCT, u64 COUNT(DISTINCT),
+# -- WHERE with JOIN ----------------------------------------------------------
+
+@pytest.mark.parametrize("n_dev", [1, 2, 8])
+def test_group_by_three_columns(n_dev):
+    # k >= 2 group columns rank-pack into one u64 (_group_pack)
+    db = _db(90)
+    sql = ("SELECT k, g2, sv % 3 = 0 AS e, COUNT(*) AS c, SUM(v) AS s "
+           "FROM t GROUP BY k, g2, e ORDER BY k, g2, e")
+    _cmp(db.sql(sql), db.sql(sql, mesh=make_mesh(n_dev)))
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_group_by_two_columns_where(n_dev):
+    db = _db(91)
+    sql = ("SELECT k, g2, COUNT(*) AS c, MAX(v) AS mx FROM t "
+           "WHERE v > 200 GROUP BY k, g2 ORDER BY k, g2")
+    _cmp(db.sql(sql), db.sql(sql, mesh=make_mesh(n_dev)))
+
+
+@pytest.mark.parametrize("n_dev", [1, 2, 8])
+def test_select_distinct(n_dev):
+    db = _db(92)
+    sql = "SELECT DISTINCT k FROM t ORDER BY k"
+    _cmp(db.sql(sql), db.sql(sql, mesh=make_mesh(n_dev)))
+
+
+def test_select_distinct_two_columns_where():
+    db = _db(93)
+    sql = "SELECT DISTINCT k, g2 FROM t WHERE v > 600 ORDER BY k, g2"
+    _cmp(db.sql(sql), db.sql(sql, mesh=make_mesh(8)))
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_count_distinct_u64(n_dev):
+    # h64 values share low bits across distinct hi words — the
+    # dictionary-rank path must separate them
+    db = _db(94)
+    sql = ("SELECT k, COUNT(DISTINCT h64) AS d FROM t GROUP BY k "
+           "ORDER BY k")
+    _cmp(db.sql(sql), db.sql(sql, mesh=make_mesh(n_dev)))
+
+
+@pytest.mark.parametrize("n_dev", [1, 2, 8])
+def test_where_with_join_left(n_dev):
+    db = _db(95)
+    sql = ("SELECT t.k, COUNT(*) AS c, SUM(w) AS s FROM t "
+           "JOIN r ON t.k = r.k WHERE v > 300 GROUP BY t.k "
+           "ORDER BY t.k")
+    _cmp(db.sql(sql), db.sql(sql, mesh=make_mesh(n_dev)))
+
+
+def test_where_with_join_right_side():
+    db = _db(96)
+    sql = ("SELECT t.k, COUNT(*) AS c, SUM(w) AS s FROM t "
+           "JOIN r ON t.k = r.k WHERE w < 50 GROUP BY t.k "
+           "ORDER BY t.k")
+    _cmp(db.sql(sql), db.sql(sql, mesh=make_mesh(2)))

@@ -179,6 +179,42 @@ def _unlift_key(lo: np.ndarray, tag: str) -> np.ndarray:
     raise SqlError(f"cannot invert key tag {tag}")
 
 
+@jax.jit
+def _dense_group_ids(planes: tuple):
+    """Dense lexicographic group ids for a composite key of ANY arity.
+
+    ONE multi-plane lax.sort + neighbor-compare segment boundaries
+    number the distinct key tuples 0..G-1 in lexicographic plane
+    order; a second 1-plane sort returns each row's id in input order
+    (the sort-instead-of-scatter house pattern — no vectorized scatter
+    on v5e, BASELINE.md). Also compacts every group's FIRST-occurrence
+    plane values to the array head (id order) for group-column value
+    emission. Lifts the 1-2 x 32-bit U64-packing limit: GROUP BY k
+    columns costs one (k+1)-plane sort + two more sorts, all at the
+    lax.sort envelope.
+
+    planes: tuple of u32[n] sortable-bit planes (u64 columns
+    contribute their hi and lo planes). Returns (gid u32[n] in input
+    row order, compacted first-occurrence planes in id order,
+    n_groups u32 scalar)."""
+    n = planes[0].shape[0]
+    pos = jnp.arange(n, dtype=jnp.uint32)
+    srt = jax.lax.sort(list(planes) + [pos], num_keys=len(planes),
+                       is_stable=False)
+    spl, sidx = srt[:-1], srt[-1]
+    newseg = jnp.zeros(n, jnp.int32)
+    for p in spl:
+        prev = jnp.concatenate([p[:1] ^ jnp.uint32(1), p[:-1]])
+        newseg = newseg | (p != prev).astype(jnp.int32)
+    ids_sorted = (jnp.cumsum(newseg) - 1).astype(jnp.uint32)
+    _, gid = jax.lax.sort([sidx, ids_sorted], num_keys=1,
+                          is_stable=False)
+    firstpos = jnp.where(newseg == 1, pos, jnp.uint32(0xFFFFFFFF))
+    comp = jax.lax.sort([firstpos] + list(spl), num_keys=1,
+                        is_stable=False)
+    return gid, tuple(comp[1:]), jnp.sum(newseg).astype(jnp.uint32)
+
+
 # ---------------------------------------------------------------------------
 # expression evaluation (device, elementwise)
 # ---------------------------------------------------------------------------
@@ -693,9 +729,13 @@ class Database:
         Shapes (everything else raises — no silent one-device fallback):
           - set-op chains of plain single-column SELECTs
                                         -> distributed_set_op
-          - GROUP BY one column + COUNT/SUM/MIN/MAX/AVG/COUNT(DISTINCT)
-                                        -> distributed_aggregate /
+          - GROUP BY 1..k columns + COUNT/SUM/MIN/MAX/AVG/
+            COUNT(DISTINCT [u64])       -> distributed_aggregate /
                                            distributed_count_distinct
+            (k >= 2 columns rank-pack into one u64 via _group_pack;
+             u64 COUNT(DISTINCT) dictionary-ranks to dense u32)
+          - SELECT DISTINCT col[, col]  -> count-only aggregate
+                                           (_dist_distinct)
           - one inner JOIN + GROUP BY the join key, aggs over one right
             column                      -> distributed_join_aggregate
                                            (the fused two-exchange path)
@@ -712,8 +752,8 @@ class Database:
         zero-row-movement bisection. int32 SUM/MIN/MAX with negatives
         raise (the distributed aggregate combines u32 bit patterns —
         the signed-exact extension lives in the in-core path only).
-        SELECT DISTINCT and WHERE-with-JOIN are not supported
-        distributed.
+        WHERE with JOIN pushes down to the referenced side's table
+        scan (single-side predicates only).
         """
         def unsup(what):
             return SqlError(f"{what} is not supported with mesh= "
@@ -723,13 +763,15 @@ class Database:
             fr = self._dist_setop_chain(q, mesh)
             return dict(_frame_order_limit(fr, q.order_by, q.limit).cols)
         sel = q.selects[0]
-        if sel.where is not None and sel.joins:
-            raise unsup("WHERE with joins")
         if sel.having is not None and not (
                 not sel.joins and (sel.group_by or self._has_aggs(sel))):
             raise unsup("HAVING outside GROUP BY aggregates")
         if sel.distinct:
-            raise unsup("SELECT DISTINCT")
+            if sel.joins or sel.group_by or self._has_aggs(sel):
+                raise unsup("SELECT DISTINCT with joins or aggregates")
+            fr = self._dist_distinct(sel, mesh)
+            return dict(_frame_order_limit(fr, q.order_by,
+                                           q.limit).cols)
         if sel.joins:
             fr = self._dist_join_agg(sel, mesh)
         elif sel.group_by or self._has_aggs(sel):
@@ -806,22 +848,96 @@ class Database:
         through the device expression engine over the registered table
         and the boolean mask reads back once (the filtered frame then
         re-shards through the numpy wrappers)."""
-        table, names, tags = self._bind_table(sel.table)
+        return self._where_mask_on(sel.table, sel.where)
+
+    def _where_mask_on(self, ref: P.TableRef, where) -> np.ndarray:
+        """Evaluate a boolean predicate over one registered table
+        (device expression engine, one mask readback)."""
+        table, names, tags = self._bind_table(ref)
         env = _RowEnv(table, names, tags)
-        tv = _eval(sel.where, env, table.num_rows)
+        tv = _eval(where, env, table.num_rows)
         if tv.tag != "bool":
             raise SqlError("WHERE must be boolean")
         return np.asarray(jnp.broadcast_to(tv.arr, (table.num_rows,)))
+
+    @staticmethod
+    def _group_pack(cols: dict, tags: dict, gnames: list):
+        """Pack 1..k group columns into ONE u64 key plane for the
+        distributed exchanges (which move a single U64 key).
+
+        One column lifts directly (order-preserving bit lift — the
+        existing path). Two or more columns RANK-PACK: per-column
+        np.unique ranks in mixed radix, so the packed u64 orders
+        lexicographically by column VALUES and decodes exactly. The
+        distributed SQL layer materializes host columns before
+        re-sharding (see _dist_table), so the host-side dictionary is
+        within this layer's execution model. The all-ones u64 stays
+        reserved for mesh padding: ranks multiply to < 2^63.
+
+        Returns (gkey u64[n], unpack: sorted u64 keys -> {name: col}).
+        """
+        if len(gnames) == 1:
+            nm = gnames[0]
+            if cols[nm].dtype == np.bool_:
+                def unpackb(gvals: np.ndarray) -> dict:
+                    return {nm: gvals.astype(bool)}
+                return cols[nm].astype(np.uint64), unpackb
+
+            def unpack1(gvals: np.ndarray) -> dict:
+                return {nm: _unlift64_np(gvals, cols[nm].dtype)}
+            return _lift64_np(cols[nm]), unpack1
+        uniqs, card = [], []
+        gkey = None
+        for nm in gnames:
+            u, inv = np.unique(cols[nm], return_inverse=True)
+            uniqs.append(u)
+            card.append(max(len(u), 1))
+            r = inv.astype(np.uint64)
+            gkey = r if gkey is None \
+                else gkey * np.uint64(card[-1]) + r
+        prod = 1
+        for c in card:
+            prod *= c
+        if prod >= (1 << 63):
+            raise SqlError("GROUP BY cardinality product exceeds the "
+                           "u64 composite key space — reduce the "
+                           "number of group columns or their "
+                           "cardinalities")
+
+        def unpack(gvals: np.ndarray) -> dict:
+            out, rem = {}, gvals.copy()
+            for nm, u, c in zip(gnames[::-1], uniqs[::-1], card[::-1]):
+                out[nm] = u[(rem % np.uint64(c)).astype(np.int64)]
+                rem = rem // np.uint64(c)
+            return out
+        return gkey, unpack
 
     def _dist_group(self, sel: P.Select, mesh) -> Frame:
         from tpu_qe.exchange.dops import (distributed_aggregate_numpy,
                                           distributed_count_distinct_numpy)
         cols, tags = self._dist_table(sel.table)
-        if len(sel.group_by) != 1:
-            raise SqlError("distributed GROUP BY takes exactly one "
-                           "column")
-        gname = sel.group_by[0].name
-        if gname not in cols:
+        if not sel.group_by:
+            raise SqlError("distributed aggregates need GROUP BY")
+        gnames = [g.name for g in sel.group_by]
+        aliases = {it.alias: it.expr for it in sel.items
+                   if it.expr != "*" and it.alias
+                   and not _calls(it.expr, window=False)}
+        for gname in gnames:
+            if gname in cols:
+                continue
+            if gname in aliases:
+                # aliased group expression (GROUP BY v % 5 AS m,
+                # sqlite-style): evaluate through the device engine
+                # over the unfiltered table; the host column then
+                # filters and packs like a physical one
+                table, names, tags_ = self._bind_table(sel.table)
+                env = _RowEnv(table, names, tags_)
+                tv = _eval(aliases[gname], env, table.num_rows)
+                arr = np.asarray(jnp.broadcast_to(
+                    tv.arr, (table.num_rows,)))
+                cols[gname] = arr
+                tags[gname] = tv.tag
+                continue
             raise SqlError(f"unknown column {gname!r}")
         PADKEY = int(np.uint64(0xFFFFFFFFFFFFFFFF))
         if sel.where is not None:
@@ -833,16 +949,17 @@ class Database:
         # the all-ones u64 key is RESERVED at this layer (results drop
         # it as the padding group; the quantile exchange uses it as the
         # distinct-key sentinel) — 32-bit group columns cannot produce
-        # it (they lift with hi == 0); reject it on u64 columns rather
-        # than silently dropping a real group. Checked AFTER the WHERE
+        # it (they lift with hi == 0), and rank-packed composites stay
+        # below 2^63; reject it on a single u64 column rather than
+        # silently dropping a real group. Checked AFTER the WHERE
         # filter: a query whose predicate removes every reserved-key
         # row is valid (ADVICE r4).
-        if tags[gname] == "u64" and bool(
-                (cols[gname] == np.uint64(PADKEY)).any()):
+        if len(gnames) == 1 and tags[gnames[0]] == "u64" and bool(
+                (cols[gnames[0]] == np.uint64(PADKEY)).any()):
             raise SqlError("u64 group keys may not use the reserved "
                            "max value 2^64-1 (distributed padding / "
                            "sentinel key)")
-        gkey = _lift64_np(cols[gname])
+        gkey, unpack_groups = self._group_pack(cols, tags, gnames)
         # pad to a mesh multiple with the reserved group key (dropped
         # from the results). This also lifts the rows-divide-the-mesh
         # restriction.
@@ -932,10 +1049,17 @@ class Database:
                 results.setdefault(k, {})["__count"] = row["count"]
         for vn in distinct_cols:
             if tags[vn] == "u64":
-                raise SqlError("COUNT(DISTINCT) over u64 columns is not "
-                               "supported distributed")
-            bits = (cols[vn] if tags[vn] == "u32"
-                    else np.asarray(sortable_u32(jnp.asarray(cols[vn]))))
+                # dictionary-rank the u64 values to dense u32 on the
+                # host (this layer already holds host columns):
+                # COUNT(DISTINCT rank) == COUNT(DISTINCT value), and
+                # ranks < n < 2^32 always fit the exchange's u32 plane
+                _, inv_ = np.unique(_lift64_np(cols[vn]),
+                                    return_inverse=True)
+                bits = inv_.astype(np.uint32)
+            else:
+                bits = (cols[vn] if tags[vn] == "u32"
+                        else np.asarray(
+                            sortable_u32(jnp.asarray(cols[vn]))))
             res = distributed_count_distinct_numpy(
                 gkey, bits, mesh, capacity_factor="auto")
             for k, v in res.items():
@@ -973,6 +1097,7 @@ class Database:
         results.pop(PADKEY, None)     # the reserved padding group
         gvals = np.array(sorted(results), np.uint64)
         g = len(gvals)
+        gcols_out = unpack_groups(gvals)
 
         def col_of(c: P.Call) -> np.ndarray:
             if c.func in _PCT_FUNCS:
@@ -1005,8 +1130,10 @@ class Database:
         out, otags = {}, {}
         for i, it in enumerate(sel.items):
             name = it.alias or self._auto_name(it.expr, i)
-            if isinstance(it.expr, P.Col) and it.expr.name == gname:
-                out[name] = _unlift64_np(gvals, cols[gname].dtype)
+            if isinstance(it.expr, P.Col) and it.expr.name in gnames:
+                out[name] = gcols_out[it.expr.name]
+            elif it.alias is not None and it.alias in gnames:
+                out[name] = gcols_out[it.alias]   # aliased group expr
             elif isinstance(it.expr, P.Call):
                 out[name] = col_of(it.expr)
             else:
@@ -1019,10 +1146,10 @@ class Database:
                 if isinstance(e, P.Call):
                     return col_of(e)
                 if isinstance(e, P.Col):
-                    if e.name == gname:
-                        return _unlift64_np(gvals, cols[gname].dtype)
+                    if e.name in gnames:
+                        return gcols_out[e.name]
                     raise SqlError(f"HAVING column {e.key!r} is not "
-                                   "the group column")
+                                   "a group column")
                 if isinstance(e, P.Lit):
                     return np.asarray(e.value)
                 if isinstance(e, P.Unary):
@@ -1037,6 +1164,45 @@ class Database:
                                    (g,))
             out = {k: v[keep] for k, v in out.items()}
         return Frame(out, otags)
+
+    def _dist_distinct(self, sel: P.Select, mesh) -> Frame:
+        """SELECT DISTINCT col[, col...] [WHERE ...]: the GROUP BY
+        machinery with no aggregates — one count-only distributed
+        aggregate over the packed key plane; only the G-bounded
+        distinct key set returns (dedup IS the compression)."""
+        from tpu_qe.exchange.dops import distributed_aggregate_numpy
+        cols, tags = self._dist_table(sel.table)
+        gnames, outs = [], []
+        for i, it in enumerate(sel.items):
+            nm = self._plain_col(it.expr, "distributed DISTINCT items")
+            if nm not in cols:
+                raise SqlError(f"unknown column {nm!r}")
+            if nm not in gnames:
+                gnames.append(nm)
+            outs.append((it.alias or nm, nm))
+        if sel.where is not None:
+            mask = self._where_mask(sel)
+            cols = {k: v[mask] for k, v in cols.items()}
+        PADKEY = int(np.uint64(0xFFFFFFFFFFFFFFFF))
+        if len(gnames) == 1 and tags[gnames[0]] == "u64" and bool(
+                (cols[gnames[0]] == np.uint64(PADKEY)).any()):
+            raise SqlError("u64 DISTINCT keys may not use the reserved "
+                           "max value 2^64-1 (distributed padding)")
+        gkey, unpack_groups = self._group_pack(cols, tags, gnames)
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        n_pad = (-len(gkey)) % n_dev
+        if n_pad or len(gkey) == 0:
+            n_pad = n_pad if len(gkey) else n_dev
+            gkey = np.concatenate(
+                [gkey, np.full(n_pad, PADKEY, np.uint64)])
+        res = distributed_aggregate_numpy(
+            gkey, np.zeros(len(gkey), np.uint32), mesh,
+            aggs=("count",), capacity_factor="auto")
+        res.pop(PADKEY, None)
+        gvals = np.array(sorted(res), np.uint64)
+        gcols = unpack_groups(gvals)
+        return Frame({on: gcols[nm] for on, nm in outs},
+                     {on: str(gcols[nm].dtype) for on, nm in outs})
 
     def _dist_join_agg(self, sel: P.Select, mesh) -> Frame:
         from tpu_qe.exchange.dops import distributed_join_aggregate_numpy
@@ -1059,6 +1225,26 @@ class Database:
         rs, rkn = side_of(j.right_col)
         if (ls, rs) == ("r", "l"):
             lkn, rkn = rkn, lkn
+        if sel.where is not None:
+            # WHERE pushes down to ONE side's table scan (SQL
+            # semantics: filter before the inner join is equivalent
+            # when the predicate references one side only); the mask
+            # evaluates through the device expression engine over that
+            # side and the filtered frame pads back below
+            from tpu_qe.sql.bigexec import _walk_cols
+            wc: list = []
+            _walk_cols(sel.where, wc)
+            wsides = {side_of(c)[0] for c in wc}
+            if len(wsides) != 1:
+                raise SqlError(
+                    "distributed WHERE with JOIN must reference one "
+                    "side's columns only (single-side pushdown)")
+            if wsides == {"l"}:
+                mask = self._where_mask_on(sel.table, sel.where)
+                lcols = {k: v[mask] for k, v in lcols.items()}
+            else:
+                mask = self._where_mask_on(j.table, sel.where)
+                rcols = {k: v[mask] for k, v in rcols.items()}
         lkey, rkey = _lift64_np(lcols[lkn]), _lift64_np(rcols[rkn])
         if len(sel.group_by) != 1:
             raise SqlError("distributed join needs GROUP BY the join "
@@ -1100,8 +1286,32 @@ class Database:
             raise SqlError("distributed fused join requires unique "
                            "right join keys (the FK/dimension shape)")
         aggs.add("count")
+        # pad both sides to a mesh multiple (lifts the rows-divide-the-
+        # mesh restriction; WHERE makes lengths arbitrary). Left pads
+        # share ONE reserved key; right pads get DISTINCT reserved keys
+        # (the exchange requires unique right keys). 32-bit join keys
+        # lift with hi == 0 and can never collide with the reserved top
+        # band; u64 keys inside the band raise rather than alias.
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        TOP = np.uint64(0xFFFFFFFFFFFFFFFF)
+        band_lo = TOP - np.uint64(n_dev)
+        for kk, tg in ((lkey, ltags[lkn]), (rkey, rtags[rkn])):
+            if tg == "u64" and bool((kk > band_lo).any()):
+                raise SqlError("u64 join keys may not use the top "
+                               f"{n_dev + 1} values (reserved for "
+                               "distributed mesh padding)")
+        lpad = (-len(lkey)) % n_dev if len(lkey) else n_dev
+        rpad = (-len(rkey)) % n_dev if len(rkey) else n_dev
+        rv = np.asarray(rcols[vn])
+        if lpad:
+            lkey = np.concatenate([lkey, np.full(lpad, TOP, np.uint64)])
+        if rpad:
+            rkey = np.concatenate(
+                [rkey, TOP - np.uint64(1)
+                 - np.arange(rpad, dtype=np.uint64)])
+            rv = np.concatenate([rv, np.zeros(rpad, rv.dtype)])
         res = distributed_join_aggregate_numpy(
-            lkey, rkey, rcols[vn], mesh, aggs=tuple(sorted(aggs)),
+            lkey, rkey, rv, mesh, aggs=tuple(sorted(aggs)),
             capacity_factor="auto")
         gvals = np.array(sorted(res), np.uint64)
 
@@ -1629,6 +1839,7 @@ class Database:
             else:
                 gtvs.append(env.col(c))
         # composite group key
+        gid_side = None     # dense-id side planes (3+ columns)
         if not gcols:
             gkey = U64(jnp.zeros(n, jnp.uint32), jnp.zeros(n, jnp.uint32))
         elif len(gtvs) == 1:
@@ -1637,8 +1848,21 @@ class Database:
             gkey = U64(sortable_u32(gtvs[1].arr),
                        sortable_u32(gtvs[0].arr))
         else:
-            raise SqlError("GROUP BY supports one column of any type or "
-                           "two 32-bit columns")
+            # 3+ columns (or 2 with a u64 member): dense lexicographic
+            # group ids via _dense_group_ids — the id IS the U64 key
+            # for every downstream aggregation, and the compacted
+            # first-occurrence planes carry the group columns' values
+            planes: list = []
+            for t in gtvs:
+                if t.tag == "u64":
+                    planes += [t.arr.hi, t.arr.lo]
+                elif t.tag == "bool":
+                    planes.append(t.arr.astype(jnp.uint32))
+                else:
+                    planes.append(sortable_u32(
+                        jnp.broadcast_to(t.arr, (n,))))
+            gid, gid_side, _ng = _dense_group_ids(tuple(planes))
+            gkey = U64(gid, jnp.zeros(n, jnp.uint32))
 
         # collect aggregate calls from items + HAVING
         aggcalls: list[P.Call] = []
@@ -1772,13 +1996,16 @@ class Database:
         for phys in distinct_cols:
             tv = _col_arr(phys)
             if env.tags[phys] == "u64":
-                # the count_distinct agg dedups ONE u32 plane riding the
-                # (key, value) sort; dropping the hi plane would
-                # undercount pairs sharing low bits — reject, like the
-                # distributed path
-                raise SqlError("COUNT(DISTINCT) over u64 columns is "
-                               "not supported")
-            dres = group_aggregate(gkey, sortable_u32(tv),
+                # the count_distinct agg dedups ONE u32 plane riding
+                # the (key, value) sort; dropping the hi plane would
+                # undercount pairs sharing low bits. Dense-rank the
+                # u64 values instead (_dense_group_ids over the hi/lo
+                # planes — one extra sort): ranks preserve equality
+                # exactly and fit u32 (n < 2^32)
+                bits, _s, _n2 = _dense_group_ids((tv.hi, tv.lo))
+            else:
+                bits = sortable_u32(tv)
+            dres = group_aggregate(gkey, bits,
                                    aggs=("count_distinct",))
             dg = int(np.asarray(dres.num_groups))
             assert dg == g, (dg, g)
@@ -1807,7 +2034,28 @@ class Database:
 
         # group-key output values
         gvals: dict[str, np.ndarray] = {}
-        if len(gtvs) == 1:
+        if gid_side is not None:
+            # dense-id path: group g's column values sit at row g of
+            # the compacted first-occurrence planes (id order == the
+            # aggregation's key order: ids 0..G-1, all present)
+            assert g == int(np.asarray(_ng)), (g, _ng)
+            off = 0
+            for c2, t in zip(gcols, gtvs):
+                if t.tag == "u64":
+                    hi = _head_np(gid_side[off], g).astype(np.uint64)
+                    lo = _head_np(gid_side[off + 1], g).astype(
+                        np.uint64)
+                    gvals[c2.key] = (hi << np.uint64(32)) | lo
+                    off += 2
+                elif t.tag == "bool":
+                    gvals[c2.key] = _head_np(gid_side[off],
+                                             g).astype(bool)
+                    off += 1
+                else:
+                    gvals[c2.key] = _unlift_key(
+                        _head_np(gid_side[off], g), t.tag)
+                    off += 1
+        elif len(gtvs) == 1:
             t = gtvs[0]
             if t.tag == "u64":
                 gvals[gcols[0].key] = _head_np(mres.key, g)
