@@ -310,11 +310,43 @@ def test_where_window_rows_frame():
     _cmp(db.sql(sql), db.sql(sql, mesh=make_mesh(4)))
 
 
-def test_distributed_lag_offset_rejected():
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_distributed_lag_lead_offset_k(n_dev):
+    # offset-k boundary reach rides the row halo (round 5) — formerly
+    # a SqlError("offset 1")
     db = _db(22)
-    with pytest.raises(SqlError, match="offset 1"):
-        db.sql("SELECT LAG(v, 2) OVER (PARTITION BY k ORDER BY id) "
-               "AS l FROM t", mesh=make_mesh(2))
+    sql = ("SELECT id, LAG(v, 3, 777) OVER (PARTITION BY k ORDER BY "
+           "id) AS l3, LEAD(v, 2, 888) OVER (PARTITION BY k ORDER BY "
+           "id) AS d2 FROM t ORDER BY id")
+    _cmp(db.sql(sql), db.sql(sql, mesh=make_mesh(n_dev)))
+
+
+@pytest.mark.parametrize("n_dev", [1, 2, 8])
+def test_distributed_whole_partition_frames(n_dev):
+    # total_sum/min/max, partition_count, total_avg distributed via
+    # the forward prefix + backward suffix carries (round 5)
+    db = _db(23)
+    sql = ("SELECT id, SUM(v) OVER (PARTITION BY k) AS ts, "
+           "SUM(sv) OVER (PARTITION BY k) AS tsi, "
+           "MIN(sv) OVER (PARTITION BY k) AS tmn, "
+           "MAX(f) OVER (PARTITION BY k) AS tmx, "
+           "COUNT(v) OVER (PARTITION BY k) AS pc, "
+           "AVG(v) OVER (PARTITION BY k) AS ta FROM t ORDER BY id")
+    _cmp(db.sql(sql), db.sql(sql, mesh=make_mesh(n_dev)),
+         float_cols=("ta",), rtol=2e-4)
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_distributed_running_avg_and_signed_sums(n_dev):
+    # running AVG + i32-negative running sums: the chain's sign-
+    # extended U64 pairs are two's-complement exact (guard removed
+    # in round 5)
+    db = _db(24)
+    sql = ("SELECT id, AVG(v) OVER (PARTITION BY k ORDER BY id) AS ra, "
+           "SUM(sv) OVER (PARTITION BY k ORDER BY id) AS rs "
+           "FROM t WHERE v > 100 ORDER BY id")
+    _cmp(db.sql(sql), db.sql(sql, mesh=make_mesh(n_dev)),
+         float_cols=("ra",), rtol=2e-4)
 
 
 def test_u64_reserved_key_filtered_out_by_where_ok():

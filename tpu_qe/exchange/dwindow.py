@@ -49,7 +49,8 @@ from tpu_qe.exchange.shuffle import (AXIS, exchange,
                                      route_by_splitters_multi,
                                      sample_splitters_multi)
 from tpu_qe.ops.window import (_canon_funcs, _window_sorted_cols,
-                               _moving, _MOVING, _RUNNING)
+                               _moving, _pair_to_f32_signed, _shift_k,
+                               _MOVING, _RUNNING)
 
 _ONES = jnp.uint32(0xFFFFFFFF)
 
@@ -139,12 +140,35 @@ def _dwindow_shard(lo, hi, *rest, n_dev: int, samples_per_dev: int,
                           else jnp.zeros((L,), bool))
     is_last = jnp.concatenate([is_new[1:], jnp.ones((1,), bool)])
 
-    base_spec = tuple(s for s in spec if s[1] not in _MOVING)
+    def _haloed(s):
+        # lag/lead with offset k > 1 (canon packs it as a (fill, k)
+        # fill) compute through the row halo, not the scalar chain
+        return s[1] in ("lag", "lead") and isinstance(s[3], tuple)
+
+    # avg kinds flow through the chain as SUMS (an average is not
+    # patchable — prefix/suffix contributions add in the numerator
+    # only); the division by the global denominator happens after the
+    # patch (see the avg finalization below)
+    _AVG = {"total_avg": "total_sum", "running_avg": "running_sum"}
+    spec_calc = tuple((nm, _AVG.get(k, k), c, f)
+                      for nm, k, c, f in spec)
+    base_spec = tuple(s for s in spec_calc
+                      if s[1] not in _MOVING and not _haloed(s))
     out, aux = _window_sorted_cols(base_spec, svals, idx, is_new,
                                    order_new, is_last, need_aux=True)
     part_start, run_start = aux["part_start"], aux["run_start"]
-    part_end = aux["part_end"]          # set iff ntile/percent_rank
-    has_cnt = any(k in ("ntile", "percent_rank") for _, k, _, _ in spec)
+    part_end = aux["part_end"]      # set iff a count-needing kind ran
+    _TOTALS = ("total_sum", "total_min", "total_max")
+    _CNT_KINDS = ("ntile", "percent_rank", "partition_count",
+                  "total_avg")
+    has_cnt = any(k in _CNT_KINDS for _, k, _, _ in spec)
+    from tpu_qe.ops.segscan import cummax_u32 as _cummax
+    if has_cnt and part_end is None:
+        # total_avg computes as total_sum above, which does not force
+        # part_end in _window_sorted_cols — derive it here
+        b = jnp.flip(is_last)
+        rev_start = _cummax(jnp.where(b, idx, jnp.uint32(0)))
+        part_end = jnp.uint32(L - 1) - jnp.flip(rev_start)
 
     # ---- moving frames: halo exchange, then globally-exact locally ----
     # a width-k frame at a device's head rows reaches into the previous
@@ -167,10 +191,16 @@ def _dwindow_shard(lo, hi, *rest, n_dev: int, samples_per_dev: int,
     # value in reals, different f32 association; callers get the same
     # error class as the local operator's own prefix-difference bound
     # (error proportional to the partition prefix), not bit-identity.
-    mov_spec = tuple(s for s in spec if s[1] in _MOVING)
-    if mov_spec:
-        H = max(int(f) for _, _, _, f in mov_spec) - 1
-        mcols = tuple(sorted({c for _, _, c, _ in mov_spec}))
+    mov_spec = tuple(s for s in spec_calc if s[1] in _MOVING)
+    lagk_spec = tuple(s for s in spec_calc
+                      if s[1] == "lag" and isinstance(s[3], tuple))
+    leadk_spec = tuple(s for s in spec_calc
+                       if s[1] == "lead" and isinstance(s[3], tuple))
+    if mov_spec or lagk_spec:
+        H = max([int(f) - 1 for _, _, _, f in mov_spec]
+                + [int(f[1]) for _, _, _, f in lagk_spec])
+        mcols = tuple(sorted({c for _, _, c, _ in mov_spec}
+                             | {c for _, _, c, _ in lagk_spec}))
         if H > 0:
             st = jnp.maximum(n_v.astype(jnp.int32) - H, 0)
             t_planes = [
@@ -220,6 +250,79 @@ def _dwindow_shard(lo, hi, *rest, n_dev: int, samples_per_dev: int,
             mv = _moving(kind, cv, int(fill), c_new, c_rn0)
             out[name] = (U64(mv.lo[H:], mv.hi[H:])
                          if isinstance(mv, U64) else mv[H:])
+        # lag offset k > 1: a static relayout shift over the SAME
+        # halo-prepended stream + a rank-within-partition mask. The
+        # halo holds the k (<= H) globally-preceding valid rows with
+        # their real keys, so c_rn0 >= k iff the row has k same-
+        # partition predecessors globally (a partition reaching back
+        # past the halo makes every halo row same-partition, so
+        # c_rn0 >= H >= k) — exact for any device skew.
+        for name, kind, col, fill in lagk_spec:
+            f_, k_ = fill
+            cv = svals[col]
+            if H > 0:
+                cv = jnp.concatenate(
+                    [_bitcast(h_vals[col], cv.dtype), cv])
+            sh_ = _shift_k(cv, int(k_), f_)
+            lg = jnp.where(c_rn0 >= jnp.uint32(k_), sh_,
+                           jnp.asarray(f_, cv.dtype))
+            out[name] = lg[H:]
+
+    # ---- lead offset k: FORWARD halo from successor devices ----------
+    # mirror of the tail halo: every device gathers every device's
+    # first-Hf valid rows; my incoming forward halo is the first Hf
+    # valid rows over my successors, PLACED at my valid prefix's end
+    # (dynamic_update_slice over the pad region) so a static left
+    # shift reads true successor rows; a shifted-key equality mask
+    # clamps at partition ends (missing rows carry all-ones keys).
+    if leadk_spec:
+        Hf = max(int(f[1]) for _, _, _, f in leadk_spec)
+        fcols = tuple(sorted({c for _, _, c, _ in leadk_spec}))
+        hp = [p[:Hf] for p in [slo, shi]
+              + [_bitcast(svals[c], jnp.uint32) for c in fcols]]
+        hp.append((jnp.arange(Hf, dtype=jnp.uint32)
+                   < n_v).astype(jnp.uint32))
+        gt2 = jax.lax.all_gather(jnp.stack(hp), AXIS)     # (D, P, Hf)
+        dev2 = jnp.arange(n_dev, dtype=jnp.uint32)[:, None]
+        vf2 = ((gt2[:, -1, :] > 0) & (dev2 > my)).reshape(-1)
+        cum2 = jnp.cumsum(vf2.astype(jnp.uint32), dtype=jnp.uint32)
+        v_tot2 = cum2[-1]
+        h2 = jnp.arange(Hf, dtype=jnp.uint32)
+        have2 = h2 < v_tot2
+        src2 = jnp.searchsorted(
+            cum2, jnp.where(have2, h2 + 1, jnp.uint32(0)),
+            side="left").astype(jnp.int32)
+
+        def pick2(pi, fillv):
+            x = jnp.take(gt2[:, pi, :].reshape(-1), src2)
+            return jnp.where(have2, x, fillv)
+
+        nvi = n_v.astype(jnp.int32)
+
+        def place(base, halo, padv):
+            ext = jnp.concatenate(
+                [base, jnp.full((Hf,), padv, base.dtype)])
+            return jax.lax.dynamic_update_slice(ext, halo, (nvi,))
+
+        e_lo = place(slo, pick2(0, _ONES), _ONES)
+        e_hi = place(shi, pick2(1, _ONES), _ONES)
+        for name, kind, col, fill in leadk_spec:
+            f_, k_ = fill
+            k_ = int(k_)
+            v = svals[col]
+            hv = _bitcast(pick2(2 + fcols.index(col), jnp.uint32(0)),
+                          v.dtype)
+            ev = place(v, hv, jnp.asarray(f_, v.dtype))
+            nxt = jnp.concatenate([ev[k_:],
+                                   jnp.full((k_,), f_, v.dtype)])
+            same = ((jnp.concatenate([e_lo[k_:],
+                                      jnp.full((k_,), 0, jnp.uint32)])
+                     == e_lo)
+                    & (jnp.concatenate([e_hi[k_:],
+                                        jnp.full((k_,), 0, jnp.uint32)])
+                       == e_hi))
+            out[name] = jnp.where(same, nxt,
+                                  jnp.asarray(f_, v.dtype))[:L]
 
     # ---- per-device summary vector ------------------------------------
     li = jnp.maximum(n_v, 1) - 1  # last valid row (clamped; masked if 0)
@@ -249,17 +352,23 @@ def _dwindow_shard(lo, hi, *rest, n_dev: int, samples_per_dev: int,
         # valid rows of the HEAD partition (pads form their own
         # segments, so part_end[0] never reaches into them)
         put("hcnt", part_end[0] + 1)
-    for name, kind, col, _ in spec:
+    for name, kind, col, fill_ in spec_calc:
         if kind == "dense_rank":
             put(f"td:{name}", at_last(out[name]))
-        elif kind == "running_sum" and isinstance(out[name], U64):
+        elif kind in ("running_sum", "total_sum") \
+                and isinstance(out[name], U64):
             put(f"ta:{name}:lo", at_last(out[name].lo))
             put(f"ta:{name}:hi", at_last(out[name].hi))
-        elif kind in _RUNNING:
+            if kind == "total_sum":    # backward chain: head-partition
+                put(f"ha:{name}:lo", out[name].lo[0])   # local total
+                put(f"ha:{name}:hi", out[name].hi[0])
+        elif kind in _RUNNING or kind in _TOTALS:
             put(f"ta:{name}", _bitcast(at_last(out[name]), jnp.uint32))
-        elif kind == "lag":
+            if kind in _TOTALS:
+                put(f"ha:{name}", _bitcast(out[name][0], jnp.uint32))
+        elif kind == "lag" and not isinstance(fill_, tuple):
             put(f"lv:{name}", _bitcast(at_last(svals[col]), jnp.uint32))
-        elif kind == "lead":
+        elif kind == "lead" and not isinstance(fill_, tuple):
             put(f"fv:{name}", _bitcast(svals[col][0], jnp.uint32))
         elif kind == "first_value":
             # the tail partition's LOCAL first value (chain origin)
@@ -280,17 +389,18 @@ def _dwindow_shard(lo, hi, *rest, n_dev: int, samples_per_dev: int,
     u0, f0 = jnp.uint32(0), jnp.float32(0)
     ex = jnp.zeros((), bool)
     plk_lo = plk_hi = plord = u0
-    pvals = {name: u0 for name, k, _, _ in spec if k == "lag"}
+    pvals = {name: u0 for name, k, _, f in spec_calc
+             if k == "lag" and not isinstance(f, tuple)}
     C_cnt = C_dense = C_rank = u0
     def _int_sum(kind, col):
-        return (kind == "running_sum"
+        return (kind in ("running_sum", "total_sum")
                 and dtypes[colnames.index(col)] != jnp.float32)
 
     C_agg = {}
-    for name, kind, col, _ in spec:
+    for name, kind, col, _ in spec_calc:
         if _int_sum(kind, col):
             C_agg[name] = (u0, u0)
-        elif kind in _RUNNING:
+        elif kind in _RUNNING or kind in _TOTALS:
             C_agg[name] = u0
     C_first = {name: u0 for name, k, _, _ in spec if k == "first_value"}
     rec = {k: [] for k in ("cont", "cont_o", "C_cnt", "C_dense", "C_rank")}
@@ -325,7 +435,7 @@ def _dwindow_shard(lo, hi, *rest, n_dev: int, samples_per_dev: int,
                       gv(e, "tail_rank") + jnp.where(cont, C_cnt, u0)))
         nC_dense = C_dense
         nC_agg = {}
-        for name, kind, col, _ in spec:
+        for name, kind, col, _ in spec_calc:
             if kind == "dense_rank":
                 td = gv(e, f"td:{name}")
                 nC_dense = td + jnp.where(
@@ -338,16 +448,16 @@ def _dwindow_shard(lo, hi, *rest, n_dev: int, samples_per_dev: int,
                        + (alo < tlo).astype(jnp.uint32))
                 nC_agg[name] = (jnp.where(whole, alo, tlo),
                                 jnp.where(whole, ahi, thi))
-            elif kind == "running_sum":
+            elif kind in ("running_sum", "total_sum"):
                 tv = _bitcast(gv(e, f"ta:{name}"), jnp.float32)
                 cv = _bitcast(C_agg[name], jnp.float32)
                 nC_agg[name] = _bitcast(
                     jnp.where(whole, cv + tv, tv), jnp.uint32)
-            elif kind in _RUNNING:
+            elif kind in _RUNNING or kind in _TOTALS:
                 dt = dtypes[colnames.index(col)]
                 tv = _bitcast(gv(e, f"ta:{name}"), dt)
                 cv = _bitcast(C_agg[name], dt)
-                op = jnp.minimum if kind == "running_min" else jnp.maximum
+                op = jnp.minimum if kind.endswith("min") else jnp.maximum
                 nC_agg[name] = _bitcast(
                     jnp.where(whole, op(cv, tv), tv), jnp.uint32)
 
@@ -370,8 +480,8 @@ def _dwindow_shard(lo, hi, *rest, n_dev: int, samples_per_dev: int,
         plk_hi = upd(gv(e, "lk_hi"), plk_hi)
         if has_order:
             plord = upd(gv(e, "lo_"), plord)
-        for name, kind, _, _ in spec:
-            if kind == "lag":
+        for name, kind, _, f_ in spec_calc:
+            if kind == "lag" and not isinstance(f_, tuple):
                 pvals[name] = upd(gv(e, f"lv:{name}"), pvals[name])
         ex = ex | nonempty
 
@@ -382,12 +492,22 @@ def _dwindow_shard(lo, hi, *rest, n_dev: int, samples_per_dev: int,
     # later devices (ntile/percent_rank suffix).
     nex = jnp.zeros((), bool)
     nfk_lo = nfk_hi = u0
-    nfv = {name: u0 for name, k, _, _ in spec if k == "lead"}
+    nfv = {name: u0 for name, k, _, f in spec_calc
+           if k == "lead" and not isinstance(f, tuple)}
     B_last = {name: u0 for name, k, _, _ in spec if k == "last_value"}
     A_cnt = u0
+    # whole-partition aggregates: suffix contribution of later devices
+    # to MY tail partition (mirror of the forward prefix C_agg)
+    S_tot = {}
+    for name, kind, col, _ in spec_calc:
+        if kind == "total_sum" and _int_sum(kind, col):
+            S_tot[name] = (u0, u0)
+        elif kind in _TOTALS:
+            S_tot[name] = u0
     rec_lead_cont, rec_lead_val = [], {nm: [] for nm in nfv}
     rec_last = {nm: [] for nm in B_last}
     rec_suffix = []
+    rec_tot = {nm: [] for nm in S_tot}
     for e in range(n_dev - 1, -1, -1):
         nv = gv(e, "nv")
         nonempty = nv > 0
@@ -400,21 +520,50 @@ def _dwindow_shard(lo, hi, *rest, n_dev: int, samples_per_dev: int,
             rec_last[nm].append(B_last[nm])
         if has_cnt:
             rec_suffix.append(A_cnt)
+        for nm in S_tot:
+            rec_tot[nm].append(S_tot[nm])
         upd = lambda new, old: jnp.where(nonempty, new, old)  # noqa: E731
         # single-partition device: its head partition IS its tail
         single = gv(e, "tps") == 0
+        sn = single & ncont
         for nm in B_last:
             # global last value of THIS device's head partition: from
             # later devices when the partition runs through, else local
-            h = jnp.where(single & ncont, B_last[nm], gv(e, f"hlv:{nm}"))
+            h = jnp.where(sn, B_last[nm], gv(e, f"hlv:{nm}"))
             B_last[nm] = upd(h, B_last[nm])
         if has_cnt:
-            hg = gv(e, "hcnt") + jnp.where(single & ncont, A_cnt, u0)
+            hg = gv(e, "hcnt") + jnp.where(sn, A_cnt, u0)
             A_cnt = upd(hg, A_cnt)
+        for name, kind, col, _ in spec_calc:
+            if name not in S_tot:
+                continue
+            if isinstance(S_tot[name], tuple):
+                hlo = gv(e, f"ha:{name}:lo")
+                hhi = gv(e, f"ha:{name}:hi")
+                alo = hlo + jnp.where(sn, S_tot[name][0], u0)
+                ahi = (hhi + jnp.where(sn, S_tot[name][1], u0)
+                       + (alo < hlo).astype(jnp.uint32))
+                S_tot[name] = (upd(alo, S_tot[name][0]),
+                               upd(ahi, S_tot[name][1]))
+            elif kind == "total_sum":
+                h = _bitcast(gv(e, f"ha:{name}"), jnp.float32)
+                s_ = _bitcast(S_tot[name], jnp.float32)
+                S_tot[name] = upd(_bitcast(
+                    h + jnp.where(sn, s_, jnp.float32(0)), jnp.uint32),
+                    S_tot[name])
+            else:
+                dt = dtypes[colnames.index(col)]
+                h = _bitcast(gv(e, f"ha:{name}"), dt)
+                s_ = _bitcast(S_tot[name], dt)
+                op = (jnp.minimum if kind.endswith("min")
+                      else jnp.maximum)
+                S_tot[name] = upd(_bitcast(
+                    jnp.where(sn, op(s_, h), h), jnp.uint32),
+                    S_tot[name])
         nfk_lo = upd(gv(e, "fk_lo"), nfk_lo)
         nfk_hi = upd(gv(e, "fk_hi"), nfk_hi)
-        for name, kind, _, _ in spec:
-            if kind == "lead":
+        for name, kind, _, f_ in spec_calc:
+            if kind == "lead" and not isinstance(f_, tuple):
                 nfv[name] = upd(gv(e, f"fv:{name}"), nfv[name])
         nex = nex | nonempty
     rec_lead_cont.reverse()
@@ -423,6 +572,8 @@ def _dwindow_shard(lo, hi, *rest, n_dev: int, samples_per_dev: int,
     for nm in rec_last:
         rec_last[nm].reverse()
     rec_suffix.reverse()
+    for nm in rec_tot:
+        rec_tot[nm].reverse()
 
     def mine(lst):
         return jnp.take(jnp.stack(lst), my)
@@ -443,8 +594,10 @@ def _dwindow_shard(lo, hi, *rest, n_dev: int, samples_per_dev: int,
         local_cnt = part_end - part_start + 1
         gcnt = (local_cnt + jnp.where(head, cc, u0)
                 + jnp.where(tail, suffix, u0))
-    for name, kind, col, fill in spec:
+    for name, kind, col, fill in spec_calc:
         o = out[name]
+        if kind in ("lag", "lead") and isinstance(fill, tuple):
+            continue        # offset-k: already exact via the row halo
         if kind == "row_number":
             out[name] = o + jnp.where(head, cc, u0)
         elif kind == "rank":
@@ -499,6 +652,54 @@ def _dwindow_shard(lo, hi, *rest, n_dev: int, samples_per_dev: int,
             den = jnp.maximum(gcnt - 1, jnp.uint32(1)).astype(jnp.float32)
             out[name] = jnp.where(validrow,
                                   grank0.astype(jnp.float32) / den, o)
+        elif kind == "partition_count":
+            out[name] = jnp.where(validrow, gcnt, o)
+        elif kind == "total_sum" and isinstance(o, U64):
+            clo = mine([t[0] for t in rec_agg[name]])
+            chi = mine([t[1] for t in rec_agg[name]])
+            tlo = mine([t[0] for t in rec_tot[name]])
+            thi = mine([t[1] for t in rec_tot[name]])
+            a1 = jnp.where(head, clo, u0)
+            nlo = o.lo + a1
+            nhi = (o.hi + jnp.where(head, chi, u0)
+                   + (nlo < a1).astype(jnp.uint32))
+            a2 = jnp.where(tail, tlo, u0)
+            mlo = nlo + a2
+            mhi = (nhi + jnp.where(tail, thi, u0)
+                   + (mlo < a2).astype(jnp.uint32))
+            out[name] = U64(mlo, mhi)
+        elif kind == "total_sum":
+            cf = _bitcast(mine(rec_agg[name]), jnp.float32)
+            sf = _bitcast(mine(rec_tot[name]), jnp.float32)
+            out[name] = (o + jnp.where(head, cf, f0)
+                         + jnp.where(tail, sf, f0))
+        elif kind in ("total_min", "total_max"):
+            cv = _bitcast(mine(rec_agg[name]), o.dtype)
+            sv_ = _bitcast(mine(rec_tot[name]), o.dtype)
+            op = jnp.minimum if kind.endswith("min") else jnp.maximum
+            t1 = jnp.where(head, op(cv, o), o)
+            out[name] = jnp.where(tail, op(sv_, t1), t1)
+
+    # avg finalization: the chain patched the NUMERATOR sums; divide by
+    # the global denominator (partition size for total_avg, global
+    # row_number for running_avg) — same f32 association class as the
+    # local operator's own division
+    for name, kind, col, fill in spec:
+        if kind not in ("total_avg", "running_avg"):
+            continue
+        o = out[name]
+        if isinstance(o, U64):
+            numf = _pair_to_f32_signed(
+                o.lo, o.hi,
+                dtypes[colnames.index(col)] == jnp.int32)
+        else:
+            numf = o
+        if kind == "total_avg":
+            den = jnp.maximum(gcnt, jnp.uint32(1)).astype(jnp.float32)
+        else:
+            grn = (idx - part_start + 1) + jnp.where(head, cc, u0)
+            den = jnp.maximum(grn, jnp.uint32(1)).astype(jnp.float32)
+        out[name] = numf / den
 
     planes = []
     for name, kind, _, _ in spec:
@@ -578,7 +779,7 @@ def _distributed_window(key, order, cols, mesh, spec, has_order, colnames,
         colnames=colnames, dtypes=dtypes)
     spec_p = P(AXIS)
     n_in = 2 + (1 if has_order else 0) + len(cols)
-    n_planes = sum(2 if (k in ("running_sum", "moving_sum")
+    n_planes = sum(2 if (k in ("running_sum", "moving_sum", "total_sum")
                          and dtypes[colnames.index(c)] != jnp.float32)
                    else 1 for _, k, c, _ in spec)
     fn = shard_map(body, mesh=mesh, in_specs=tuple([spec_p] * n_in),
@@ -591,16 +792,19 @@ def _distributed_window(key, order, cols, mesh, spec, has_order, colnames,
     slo, shi, spos = res[0], res[1], res[2]
     out, j = {}, 3
     for name, kind, col, _ in spec:
-        if (kind in ("running_sum", "moving_sum")
+        if (kind in ("running_sum", "moving_sum", "total_sum")
                 and dtypes[colnames.index(col)] != jnp.float32):
             out[name] = U64(res[j], res[j + 1])
             j += 2
         elif kind in _RUNNING + ("moving_sum", "moving_min",
                                  "moving_max", "lag", "lead",
-                                 "first_value", "last_value"):
+                                 "first_value", "last_value",
+                                 "total_sum", "total_min",
+                                 "total_max"):
             out[name] = _bitcast(res[j], dtypes[colnames.index(col)])
             j += 1
-        elif kind in ("percent_rank", "moving_avg"):
+        elif kind in ("percent_rank", "moving_avg", "total_avg",
+                      "running_avg"):
             out[name] = _bitcast(res[j], jnp.float32)
             j += 1
         else:
@@ -633,18 +837,6 @@ def distributed_window(key: U64, funcs: dict, mesh: Mesh,
                              for _, k, _, _ in spec):
         raise ValueError("rank/dense_rank/percent_rank require an "
                          "order column")
-    if any(k in ("lag", "lead") and isinstance(f, tuple)
-           for _, k, _, f in spec):
-        # canon packs an offset != 1 as a (fill, k) pair — the
-        # distributed boundary carries hold exactly ONE edge value per
-        # partition, so offset-k shifts are in-core only
-        raise ValueError("distributed lag/lead support offset 1 only "
-                         "(the boundary carry is one row)")
-    from tpu_qe.ops.window import _TOTAL
-    if any(k in _TOTAL for _, k, _, _ in spec):
-        raise ValueError("whole-partition aggregate frames "
-                         f"({', '.join(_TOTAL)}) are in-core only for "
-                         "now (they need the backward total carry)")
     values = values or {}
     needed = tuple(sorted({c for _, _, c, _ in spec if c is not None}))
     for c in needed:

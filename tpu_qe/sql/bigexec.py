@@ -1310,19 +1310,17 @@ def _topk_idx(vt: VirtualTable, prep: _JoinPrep | None, where,
     _add_compile_s(stats, _time.perf_counter() - tc)
     parts = [run_exec(jnp.uint32(r), dim) for r in range(n_runs)]
 
-    @jax.jit
-    def combine(cands):
-        cat = [jnp.concatenate([c[i] for c in cands])
-               for i in range(n_ord + 1)]
-        srt = jax.lax.sort(cat, num_keys=n_ord + 1, is_stable=False)
-        return tuple(jax.lax.slice(p, (0,), (min(k, len(cat[0])),))
-                     for p in srt)
-
-    cand_tuples = tuple(p[0] for p in parts)
-    win = combine(cand_tuples)
+    # candidate combine on the HOST: the R x head_cap candidate set is
+    # LIMIT-bounded (<= 2^26 guarded above, usually tiny), and a host
+    # lexsort avoids a per-call device program whose shape depends on
+    # n_runs — a fresh remote compile costing MINUTES on this tunnel
+    # (measured: 300 s hidden in a 2-run ORDER BY before this change)
+    cat = [np.concatenate([np.asarray(p[0][i]) for p in parts])
+           for i in range(n_ord + 1)]
+    perm = np.lexsort(cat[::-1])[:k]    # last key primary -> reverse
     total = sum(int(np.asarray(p[1])) for p in parts)
     out_m = min(k, total)
-    return _head_np(win[-1], out_m).astype(np.uint32), total
+    return cat[-1][perm][:out_m].astype(np.uint32), total
 
 
 # ---------------------------------------------------------------------------

@@ -1351,6 +1351,7 @@ class Database:
             mask = self._where_mask(sel)
             cols = {k: v[mask] for k, v in cols.items()}
         funcs, values, plain = {}, {}, []
+        i64names: set = set()
         spec = None
         for i, it in enumerate(sel.items):
             if it.expr == "*":
@@ -1374,56 +1375,32 @@ class Database:
                 raise SqlError("distributed windows share one "
                                "(PARTITION BY, ORDER BY) spec")
             fr = c.window.frame_rows
-            if c.func == "avg" and fr is not None:
-                kind = "moving_avg"
-            elif c.func == "count" and c.window.order_by is not None:
-                kind = "row_number"     # running COUNT(*) == row_number
-            else:
-                kind = _WINDOW_FUNCS.get(c.func)
-            if kind is None:
-                raise SqlError(f"unknown window function {c.func} "
-                               "(whole-partition aggregate frames are "
-                               "in-core only)")
-            if fr is not None:
-                remap = {"running_sum": "moving_sum",
-                         "running_min": "moving_min",
-                         "running_max": "moving_max",
-                         "moving_avg": "moving_avg"}
-                if kind not in remap or c.window.order_by is None:
-                    raise SqlError("ROWS frames take SUM/MIN/MAX/AVG "
-                                   "with ORDER BY inside OVER")
-                kind = remap[kind]
+            # the shared in-core kind resolver: frames, whole-partition
+            # (total_*) remaps, COUNT<->row_number/partition_count,
+            # AVG's moving/running/total split — all supported by the
+            # dwindow chain (round-5: total carries + offset-k halos)
+            kind = _window_kind(c)
             if kind in ("row_number", "rank", "dense_rank",
-                        "percent_rank"):
+                        "percent_rank", "partition_count"):
                 funcs[name] = (kind,)
             elif kind == "ntile":
                 funcs[name] = (kind, int(c.args[0].value))
             else:
                 vn = self._plain_col(c.args[0], "window arguments")
-                if (kind in ("running_sum", "moving_sum", "moving_avg")
-                        and tags[vn] == "i32" and (cols[vn] < 0).any()):
-                    raise SqlError(
-                        "distributed SUM OVER int32 with negatives is "
-                        "not supported (sign-extended pair sums are "
-                        "in-core only)")
                 values[vn] = cols[vn]
                 if kind in ("lag", "lead"):
                     fill, off = _lag_args(c)
-                    if off != 1:
-                        raise SqlError(
-                            f"distributed {c.func} supports offset 1 "
-                            "only (one-row boundary carries)")
-                    funcs[name] = (kind, vn, fill)
+                    funcs[name] = (kind, vn, fill, off)
                 elif kind.startswith("moving_"):
                     funcs[name] = (kind, vn, fr + 1)
                 else:
-                    if kind in ("running_sum", "running_min",
-                                "running_max") \
-                            and c.window.order_by is None:
-                        raise SqlError(
-                            f"{c.func}(x) OVER without ORDER BY (the "
-                            "whole-partition frame) is not supported")
                     funcs[name] = (kind, vn)
+                if kind in ("running_sum", "moving_sum", "total_sum") \
+                        and tags[vn] == "i32":
+                    # sign-extended pair sums come back as u64 bit
+                    # patterns — resolve to two's-complement i64 at
+                    # emission (matches the local path's i64sum tag)
+                    i64names.add(name)
         if spec is None:
             raise SqlError("no window calls found")
         pname, oname = spec
@@ -1454,7 +1431,10 @@ class Database:
                 out[name] = cols[it.expr.name]
             else:
                 # pad-partition outputs sit at the input-order tail
-                out[name] = (res[name][:m] if n_pad else res[name])
+                v = res[name][:m] if n_pad else res[name]
+                if name in i64names:
+                    v = v.view(np.int64)
+                out[name] = v
             otags[name] = str(out[name].dtype)
         return Frame(out, otags)
 
