@@ -264,3 +264,134 @@ def test_distributed_moving_halo_spans_multiple_devices(n_dev):
              "mn": ("moving_min", "v", 515)}
     _dist_check(keys, order, values, funcs, n_dev,
                 capacity_factor=float(n_dev))
+
+
+# -- round-5: FOLLOWING frames and RANGE frames -------------------------------
+
+def _frame_oracle(keys, order, vals, a, b, agg):
+    """Per-row ROWS [i-a, i+b] frame over (key, order, pos) order."""
+    n = len(keys)
+    perm = np.lexsort((np.arange(n), order, keys))
+    inv = np.empty(n, np.int64)
+    inv[perm] = np.arange(n)
+    sk, sv = keys[perm], vals[perm].astype(np.float64)
+    out = np.zeros(n, np.float64)
+    for i in range(n):
+        j = int(inv[i])
+        s = j
+        while s > 0 and sk[s - 1] == sk[j] \
+                and (a is None or j - s < a):
+            s -= 1
+        e = j
+        while e < n - 1 and sk[e + 1] == sk[j] and e - j < b:
+            e += 1
+        w = sv[s:e + 1]
+        out[i] = {"sum": w.sum(), "min": w.min(), "max": w.max(),
+                  "avg": w.mean()}[agg]
+    return out
+
+
+@pytest.mark.parametrize("a,b", [(2, 3), (0, 4), (4, 1), (None, 2)])
+def test_following_frames_vs_oracle(a, b):
+    rng = np.random.default_rng(7)
+    n = 2000
+    keys = rng.integers(0, 6, n).astype(np.uint64)
+    order = rng.integers(0, 10 ** 6, n).astype(np.uint32)
+    vu = rng.integers(0, 1000, n).astype(np.uint32)
+    vi = rng.integers(-500, 500, n).astype(np.int32)
+    k = None if a is None else a + 1
+    funcs = {"s": ("moving_sum", "vu", k, b),
+             "si": ("moving_sum", "vi", k, b),
+             "mn": ("moving_min", "vi", k, b),
+             "av": ("moving_avg", "vu", k, b)}
+    res = window(U64.from_numpy(keys), funcs, order=jnp.asarray(order),
+                 values={"vu": jnp.asarray(vu), "vi": jnp.asarray(vi)})
+    for nm, vals, agg in [("s", vu, "sum"), ("si", vi, "sum"),
+                          ("mn", vi, "min"), ("av", vu, "avg")]:
+        got = res.cols[nm]
+        if isinstance(got, U64):
+            got = (np.asarray(got.lo).astype(np.uint64)
+                   | (np.asarray(got.hi).astype(np.uint64)
+                      << np.uint64(32))).view(np.int64)
+        got = np.asarray(got).astype(np.float64)
+        want = _frame_oracle(keys, order, vals, a, b, agg)
+        if agg == "avg":
+            np.testing.assert_allclose(got, want, rtol=1e-5,
+                                       atol=1e-4, err_msg=nm)
+        else:
+            np.testing.assert_array_equal(got, want, err_msg=nm)
+
+
+def test_range_frames_vs_oracle():
+    rng = np.random.default_rng(8)
+    n = 2000
+    keys = rng.integers(0, 6, n).astype(np.uint64)
+    order = rng.integers(0, 50, n).astype(np.uint32)   # heavy ties
+    vu = rng.integers(0, 1000, n).astype(np.uint32)
+    vi = rng.integers(-500, 500, n).astype(np.int32)
+    funcs = {"ru": ("range_sum", "vu", "unbounded"),
+             "rm": ("range_min", "vi", "unbounded"),
+             "rx": ("range_sum", "vi", 7),
+             "ra": ("range_avg", "vu", 12)}
+    res = window(U64.from_numpy(keys), funcs, order=jnp.asarray(order),
+                 values={"vu": jnp.asarray(vu), "vi": jnp.asarray(vi)})
+    for nm, vals, x, agg in [("ru", vu, None, "sum"),
+                             ("rm", vi, None, "min"),
+                             ("rx", vi, 7, "sum"),
+                             ("ra", vu, 12, "avg")]:
+        got = res.cols[nm]
+        if isinstance(got, U64):
+            got = (np.asarray(got.lo).astype(np.uint64)
+                   | (np.asarray(got.hi).astype(np.uint64)
+                      << np.uint64(32))).view(np.int64)
+        got = np.asarray(got).astype(np.float64)
+        want = np.zeros(n, np.float64)
+        for i in range(n):
+            sel = (keys == keys[i]) & (order <= order[i])
+            if x is not None:
+                sel &= order.astype(np.int64) >= int(order[i]) - x
+            w = vals[sel].astype(np.float64)
+            want[i] = {"sum": w.sum(), "min": w.min(),
+                       "avg": w.mean()}[agg]
+        if agg == "avg":
+            np.testing.assert_allclose(got, want, rtol=1e-5,
+                                       atol=1e-4, err_msg=nm)
+        else:
+            np.testing.assert_array_equal(got, want, err_msg=nm)
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_distributed_following_frames(n_dev):
+    # the double-halo path: tail halo for the PRECEDING reach, head
+    # halo (placed over the pad region) for the FOLLOWING reach
+    from tpu_qe.exchange.dsort import make_mesh
+    from tpu_qe.exchange.dwindow import distributed_window_numpy
+    rng = np.random.default_rng(9)
+    n = 4096
+    keys = rng.integers(0, 9, n).astype(np.uint64)
+    order = rng.integers(0, 10 ** 6, n).astype(np.uint32)
+    vu = rng.integers(0, 1000, n).astype(np.uint32)
+    vi = rng.integers(-500, 500, n).astype(np.int32)
+    funcs = {"s": ("moving_sum", "vu", 3, 2),
+             "si": ("moving_sum", "vi", 2, 4),
+             "mn": ("moving_min", "vi", 4, 2),
+             "av": ("moving_avg", "vu", 3, 3)}
+    vals = {"vu": vu, "vi": vi}
+    lres = window(U64.from_numpy(keys), funcs, order=jnp.asarray(order),
+                  values={k: jnp.asarray(v) for k, v in vals.items()})
+    dres = distributed_window_numpy(keys, funcs, make_mesh(n_dev),
+                                    order=order, values=vals,
+                                    capacity_factor="auto")
+    for nm in funcs:
+        a = lres.cols[nm]
+        if isinstance(a, U64):
+            a = (np.asarray(a.lo).astype(np.uint64)
+                 | (np.asarray(a.hi).astype(np.uint64) << np.uint64(32)))
+        else:
+            a = np.asarray(a)
+        b = dres[nm]
+        if nm == "av":
+            np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-3,
+                                       err_msg=nm)
+        else:
+            np.testing.assert_array_equal(a, b, err_msg=nm)

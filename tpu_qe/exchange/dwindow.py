@@ -191,16 +191,20 @@ def _dwindow_shard(lo, hi, *rest, n_dev: int, samples_per_dev: int,
     # value in reals, different f32 association; callers get the same
     # error class as the local operator's own prefix-difference bound
     # (error proportional to the partition prefix), not bit-identity.
-    mov_spec = tuple(s for s in spec_calc if s[1] in _MOVING)
+    movA_spec = tuple(s for s in spec_calc if s[1] in _MOVING)
+    mov_spec = tuple(s for s in movA_spec if not isinstance(s[3], tuple))
+    movF_spec = tuple(s for s in movA_spec if isinstance(s[3], tuple))
     lagk_spec = tuple(s for s in spec_calc
                       if s[1] == "lag" and isinstance(s[3], tuple))
     leadk_spec = tuple(s for s in spec_calc
                        if s[1] == "lead" and isinstance(s[3], tuple))
-    if mov_spec or lagk_spec:
+    if mov_spec or lagk_spec or movF_spec:
         H = max([int(f) - 1 for _, _, _, f in mov_spec]
-                + [int(f[1]) for _, _, _, f in lagk_spec])
+                + [int(f[1]) for _, _, _, f in lagk_spec]
+                + [int(f[0]) - 1 for _, _, _, f in movF_spec])
         mcols = tuple(sorted({c for _, _, c, _ in mov_spec}
-                             | {c for _, _, c, _ in lagk_spec}))
+                             | {c for _, _, c, _ in lagk_spec}
+                             | {c for _, _, c, _ in movF_spec}))
         if H > 0:
             st = jnp.maximum(n_v.astype(jnp.int32) - H, 0)
             t_planes = [
@@ -275,9 +279,11 @@ def _dwindow_shard(lo, hi, *rest, n_dev: int, samples_per_dev: int,
     # (dynamic_update_slice over the pad region) so a static left
     # shift reads true successor rows; a shifted-key equality mask
     # clamps at partition ends (missing rows carry all-ones keys).
-    if leadk_spec:
-        Hf = max(int(f[1]) for _, _, _, f in leadk_spec)
-        fcols = tuple(sorted({c for _, _, c, _ in leadk_spec}))
+    if leadk_spec or movF_spec:
+        Hf = max([int(f[1]) for _, _, _, f in leadk_spec]
+                 + [int(f[1]) for _, _, _, f in movF_spec])
+        fcols = tuple(sorted({c for _, _, c, _ in leadk_spec}
+                             | {c for _, _, c, _ in movF_spec}))
         hp = [p[:Hf] for p in [slo, shi]
               + [_bitcast(svals[c], jnp.uint32) for c in fcols]]
         hp.append((jnp.arange(Hf, dtype=jnp.uint32)
@@ -306,13 +312,17 @@ def _dwindow_shard(lo, hi, *rest, n_dev: int, samples_per_dev: int,
 
         e_lo = place(slo, pick2(0, _ONES), _ONES)
         e_hi = place(shi, pick2(1, _ONES), _ONES)
+        placed_vals = {}
+        for c in fcols:
+            v_ = svals[c]
+            hv_ = _bitcast(pick2(2 + fcols.index(c), jnp.uint32(0)),
+                           v_.dtype)
+            placed_vals[c] = place(v_, hv_, jnp.zeros((), v_.dtype))
         for name, kind, col, fill in leadk_spec:
             f_, k_ = fill
             k_ = int(k_)
             v = svals[col]
-            hv = _bitcast(pick2(2 + fcols.index(col), jnp.uint32(0)),
-                          v.dtype)
-            ev = place(v, hv, jnp.asarray(f_, v.dtype))
+            ev = placed_vals[col]
             nxt = jnp.concatenate([ev[k_:],
                                    jnp.full((k_,), f_, v.dtype)])
             same = ((jnp.concatenate([e_lo[k_:],
@@ -323,6 +333,48 @@ def _dwindow_shard(lo, hi, *rest, n_dev: int, samples_per_dev: int,
                        == e_hi))
             out[name] = jnp.where(same, nxt,
                                   jnp.asarray(f_, v.dtype))[:L]
+
+        # FOLLOWING moving frames: _moving_follow over the DOUBLE-halo
+        # stream [tail halo (H); local valid prefix; head halo placed
+        # at n_v (Hf)] — backward reach k-1 <= H rides the tail halo,
+        # forward reach b <= Hf the head halo; frames clamp at true
+        # partition bounds because halo rows carry real keys, and a
+        # valid row's forward reach never touches my own pads
+        # (i + b <= n_v - 1 + Hf). Globally exact for integer sums /
+        # min / max; f32 sums get the same prefix-restart rounding
+        # class as the single-halo moving frames above.
+        if movF_spec:
+            if H > 0:
+                x_lo = jnp.concatenate([h_lo, e_lo])
+                x_hi = jnp.concatenate([h_hi, e_hi])
+            else:
+                x_lo, x_hi = e_lo, e_hi
+            M = x_lo.shape[0]
+            xidx = jnp.arange(M, dtype=jnp.uint32)
+
+            def prevx(x):
+                return jnp.concatenate([jnp.zeros((1,), x.dtype),
+                                        x[:-1]])
+            x_new = ((xidx == 0) | (x_lo != prevx(x_lo))
+                     | (x_hi != prevx(x_hi)))
+            x_last = jnp.concatenate([x_new[1:], jnp.ones((1,), bool)])
+            from tpu_qe.ops.segscan import cummax_u32 as _cx
+            x_ps = _cx(jnp.where(x_new, xidx, jnp.uint32(0)))
+            x_rn0 = xidx - x_ps
+            rev = _cx(jnp.where(jnp.flip(x_last), xidx, jnp.uint32(0)))
+            x_pe = jnp.uint32(M - 1) - jnp.flip(rev)
+            x_rne = x_pe - xidx
+            from tpu_qe.ops.window import _moving_follow
+            for name, kind, col, fill in movF_spec:
+                kk, bb = fill
+                xv = placed_vals[col]
+                if H > 0:
+                    xv = jnp.concatenate(
+                        [_bitcast(h_vals[col], xv.dtype), xv])
+                mv = _moving_follow(kind, xv, int(kk), int(bb), x_new,
+                                    x_last, x_rn0, x_rne)
+                out[name] = (U64(mv.lo[H:H + L], mv.hi[H:H + L])
+                             if isinstance(mv, U64) else mv[H:H + L])
 
     # ---- per-device summary vector ------------------------------------
     li = jnp.maximum(n_v, 1) - 1  # last valid row (clamped; masked if 0)
@@ -837,6 +889,11 @@ def distributed_window(key: U64, funcs: dict, mesh: Mesh,
                              for _, k, _, _ in spec):
         raise ValueError("rank/dense_rank/percent_rank require an "
                          "order column")
+    if any(k in _MOVING and isinstance(f, tuple) and f[0] is None
+           for _, k, _, f in spec):
+        raise ValueError("UNBOUNDED PRECEDING with a FOLLOWING bound "
+                         "is in-core only (distributed frames ride "
+                         "bounded row halos)")
     values = values or {}
     needed = tuple(sorted({c for _, _, c, _ in spec if c is not None}))
     for c in needed:

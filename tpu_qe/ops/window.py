@@ -72,8 +72,9 @@ _MOVING = ("moving_sum", "moving_min", "moving_max", "moving_avg")
 # row_number as f32 (sign-correct for int32).
 _TOTAL = ("total_sum", "total_min", "total_max", "total_avg",
           "partition_count", "running_avg")
+_RANGE = ("range_sum", "range_min", "range_max", "range_avg")
 _VALID_FUNCS = (("row_number", "rank", "dense_rank", "lag", "lead")
-                + _RUNNING + _WHOLE + _MOVING + _TOTAL)
+                + _RUNNING + _WHOLE + _MOVING + _TOTAL + _RANGE)
 
 
 class WindowResult(NamedTuple):
@@ -101,18 +102,45 @@ def _canon_funcs(funcs: dict) -> tuple:
             raise ValueError(f"unknown window function {kind!r}")
         col = f[1] if len(f) > 1 else None
         fill = f[2] if len(f) > 2 else 0
-        if kind in _RUNNING + _MOVING + ("lag", "lead", "first_value",
-                                         "last_value", "total_sum",
-                                         "total_min", "total_max",
-                                         "total_avg", "running_avg") \
+        if kind in _RUNNING + _MOVING + _RANGE + (
+                "lag", "lead", "first_value", "last_value", "total_sum",
+                "total_min", "total_max", "total_avg", "running_avg") \
                 and col is None:
             raise ValueError(f"{kind} needs a value column")
+        if kind in _RANGE:
+            # spec is (kind, col, bound) — bound is the order-value
+            # window ("unbounded" = the tie-aware running frame, SQL's
+            # default RANGE UNBOUNDED PRECEDING .. CURRENT ROW)
+            if fill != "unbounded" and not (
+                    isinstance(fill, (int, float))
+                    and not isinstance(fill, bool) and fill >= 0):
+                raise ValueError(f"{kind} bound must be a non-negative "
+                                 f"number or 'unbounded', got {fill!r}")
+            if fill != "unbounded" and kind in ("range_min",
+                                                "range_max"):
+                raise ValueError(f"{kind} supports the 'unbounded' "
+                                 "bound only (bounded RANGE min/max "
+                                 "needs suffix scans)")
         if kind in _MOVING:
-            # spec is (kind, col, k) — the static frame width rides the
-            # fill slot
-            if not (isinstance(fill, int) and fill >= 1):
+            # spec is (kind, col, k[, b]) — the static backward width k
+            # (incl. the current row; None = UNBOUNDED PRECEDING) rides
+            # the fill slot, an optional b-rows FOLLOWING bound packs
+            # it into a (k, b) pair (the lag/lead offset precedent)
+            b_f = f[3] if len(f) > 3 else 0
+            if not (isinstance(b_f, int) and b_f >= 0):
+                raise ValueError(f"{kind} FOLLOWING bound must be an "
+                                 f"int >= 0, got {b_f!r}")
+            if fill is None:
+                if b_f < 1:
+                    raise ValueError(
+                        f"{kind} with UNBOUNDED PRECEDING needs a "
+                        "FOLLOWING bound (use the running frame "
+                        "otherwise)")
+            elif not (isinstance(fill, int) and fill >= 1):
                 raise ValueError(f"{kind} needs a static frame width "
                                  f">= 1, got {fill!r}")
+            if b_f:
+                fill = (fill, b_f)
         if kind in ("lag", "lead"):
             # spec is (kind, col[, fill[, offset]]) — a static offset
             # k != 1 rides the fill slot as a (fill, k) pair (the same
@@ -170,8 +198,9 @@ def _window(key: U64, order, cols: tuple, colnames: tuple,
         order_new = is_new
     is_last = jnp.concatenate([is_new[1:], jnp.ones((1,), bool)])
 
-    out, _ = _window_sorted_cols(spec, scols, idx, is_new, order_new,
-                                 is_last)
+    out, _ = _window_sorted_cols(
+        spec, scols, idx, is_new, order_new, is_last,
+        sorder=sorder, odt=None if order is None else order.dtype)
 
     if output == "sorted":
         return out, spos
@@ -201,7 +230,7 @@ def _window(key: U64, order, cols: tuple, colnames: tuple,
 
 
 def _window_sorted_cols(spec, scols, idx, is_new, order_new, is_last,
-                        need_aux: bool = False):
+                        need_aux: bool = False, sorder=None, odt=None):
     """All window planes over an already partition-sorted stream.
 
     Returns (out, aux): aux carries the forward-filled partition/run
@@ -304,8 +333,20 @@ def _window_sorted_cols(spec, scols, idx, is_new, order_new, is_last,
         elif kind in _MOVING:
             if part_start is None:
                 part_start = cummax_u32(jnp.where(is_new, idx, jnp.uint32(0)))
-            out[name] = _moving(kind, scols[col], int(fill), is_new,
-                                idx - part_start)
+            if isinstance(fill, tuple):     # (k, b) FOLLOWING frame
+                kk, bb = fill
+                if part_end is None:
+                    m1 = jnp.uint32(idx.shape[0] - 1)
+                    bnd = jnp.flip(is_last)
+                    rev_start = cummax_u32(
+                        jnp.where(bnd, idx, jnp.uint32(0)))
+                    part_end = m1 - jnp.flip(rev_start)
+                out[name] = _moving_follow(
+                    kind, scols[col], kk, int(bb), is_new, is_last,
+                    idx - part_start, part_end - idx)
+            else:
+                out[name] = _moving(kind, scols[col], int(fill), is_new,
+                                    idx - part_start)
         elif kind == "lag":
             v = scols[col]
             f_, k_ = fill if isinstance(fill, tuple) else (fill, 1)
@@ -340,6 +381,61 @@ def _window_sorted_cols(spec, scols, idx, is_new, order_new, is_last,
                                        jnp.full((k_,), f, v.dtype)])
                 out[name] = jnp.where(idx + jnp.uint32(k_) <= part_end,
                                       nxt, f)
+        elif kind in _RANGE:
+            agg = kind.rsplit("_", 1)[1]
+            v = scols[col]
+            if fill == "unbounded":
+                # tie-aware running frame (SQL's default RANGE
+                # UNBOUNDED PRECEDING .. CURRENT ROW): the running
+                # value at the LAST peer of each order run, broadcast
+                # back over the run (one flip + segmented fill)
+                run_lastb = jnp.concatenate([order_new[1:],
+                                             jnp.ones((1,), bool)])
+                bnd = jnp.flip(run_lastb)
+
+                def rb(x):
+                    return jnp.flip(_seg_fill(jnp.flip(x), bnd, bnd))
+                if agg in ("sum", "avg"):
+                    if v.dtype == jnp.float32:
+                        tot, pair = rb(segmented_reduce(v, is_new,
+                                                        "sum")), None
+                    else:
+                        lo, hi = segmented_sum_u64(*_pair_planes(v),
+                                                   is_new)
+                        pair, tot = U64(rb(lo), rb(hi)), None
+                    if agg == "sum":
+                        out[name] = pair if pair is not None else tot
+                    else:
+                        if part_start is None:
+                            part_start = cummax_u32(jnp.where(
+                                is_new, idx, jnp.uint32(0)))
+                        cnt = rb(idx - part_start + 1)
+                        num = (tot if pair is None
+                               else _pair_to_f32_signed(
+                                   pair.lo, pair.hi,
+                                   v.dtype == jnp.int32))
+                        out[name] = num / cnt.astype(jnp.float32)
+                else:
+                    out[name] = rb(segmented_reduce(v, is_new, agg))
+            else:
+                if sorder is None:
+                    raise ValueError("bounded RANGE frames need the "
+                                     "order plane (in-core window "
+                                     "only)")
+                if part_start is None:
+                    part_start = cummax_u32(jnp.where(
+                        is_new, idx, jnp.uint32(0)))
+                fsum, fcnt = _range_x(agg, v, sorder, odt, fill,
+                                      is_new, order_new, part_start,
+                                      idx)
+                if agg == "sum":
+                    out[name] = fsum
+                else:
+                    num = (fsum if not isinstance(fsum, U64)
+                           else _pair_to_f32_signed(
+                               fsum.lo, fsum.hi, v.dtype == jnp.int32))
+                    out[name] = num / jnp.maximum(
+                        fcnt, jnp.uint32(1)).astype(jnp.float32)
         elif kind == "first_value":
             # forward last-valid fill with the flag ONLY at partition
             # starts = the partition's first value at every row (the
@@ -495,6 +591,142 @@ def _moving(kind: str, v, k: int, is_new, rn0):
     return m
 
 
+def _moving_follow(kind: str, v, k, b: int, is_new, is_last, rn0,
+                   rn_end):
+    """Frame ROWS BETWEEN k-1 PRECEDING AND b FOLLOWING (k None =
+    UNBOUNDED PRECEDING), clamped to the partition on both sides.
+
+    Composition: the BACKWARD frame at row i (width k incl. the
+    current row — the existing _moving machinery / running reduce)
+    combined with the FORWARD frame of width b+1 at i, computed as the
+    backward frame of the REVERSED stream (jnp.flip is a relayout, not
+    a sweep; the reversed stream's partition starts are is_last and
+    its row offsets are rn_end = part_end - idx). Row i is counted by
+    both parts exactly once: subtracted for sums (exact mod-2^64 U64
+    pair arithmetic, so integer frames stay bit-exact; i32 pairs are
+    two's-complement), absorbed by idempotency for min/max.
+    moving_avg divides the exact frame sum by the clamped frame count
+    min(rn0+1, k) + min(rn_end, b)."""
+    rv, rnew, rrn = jnp.flip(v), jnp.flip(is_last), jnp.flip(rn_end)
+    if kind in ("moving_sum", "moving_avg"):
+        if k is None:
+            back = (segmented_reduce(v, is_new, "sum")
+                    if v.dtype == jnp.float32
+                    else U64(*segmented_sum_u64(*_pair_planes(v),
+                                                is_new)))
+        else:
+            back = _moving("moving_sum", v, int(k), is_new, rn0)
+        fwd = _moving("moving_sum", rv, int(b) + 1, rnew, rrn)
+        if isinstance(back, U64):
+            flo, fhi = jnp.flip(fwd.lo), jnp.flip(fwd.hi)
+            vlo, vhi = _pair_planes(v)
+            s1 = back.lo + flo
+            h1 = back.hi + fhi + (s1 < flo).astype(jnp.uint32)
+            lo = s1 - vlo
+            hi = h1 - vhi - (s1 < vlo).astype(jnp.uint32)
+            if kind == "moving_sum":
+                return U64(lo, hi)
+            ms = _pair_to_f32_signed(lo, hi, v.dtype == jnp.int32)
+        else:
+            ms = back + jnp.flip(fwd) - v
+            if kind == "moving_sum":
+                return ms
+        kb = (rn0 + 1 if k is None
+              else jnp.minimum(rn0 + 1, jnp.uint32(k)))
+        cnt = (kb + jnp.minimum(rn_end, jnp.uint32(b))).astype(
+            jnp.float32)
+        return ms / cnt
+    back = (segmented_reduce(v, is_new, kind[-3:]) if k is None
+            else _moving(kind, v, int(k), is_new, rn0))
+    fwd = jnp.flip(_moving(kind, rv, int(b) + 1, rnew, rrn))
+    op = jnp.minimum if kind == "moving_min" else jnp.maximum
+    return op(back, fwd)
+
+
+def _range_x(agg: str, v, sorder, odt, x, is_new, order_new,
+             part_start, idx):
+    """RANGE BETWEEN x PRECEDING AND CURRENT ROW for SUM / AVG: the
+    frame of row i is every partition row whose ORDER VALUE lies in
+    [order_i - x, order_i].
+
+    Gather-free (the sort-instead-of-searchsorted house pattern — XLA
+    gathers run at 68 M elem/s, sorts at the VPU envelope): the n
+    queries (order_i - x, saturating in the order dtype) merge with
+    the n value rows in ONE union sort keyed (partition id, order
+    bits, side) with queries sorting BEFORE equal-valued rows; each
+    query row then reads the running prefix of the last strictly-
+    smaller value row via a segmented forward fill (zero when none),
+    and one position sort scatters the query results back. frame =
+    running[i] - prefix_below[i] — exact mod-2^64 pair arithmetic for
+    integer sums. Returns (frame sum U64|f32, frame count u32)."""
+    from tpu_qe.bits import sortable_u32, sortable_u32_inverse
+    n = v.shape[0]
+    ovals = sortable_u32_inverse(sorder, odt)
+    if odt == jnp.uint32:
+        xq = jnp.uint32(int(x))
+        q = jnp.where(ovals >= xq, ovals - xq, jnp.uint32(0))
+    elif odt == jnp.int32:
+        xq = jnp.int32(int(x))
+        r = ovals - xq
+        q = jnp.where(r > ovals, jnp.int32(-(1 << 31)), r)  # saturate
+    else:
+        q = ovals - jnp.float32(x)
+    qbits = sortable_u32(q)
+    if v.dtype == jnp.float32:
+        planes = [segmented_reduce(v, is_new, "sum")]
+    else:
+        lo, hi = segmented_sum_u64(*_pair_planes(v), is_new)
+        planes = [lo, hi]
+    # SQL RANGE frames end at the current row's LAST PEER: the
+    # minuend is the run-end-broadcast running value (the subtrahend
+    # side is already tie-correct — the last value row strictly below
+    # the bound closes its own order run)
+    run_lastb = jnp.concatenate([order_new[1:], jnp.ones((1,), bool)])
+    bnd_ = jnp.flip(run_lastb)
+
+    def _rb(xp):
+        return jnp.flip(_seg_fill(jnp.flip(xp), bnd_, bnd_))
+    top = [_rb(p) for p in planes]
+    top_cnt = _rb(idx - part_start + 1)
+    part_id = cumsum_u32(is_new.astype(jnp.uint32))
+    z = jnp.zeros(n, jnp.uint32)
+    up = jnp.concatenate([part_id, part_id])
+    ub = jnp.concatenate([qbits, sorder])
+    uside = jnp.concatenate([z, jnp.ones(n, jnp.uint32)])
+    upos = jnp.concatenate([idx, idx])
+    upay = [jnp.concatenate([z, p]) for p in planes]
+    srt = jax.lax.sort([up, ub, uside, upos] + upay, num_keys=4,
+                       is_stable=False)
+    spid, sside, spos_ = srt[0], srt[2], srt[3]
+    uidx = jnp.arange(2 * n, dtype=jnp.uint32)
+    useg_new = (uidx == 0) | (spid != _shift_right_one(spid, 0))
+    is_val = sside == 1
+    filled = [_seg_fill(p, useg_new, is_val) for p in srt[4:]]
+    # value-count strictly below the query within its partition
+    scount = cumsum_u32(is_val.astype(jnp.uint32))
+    base = cummax_u32(jnp.where(
+        useg_new, scount - is_val.astype(jnp.uint32), jnp.uint32(0)))
+    cnt_lt = scount - base
+    # scatter query rows back to window-stream order (queries carry
+    # their stream position; value rows sort to the tail)
+    qsel = jnp.where(is_val, jnp.uint32(0xFFFFFFFF), spos_)
+    back = jax.lax.sort([qsel] + filled + [cnt_lt], num_keys=1,
+                        is_stable=False)
+    cnt_lt_q = back[-1][:n]
+    # _seg_fill carries the previous segment's value across a boundary
+    # until the first flagged row — a query with NO value rows below it
+    # in its partition must read 0, not the previous partition's prefix
+    low = [jnp.where(cnt_lt_q > 0, b[:n], jnp.zeros((), b.dtype))
+           for b in back[1:-1]]
+    cnt = top_cnt - cnt_lt_q
+    if v.dtype == jnp.float32:
+        return top[0] - low[0], cnt
+    olo = top[0] - low[0]
+    ohi = (top[1] - low[1]
+           - (top[0] < low[0]).astype(jnp.uint32))
+    return U64(olo, ohi), cnt
+
+
 def _seg_fill(v, boundary, flag):
     """Segmented last-valid forward fill (the ops/join.py monoid): at
     every row, the value of the last flagged row at or before it within
@@ -557,9 +789,9 @@ def window(key: U64, funcs: dict, order: jnp.ndarray | None = None,
     if output not in ("input", "sorted"):
         raise ValueError(f"unknown output mode {output!r}")
     if order is None and any(k in ("rank", "dense_rank", "percent_rank")
-                             for _, k, _, _ in spec):
-        raise ValueError("rank/dense_rank/percent_rank require an "
-                         "order column")
+                             + _RANGE for _, k, _, _ in spec):
+        raise ValueError("rank/dense_rank/percent_rank and RANGE "
+                         "frames require an order column")
     values = values or {}
     needed = tuple(sorted({c for _, _, c, _ in spec if c is not None}))
     for c in needed:
@@ -570,17 +802,19 @@ def window(key: U64, funcs: dict, order: jnp.ndarray | None = None,
         z32 = jnp.zeros(0, jnp.uint32)
         cols = {}
         for name, kind, col, _ in spec:
-            if (kind in ("running_sum", "moving_sum", "total_sum")
+            if (kind in ("running_sum", "moving_sum", "total_sum",
+                         "range_sum")
                     and values[col].dtype != jnp.float32):
                 cols[name] = U64(z32, z32)
             elif kind in _RUNNING + ("moving_sum", "moving_min",
                                      "moving_max", "lag", "lead",
                                      "first_value", "last_value",
                                      "total_sum", "total_min",
-                                     "total_max"):
+                                     "total_max", "range_sum",
+                                     "range_min", "range_max"):
                 cols[name] = jnp.zeros(0, values[col].dtype)
             elif kind in ("percent_rank", "moving_avg", "total_avg",
-                          "running_avg"):
+                          "running_avg", "range_avg"):
                 cols[name] = jnp.zeros(0, jnp.float32)
             else:
                 cols[name] = z32

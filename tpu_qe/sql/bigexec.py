@@ -1682,6 +1682,10 @@ def _window_big(vt: VirtualTable, q: P.Query, run_size: int,
     prefix_calls, whole_calls = [], []
     for c in wcalls:
         kind = kinds[id(c)]
+        if kind.startswith("range_"):
+            raise SqlError("RANGE frames over a big table are not "
+                           "supported (a row's order-value peers can "
+                           "extend past any bounded prefix)")
         if kind == "last_value":
             raise SqlError("last_value over a big table is not "
                            "supported (whole-partition argmax)")
@@ -1705,6 +1709,10 @@ def _window_big(vt: VirtualTable, q: P.Query, run_size: int,
                            "aggregates may differ)")
         if kinds[id(c)] == "lead":
             F = max(F, _lag_args(c)[1])
+        if c.window.frame_follow:
+            # FOLLOWING frames extend the candidate set's forward
+            # reach exactly like LEAD offsets (bounded lookahead)
+            F = max(F, c.window.frame_follow)
         if kinds[id(c)] in COMPOSED and c.window.order_by is None:
             raise SqlError(f"{c.func} over a big table needs ORDER BY "
                            "inside OVER")

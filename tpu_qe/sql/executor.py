@@ -80,16 +80,22 @@ def _window_kind(c) -> str:
     whole-partition frame (total_*)."""
     ocol = c.window.order_by
     fr = c.window.frame_rows
+    fo = c.window.frame_follow
+    has_frame = fr is not None or fo is not None
     if c.func == "avg":
-        kind = ("moving_avg" if fr is not None
+        kind = ("moving_avg" if has_frame
                 else "running_avg" if ocol is not None else "total_avg")
     elif c.func == "count":
         kind = ("row_number" if ocol is not None else "partition_count")
+        if has_frame:
+            raise SqlError("COUNT(*) OVER with a ROWS frame is not "
+                           "supported (frame counts are min(rn0+1, k) "
+                           "+ min(rn_end, b) — use arithmetic)")
     else:
         kind = _WINDOW_FUNCS.get(c.func)
     if kind is None:
         raise SqlError(f"unknown window function {c.func}")
-    if fr is not None:
+    if has_frame:
         remap = {"running_sum": "moving_sum", "running_min": "moving_min",
                  "running_max": "moving_max", "moving_avg": "moving_avg"}
         if kind not in remap:
@@ -97,6 +103,25 @@ def _window_kind(c) -> str:
         if ocol is None:
             raise SqlError("a ROWS frame needs ORDER BY inside OVER")
         kind = remap[kind]
+    frange = c.window.frame_range
+    if frange is not None:
+        # RANGE frames: order-VALUE window bounds. The kind arrives as
+        # the running family (no ROWS frame present); 'unbounded' is
+        # SQL's tie-aware default frame, a numeric bound is
+        # [order - x, order] (SUM/AVG only — see ops/window._range_x)
+        remap_r = {"running_sum": "range_sum",
+                   "running_min": "range_min",
+                   "running_max": "range_max",
+                   "running_avg": "range_avg"}
+        if kind not in remap_r:
+            raise SqlError(f"{c.func} does not take a RANGE frame")
+        if ocol is None:
+            raise SqlError("a RANGE frame needs ORDER BY inside OVER")
+        kind = remap_r[kind]
+        if frange != "unbounded" and kind in ("range_min", "range_max"):
+            raise SqlError(f"{c.func} takes the unbounded RANGE frame "
+                           "only (bounded RANGE min/max needs suffix "
+                           "scans)")
     if kind in ("running_sum", "running_min", "running_max") \
             and ocol is None:
         kind = {"running_sum": "total_sum", "running_min": "total_min",
@@ -1375,6 +1400,10 @@ class Database:
                 raise SqlError("distributed windows share one "
                                "(PARTITION BY, ORDER BY) spec")
             fr = c.window.frame_rows
+            if c.window.frame_range is not None:
+                raise SqlError("RANGE frames are in-core only (the "
+                               "union-sort order-boundary search does "
+                               "not distribute yet)")
             # the shared in-core kind resolver: frames, whole-partition
             # (total_*) remaps, COUNT<->row_number/partition_count,
             # AVG's moving/running/total split — all supported by the
@@ -1392,7 +1421,10 @@ class Database:
                     fill, off = _lag_args(c)
                     funcs[name] = (kind, vn, fill, off)
                 elif kind.startswith("moving_"):
-                    funcs[name] = (kind, vn, fr + 1)
+                    fo = c.window.frame_follow
+                    funcs[name] = (
+                        (kind, vn, None if fr is None else fr + 1, fo)
+                        if fo else (kind, vn, fr + 1))
                 else:
                     funcs[name] = (kind, vn)
                 if kind in ("running_sum", "moving_sum", "total_sum") \
@@ -1760,9 +1792,21 @@ class Database:
                         funcs[wname] = (kind, vn, fill, off)
                         tagof[wname] = vtv.tag
                     elif kind.startswith("moving_"):
-                        funcs[wname] = (kind, vn, fr + 1)
+                        fo = c.window.frame_follow
+                        funcs[wname] = (
+                            (kind, vn,
+                             None if fr is None else fr + 1, fo)
+                            if fo else (kind, vn, fr + 1))
                         tagof[wname] = ("f32" if kind == "moving_avg"
                                         else vtv.tag)
+                    elif kind.startswith("range_"):
+                        funcs[wname] = (kind, vn,
+                                        c.window.frame_range)
+                        tagof[wname] = (
+                            "f32" if kind == "range_avg"
+                            else "i64" if kind == "range_sum"
+                            and vtv.tag in ("u32", "i32")
+                            else vtv.tag)
                     else:
                         funcs[wname] = (kind, vn)
                         tagof[wname] = (

@@ -170,9 +170,16 @@ class Call:
 class WindowSpec:
     partition_by: tuple        # (Col, ...)
     order_by: "Col | None"
-    # ROWS BETWEEN frame_rows PRECEDING AND CURRENT ROW (None = the
-    # default running frame, UNBOUNDED PRECEDING .. CURRENT ROW)
+    # ROWS BETWEEN frame_rows PRECEDING AND {CURRENT ROW | frame_follow
+    # FOLLOWING} (frame_rows None + frame_follow None = the default
+    # running frame, UNBOUNDED PRECEDING .. CURRENT ROW; frame_rows
+    # None + frame_follow set = UNBOUNDED PRECEDING .. k FOLLOWING)
     frame_rows: int | None = None
+    frame_follow: int | None = None
+    # RANGE BETWEEN {x | UNBOUNDED} PRECEDING AND CURRENT ROW: the
+    # order-VALUE window bound — "unbounded" means the tie-aware
+    # running frame (peers of the current row included)
+    frame_range: object = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -553,15 +560,42 @@ class _Parser:
         if self.kw("order"):
             self.expect_kw("by")
             order = self.colref()
-        frame = None
+        frame = follow = frange = None
         if self.ctx_kw("rows"):
             self.expect_kw("between")
             if self.ctx_kw("unbounded"):
                 self.expect_ctx("preceding")  # the default running frame
+            elif self.ctx_kw("current"):
+                self.expect_ctx("row")
+                frame = 0
             else:
                 if self.cur.kind != "int":
-                    raise self._err("integer or UNBOUNDED")
+                    raise self._err("integer, CURRENT ROW or UNBOUNDED")
                 frame = int(self.cur.text)
+                self.i += 1
+                self.expect_ctx("preceding")
+            self.expect_kw("and")
+            if self.ctx_kw("current"):
+                self.expect_ctx("row")
+            else:
+                if self.cur.kind != "int":
+                    raise self._err("integer or CURRENT ROW")
+                follow = int(self.cur.text)
+                self.i += 1
+                self.expect_ctx("following")
+                if follow < 1:
+                    raise self._err("a FOLLOWING bound >= 1")
+        elif self.ctx_kw("range"):
+            self.expect_kw("between")
+            if self.ctx_kw("unbounded"):
+                self.expect_ctx("preceding")
+                frange = "unbounded"
+            else:
+                if self.cur.kind not in ("int", "float"):
+                    raise self._err("numeric bound or UNBOUNDED")
+                frange = (float(self.cur.text)
+                          if self.cur.kind == "float"
+                          else int(self.cur.text))
                 self.i += 1
                 self.expect_ctx("preceding")
             self.expect_kw("and")
@@ -569,7 +603,8 @@ class _Parser:
             self.expect_ctx("row")
         self.expect_op(")")
         return dataclasses.replace(
-            c, window=WindowSpec(tuple(part), order, frame))
+            c, window=WindowSpec(tuple(part), order, frame, follow,
+                                 frange))
 
 
 def parse(src: str) -> Query:
