@@ -434,3 +434,14 @@ def test_where_with_join_right_side():
            "JOIN r ON t.k = r.k WHERE w < 50 GROUP BY t.k "
            "ORDER BY t.k")
     _cmp(db.sql(sql), db.sql(sql, mesh=make_mesh(2)))
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_whole_partition_rides_ordered_spec(n_dev):
+    # order-independent whole-partition calls may share one program
+    # with ordered calls over the same partition column
+    db = _db(25)
+    sql = ("SELECT id, SUM(v) OVER (PARTITION BY k) AS ts, "
+           "SUM(v) OVER (PARTITION BY k ORDER BY id) AS rs "
+           "FROM t ORDER BY id")
+    _cmp(db.sql(sql), db.sql(sql, mesh=make_mesh(n_dev)))

@@ -1397,8 +1397,16 @@ class Database:
             if spec is None:
                 spec = key
             elif spec != key:
-                raise SqlError("distributed windows share one "
-                               "(PARTITION BY, ORDER BY) spec")
+                # whole-partition calls (no ORDER BY) may ride an
+                # ordered spec over the same partition column — their
+                # kinds are order-independent
+                if key[0] == spec[0] and (key[1] is None
+                                          or spec[1] is None):
+                    if spec[1] is None:
+                        spec = key
+                else:
+                    raise SqlError("distributed windows share one "
+                                   "(PARTITION BY, ORDER BY) spec")
             fr = c.window.frame_rows
             if c.window.frame_range is not None:
                 raise SqlError("RANGE frames are in-core only (the "
