@@ -1063,3 +1063,26 @@ class TestFollowingAndRangeFrames:
             db.sql("SELECT ROW_NUMBER() OVER (PARTITION BY g ORDER "
                    "BY id ROWS BETWEEN 1 PRECEDING AND 2 FOLLOWING) "
                    "AS r FROM t")
+
+
+class TestLimitOffset:
+    def test_order_by_offset(self, engines):
+        check(*engines,
+              "SELECT id, v FROM t ORDER BY v DESC, id LIMIT 10 "
+              "OFFSET 25", ordered=True)
+
+    def test_group_frame_offset(self, engines):
+        check(*engines,
+              "SELECT k, COUNT(*) AS c FROM t GROUP BY k ORDER BY k "
+              "LIMIT 3 OFFSET 4", ordered=True)
+
+    def test_where_offset(self, engines):
+        check(*engines,
+              "SELECT id FROM t WHERE v > 0 ORDER BY id LIMIT 7 "
+              "OFFSET 100", ordered=True)
+
+    def test_offset_past_end(self, engines):
+        got, _ = engines
+        out = got.sql("SELECT k FROM t GROUP BY k ORDER BY k "
+                      "LIMIT 5 OFFSET 100")
+        assert len(out["k"]) == 0

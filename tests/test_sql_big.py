@@ -589,3 +589,23 @@ def test_window_unsupported_shapes(dbs):
     with pytest.raises(SqlError, match="share one"):
         big.sql(f"SELECT {rn}, RANK() OVER (PARTITION BY u ORDER BY v)"
                 " AS r2 FROM t LIMIT 5", run_size=RUN)
+
+
+def test_limit_offset_over_virtual_table():
+    import jax.numpy as jnp
+    db = Database()
+    db.register_virtual("big", 1 << 14,
+                        {"k": lambda i: i & jnp.uint32(63),
+                         "v": lambda i: i})
+    out = db.sql("SELECT v FROM big ORDER BY v DESC LIMIT 5 OFFSET 3",
+                 run_size=1 << 12)
+    np.testing.assert_array_equal(
+        out["v"], (1 << 14) - 1 - 3 - np.arange(5))
+    out2 = db.sql("SELECT v FROM big LIMIT 4 OFFSET 10",
+                  run_size=1 << 12)
+    np.testing.assert_array_equal(out2["v"], 10 + np.arange(4))
+    out3 = db.sql("SELECT k, v, ROW_NUMBER() OVER (PARTITION BY k "
+                  "ORDER BY v) AS rn FROM big LIMIT 4 OFFSET 2",
+                  run_size=1 << 12)
+    np.testing.assert_array_equal(out3["v"], 64 * (2 + np.arange(4)))
+    np.testing.assert_array_equal(out3["rn"], 3 + np.arange(4))

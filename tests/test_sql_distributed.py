@@ -445,3 +445,14 @@ def test_whole_partition_rides_ordered_spec(n_dev):
            "SUM(v) OVER (PARTITION BY k ORDER BY id) AS rs "
            "FROM t ORDER BY id")
     _cmp(db.sql(sql), db.sql(sql, mesh=make_mesh(n_dev)))
+
+
+def test_order_by_limit_offset():
+    db = _db(26)
+    sql = "SELECT id, v FROM t ORDER BY v DESC, id LIMIT 16 OFFSET 8"
+    local = db.sql(sql)
+    dist = db.sql(sql, mesh=make_mesh(4))
+    for nm in local:
+        np.testing.assert_array_equal(
+            np.asarray(local[nm]).astype(np.int64),
+            np.asarray(dist[nm]).astype(np.int64), err_msg=nm)

@@ -88,25 +88,24 @@ def sort_sol_seconds(n: int, num_passes: int, payload_cols: int = 1,
 #   elementwise streaming pass at HBM peak (read + write per operand).
 # --------------------------------------------------------------------------
 
-_SORT_C = 2.94e-12       # s per element * log2(n)^2 * KEY operand (v5e,
-                         # measured 2026-08-17: stable 2-key+1-payload
-                         # 64M sort = 345 ms with payload weight 0.59)
-                         # Per-mix calibration error, measured 2026-08-19
-                         # at 200M rows (round-4 join decomposition,
-                         # round4_measured.jsonl): the (3-key+1-payload)
-                         # unstable sort implies C = 3.48e-12 and the
-                         # (1-key+1-payload) one C = 4.01e-12 — i.e. the
-                         # log2^2 scaling from the 64M calibration point
-                         # underprices 200M sorts by ~20-35%. Operator
-                         # sol_fractions built on raw lax.sort calls
-                         # (join: 0.859) therefore understate true
-                         # envelope proximity; the join's measured glue
-                         # is ZERO (integrated op beats its isolated
-                         # phases summed).
-_SORT_PAYLOAD = 0.59     # payload-operand cost as a fraction of a key
-                         # operand (measured 2026-08-17: 2-key sorts with
-                         # 0-3 payloads -> 79.8 ms marginal vs 135 ms/key)
-_SORT_UNSTABLE = 0.75    # measured stable->unstable ratio (2026-08-17)
+# Round-5 recalibration (tools/calibrate_sort_scale.py, 2026-08-20,
+# chained differential timing of 3 mixes x 3 sizes on the chip —
+# round5_calibration.out). The 9 measurements solve to a 4-parameter
+# model that reproduces every point to < 1%:
+#   per-KEY stable cost C(n) = C0 * (1 + SCALE * (log2 n - 26))
+#     (the log2^2 form alone underpriced 200M+ sorts — VERDICT r4
+#      weak #2; measured slope ~+4.9%/log2 above the 64M point)
+#   payload operands cost 0.07 of a key operand (the 2026-08-17 value
+#     of 0.59 was ~8x too high — payload planes ride nearly free)
+#   unstable sorts cost 0.672x stable (was modeled 0.75)
+_SORT_C = 2.837e-12      # s per element * log2(n)^2 * KEY operand,
+                         # stable, at n = 2^26 (s2k1p 268.2 ms)
+_SORT_SCALE = 0.049      # fractional growth of _SORT_C per log2(n)
+                         # above 26 (2^27: 2.97e-12, 2^28: 3.12e-12)
+_SORT_PAYLOAD = 0.07     # payload-operand cost as a fraction of a key
+                         # operand (u3k1p vs u1k1p at all 3 sizes)
+_SORT_UNSTABLE = 0.672   # measured stable->unstable ratio (all sizes
+                         # agree: 0.672-0.678)
 _SCAN_BASE = 7.5e-10     # s per element: the full log2(n)-sweep scan's
                          # fixed cost (v5e, measured 2026-08-17)
 _SCAN_PER_OP = 0.6e-10   # s per element per additional operand plane
@@ -124,7 +123,9 @@ def lax_sort_seconds(n: int, num_operands: int, stable: bool = True,
         num_keys = num_operands
     eff = num_keys + _SORT_PAYLOAD * (num_operands - num_keys)
     f = 1.0 if stable else _SORT_UNSTABLE
-    return float(n * np.log2(max(n, 2)) ** 2 * _SORT_C * eff * f)
+    lg = np.log2(max(n, 2))
+    c = _SORT_C * max(1.0 + _SORT_SCALE * (lg - 26.0), 0.7)
+    return float(n * lg ** 2 * c * eff * f)
 
 
 def scan_seconds(n: int, num_operands: int = 1) -> float:

@@ -794,7 +794,8 @@ def _agg_big(vt: VirtualTable, q: P.Query, run_size: int,
         v = np.broadcast_to(eval_g(it.expr), (g,))
         cols[name] = np.asarray(v)[keep]
         tags[name] = str(cols[name].dtype)
-    fr = _frame_order_limit(Frame(cols, tags), q.order_by, q.limit)
+    fr = _frame_order_limit(Frame(cols, tags), q.order_by, q.limit,
+                            q.offset)
     return dict(_materialize(fr).cols)
 
 
@@ -1160,15 +1161,16 @@ def _head_big(vt: VirtualTable, q: P.Query, run_size: int,
     qualifying rows in row order. Runs scan sequentially and stop as
     soon as k rows are found (readback per run is k-bounded)."""
     sel = q.selects[0]
-    k = q.limit
-    if k is None:
+    if q.limit is None:
         raise SqlError("plain SELECT over a big table needs LIMIT "
                        "(the result would be a row-scale readback; "
                        "aggregate, or add LIMIT)")
+    off = q.offset
+    k = q.limit + off          # fetch through the offset, emit past it
     items = _select_items(vt, sel, prep)
     if sel.where is None and (prep is None or prep.how == "left"):
         # every row qualifies (LEFT joins keep all fact rows)
-        idx = np.arange(min(k, vt.n), dtype=np.uint32)
+        idx = np.arange(min(k, vt.n), dtype=np.uint32)[off:]
         return _emit_rows(vt, items, idx, prep)
 
     head_cap = min(k, run_size)
@@ -1202,7 +1204,7 @@ def _head_big(vt: VirtualTable, q: P.Query, run_size: int,
             break
     idx = (np.concatenate(got).astype(np.uint32) if got
            else np.zeros(0, np.uint32))
-    return _emit_rows(vt, items, idx, prep)
+    return _emit_rows(vt, items, idx[off:], prep)
 
 
 # ---------------------------------------------------------------------------
@@ -1245,16 +1247,16 @@ def _orderby_big(vt: VirtualTable, q: P.Query, run_size: int,
     """
     from tpu_qe.bits import sortable_u32
     sel = q.selects[0]
-    k = q.limit
-    if k is None:
+    if q.limit is None:
         raise SqlError("ORDER BY over a big table needs LIMIT "
                        "(row-scale readback; the driver tier "
                        "ops/bigorderby streams full orderings)")
+    k = q.limit + q.offset     # fetch through the offset, emit past it
     items = _select_items(vt, sel, prep)
     oexprs = _order_exprs(vt, sel, q.order_by, prep)
     idx, _total = _topk_idx(vt, prep, sel.where, oexprs, k, run_size,
                             stats)
-    return _emit_rows(vt, items, idx, prep)
+    return _emit_rows(vt, items, idx[q.offset:], prep)
 
 
 def _topk_idx(vt: VirtualTable, prep: _JoinPrep | None, where,
@@ -1393,7 +1395,7 @@ def _distinct_big(vt: VirtualTable, q: P.Query, run_size: int,
     gvals = _unpack_group_cols(uk, names, tags)
     fr = Frame({nm: gvals[nm] for nm in names},
                {nm: str(gvals[nm].dtype) for nm in names})
-    fr = _frame_order_limit(fr, q.order_by, q.limit)
+    fr = _frame_order_limit(fr, q.order_by, q.limit, q.offset)
     return dict(_materialize(fr).cols)
 
 
@@ -1558,7 +1560,7 @@ def _setop_big(vt, q: P.Query, run_size: int, max_groups: int,
     vals = np.repeat(uk, cnt)
     out = _unlift64_np(vals, dt)
     fr = Frame({out_name: out}, {out_name: str(out.dtype)})
-    fr = _frame_order_limit(fr, q.order_by, q.limit)
+    fr = _frame_order_limit(fr, q.order_by, q.limit, q.offset)
     return dict(_materialize(fr).cols)
 
 
@@ -1637,12 +1639,12 @@ def _window_big(vt: VirtualTable, q: P.Query, run_size: int,
                        "are not supported")
     if sel.group_by or sel.having is not None:
         raise SqlError("window functions do not mix with GROUP BY")
-    k = q.limit
-    if k is None:
+    if q.limit is None:
         raise SqlError("window functions over a big table need LIMIT "
                        "(row-scale readback otherwise); rows arrive "
                        "in the window's composite (PARTITION BY, "
                        "ORDER BY, idx) order")
+    k = q.limit + q.offset     # fetch through the offset, emit past it
     if q.order_by:
         raise SqlError("ORDER BY with big-table windows is not "
                        "supported — output rows follow the window's "
@@ -1860,5 +1862,5 @@ def _window_big(vt: VirtualTable, q: P.Query, run_size: int,
         else:
             tv = _eval(it.expr, env, n_env)
             v = _np_col(jnp.broadcast_to(tv.arr, (n_env,)), tv.tag)
-        out[name] = np.asarray(v)[:k_out]
+        out[name] = np.asarray(v)[q.offset:k_out]
     return out

@@ -635,16 +635,23 @@ def _device_order_limit(fr: Frame, order_by, limit) -> Frame | None:
     return _materialize(Frame(cols, fr.tags))
 
 
-def _frame_order_limit(fr: Frame, order_by, limit) -> Frame:
-    """ORDER BY + LIMIT: on device while the frame still is (row-scale
-    results), else host np.lexsort (output-scale group frames).
-    np.lexsort takes keys least-significant first (last key is
-    primary), so the input-position key goes first (stable tie-break)
-    and order items are appended in reverse."""
+def _frame_order_limit(fr: Frame, order_by, limit,
+                       offset: int = 0) -> Frame:
+    """ORDER BY + LIMIT [OFFSET]: on device while the frame still is
+    (row-scale results), else host np.lexsort (output-scale group
+    frames). np.lexsort takes keys least-significant first (last key
+    is primary), so the input-position key goes first (stable
+    tie-break) and order items are appended in reverse. OFFSET fetches
+    limit+offset rows and drops the head (the readback boundary grows
+    by the offset — SQL's pagination cost model)."""
+    eff = None if limit is None else limit + offset
     if (order_by or limit is not None) and any(
             _is_dev(v) for v in fr.cols.values()):
-        out = _device_order_limit(fr, order_by, limit)
+        out = _device_order_limit(fr, order_by, eff)
         if out is not None:
+            if offset:
+                out = Frame({k: v[offset:]
+                             for k, v in out.cols.items()}, out.tags)
             return out
     fr = _materialize(fr)
     if order_by:
@@ -663,7 +670,8 @@ def _frame_order_limit(fr: Frame, order_by, limit) -> Frame:
         perm = np.lexsort(keys)
         fr = Frame({k: v[perm] for k, v in fr.cols.items()}, fr.tags)
     if limit is not None:
-        fr = Frame({k: v[:limit] for k, v in fr.cols.items()}, fr.tags)
+        fr = Frame({k: v[offset:offset + limit]
+                    for k, v in fr.cols.items()}, fr.tags)
     return fr
 
 
@@ -743,7 +751,7 @@ class Database:
         fr = frames[0]
         for (op, all_), nxt in zip(q.set_ops, frames[1:]):
             fr = self._set_op(fr, nxt, op, all_)
-        fr = _frame_order_limit(fr, q.order_by, q.limit)
+        fr = _frame_order_limit(fr, q.order_by, q.limit, q.offset)
         return dict(_materialize(fr).cols)
 
     # -- distributed execution (mesh=) --------------------------------------
@@ -786,7 +794,8 @@ class Database:
 
         if len(q.selects) > 1:
             fr = self._dist_setop_chain(q, mesh)
-            return dict(_frame_order_limit(fr, q.order_by, q.limit).cols)
+            return dict(_frame_order_limit(fr, q.order_by, q.limit,
+                                           q.offset).cols)
         sel = q.selects[0]
         if sel.having is not None and not (
                 not sel.joins and (sel.group_by or self._has_aggs(sel))):
@@ -795,8 +804,8 @@ class Database:
             if sel.joins or sel.group_by or self._has_aggs(sel):
                 raise unsup("SELECT DISTINCT with joins or aggregates")
             fr = self._dist_distinct(sel, mesh)
-            return dict(_frame_order_limit(fr, q.order_by,
-                                           q.limit).cols)
+            return dict(_frame_order_limit(fr, q.order_by, q.limit,
+                                           q.offset).cols)
         if sel.joins:
             fr = self._dist_join_agg(sel, mesh)
         elif sel.group_by or self._has_aggs(sel):
@@ -806,10 +815,14 @@ class Database:
             fr = self._dist_window(sel, mesh)
         else:
             fr = self._dist_order_by(sel, q, mesh)
-            return dict(Frame({k: v[:q.limit] for k, v in fr.cols.items()}
-                              if q.limit is not None else fr.cols,
-                              fr.tags).cols)
-        return dict(_frame_order_limit(fr, q.order_by, q.limit).cols)
+            return dict(Frame(
+                {k: v[q.offset:(None if q.limit is None
+                                else q.offset + q.limit)]
+                 for k, v in fr.cols.items()}
+                if q.limit is not None or q.offset else fr.cols,
+                fr.tags).cols)
+        return dict(_frame_order_limit(fr, q.order_by, q.limit,
+                                       q.offset).cols)
 
     def _dist_table(self, ref: P.TableRef):
         t = self._tables.get(ref.name.lower())

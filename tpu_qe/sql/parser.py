@@ -229,6 +229,7 @@ class Query:
     set_ops: tuple             # between selects: ("union"|..., all: bool)
     order_by: tuple            # (OrderItem, ...)
     limit: int | None
+    offset: int = 0            # LIMIT k OFFSET m (0 without OFFSET)
 
 
 # ---------------------------------------------------------------------------
@@ -326,14 +327,21 @@ class _Parser:
                 if not self.op(","):
                     break
         limit = None
+        offset = 0
         if self.kw("limit"):
             if self.cur.kind != "int":
                 raise self._err("integer LIMIT")
             limit = int(self.cur.text)
             self.i += 1
+            if self.ctx_kw("offset"):
+                if self.cur.kind != "int":
+                    raise self._err("integer OFFSET")
+                offset = int(self.cur.text)
+                self.i += 1
         if self.cur.kind != "eof":
             raise self._err("end of query")
-        return Query(tuple(selects), tuple(set_ops), tuple(order_by), limit)
+        return Query(tuple(selects), tuple(set_ops), tuple(order_by),
+                     limit, offset)
 
     def select(self) -> Select:
         self.expect_kw("select")
