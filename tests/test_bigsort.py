@@ -83,7 +83,7 @@ class TestCheckpointResume:
         monkeypatch.setattr(bs._RunState, "record", real_record)
 
         st = bs._RunState.load(
-            ckdir, np.asarray([n, run_size, n_buckets, 7, 4096, 1], np.int64))
+            ckdir, np.asarray([n, run_size, n_buckets, 7, 4096, 1, 1], np.int64))
         assert st is not None and int(st.done.sum()) == 2
 
         # resume: only the 2 remaining buckets merge; result identical
@@ -94,7 +94,7 @@ class TestCheckpointResume:
                   "boundary_ok"):
             assert getattr(res, f) == getattr(want, f), f
         st = bs._RunState.load(
-            ckdir, np.asarray([n, run_size, n_buckets, 7, 4096, 1], np.int64))
+            ckdir, np.asarray([n, run_size, n_buckets, 7, 4096, 1, 1], np.int64))
         assert int(st.done.sum()) == n_buckets
 
         # a fully-completed checkpoint replays without any merge work and
@@ -162,3 +162,21 @@ def test_payload_cols_carried_and_verified():
     for j, v in enumerate(vals):
         assert np.array_equal(v, _value_col_numpy(order.astype(np.uint32),
                                                   j))
+
+
+@pytest.mark.parametrize("strategy", ["partition", "merge"])
+def test_strategies_bit_identical(strategy):
+    # both formulations produce the SAME verified sorted stream
+    n = 1 << 13
+    res, (keys, pay) = sort_big(n, run_size=1 << 11, n_buckets=4,
+                                collect=True, strategy=strategy)
+    assert res.all_ok
+    assert np.array_equal(keys, np.sort(keys))
+    # permutation of the input stream with per-row key validity
+    assert np.array_equal(np.sort(pay), np.arange(n, dtype=np.uint32))
+
+
+def test_partition_first_uneven_buckets():
+    res = sort_big(1 << 13, run_size=1 << 12, n_buckets=3,
+                   strategy="partition")
+    assert res.all_ok

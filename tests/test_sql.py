@@ -1086,3 +1086,35 @@ class TestLimitOffset:
         out = got.sql("SELECT k FROM t GROUP BY k ORDER BY k "
                       "LIMIT 5 OFFSET 100")
         assert len(out["k"]) == 0
+
+
+class TestExplain:
+    def test_in_core_shapes(self, engines):
+        db, _ = engines
+        p = db.explain("SELECT k, g, u % 2 AS m, COUNT(*) AS c FROM t "
+                       "WHERE v > 0 GROUP BY k, g, m ORDER BY k")
+        assert "in-core" in p and "dense group ids" in p
+        assert "where: device expression mask" in p
+        p2 = db.explain("SELECT SUM(v) OVER (PARTITION BY g ORDER "
+                        "BY id) AS s FROM t")
+        assert "ops/window segmented sweeps" in p2
+        p3 = db.explain("SELECT t.id, w FROM t JOIN r ON t.k = r.k")
+        assert "scan-join" in p3
+
+    def test_big_and_distributed_shapes(self):
+        import jax.numpy as jnp
+        from tpu_qe.exchange.dsort import make_mesh
+        db = Database()
+        db.register("t", {"k": np.arange(8, dtype=np.uint32),
+                          "v": np.arange(8, dtype=np.uint32)})
+        db.register_virtual("big", 1 << 16,
+                            {"k": lambda i: i & jnp.uint32(255),
+                             "v": lambda i: i})
+        p = db.explain("SELECT k, MEDIAN(v) AS m FROM big GROUP BY k")
+        assert "out-of-core" in p and "per-run partials" in p \
+            and "bisection" in p
+        p2 = db.explain("SELECT v FROM big ORDER BY v LIMIT 5")
+        assert "_topk_idx" in p2
+        p3 = db.explain("SELECT k, COUNT(*) AS c FROM t GROUP BY k",
+                        mesh=make_mesh(2))
+        assert "distributed" in p3 and "distributed_aggregate" in p3

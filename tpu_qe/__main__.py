@@ -163,18 +163,19 @@ def _cmd_bench_big(args) -> int:
     import contextlib
     import json
 
-    from tpu_qe.bench.sol import device_kind, sort_sol_seconds
+    from tpu_qe.bench.sol import (bigsort_sol_seconds, device_kind,
+                                  sort_sol_seconds)
     from tpu_qe.sort.bigsort import sort_big, sort_big_incore
     from tpu_qe.utils.profiling import trace_session
 
     ctx = (trace_session(args.trace_dir) if args.trace_dir
            else contextlib.nullcontext())
     with ctx:
-        return _bench_big_inner(args, json, device_kind, sort_sol_seconds,
+        return _bench_big_inner(args, json, device_kind, bigsort_sol_seconds,
                                 sort_big, sort_big_incore)
 
 
-def _bench_big_inner(args, json, device_kind, sort_sol_seconds, sort_big,
+def _bench_big_inner(args, json, device_kind, bigsort_sol_seconds, sort_big,
                      sort_big_incore) -> int:
     assert args.payload_cols >= 1, "--payload-cols must be >= 1"
     assert args.payload_cols == 1 or not args.in_core, \
@@ -207,8 +208,9 @@ def _bench_big_inner(args, json, device_kind, sort_sol_seconds, sort_big,
         res = sort_big(args.n, run_size=args.run_size,
                        n_buckets=args.buckets, verbose=args.verbose_big,
                        checkpoint_dir=args.checkpoint_dir,
-                       payload_cols=args.payload_cols)
-        kind = "out-of-core"
+                       payload_cols=args.payload_cols,
+                       strategy=args.strategy)
+        kind = f"out-of-core [{args.strategy}]"
         if args.payload_cols > 1:
             kind += f" ({args.payload_cols}-col rows)"
         where = "1 chip"
@@ -225,10 +227,16 @@ def _bench_big_inner(args, json, device_kind, sort_sol_seconds, sort_big,
             "sorted": res.sorted_ok, "hash": res.hash_ok,
             "count": res.count_ok, "perm": res.perm_ok,
             "boundary": res.boundary_ok},
+        # composition envelope (phase sorts at ideal balance) — the
+        # 8-pass radix-HBM bound is hardware-blocked aspiration, not
+        # an envelope (BASELINE.md)
         "sol_fraction": round(
-            sort_sol_seconds(res.n, num_passes=8,
-                             payload_cols=getattr(args, "payload_cols", 1))
-            / res.seconds, 4),
+            bigsort_sol_seconds(
+                res.n, args.run_size,
+                args.buckets or max(2, -(-res.n // (1 << 26))),
+                payload_cols=getattr(args, "payload_cols", 1),
+                strategy=getattr(args, "strategy", "partition"))
+            / res.seconds, 4) if not args.in_core else None,
         "device": device_kind(),
     }
     print(json.dumps(out))
@@ -944,6 +952,10 @@ def main(argv=None) -> int:
     pg.add_argument("--checkpoint-dir", type=str, default=None,
                     help="persist the plan + per-bucket completion here; "
                          "a killed run resumes with identical output")
+    pg.add_argument("--strategy", default="partition",
+                    choices=["partition", "merge"],
+                    help="partition-first (one full sort per key; "
+                         "round 5) vs sort-runs-then-merge (round 3)")
     pg.add_argument("--force-composed", action="store_true",
                     help="keep the composed exchange machinery even at "
                          "D=1 (default delegates to the single-chip "

@@ -116,8 +116,8 @@ def lax_sort_seconds(n: int, num_operands: int, stable: bool = True,
     """Envelope of one flat variadic lax.sort on this hardware class.
 
     num_keys (default: all operands are keys): key operands pay
-    comparison + movement; payload operands pay movement only, measured
-    at 0.59x a key operand on v5e."""
+    comparison + movement; payload operands ride nearly free, measured
+    at 0.07x a key operand on v5e (round-5 recalibration)."""
     import numpy as np
     if num_keys is None:
         num_keys = num_operands
@@ -162,3 +162,30 @@ def group_aggregate_sol_seconds(n: int, n_aggs: int = 2,
             + 2 * scan_seconds(n, 1)
             + elementwise_seconds(n, 3)
             + lax_sort_seconds(n, 3 + n_aggs, stable=False, num_keys=1))
+
+
+def bigsort_sol_seconds(n: int, run_size: int, n_buckets: int,
+                        payload_cols: int = 1,
+                        strategy: str = "partition") -> float:
+    """Composition envelope of the out-of-core sort (sort/bigsort.py):
+    the sum of its irreducible per-phase lax.sort envelopes at IDEAL
+    bucket balance (cap padding not charged — it is engine slack).
+
+    partition: each run pays ONE single-key bucket-id sort (key planes
+    and payloads ride as ~free payload operands), then each bucket
+    pays the full 3-key sort. merge: each run pays the full 3-key sort
+    up front AND each bucket re-sorts (the round-3 formulation's 2x
+    comparison work). Generation + bucket-id compares ride one
+    streaming pass."""
+    n_runs = max(n // run_size, 1)
+    m_bucket = max(n // max(n_buckets, 1), 1)
+    if strategy == "partition":
+        run_s = lax_sort_seconds(run_size, 3 + payload_cols,
+                                 stable=False, num_keys=1)
+    else:
+        run_s = lax_sort_seconds(run_size, 2 + payload_cols,
+                                 stable=False, num_keys=3)
+    bucket_s = lax_sort_seconds(m_bucket, 2 + payload_cols,
+                                stable=False, num_keys=3)
+    return (n_runs * run_s + n_buckets * bucket_s
+            + elementwise_seconds(n, 2))

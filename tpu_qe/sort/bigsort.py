@@ -92,6 +92,64 @@ def _make_sorted_run(r: jnp.ndarray, n_run: int, seed: int,
     return (out[1], out[0], out[2]) + tuple(out[3:])
 
 
+@functools.partial(jax.jit, static_argnames=("n_runs", "run_size",
+                                             "per_run", "n_buckets",
+                                             "seed"))
+def _plan_splitters_from_generator(n_runs: int, run_size: int,
+                                   per_run: int, n_buckets: int,
+                                   seed: int):
+    """Partition-first phase B0: splitters from GENERATED samples.
+
+    Keys are hash-of-index, so strided global samples generate directly
+    — no run needs to exist yet. One tiny sort of R*per_run samples
+    yields the same B-quantile splitters _plan_splitters would compute
+    from the sorted runs."""
+    stride = max(run_size // per_run, 1)
+    idxs = [jnp.uint32(r * run_size)
+            + (jnp.arange(per_run, dtype=jnp.uint32)
+               * jnp.uint32(stride)) % jnp.uint32(run_size)
+            for r in range(n_runs)]
+    key = keygen_hash(jnp.concatenate(idxs), seed)
+    s_hi, s_lo = jax.lax.sort([key.hi, key.lo], num_keys=2,
+                              is_stable=False)
+    total = s_lo.shape[0]
+    q = (jnp.arange(1, n_buckets) * total) // n_buckets
+    return s_lo[q], s_hi[q]            # (B-1,) ascending splitters
+
+
+@functools.partial(jax.jit, static_argnames=("n_run", "seed",
+                                             "payload_cols",
+                                             "n_buckets"))
+def _make_bucketed_run(r: jnp.ndarray, sp_lo, sp_hi, n_run: int,
+                       seed: int, payload_cols: int, n_buckets: int):
+    """Partition-first phase A body: generate chunk r and group its
+    rows by destination bucket with ONE single-key sort.
+
+    The bucket id (count of splitters <= key — identical segment
+    semantics to _plan_splitters' side='left' searchsorted) is the only
+    KEY operand; key planes and payloads ride as payload operands,
+    which cost ~nothing on v5e (measured 2026-08-20: a 64M unstable
+    sort is 180.8 ms with 0 payloads and 180.7 ms with 3 —
+    round5_calibration.out). Each key then pays ONE full comparison
+    sort (in the bucket merge) instead of two — the round-4 VERDICT's
+    partition-first experiment. Returns the bucket-grouped planes plus
+    this run's (B-1,) segment boundaries."""
+    idx = r * jnp.uint32(n_run) + jnp.arange(n_run, dtype=jnp.uint32)
+    key = keygen_hash(idx, seed)
+    vals = [_value_col(idx, j, seed) for j in range(payload_cols - 1)]
+    bid = jnp.zeros(n_run, jnp.uint32)
+    for b in range(n_buckets - 1):
+        ge = ((key.hi > sp_hi[b])
+              | ((key.hi == sp_hi[b]) & (key.lo >= sp_lo[b])))
+        bid = bid + ge.astype(jnp.uint32)
+    out = jax.lax.sort([bid, key.lo, key.hi, idx] + vals, num_keys=1,
+                       is_stable=False)
+    bounds = jnp.searchsorted(
+        out[0], jnp.arange(1, n_buckets, dtype=jnp.uint32),
+        side="left").astype(jnp.int32)
+    return (out[1], out[2], out[3]) + tuple(out[4:]) + (bounds,)
+
+
 @functools.partial(jax.jit, static_argnames=("n_buckets", "per_run"))
 def _plan_splitters(run_los, run_his, n_buckets: int, per_run: int):
     """Phase B: global bucket splitters + per-run segment boundaries."""
@@ -257,7 +315,7 @@ def sort_big(n: int, run_size: int = 1 << 26, n_buckets: int | None = None,
              seed: int = 7, samples_per_run: int = 4096,
              verbose: bool = False, collect: bool = False,
              checkpoint_dir: str | None = None, consume=None,
-             payload_cols: int = 1):
+             payload_cols: int = 1, strategy: str = "partition"):
     """Device-resident out-of-core sort + full verification of n rows.
 
     n must be a multiple of run_size. Peak HBM ~ n*(8+4P) bytes for the
@@ -287,7 +345,19 @@ def sort_big(n: int, run_size: int = 1 << 26, n_buckets: int | None = None,
     the identical verified result. collect=True (test-only) re-merges
     completed buckets to materialize their rows but still reuses the
     persisted plan.
+
+    strategy: "partition" (default — the round-5 partition-first
+    formulation: splitters from generated samples BEFORE any run, then
+    each run pays ONE single-key bucket-id sort whose key/payload
+    planes ride as ~free payload operands, and the bucket merge's full
+    sort is the only comparison sort each key pays) or "merge" (the
+    round-3 formulation: fully sort every run, then splitters from the
+    sorted runs; each key pays two full sorts). Bit-identical verified
+    output either way — the merge phase re-sorts its bucket from
+    scratch in both (a merge NETWORK measured slower, BASELINE.md).
+    Measured at 1B (round5_measured.jsonl): 86.8 -> 117 M keys/s.
     """
+    assert strategy in ("partition", "merge"), strategy
     assert n % run_size == 0, (n, run_size)
     assert n < (1 << 32), "payload travels as u32 global index"
     n_runs = n // run_size
@@ -296,7 +366,8 @@ def sort_big(n: int, run_size: int = 1 << 26, n_buckets: int | None = None,
         n_buckets = max(2, int(np.ceil(n / (1 << 26))))
     assert payload_cols >= 1, payload_cols
     meta = np.asarray([n, run_size, n_buckets, seed, samples_per_run,
-                       payload_cols], dtype=np.int64)
+                       payload_cols,
+                       0 if strategy == "merge" else 1], dtype=np.int64)
     state = (RunState.load(checkpoint_dir, meta)
              if checkpoint_dir is not None else None)
 
@@ -306,18 +377,40 @@ def sort_big(n: int, run_size: int = 1 << 26, n_buckets: int | None = None,
     # is the compile-once serving model — compile_s is reported).
     tc0 = time.perf_counter()
     np.asarray(jnp.zeros(8, jnp.uint32)[:1])
-    run_exec = _make_sorted_run.lower(jnp.uint32(0), n_run=run_size,
-                                      seed=seed,
-                                      payload_cols=payload_cols).compile()
-    compile_s = time.perf_counter() - tc0
+    if strategy == "partition":
+        plan0_exec = _plan_splitters_from_generator.lower(
+            n_runs=n_runs, run_size=run_size, per_run=samples_per_run,
+            n_buckets=n_buckets, seed=seed).compile()
+        compile_s = time.perf_counter() - tc0
+        # phase B0: splitters BEFORE any run exists (generated samples)
+        t_b0 = time.perf_counter()
+        sp_lo, sp_hi = plan0_exec()
+        np.asarray(sp_lo[-1:])           # fence the plan
+        t_b = time.perf_counter() - t_b0
+        tcr = time.perf_counter()
+        run_exec = _make_bucketed_run.lower(
+            jnp.uint32(0), sp_lo, sp_hi, n_run=run_size, seed=seed,
+            payload_cols=payload_cols, n_buckets=n_buckets).compile()
+        compile_s += time.perf_counter() - tcr
+    else:
+        run_exec = _make_sorted_run.lower(
+            jnp.uint32(0), n_run=run_size, seed=seed,
+            payload_cols=payload_cols).compile()
+        compile_s = time.perf_counter() - tc0
 
     from tpu_qe.utils.profiling import marker
 
     t0 = time.perf_counter()
     runs = []
+    bound_devs = []
     with marker("bigsort phase A: run formation"):
         for r in range(n_runs):
-            runs.append(run_exec(jnp.uint32(r)))
+            if strategy == "partition":
+                out = run_exec(jnp.uint32(r), sp_lo, sp_hi)
+                runs.append(out[:-1])
+                bound_devs.append(out[-1])
+            else:
+                runs.append(run_exec(jnp.uint32(r)))
     # fence phase A (tiny readback per run tail)
     for run in runs:
         np.asarray(run[0][-1:])
@@ -329,7 +422,14 @@ def sort_big(n: int, run_size: int = 1 << 26, n_buckets: int | None = None,
     # against the exact boundaries they were merged with.
     if state is not None:
         bounds = state.bounds
-        t_b = 0.0
+        if strategy != "partition":   # partition's plan already timed
+            t_b = 0.0
+    elif strategy == "partition":
+        # boundaries came out of the bucketed runs themselves; their
+        # readback rode the phase-A fence above
+        bounds = np.stack([np.asarray(b) for b in bound_devs])
+        if checkpoint_dir is not None:
+            state = RunState.fresh(checkpoint_dir, meta, bounds, n_buckets)
     else:
         run_los = tuple(r[0] for r in runs)
         run_his = tuple(r[1] for r in runs)

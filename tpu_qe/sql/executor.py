@@ -754,6 +754,135 @@ class Database:
         fr = _frame_order_limit(fr, q.order_by, q.limit, q.offset)
         return dict(_materialize(fr).cols)
 
+    def explain(self, query: str, mesh=None) -> str:
+        """Plan audit: which tier and operator family one query maps
+        to, WITHOUT executing anything (mirrors the sql() dispatch and
+        the per-tier verb classifiers). One line per plan step."""
+        q = P.parse(query)
+        sel = q.selects[0]
+        vt = None
+        for s in q.selects:
+            vt = self._virtual.get(s.table.name.lower())
+            if vt is not None:
+                break
+        has_aggs = self._has_aggs(sel) or sel.having is not None
+        has_win = any(it.expr != "*" and _calls(it.expr, window=True)
+                      for it in sel.items)
+        lines = []
+
+        def fin(tier, *steps):
+            out = [f"tier: {tier}"]
+            if sel.where is not None:
+                out.append("where: device expression mask"
+                           + (" (fused into each run program)"
+                              if tier.startswith("out-of-core")
+                              else ""))
+            out += list(steps) + lines
+            if q.order_by and "order" not in " ".join(steps):
+                out.append("order/limit: "
+                           f"{'host G-bounded frame' if has_aggs else 'device'}"
+                           " lexsort"
+                           + (f", limit {q.limit}" if q.limit
+                              is not None else "")
+                           + (f" offset {q.offset}" if q.offset
+                              else ""))
+            return "\n".join(out)
+
+        if vt is not None:
+            n_runs = "ceil(n / run_size)"
+            if q.set_ops:
+                return fin("out-of-core (virtual table)",
+                           "set-op chain: per-side per-run (key, "
+                           "count) compaction (bigexec._setop_big / "
+                           "ops/bigsetops shape) + host multiset "
+                           "algebra")
+            if has_win:
+                return fin("out-of-core (virtual table)",
+                           "window: LIMIT-bounded prefix selection "
+                           f"(bigexec._topk_idx over {n_runs} runs) + "
+                           "in-core window machinery over the "
+                           "candidates; whole-partition side channel "
+                           "via per-run partial aggregates")
+            if sel.joins:
+                lines.append("join: resident dimension threaded "
+                             "through every run program "
+                             "(bigexec._prep_join)")
+            if sel.distinct:
+                return fin("out-of-core (virtual table)",
+                           "distinct: per-run dedup compaction "
+                           "(bigexec._distinct_big) + host unique")
+            if sel.group_by or has_aggs:
+                return fin("out-of-core (virtual table)",
+                           f"aggregate: per-run partials over {n_runs}"
+                           " runs (bigexec._agg_partials, G-bounded "
+                           "readbacks) + exact host combine"
+                           + ("; percentiles: segment-bounded device "
+                              "bisection (_big_group_quantiles)"
+                              if any(c.func in _PCT_FUNCS for it in
+                                     sel.items if it.expr != "*"
+                                     for c in _calls(it.expr,
+                                                     window=False))
+                              else ""))
+            if q.order_by:
+                return fin("out-of-core (virtual table)",
+                           "order by: per-run top-(limit+offset) "
+                           "selection (bigexec._topk_idx) + host "
+                           "candidate combine")
+            return fin("out-of-core (virtual table)",
+                       "head: sequential run scans, early exit at "
+                       "limit+offset rows (bigexec._head_big)")
+        if mesh is not None:
+            d = int(np.prod(list(mesh.shape.values())))
+            tier = f"distributed ({d} devices)"
+            if len(q.selects) > 1:
+                return fin(tier, "set-op: distributed_set_op "
+                                 "(exchange/dops)")
+            if sel.distinct:
+                return fin(tier, "distinct: count-only "
+                                 "distributed_aggregate over packed "
+                                 "keys (_dist_distinct)")
+            if sel.joins:
+                return fin(tier, "join+group: "
+                                 "distributed_join_aggregate (fused "
+                                 "two-exchange FK path)")
+            if sel.group_by or has_aggs:
+                k = len(sel.group_by)
+                return fin(tier,
+                           "aggregate: distributed_aggregate"
+                           + (f" over a rank-packed {k}-column "
+                              "composite key" if k > 1 else "")
+                           + " (exchange/dops; percentiles via the "
+                             "zero-row-movement bisection)")
+            if has_win:
+                return fin(tier, "window: distributed_window "
+                                 "(exchange/dwindow: splitter "
+                                 "exchange + carry chain + row halos)")
+            return fin(tier, "order by: distributed_order_by "
+                             "(exchange/dorderby)")
+        tier = "in-core (device-resident)"
+        if q.set_ops:
+            lines.append("set-op chain: host multiset algebra over "
+                         "materialized sides")
+        if sel.joins:
+            lines.append("join: ops/join scan-join (sort + segmented "
+                         "sweeps, no gathers)")
+        if sel.distinct:
+            lines.append("distinct: device dedup (_distinct_frame)")
+        if sel.group_by or has_aggs:
+            k = len(sel.group_by)
+            lines.append(
+                "aggregate: group_aggregate_multi over "
+                + ("a U64-packed key" if k <= 2
+                   else f"dense group ids (_dense_group_ids, "
+                        f"{k}-column composite)"))
+        if has_win:
+            lines.append("window: ops/window segmented sweeps (one "
+                         "composite sort per (PARTITION BY, ORDER "
+                         "BY) spec)")
+        if not lines:
+            lines.append("scan: device expression projection")
+        return fin(tier)
+
     # -- distributed execution (mesh=) --------------------------------------
     def _sql_distributed(self, q: P.Query, mesh) -> dict:
         """Execute recognized query shapes through the distributed layer
