@@ -246,7 +246,7 @@ def _bench_big_inner(args, json, device_kind, bigsort_sol_seconds, sort_big,
 def _cmd_bench_bigjoin(args) -> int:
     import json
 
-    from tpu_qe.bench.sol import device_kind
+    from tpu_qe.bench.sol import bigjoin_sol_seconds, device_kind
     from tpu_qe.ops.bigjoin import join_big
 
     if args.outer is not None:
@@ -303,6 +303,12 @@ def _cmd_bench_bigjoin(args) -> int:
         "verified": res.all_ok,
         "checks": {"match_flags": res.match_ok, "values": res.val_ok,
                    "counts": res.count_ok},
+        # composition envelope (2 side sorts + per-bucket scan-joins at
+        # ideal balance; capacity padding counts as engine slack)
+        "sol_fraction": (round(
+            bigjoin_sol_seconds(res.n_l, res.n_r,
+                                args.buckets or 8) / res.seconds, 4)
+            if not args.distributed else None),
         "device": device_kind(),
     }
     print(json.dumps(out))
@@ -312,7 +318,7 @@ def _cmd_bench_bigjoin(args) -> int:
 def _cmd_bench_bigagg(args) -> int:
     import json
 
-    from tpu_qe.bench.sol import device_kind
+    from tpu_qe.bench.sol import bigagg_sol_seconds, device_kind
     from tpu_qe.ops.bigagg import aggregate_big
 
     assert args.value_cols >= 1, "--value-cols must be >= 1"
@@ -358,6 +364,13 @@ def _cmd_bench_bigagg(args) -> int:
         "checks": {"count": res.count_ok, "sum": res.sum_ok,
                    "keys": res.keys_ok, "groups": res.groups_ok,
                    "minmax": res.minmax_ok},
+        # composition envelope: R per-run group_aggregate programs
+        "sol_fraction": (round(
+            bigagg_sol_seconds(
+                res.n, args.run_size,
+                n_aggs=2 + (2 if args.minmax else 0)
+                + max(args.value_cols - 1, 0)) / res.seconds, 4)
+            if not args.distributed else None),
         "device": device_kind(),
     }
     print(json.dumps(out))
@@ -367,7 +380,7 @@ def _cmd_bench_bigagg(args) -> int:
 def _cmd_bench_bigpipe(args) -> int:
     import json
 
-    from tpu_qe.bench.sol import device_kind
+    from tpu_qe.bench.sol import bigpipe_sol_seconds, device_kind
 
     if args.distributed:
         from tpu_qe.exchange.dsort import make_mesh
@@ -398,6 +411,11 @@ def _cmd_bench_bigpipe(args) -> int:
         "verified": res.all_ok,
         "checks": {"join": res.join_ok, "count": res.count_ok,
                    "keys": res.keys_ok},
+        # composition envelope: the join composition + per-bucket
+        # sorted-stream aggregation
+        "sol_fraction": (round(
+            bigpipe_sol_seconds(res.n_l, res.n_r, args.buckets or 8)
+            / res.seconds, 4) if not args.distributed else None),
         "device": device_kind(),
     }
     print(json.dumps(out))
@@ -407,7 +425,7 @@ def _cmd_bench_bigpipe(args) -> int:
 def _cmd_bench_bigwindow(args) -> int:
     import json
 
-    from tpu_qe.bench.sol import device_kind
+    from tpu_qe.bench.sol import bigwindow_sol_seconds, device_kind
 
     if args.distributed:
         from tpu_qe.exchange.dsort import make_mesh
@@ -442,6 +460,13 @@ def _cmd_bench_bigwindow(args) -> int:
         "checks": {"sorted": res.sorted_ok, "hash": res.hash_ok,
                    "window": res.window_ok, "count": res.count_ok,
                    "boundary": res.boundary_ok},
+        # composition envelope: R 4-key run sorts + B bucket re-sorts
+        # + the segmented window sweeps
+        "sol_fraction": (round(
+            bigwindow_sol_seconds(
+                res.n, args.run_size,
+                args.buckets or max(2, -(-res.n // (1 << 26))))
+            / res.seconds, 4) if not args.distributed else None),
         "device": device_kind(),
     }
     print(json.dumps(out), flush=True)

@@ -189,3 +189,52 @@ def bigsort_sol_seconds(n: int, run_size: int, n_buckets: int,
                                 stable=False, num_keys=3)
     return (n_runs * run_s + n_buckets * bucket_s
             + elementwise_seconds(n, 2))
+
+
+def bigagg_sol_seconds(n: int, run_size: int, n_aggs: int = 2) -> float:
+    """Composition envelope of the out-of-core GROUP BY
+    (ops/bigagg.py): R per-run group_aggregate programs (the G-bounded
+    host combine is output-scale, not charged)."""
+    n_runs = max(n // run_size, 1)
+    return (n_runs * group_aggregate_sol_seconds(run_size,
+                                                 n_aggs=n_aggs)
+            + elementwise_seconds(n, 1))
+
+
+def bigjoin_sol_seconds(n_l: int, n_r: int, n_buckets: int) -> float:
+    """Composition envelope of the out-of-core FK join
+    (ops/bigjoin.py): one full sort per side + per-bucket scan-joins
+    at ideal bucket balance."""
+    b = max(n_buckets, 1)
+    return (lax_sort_seconds(n_l, 3, stable=False, num_keys=3)
+            + lax_sort_seconds(n_r, 3, stable=False, num_keys=3)
+            + b * join_scan_sol_seconds(max(n_l // b, 1),
+                                        max(n_r // b, 1))
+            + elementwise_seconds(n_l + n_r, 1))
+
+
+def bigpipe_sol_seconds(n_l: int, n_r: int, n_buckets: int) -> float:
+    """Composition envelope of the fused out-of-core join -> GROUP BY
+    (ops/bigpipe.py): the join composition + per-bucket sorted-stream
+    aggregation (two pair-sum scans + one single-key compaction sort
+    per bucket — group_aggregate_sorted's shape)."""
+    b = max(n_buckets, 1)
+    m = max((n_l + n_r) // b, 1)
+    return (bigjoin_sol_seconds(n_l, n_r, n_buckets)
+            + b * (2 * scan_seconds(m, 1)
+                   + lax_sort_seconds(m, 4, stable=False, num_keys=1)))
+
+
+def bigwindow_sol_seconds(n: int, run_size: int,
+                          n_buckets: int) -> float:
+    """Composition envelope of the out-of-core window family
+    (ops/bigwindow.py): R 4-key run sorts (key, order, index, value),
+    B bucket re-sorts, and the segmented window sweeps (~3 scan-class
+    passes over every row)."""
+    n_runs = max(n // run_size, 1)
+    b = max(n_buckets, 1)
+    m = max(n // b, 1)
+    return (n_runs * lax_sort_seconds(run_size, 4, stable=False,
+                                      num_keys=4)
+            + b * lax_sort_seconds(m, 4, stable=False, num_keys=4)
+            + 3 * scan_seconds(n, 1) + elementwise_seconds(n, 1))
