@@ -218,9 +218,28 @@ def bench_window(n: int = 1 << 27, partitions: int = 1 << 16,
     # 3-plane u64 pair segmented sum, restore sort (pos + 4 planes)
     sol = (lax_sort_seconds(n, 5, stable=False) * 2
            + scan_seconds(n, 1) * 2 + scan_seconds(n, 3))
-    return _emit(f"window rn+rank+running_sum, {n} rows, 1 chip", n, secs,
-                 {"partitions": partitions,
-                  "sol_fraction": round(sol / secs, 3)})
+    out = _emit(f"window rn+rank+running_sum, {n} rows, 1 chip", n, secs,
+                {"partitions": partitions,
+                 "sol_fraction": round(sol / secs, 3)})
+
+    # round-5 frame kinds: a centered FOLLOWING frame (reversed-sweep
+    # composition) + the tie-aware unbounded RANGE frame
+    funcs2 = {"cs": ("moving_sum", "v", 4, 3),
+              "ru": ("range_sum", "v", "unbounded")}
+
+    def run2():
+        res = window(key, funcs2, order=order, values={"v": val})
+        return res.cols["cs"].lo[:8], res.cols["ru"].lo[:8]
+
+    secs2 = measure(run2, reps=reps)
+    # envelope: window sort, forward+backward pair prefixes (2x 2-plane
+    # scans) + run-end broadcast fill, restore sort
+    sol2 = (lax_sort_seconds(n, 5, stable=False) * 2
+            + scan_seconds(n, 2) * 3)
+    _emit(f"window centered frame + RANGE unbounded, {n} rows, 1 chip",
+          n, secs2, {"partitions": partitions,
+                     "sol_fraction": round(sol2 / secs2, 3)})
+    return out
 
 
 def bench_orderby(n: int = 1 << 27, reps: int = 2):
