@@ -1050,12 +1050,15 @@ class TestFollowingAndRangeFrames:
               "RANGE BETWEEN 150 PRECEDING AND CURRENT ROW) AS ra "
               "FROM t ORDER BY id LIMIT 300", ordered=True)
 
-    def test_range_bounded_min_rejected(self, engines):
-        db, _ = engines
-        with pytest.raises(SqlError, match="unbounded"):
-            db.sql("SELECT MIN(v) OVER (PARTITION BY g ORDER BY u "
-                   "RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS m "
-                   "FROM t")
+    def test_range_bounded_min_max(self, engines):
+        # interval-min sparse table (ops/window._range_minmax): both
+        # order-value bounds per row, tie-aware through the last peer
+        check(*engines,
+              "SELECT id, MIN(v) OVER (PARTITION BY g ORDER BY u "
+              "RANGE BETWEEN 120 PRECEDING AND CURRENT ROW) AS mn, "
+              "MAX(v) OVER (PARTITION BY g ORDER BY k "
+              "RANGE BETWEEN 3 PRECEDING AND CURRENT ROW) AS mx "
+              "FROM t ORDER BY id LIMIT 300", ordered=True)
 
     def test_row_number_frame_rejected(self, engines):
         db, _ = engines

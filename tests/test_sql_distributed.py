@@ -456,3 +456,33 @@ def test_order_by_limit_offset():
         np.testing.assert_array_equal(
             np.asarray(local[nm]).astype(np.int64),
             np.asarray(dist[nm]).astype(np.int64), err_msg=nm)
+
+
+@pytest.mark.parametrize("n_dev", [1, 2, 8])
+def test_distributed_range_unbounded_frames(n_dev):
+    # SQL's tie-aware default RANGE frame distributed (round 5): the
+    # forward partition-prefix carry plus the backward run-suffix
+    # chain (S_run) — ORDER BY g2 gives heavy order ties so runs span
+    # devices
+    db = _db(25)
+    sql = ("SELECT id, SUM(v) OVER (PARTITION BY k ORDER BY g2 RANGE "
+           "BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rs, "
+           "SUM(sv) OVER (PARTITION BY k ORDER BY g2 RANGE "
+           "BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ri, "
+           "MIN(sv) OVER (PARTITION BY k ORDER BY g2 RANGE "
+           "BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rm, "
+           "MAX(f) OVER (PARTITION BY k ORDER BY g2 RANGE "
+           "BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rx, "
+           "AVG(v) OVER (PARTITION BY k ORDER BY g2 RANGE "
+           "BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ra "
+           "FROM t ORDER BY id")
+    _cmp(db.sql(sql), db.sql(sql, mesh=make_mesh(n_dev)),
+         float_cols=("ra", "rx"), rtol=2e-4)
+
+
+def test_distributed_range_bounded_rejected():
+    db = _db(26)
+    with pytest.raises(SqlError, match="in-core only"):
+        db.sql("SELECT SUM(v) OVER (PARTITION BY k ORDER BY g2 RANGE "
+               "BETWEEN 5 PRECEDING AND CURRENT ROW) AS rs FROM t",
+               mesh=make_mesh(2))

@@ -332,13 +332,17 @@ def test_range_frames_vs_oracle():
     funcs = {"ru": ("range_sum", "vu", "unbounded"),
              "rm": ("range_min", "vi", "unbounded"),
              "rx": ("range_sum", "vi", 7),
-             "ra": ("range_avg", "vu", 12)}
+             "ra": ("range_avg", "vu", 12),
+             "bm": ("range_min", "vi", 9),
+             "bx": ("range_max", "vu", 4)}
     res = window(U64.from_numpy(keys), funcs, order=jnp.asarray(order),
                  values={"vu": jnp.asarray(vu), "vi": jnp.asarray(vi)})
     for nm, vals, x, agg in [("ru", vu, None, "sum"),
                              ("rm", vi, None, "min"),
                              ("rx", vi, 7, "sum"),
-                             ("ra", vu, 12, "avg")]:
+                             ("ra", vu, 12, "avg"),
+                             ("bm", vi, 9, "min"),
+                             ("bx", vu, 4, "max")]:
         got = res.cols[nm]
         if isinstance(got, U64):
             got = (np.asarray(got.lo).astype(np.uint64)
@@ -351,7 +355,7 @@ def test_range_frames_vs_oracle():
             if x is not None:
                 sel &= order.astype(np.int64) >= int(order[i]) - x
             w = vals[sel].astype(np.float64)
-            want[i] = {"sum": w.sum(), "min": w.min(),
+            want[i] = {"sum": w.sum(), "min": w.min(), "max": w.max(),
                        "avg": w.mean()}[agg]
         if agg == "avg":
             np.testing.assert_allclose(got, want, rtol=1e-5,
@@ -395,3 +399,67 @@ def test_distributed_following_frames(n_dev):
                                        err_msg=nm)
         else:
             np.testing.assert_array_equal(a, b, err_msg=nm)
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_distributed_range_unbounded_vs_local(n_dev):
+    # tie-aware RANGE frames across the mesh: forward partition-prefix
+    # carry + backward run-suffix chain (exchange/dwindow.py S_run)
+    from tpu_qe.exchange.dsort import make_mesh
+    from tpu_qe.exchange.dwindow import distributed_window_numpy
+    rng = np.random.default_rng(31)
+    n = 4096
+    keys = rng.integers(0, 4, n).astype(np.uint64)
+    order = rng.integers(0, 6, n).astype(np.uint32)    # runs span devs
+    vu = rng.integers(0, 1000, n).astype(np.uint32)
+    vi = rng.integers(-500, 500, n).astype(np.int32)
+    vf = rng.normal(size=n).astype(np.float32)
+    funcs = {"rs": ("range_sum", "vu", "unbounded"),
+             "ri": ("range_sum", "vi", "unbounded"),
+             "rm": ("range_min", "vi", "unbounded"),
+             "rx": ("range_max", "vf", "unbounded"),
+             "ra": ("range_avg", "vu", "unbounded")}
+    vals = {"vu": vu, "vi": vi, "vf": vf}
+    lres = window(U64.from_numpy(keys), funcs, order=jnp.asarray(order),
+                  values={k: jnp.asarray(v) for k, v in vals.items()})
+    dres = distributed_window_numpy(keys, funcs, make_mesh(n_dev),
+                                    order=order, values=vals,
+                                    capacity_factor="auto")
+    for nm in funcs:
+        a = lres.cols[nm]
+        if isinstance(a, U64):
+            a = (np.asarray(a.lo).astype(np.uint64)
+                 | (np.asarray(a.hi).astype(np.uint64) << np.uint64(32)))
+        else:
+            a = np.asarray(a)
+        if nm in ("ra", "rx"):
+            np.testing.assert_allclose(dres[nm], a, rtol=1e-5,
+                                       atol=1e-4, err_msg=nm)
+        else:
+            np.testing.assert_array_equal(dres[nm], a, err_msg=nm)
+
+
+def test_distributed_range_single_run_all_devices():
+    # ONE partition with ONE order value spanning the whole mesh: the
+    # S_run chain must walk through every intermediate single-run
+    # device (trs_zero) to the run's true end
+    from tpu_qe.exchange.dsort import make_mesh
+    from tpu_qe.exchange.dwindow import distributed_window_numpy
+    rng = np.random.default_rng(32)
+    n = 2048
+    keys = np.zeros(n, np.uint64)
+    order = np.zeros(n, np.uint32)
+    vi = rng.integers(-500, 500, n).astype(np.int32)
+    funcs = {"ri": ("range_sum", "vi", "unbounded"),
+             "rm": ("range_min", "vi", "unbounded")}
+    vals = {"vi": vi}
+    lres = window(U64.from_numpy(keys), funcs, order=jnp.asarray(order),
+                  values={"vi": jnp.asarray(vi)})
+    dres = distributed_window_numpy(keys, funcs, make_mesh(8),
+                                    order=order, values=vals,
+                                    capacity_factor="auto")
+    a = lres.cols["ri"]
+    a = (np.asarray(a.lo).astype(np.uint64)
+         | (np.asarray(a.hi).astype(np.uint64) << np.uint64(32)))
+    np.testing.assert_array_equal(dres["ri"], a)
+    np.testing.assert_array_equal(dres["rm"], np.asarray(lres.cols["rm"]))

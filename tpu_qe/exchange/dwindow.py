@@ -50,7 +50,7 @@ from tpu_qe.exchange.shuffle import (AXIS, exchange,
                                      sample_splitters_multi)
 from tpu_qe.ops.window import (_canon_funcs, _window_sorted_cols,
                                _moving, _pair_to_f32_signed, _shift_k,
-                               _MOVING, _RUNNING)
+                               _MOVING, _RANGE, _RUNNING)
 
 _ONES = jnp.uint32(0xFFFFFFFF)
 
@@ -149,7 +149,11 @@ def _dwindow_shard(lo, hi, *rest, n_dev: int, samples_per_dev: int,
     # patchable — prefix/suffix contributions add in the numerator
     # only); the division by the global denominator happens after the
     # patch (see the avg finalization below)
-    _AVG = {"total_avg": "total_sum", "running_avg": "running_sum"}
+    # range_avg's numerator is a range_sum; its denominator (the global
+    # count through the row's ORDER-RUN end) is patched separately in
+    # the avg finalization below
+    _AVG = {"total_avg": "total_sum", "running_avg": "running_sum",
+            "range_avg": "range_sum"}
     spec_calc = tuple((nm, _AVG.get(k, k), c, f)
                       for nm, k, c, f in spec)
     base_spec = tuple(s for s in spec_calc
@@ -169,6 +173,18 @@ def _dwindow_shard(lo, hi, *rest, n_dev: int, samples_per_dev: int,
         b = jnp.flip(is_last)
         rev_start = _cummax(jnp.where(b, idx, jnp.uint32(0)))
         part_end = jnp.uint32(L - 1) - jnp.flip(rev_start)
+    # tie-aware RANGE frames: each row's local frame runs through the
+    # end of its ORDER RUN — t_idx (run-end index) feeds the summary
+    # head-run fields and range_avg's denominator
+    any_range = any(k in _RANGE for _, k, _, _ in spec_calc)
+    any_range_avg = any(k == "range_avg" for _, k, _, _ in spec)
+    t_idx = None
+    if any_range:
+        run_last = jnp.concatenate([order_new[1:],
+                                    jnp.ones((1,), bool)])
+        rev_r = _cummax(jnp.where(jnp.flip(run_last), idx,
+                                  jnp.uint32(0)))
+        t_idx = jnp.uint32(L - 1) - jnp.flip(rev_r)
 
     # ---- moving frames: halo exchange, then globally-exact locally ----
     # a width-k frame at a device's head rows reaches into the previous
@@ -404,20 +420,31 @@ def _dwindow_shard(lo, hi, *rest, n_dev: int, samples_per_dev: int,
         # valid rows of the HEAD partition (pads form their own
         # segments, so part_end[0] never reaches into them)
         put("hcnt", part_end[0] + 1)
+    if any_range_avg:
+        # local row count of the device's HEAD order run (row 0's run)
+        put("hrc", t_idx[0] + 1)
     for name, kind, col, fill_ in spec_calc:
         if kind == "dense_rank":
             put(f"td:{name}", at_last(out[name]))
-        elif kind in ("running_sum", "total_sum") \
+        elif kind in ("running_sum", "total_sum", "range_sum") \
                 and isinstance(out[name], U64):
+            # at_last(range plane) = running through the device end —
+            # the same partition-prefix fold element as running_sum
             put(f"ta:{name}:lo", at_last(out[name].lo))
             put(f"ta:{name}:hi", at_last(out[name].hi))
             if kind == "total_sum":    # backward chain: head-partition
                 put(f"ha:{name}:lo", out[name].lo[0])   # local total
                 put(f"ha:{name}:hi", out[name].hi[0])
-        elif kind in _RUNNING or kind in _TOTALS:
+            if kind == "range_sum":    # backward chain: head-RUN local
+                put(f"hr:{name}:lo", out[name].lo[0])   # aggregate
+                put(f"hr:{name}:hi", out[name].hi[0])
+        elif (kind in _RUNNING or kind in _TOTALS
+              or kind in ("range_sum", "range_min", "range_max")):
             put(f"ta:{name}", _bitcast(at_last(out[name]), jnp.uint32))
             if kind in _TOTALS:
                 put(f"ha:{name}", _bitcast(out[name][0], jnp.uint32))
+            if kind.startswith("range_"):
+                put(f"hr:{name}", _bitcast(out[name][0], jnp.uint32))
         elif kind == "lag" and not isinstance(fill_, tuple):
             put(f"lv:{name}", _bitcast(at_last(svals[col]), jnp.uint32))
         elif kind == "lead" and not isinstance(fill_, tuple):
@@ -445,14 +472,18 @@ def _dwindow_shard(lo, hi, *rest, n_dev: int, samples_per_dev: int,
              if k == "lag" and not isinstance(f, tuple)}
     C_cnt = C_dense = C_rank = u0
     def _int_sum(kind, col):
-        return (kind in ("running_sum", "total_sum")
+        return (kind in ("running_sum", "total_sum", "range_sum")
                 and dtypes[colnames.index(col)] != jnp.float32)
 
+    # range kinds ride the SAME forward partition-prefix carry as the
+    # running family (their device-end fold element is identical); the
+    # extra run-suffix patch they need is the backward S_run chain
+    _MMLIKE = _RUNNING + _TOTALS + ("range_min", "range_max")
     C_agg = {}
     for name, kind, col, _ in spec_calc:
         if _int_sum(kind, col):
             C_agg[name] = (u0, u0)
-        elif kind in _RUNNING or kind in _TOTALS:
+        elif kind in _MMLIKE or kind == "range_sum":
             C_agg[name] = u0
     C_first = {name: u0 for name, k, _, _ in spec if k == "first_value"}
     rec = {k: [] for k in ("cont", "cont_o", "C_cnt", "C_dense", "C_rank")}
@@ -500,12 +531,12 @@ def _dwindow_shard(lo, hi, *rest, n_dev: int, samples_per_dev: int,
                        + (alo < tlo).astype(jnp.uint32))
                 nC_agg[name] = (jnp.where(whole, alo, tlo),
                                 jnp.where(whole, ahi, thi))
-            elif kind in ("running_sum", "total_sum"):
+            elif kind in ("running_sum", "total_sum", "range_sum"):
                 tv = _bitcast(gv(e, f"ta:{name}"), jnp.float32)
                 cv = _bitcast(C_agg[name], jnp.float32)
                 nC_agg[name] = _bitcast(
                     jnp.where(whole, cv + tv, tv), jnp.uint32)
-            elif kind in _RUNNING or kind in _TOTALS:
+            elif kind in _MMLIKE:
                 dt = dtypes[colnames.index(col)]
                 tv = _bitcast(gv(e, f"ta:{name}"), dt)
                 cv = _bitcast(C_agg[name], dt)
@@ -556,16 +587,37 @@ def _dwindow_shard(lo, hi, *rest, n_dev: int, samples_per_dev: int,
             S_tot[name] = (u0, u0)
         elif kind in _TOTALS:
             S_tot[name] = u0
+    # tie-aware RANGE: suffix contribution of later devices to MY tail
+    # ORDER RUN (run-level mirror of S_tot's partition suffix) — chains
+    # through successors whose whole device is one run (trs_zero)
+    nfo = u0
+    S_run = {}
+    for name, kind, col, _ in spec_calc:
+        if kind == "range_sum" and _int_sum(kind, col):
+            S_run[name] = (u0, u0)
+        elif kind in ("range_sum", "range_min", "range_max"):
+            S_run[name] = u0
+    S_rcnt = u0
     rec_lead_cont, rec_lead_val = [], {nm: [] for nm in nfv}
     rec_last = {nm: [] for nm in B_last}
     rec_suffix = []
     rec_tot = {nm: [] for nm in S_tot}
+    rec_rcont, rec_rcnt = [], []
+    rec_run = {nm: [] for nm in S_run}
     for e in range(n_dev - 1, -1, -1):
         nv = gv(e, "nv")
         nonempty = nv > 0
         ncont = (nex & (gv(e, "lk_lo") == nfk_lo)
                  & (gv(e, "lk_hi") == nfk_hi))
         rec_lead_cont.append(ncont)
+        if any_range:
+            # run continuation: same partition AND same order value
+            ncont_r = ncont & (gv(e, "lo_") == nfo)
+            rec_rcont.append(ncont_r)
+            for nm in S_run:
+                rec_run[nm].append(S_run[nm])
+            if any_range_avg:
+                rec_rcnt.append(S_rcnt)
         for nm in nfv:
             rec_lead_val[nm].append(nfv[nm])
         for nm in B_last:
@@ -612,6 +664,39 @@ def _dwindow_shard(lo, hi, *rest, n_dev: int, samples_per_dev: int,
                 S_tot[name] = upd(_bitcast(
                     jnp.where(sn, op(s_, h), h), jnp.uint32),
                     S_tot[name])
+        if any_range:
+            single_run = gv(e, "trs_zero") == 1
+            snr = single_run & ncont_r
+            for name, kind, col, _ in spec_calc:
+                if name not in S_run:
+                    continue
+                if isinstance(S_run[name], tuple):
+                    hlo = gv(e, f"hr:{name}:lo")
+                    hhi = gv(e, f"hr:{name}:hi")
+                    alo = hlo + jnp.where(snr, S_run[name][0], u0)
+                    ahi = (hhi + jnp.where(snr, S_run[name][1], u0)
+                           + (alo < hlo).astype(jnp.uint32))
+                    S_run[name] = (upd(alo, S_run[name][0]),
+                                   upd(ahi, S_run[name][1]))
+                elif kind == "range_sum":
+                    h = _bitcast(gv(e, f"hr:{name}"), jnp.float32)
+                    s_ = _bitcast(S_run[name], jnp.float32)
+                    S_run[name] = upd(_bitcast(
+                        h + jnp.where(snr, s_, jnp.float32(0)),
+                        jnp.uint32), S_run[name])
+                else:
+                    dt = dtypes[colnames.index(col)]
+                    h = _bitcast(gv(e, f"hr:{name}"), dt)
+                    s_ = _bitcast(S_run[name], dt)
+                    op = (jnp.minimum if kind.endswith("min")
+                          else jnp.maximum)
+                    S_run[name] = upd(_bitcast(
+                        jnp.where(snr, op(s_, h), h), jnp.uint32),
+                        S_run[name])
+            if any_range_avg:
+                hc = gv(e, "hrc") + jnp.where(snr, S_rcnt, u0)
+                S_rcnt = upd(hc, S_rcnt)
+            nfo = upd(gv(e, "fo"), nfo)
         nfk_lo = upd(gv(e, "fk_lo"), nfk_lo)
         nfk_hi = upd(gv(e, "fk_hi"), nfk_hi)
         for name, kind, _, f_ in spec_calc:
@@ -626,6 +711,10 @@ def _dwindow_shard(lo, hi, *rest, n_dev: int, samples_per_dev: int,
     rec_suffix.reverse()
     for nm in rec_tot:
         rec_tot[nm].reverse()
+    rec_rcont.reverse()
+    rec_rcnt.reverse()
+    for nm in rec_run:
+        rec_run[nm].reverse()
 
     def mine(lst):
         return jnp.take(jnp.stack(lst), my)
@@ -641,6 +730,9 @@ def _dwindow_shard(lo, hi, *rest, n_dev: int, samples_per_dev: int,
     head = validrow & (part_start == 0) & cont
     ncont_m = mine(rec_lead_cont)
     tail = validrow & (part_start == tps) & ncont_m
+    if any_range:
+        rcont_m = mine(rec_rcont)
+        tail_run = validrow & (run_start == trs) & rcont_m
     if has_cnt:
         suffix = jnp.where(ncont_m, mine(rec_suffix), u0)
         local_cnt = part_end - part_start + 1
@@ -669,6 +761,33 @@ def _dwindow_shard(lo, hi, *rest, n_dev: int, samples_per_dev: int,
         elif kind == "running_sum":
             cf = _bitcast(mine(rec_agg[name]), jnp.float32)
             out[name] = o + jnp.where(head, cf, f0)
+        elif kind == "range_sum" and isinstance(o, U64):
+            # forward partition prefix on head rows + backward run
+            # suffix on tail-run rows (both exact mod-2^64)
+            clo = mine([t[0] for t in rec_agg[name]])
+            chi = mine([t[1] for t in rec_agg[name]])
+            rlo = mine([t[0] for t in rec_run[name]])
+            rhi = mine([t[1] for t in rec_run[name]])
+            a1 = jnp.where(head, clo, u0)
+            nlo = o.lo + a1
+            nhi = (o.hi + jnp.where(head, chi, u0)
+                   + (nlo < a1).astype(jnp.uint32))
+            a2 = jnp.where(tail_run, rlo, u0)
+            mlo = nlo + a2
+            mhi = (nhi + jnp.where(tail_run, rhi, u0)
+                   + (mlo < a2).astype(jnp.uint32))
+            out[name] = U64(mlo, mhi)
+        elif kind == "range_sum":
+            cf = _bitcast(mine(rec_agg[name]), jnp.float32)
+            sf = _bitcast(mine(rec_run[name]), jnp.float32)
+            out[name] = (o + jnp.where(head, cf, f0)
+                         + jnp.where(tail_run, sf, f0))
+        elif kind in ("range_min", "range_max"):
+            cv = _bitcast(mine(rec_agg[name]), o.dtype)
+            sv_ = _bitcast(mine(rec_run[name]), o.dtype)
+            op = jnp.minimum if kind.endswith("min") else jnp.maximum
+            t1 = jnp.where(head, op(cv, o), o)
+            out[name] = jnp.where(tail_run, op(sv_, t1), t1)
         elif kind in _RUNNING:
             cv = _bitcast(mine(rec_agg[name]), o.dtype)
             op = jnp.minimum if kind == "running_min" else jnp.maximum
@@ -737,7 +856,7 @@ def _dwindow_shard(lo, hi, *rest, n_dev: int, samples_per_dev: int,
     # row_number for running_avg) — same f32 association class as the
     # local operator's own division
     for name, kind, col, fill in spec:
-        if kind not in ("total_avg", "running_avg"):
+        if kind not in ("total_avg", "running_avg", "range_avg"):
             continue
         o = out[name]
         if isinstance(o, U64):
@@ -748,6 +867,13 @@ def _dwindow_shard(lo, hi, *rest, n_dev: int, samples_per_dev: int,
             numf = o
         if kind == "total_avg":
             den = jnp.maximum(gcnt, jnp.uint32(1)).astype(jnp.float32)
+        elif kind == "range_avg":
+            # global count through the row's run end: local run-end
+            # offset + partition prefix rows on earlier devices + run
+            # continuation rows on later devices
+            grc = ((t_idx - part_start + 1) + jnp.where(head, cc, u0)
+                   + jnp.where(tail_run, mine(rec_rcnt), u0))
+            den = jnp.maximum(grc, jnp.uint32(1)).astype(jnp.float32)
         else:
             grn = (idx - part_start + 1) + jnp.where(head, cc, u0)
             den = jnp.maximum(grn, jnp.uint32(1)).astype(jnp.float32)
@@ -831,7 +957,8 @@ def _distributed_window(key, order, cols, mesh, spec, has_order, colnames,
         colnames=colnames, dtypes=dtypes)
     spec_p = P(AXIS)
     n_in = 2 + (1 if has_order else 0) + len(cols)
-    n_planes = sum(2 if (k in ("running_sum", "moving_sum", "total_sum")
+    n_planes = sum(2 if (k in ("running_sum", "moving_sum",
+                               "total_sum", "range_sum")
                          and dtypes[colnames.index(c)] != jnp.float32)
                    else 1 for _, k, c, _ in spec)
     fn = shard_map(body, mesh=mesh, in_specs=tuple([spec_p] * n_in),
@@ -844,7 +971,8 @@ def _distributed_window(key, order, cols, mesh, spec, has_order, colnames,
     slo, shi, spos = res[0], res[1], res[2]
     out, j = {}, 3
     for name, kind, col, _ in spec:
-        if (kind in ("running_sum", "moving_sum", "total_sum")
+        if (kind in ("running_sum", "moving_sum", "total_sum",
+                     "range_sum")
                 and dtypes[colnames.index(col)] != jnp.float32):
             out[name] = U64(res[j], res[j + 1])
             j += 2
@@ -852,11 +980,12 @@ def _distributed_window(key, order, cols, mesh, spec, has_order, colnames,
                                  "moving_max", "lag", "lead",
                                  "first_value", "last_value",
                                  "total_sum", "total_min",
-                                 "total_max"):
+                                 "total_max", "range_sum",
+                                 "range_min", "range_max"):
             out[name] = _bitcast(res[j], dtypes[colnames.index(col)])
             j += 1
         elif kind in ("percent_rank", "moving_avg", "total_avg",
-                      "running_avg"):
+                      "running_avg", "range_avg"):
             out[name] = _bitcast(res[j], jnp.float32)
             j += 1
         else:
@@ -894,6 +1023,13 @@ def distributed_window(key: U64, funcs: dict, mesh: Mesh,
         raise ValueError("UNBOUNDED PRECEDING with a FOLLOWING bound "
                          "is in-core only (distributed frames ride "
                          "bounded row halos)")
+    if any(k in _RANGE and f != "unbounded" for _, k, _, f in spec):
+        raise ValueError("bounded RANGE frames are in-core only (an "
+                         "order-VALUE bound reaches back an unbounded "
+                         "number of rows — no finite row halo covers "
+                         "it)")
+    if order is None and any(k in _RANGE for _, k, _, _ in spec):
+        raise ValueError("RANGE frames require an order column")
     values = values or {}
     needed = tuple(sorted({c for _, _, c, _ in spec if c is not None}))
     for c in needed:

@@ -116,11 +116,6 @@ def _canon_funcs(funcs: dict) -> tuple:
                     and not isinstance(fill, bool) and fill >= 0):
                 raise ValueError(f"{kind} bound must be a non-negative "
                                  f"number or 'unbounded', got {fill!r}")
-            if fill != "unbounded" and kind in ("range_min",
-                                                "range_max"):
-                raise ValueError(f"{kind} supports the 'unbounded' "
-                                 "bound only (bounded RANGE min/max "
-                                 "needs suffix scans)")
         if kind in _MOVING:
             # spec is (kind, col, k[, b]) — the static backward width k
             # (incl. the current row; None = UNBOUNDED PRECEDING) rides
@@ -425,6 +420,11 @@ def _window_sorted_cols(spec, scols, idx, is_new, order_new, is_last,
                 if part_start is None:
                     part_start = cummax_u32(jnp.where(
                         is_new, idx, jnp.uint32(0)))
+                if agg in ("min", "max"):
+                    out[name] = _range_minmax(agg, v, sorder, odt,
+                                              fill, is_new, order_new,
+                                              part_start, idx)
+                    continue
                 fsum, fcnt = _range_x(agg, v, sorder, odt, fill,
                                       is_new, order_new, part_start,
                                       idx)
@@ -643,6 +643,115 @@ def _moving_follow(kind: str, v, k, b: int, is_new, is_last, rn0,
     return op(back, fwd)
 
 
+def _range_qbits(sorder, odt, x):
+    """Sortable u32 bits of each row's RANGE lower bound order_i - x,
+    saturating in the order dtype (u32 floors at 0, i32 at INT_MIN,
+    f32 is exact float subtraction)."""
+    from tpu_qe.bits import sortable_u32, sortable_u32_inverse
+    ovals = sortable_u32_inverse(sorder, odt)
+    if odt == jnp.uint32:
+        xq = jnp.uint32(int(x))
+        q = jnp.where(ovals >= xq, ovals - xq, jnp.uint32(0))
+    elif odt == jnp.int32:
+        xq = jnp.int32(int(x))
+        r = ovals - xq
+        q = jnp.where(r > ovals, jnp.int32(-(1 << 31)), r)  # saturate
+    else:
+        q = ovals - jnp.float32(x)
+    return sortable_u32(q)
+
+
+# bounded RANGE MIN/MAX builds a (levels x n) sparse table; the flat
+# gather index must fit i32 and the table must fit HBM (26 planes at
+# 2^25 rows = 3.4 GB) — larger calls raise with this cap in the message
+_RANGE_MM_CAP = 1 << 25
+
+
+def _range_minmax(agg: str, v, sorder, odt, x, is_new, order_new,
+                  part_start, idx):
+    """RANGE BETWEEN x PRECEDING AND CURRENT ROW for MIN / MAX: the
+    frame of row i is every partition row whose ORDER VALUE lies in
+    [order_i - x, order_i] (through the current row's last peer).
+
+    Unlike sums, min/max has no prefix-difference form — the frame is
+    an interval-min query [s_i, t_i] over the (partition, order)-sorted
+    stream, where s_i (first in-bound row) comes from the same query
+    union sort _range_x uses and t_i is the run-end broadcast of the
+    row index. Both endpoints are per-row dynamic, so the classic
+    sparse table answers it: L = log2(n)+1 doubling planes
+    P_j[p] = op over stream rows [p, p+2^j-1] (static shifts, no
+    partition masking needed — reads stay inside one partition by
+    construction), then frame = op(P_j[s], P_j[t-2^j+1]) at
+    j = floor(log2(t-s+1)), read with TWO flat n-element gathers into
+    the (L*n,) table. Gathers run at XLA take's measured ~68 M elem/s
+    (BASELINE.md) — this is the one window verb that pays them; every
+    sort-based alternative measured needs the same L planes as sort
+    payload operands (~L*0.07 key-weights, no cheaper) and far more
+    peak HBM. n is capped at 2^25 per call (3.4 GB table)."""
+    n = v.shape[0]
+    if n > _RANGE_MM_CAP:
+        raise ValueError(
+            f"bounded RANGE {agg} supports up to {_RANGE_MM_CAP} rows "
+            f"per call (got {n}): the interval-min sparse table is "
+            "(log2(n)+1) x n values in HBM")
+    qbits = _range_qbits(sorder, odt, x)
+    # union sort: queries (side 0) land immediately before their
+    # frame's first value row (side 1) within the partition
+    part_id = cumsum_u32(is_new.astype(jnp.uint32))
+    z = jnp.zeros(n, jnp.uint32)
+    up = jnp.concatenate([part_id, part_id])
+    ub = jnp.concatenate([qbits, sorder])
+    uside = jnp.concatenate([z, jnp.ones(n, jnp.uint32)])
+    upos = jnp.concatenate([idx, idx])
+    srt = jax.lax.sort([up, ub, uside, upos], num_keys=4,
+                       is_stable=False)
+    spid, sside, spos_ = srt[0], srt[2], srt[3]
+    uidx = jnp.arange(2 * n, dtype=jnp.uint32)
+    useg_new = (uidx == 0) | (spid != _shift_right_one(spid, 0))
+    is_val = sside == 1
+    # value rows of the partition strictly below the bound = the
+    # query's offset from its partition start
+    scount = cumsum_u32(is_val.astype(jnp.uint32))
+    base = cummax_u32(jnp.where(
+        useg_new, scount - is_val.astype(jnp.uint32), jnp.uint32(0)))
+    cnt_lt = scount - base
+    qsel = jnp.where(is_val, jnp.uint32(0xFFFFFFFF), spos_)
+    back = jax.lax.sort([qsel, cnt_lt], num_keys=1, is_stable=False)
+    s_idx = part_start + back[1][:n]
+    # frame end: the current row's last order peer (run-end broadcast)
+    run_lastb = jnp.concatenate([order_new[1:], jnp.ones((1,), bool)])
+    bnd = jnp.flip(run_lastb)
+    t_idx = jnp.flip(_seg_fill(jnp.flip(idx), bnd, bnd))
+    cnt = t_idx - s_idx + jnp.uint32(1)          # >= 1: row i in frame
+    lvl = jnp.uint32(31) - jax.lax.clz(cnt)      # floor(log2(cnt))
+    neutral = _mm_neutral(agg, v.dtype)
+    op = jnp.minimum if agg == "min" else jnp.maximum
+    planes, cur = [v], v
+    for j in range(max(0, int(n).bit_length() - 1)):
+        sh = 1 << j
+        if sh >= n:
+            break
+        cur = op(cur, jnp.concatenate(
+            [cur[sh:], jnp.full((sh,), neutral, v.dtype)]))
+        planes.append(cur)
+    table = jnp.concatenate(planes)
+    nn = jnp.uint32(n)
+    g1 = lvl * nn + s_idx
+    g2 = lvl * nn + (t_idx - (jnp.uint32(1) << lvl) + jnp.uint32(1))
+    r1 = jnp.take(table, g1.astype(jnp.int32))
+    r2 = jnp.take(table, g2.astype(jnp.int32))
+    return op(r1, r2)
+
+
+def _mm_neutral(agg: str, dtype):
+    """Neutral element for a min/max reduction in `dtype`."""
+    if dtype == jnp.float32:
+        return jnp.float32(jnp.inf if agg == "min" else -jnp.inf)
+    if dtype == jnp.int32:
+        return jnp.int32(0x7FFFFFFF if agg == "min" else -0x80000000)
+    return jnp.uint32(0xFFFFFFFF if agg == "min" else 0)
+
+
 def _range_x(agg: str, v, sorder, odt, x, is_new, order_new,
              part_start, idx):
     """RANGE BETWEEN x PRECEDING AND CURRENT ROW for SUM / AVG: the
@@ -659,19 +768,8 @@ def _range_x(agg: str, v, sorder, odt, x, is_new, order_new,
     and one position sort scatters the query results back. frame =
     running[i] - prefix_below[i] — exact mod-2^64 pair arithmetic for
     integer sums. Returns (frame sum U64|f32, frame count u32)."""
-    from tpu_qe.bits import sortable_u32, sortable_u32_inverse
     n = v.shape[0]
-    ovals = sortable_u32_inverse(sorder, odt)
-    if odt == jnp.uint32:
-        xq = jnp.uint32(int(x))
-        q = jnp.where(ovals >= xq, ovals - xq, jnp.uint32(0))
-    elif odt == jnp.int32:
-        xq = jnp.int32(int(x))
-        r = ovals - xq
-        q = jnp.where(r > ovals, jnp.int32(-(1 << 31)), r)  # saturate
-    else:
-        q = ovals - jnp.float32(x)
-    qbits = sortable_u32(q)
+    qbits = _range_qbits(sorder, odt, x)
     if v.dtype == jnp.float32:
         planes = [segmented_reduce(v, is_new, "sum")]
     else:

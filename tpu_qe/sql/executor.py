@@ -108,7 +108,8 @@ def _window_kind(c) -> str:
         # RANGE frames: order-VALUE window bounds. The kind arrives as
         # the running family (no ROWS frame present); 'unbounded' is
         # SQL's tie-aware default frame, a numeric bound is
-        # [order - x, order] (SUM/AVG only — see ops/window._range_x)
+        # [order - x, order] (SUM/AVG via ops/window._range_x prefix
+        # differences; MIN/MAX via the _range_minmax sparse table)
         remap_r = {"running_sum": "range_sum",
                    "running_min": "range_min",
                    "running_max": "range_max",
@@ -118,10 +119,6 @@ def _window_kind(c) -> str:
         if ocol is None:
             raise SqlError("a RANGE frame needs ORDER BY inside OVER")
         kind = remap_r[kind]
-        if frange != "unbounded" and kind in ("range_min", "range_max"):
-            raise SqlError(f"{c.func} takes the unbounded RANGE frame "
-                           "only (bounded RANGE min/max needs suffix "
-                           "scans)")
     if kind in ("running_sum", "running_min", "running_max") \
             and ocol is None:
         kind = {"running_sum": "total_sum", "running_min": "total_min",
@@ -1550,10 +1547,11 @@ class Database:
                     raise SqlError("distributed windows share one "
                                    "(PARTITION BY, ORDER BY) spec")
             fr = c.window.frame_rows
-            if c.window.frame_range is not None:
-                raise SqlError("RANGE frames are in-core only (the "
-                               "union-sort order-boundary search does "
-                               "not distribute yet)")
+            if c.window.frame_range not in (None, "unbounded"):
+                raise SqlError("bounded RANGE frames are in-core only "
+                               "(an order-VALUE bound reaches back an "
+                               "unbounded number of rows — no finite "
+                               "row halo covers it)")
             # the shared in-core kind resolver: frames, whole-partition
             # (total_*) remaps, COUNT<->row_number/partition_count,
             # AVG's moving/running/total split — all supported by the
@@ -1575,9 +1573,12 @@ class Database:
                     funcs[name] = (
                         (kind, vn, None if fr is None else fr + 1, fo)
                         if fo else (kind, vn, fr + 1))
+                elif kind.startswith("range_"):
+                    funcs[name] = (kind, vn, "unbounded")
                 else:
                     funcs[name] = (kind, vn)
-                if kind in ("running_sum", "moving_sum", "total_sum") \
+                if kind in ("running_sum", "moving_sum", "total_sum",
+                            "range_sum") \
                         and tags[vn] == "i32":
                     # sign-extended pair sums come back as u64 bit
                     # patterns — resolve to two's-complement i64 at
