@@ -125,7 +125,9 @@ def test_bench_matrix_smoke(capsys):
     out = capsys.readouterr().out.strip().splitlines()
     import json
     rows = [json.loads(line) for line in out]
-    assert len(rows) == 7  # 6 configs + the unfused join_agg companion row
+    # 6 configs + the unfused join_agg companion row + the round-5
+    # centered-frame/RANGE window companion row
+    assert len(rows) == 8
     assert all(r["value"] > 0 for r in rows)
 
 

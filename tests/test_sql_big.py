@@ -609,3 +609,43 @@ def test_limit_offset_over_virtual_table():
                   run_size=1 << 12)
     np.testing.assert_array_equal(out3["v"], 64 * (2 + np.arange(4)))
     np.testing.assert_array_equal(out3["rn"], 3 + np.arange(4))
+
+
+def test_window_range_unbounded(dbs):
+    # SQL's tie-aware default RANGE frame over a big table: the frame
+    # runs through the row's LAST ORDER PEER, which extends past the
+    # candidate prefix — composed from the prefix-exact cumulative
+    # before the run + a G-bounded per-(partition, order)-run side
+    # channel (u has only 1000 values, so runs straddle the LIMIT
+    # boundary by construction)
+    big, ref = dbs
+    body = ("SELECT k, u, id, "
+            "SUM(v) OVER (PARTITION BY k ORDER BY u RANGE BETWEEN "
+            "UNBOUNDED PRECEDING AND CURRENT ROW) AS rs, "
+            "MIN(v) OVER (PARTITION BY k ORDER BY u RANGE BETWEEN "
+            "UNBOUNDED PRECEDING AND CURRENT ROW) AS rm, "
+            "MAX(f) OVER (PARTITION BY k ORDER BY u RANGE BETWEEN "
+            "UNBOUNDED PRECEDING AND CURRENT ROW) AS rx, "
+            "AVG(v) OVER (PARTITION BY k ORDER BY u RANGE BETWEEN "
+            "UNBOUNDED PRECEDING AND CURRENT ROW) AS ra FROM t")
+    got = big.sql(body + " LIMIT 40", run_size=RUN)
+    want = ref.sql(body + " ORDER BY k, u, id LIMIT 40")
+    _cmp_ordered(got, want)
+
+
+def test_window_range_where_offset(dbs):
+    big, ref = dbs
+    body = ("SELECT k, u, id, SUM(u) OVER (PARTITION BY k ORDER BY u "
+            "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rs "
+            "FROM t WHERE u % 3 <> 1")
+    got = big.sql(body + " LIMIT 25 OFFSET 7", run_size=RUN)
+    want = ref.sql(body + " ORDER BY k, u, id LIMIT 25 OFFSET 7")
+    _cmp_ordered(got, want)
+
+
+def test_window_range_bounded_rejected(dbs):
+    big, _ = dbs
+    with pytest.raises(SqlError, match="bounded RANGE"):
+        big.sql("SELECT SUM(v) OVER (PARTITION BY k ORDER BY u RANGE "
+                "BETWEEN 5 PRECEDING AND CURRENT ROW) AS rs FROM t "
+                "LIMIT 10", run_size=RUN)

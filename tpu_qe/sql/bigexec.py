@@ -1681,13 +1681,27 @@ def _window_big(vt: VirtualTable, q: P.Query, run_size: int,
                            "columns over big tables")
         return cols
 
-    prefix_calls, whole_calls = [], []
+    RANGEK = {"range_sum", "range_min", "range_max", "range_avg"}
+    prefix_calls, whole_calls, range_calls = [], [], []
     for c in wcalls:
         kind = kinds[id(c)]
         if kind.startswith("range_"):
-            raise SqlError("RANGE frames over a big table are not "
-                           "supported (a row's order-value peers can "
-                           "extend past any bounded prefix)")
+            # tie-aware 'unbounded' frames compose from the prefix +
+            # a G-bounded per-(partition, order)-RUN side channel; a
+            # numeric bound would need order-value search over the
+            # full stream
+            if c.window.frame_range != "unbounded":
+                raise SqlError("bounded RANGE frames over a big table "
+                               "are not supported (an order-VALUE "
+                               "bound reaches back an unbounded "
+                               "number of rows)")
+            if len(c.window.partition_by) != 1:
+                raise SqlError("RANGE over a big table supports a "
+                               "single PARTITION BY column (the "
+                               "per-run side channel packs "
+                               "(partition, order) into one u64 key)")
+            range_calls.append(c)
+            continue
         if kind == "last_value":
             raise SqlError("last_value over a big table is not "
                            "supported (whole-partition argmax)")
@@ -1699,7 +1713,7 @@ def _window_big(vt: VirtualTable, q: P.Query, run_size: int,
     # the prefix needs ONE composite order (whole-partition aggregates
     # may partition differently — they join back by key)
     spec, F = None, 0
-    for c in prefix_calls:
+    for c in prefix_calls + range_calls:
         key = (tuple(p.key for p in c.window.partition_by),
                c.window.order_by.key if c.window.order_by else None)
         if spec is None:
@@ -1719,8 +1733,8 @@ def _window_big(vt: VirtualTable, q: P.Query, run_size: int,
             raise SqlError(f"{c.func} over a big table needs ORDER BY "
                            "inside OVER")
 
-    if prefix_calls:
-        c0 = prefix_calls[0]
+    if prefix_calls or range_calls:
+        c0 = (prefix_calls + range_calls)[0]
         oexprs = [(e, False) for e in pcols_of(c0)]
         ob = c0.window.order_by
         if ob is not None:
@@ -1831,6 +1845,106 @@ def _window_big(vt: VirtualTable, q: P.Query, run_size: int,
                                if vtag == "u32"
                                else raw.astype(np.int32))
 
+    # tie-aware RANGE frames: a prefix row's frame runs through the
+    # END of its (partition, order) run, which may extend past the
+    # candidate set — compose the prefix-exact cumulative BEFORE the
+    # run start (host numpy over the m candidates; every earlier
+    # partition row is in the prefix by the order contract) with the
+    # run's FULL aggregate from a G-bounded per-RUN side channel
+    # (_agg_partials keyed (partition, order) — exact overflow
+    # detection bounds distinct runs by max_groups)
+    rng_host: dict[int, np.ndarray] = {}
+    if range_calls:
+        c0r = range_calls[0]
+        pr = c0r.window.partition_by[0]
+        orr = c0r.window.order_by
+        gexprs_r = [P.Col(pr.name, pr.table),
+                    P.Col(orr.name, orr.table)]
+        value_exprs_r, aggspec_r, vn_of_r = {}, {}, {}
+        for c in range_calls:
+            kind = kinds[id(c)]
+            if len(c.args) != 1 or not isinstance(c.args[0], P.Col):
+                raise SqlError(f"{c.func}(...) OVER needs a plain "
+                               "column argument")
+            vn = penv.resolve(c.args[0])
+            vn_of_r[id(c)] = vn
+            want = {"range_sum": ("sum",), "range_min": ("min",),
+                    "range_max": ("max",), "range_avg": ("sum",)}[kind]
+            aggspec_r[vn] = tuple(sorted(set(aggspec_r.get(vn, ()))
+                                         | set(want)))
+            value_exprs_r[vn] = P.Col(vn)
+        first_r = sorted(aggspec_r)[0]
+        aggspec_r[first_r] = tuple(sorted(set(aggspec_r[first_r])
+                                          | {"count"}))
+        cap_r = min(max_groups, run_size)
+        sum_signed_r = {vn: _expr_tag(vt, value_exprs_r[vn]) == "i32"
+                        for vn in aggspec_r}
+        uk_r, agg_r, _tr = _agg_partials(
+            vt, sel.where, gexprs_r, value_exprs_r, aggspec_r,
+            run_size, cap_r, None, sum_signed_r)
+        _add_compile_s(stats, _tr[0])
+        cnt_r = agg_r[f"{first_r}_count"].astype(np.int64)
+        gh_r, gl_r = _group_planes(env, gexprs_r, n_env)
+        hi_part = np.asarray(gh_r).astype(np.uint64)
+        packed_r = ((hi_part << np.uint64(32))
+                    | np.asarray(gl_r).astype(np.uint64))
+        row_r = np.searchsorted(uk_r, packed_r)
+        fi = np.zeros(n_env, bool)
+        fi[0] = True
+        run_new = fi.copy()
+        run_new[1:] = packed_r[1:] != packed_r[:-1]
+        part_new = fi.copy()
+        part_new[1:] = hi_part[1:] != hi_part[:-1]
+        run_id = np.cumsum(run_new) - 1
+        part_id = np.cumsum(part_new) - 1
+        run_starts = np.flatnonzero(run_new)
+        part_starts = np.flatnonzero(part_new)
+        rs_row = run_starts[run_id]          # my run's start row
+        ps_row = part_starts[part_id]        # my partition's start row
+        cnt_before = (rs_row - ps_row).astype(np.int64)
+        for c in range_calls:
+            kind = kinds[id(c)]
+            vn = vn_of_r[id(c)]
+            vtag = _expr_tag(vt, value_exprs_r[vn])
+            v_np = np.asarray(_eval(value_exprs_r[vn], env, n_env).arr)
+            if kind in ("range_sum", "range_avg"):
+                run_tot = agg_r[f"{vn}_sum"][row_r]
+                acc_dt = np.float64 if vtag == "f32" else np.int64
+                cv = np.cumsum(v_np.astype(acc_dt))
+                before_all = cv - v_np.astype(acc_dt)
+                pre = before_all[rs_row] - before_all[ps_row]
+                if kind == "range_sum":
+                    tot = pre + run_tot.astype(acc_dt)
+                    rng_host[id(c)] = (tot.astype(np.float32)
+                                       if vtag == "f32"
+                                       else tot.astype(np.int64))
+                else:
+                    den = np.maximum(cnt_before + cnt_r[row_r], 1)
+                    rng_host[id(c)] = (
+                        (pre.astype(np.float64)
+                         + run_tot.astype(np.float64))
+                        / den.astype(np.float64)).astype(np.float32)
+            else:
+                ag = kind.rsplit("_", 1)[1]
+                op = np.minimum if ag == "min" else np.maximum
+                run_m = agg_r[f"{vn}_{ag}"][row_r]
+                wide = v_np.astype(np.float64 if vtag == "f32"
+                                   else np.int64)
+                acc = wide.copy()
+                for s_, e_ in zip(part_starts,
+                                  np.append(part_starts[1:], n_env)):
+                    acc[s_:e_] = op.accumulate(wide[s_:e_])
+                has_pre = rs_row > ps_row
+                pre_m = acc[np.maximum(rs_row - 1, 0)]
+                comb = np.where(has_pre,
+                                op(pre_m, run_m.astype(acc.dtype)),
+                                run_m.astype(acc.dtype))
+                rng_host[id(c)] = (comb.astype(np.float32)
+                                   if vtag == "f32"
+                                   else comb.astype(np.uint32)
+                                   if vtag == "u32"
+                                   else comb.astype(np.int32))
+
     # emission: first k rows of the composite order
     out = {}
     for i, it in enumerate(sel.items):
@@ -1839,7 +1953,9 @@ def _window_big(vt: VirtualTable, q: P.Query, run_size: int,
         if cs:
             c = cs[0]
             kind = kinds[id(c)]
-            if kind in WHOLE:
+            if kind in RANGEK:
+                v = rng_host[id(c)]
+            elif kind in WHOLE:
                 v = side[id(c)]
             elif kind in COMPOSED:
                 cnt_full = side[id(c)].astype(np.int64)
