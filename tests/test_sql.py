@@ -308,6 +308,21 @@ class TestSetOps:
               "SELECT k FROM t EXCEPT SELECT k FROM r ORDER BY k",
               ordered=True)
 
+    def test_except_all_multiset(self, engines):
+        # Postgres EXCEPT ALL semantics (sqlite has no EXCEPT ALL):
+        # max(ca - cb, 0) copies of EVERY key — keys present in BOTH
+        # sides with ca > cb must survive (round-5 fix: the old path
+        # pre-filtered to except-distinct keys)
+        db, _ = engines
+        import numpy as np
+        d2 = Database()
+        d2.register("a", {"x": np.array([1, 1, 1, 2, 3], np.uint32)})
+        d2.register("b", {"x": np.array([1, 3, 3], np.uint32)})
+        out = d2.sql("SELECT x FROM a EXCEPT ALL SELECT x FROM b")
+        assert sorted(out["x"].tolist()) == [1, 1, 2]
+        out = d2.sql("SELECT x FROM a INTERSECT ALL SELECT x FROM b")
+        assert sorted(out["x"].tolist()) == [1, 3]
+
 
 # ---------------------------------------------------------------------------
 # window functions

@@ -649,3 +649,15 @@ def test_window_range_bounded_rejected(dbs):
         big.sql("SELECT SUM(v) OVER (PARTITION BY k ORDER BY u RANGE "
                 "BETWEEN 5 PRECEDING AND CURRENT ROW) AS rs FROM t "
                 "LIMIT 10", run_size=RUN)
+
+
+def test_window_select_star(dbs):
+    # SELECT * expands to the virtual table's columns (sorted name
+    # order) alongside the window calls (round 5 — formerly a SqlError)
+    big, ref = dbs
+    got = big.sql("SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER "
+                  "BY u) AS rn FROM t LIMIT 30", run_size=RUN)
+    want = ref.sql("SELECT f, id, k, u, v, ROW_NUMBER() OVER "
+                   "(PARTITION BY k ORDER BY u) AS rn FROM t "
+                   "ORDER BY k, u, id LIMIT 30")
+    _cmp_ordered(got, want)

@@ -486,3 +486,26 @@ def test_distributed_range_bounded_rejected():
         db.sql("SELECT SUM(v) OVER (PARTITION BY k ORDER BY g2 RANGE "
                "BETWEEN 5 PRECEDING AND CURRENT ROW) AS rs FROM t",
                mesh=make_mesh(2))
+
+
+@pytest.mark.parametrize("op", ["UNION ALL", "INTERSECT ALL",
+                                "EXCEPT ALL"])
+def test_distributed_set_op_all_variants(op):
+    # ALL multiset semantics from the operator's exact per-key
+    # (count_a, count_b): ca+cb / min / clamped difference over the
+    # union key set (round 5 — formerly a SqlError)
+    db = _db(27)
+    q = f"SELECT k FROM t {op} SELECT k FROM r"
+    local = db.sql(q)
+    for ndev in (2, 8):
+        dist = db.sql(q, mesh=make_mesh(ndev))
+        np.testing.assert_array_equal(
+            np.sort(np.asarray(dist["k"])),
+            np.sort(np.asarray(local["k"])), err_msg=f"{op} D={ndev}")
+
+
+def test_distributed_set_op_dtype_mismatch_rejected():
+    db = _db(28)
+    with pytest.raises(SqlError, match="dtypes differ"):
+        db.sql("SELECT k FROM t UNION ALL SELECT f FROM t",
+               mesh=make_mesh(2))

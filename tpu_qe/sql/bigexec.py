@@ -1653,11 +1653,20 @@ def _window_big(vt: VirtualTable, q: P.Query, run_size: int,
     WHOLE = {"partition_count", "total_sum", "total_min", "total_max",
              "total_avg"}
     COMPOSED = {"percent_rank", "ntile"}
+    if any(it.expr == "*" for it in sel.items):
+        # SELECT * expands to the virtual table's columns (sorted name
+        # order, the register_virtual contract) alongside the windows
+        import dataclasses as _dcs
+        items = []
+        for it in sel.items:
+            if it.expr == "*":
+                items += [P.SelectItem(P.Col(nm), None)
+                          for nm in sorted(vt.columns)]
+            else:
+                items.append(it)
+        sel = _dcs.replace(sel, items=tuple(items))
     wcalls = []
     for it in sel.items:
-        if it.expr == "*":
-            raise SqlError("SELECT * with big-table windows is not "
-                           "supported (name the columns)")
         cs = _calls(it.expr, window=True)
         if cs:
             if cs[0] is not it.expr:

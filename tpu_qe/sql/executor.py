@@ -981,15 +981,29 @@ class Database:
                            "selects (intermediate results do not "
                            "re-shard)")
         (acol, atag, aname) = sides[0]
-        (bcol, _, _) = sides[1]
+        (bcol, btag, _) = sides[1]
         op, all_ = q.set_ops[0]
-        if all_:
-            raise SqlError("ALL set-op variants are not supported "
-                           "distributed (exact multiplicities are "
-                           "returned by the operator; expand locally)")
-        keys, _ca, _cb = distributed_set_op_numpy(
-            _lift64_np(acol), _lift64_np(bcol), mesh, op=op,
+        if atag != btag:
+            raise SqlError(f"set-op column dtypes differ ({atag} vs "
+                           f"{btag}) — positional pairing would "
+                           "silently promote")
+        # ALL variants expand from the operator's exact per-key
+        # (count_a, count_b) multiplicities: UNION ALL = ca+cb copies,
+        # INTERSECT ALL = min(ca, cb), EXCEPT ALL = max(ca-cb, 0)
+        # over the union key set (keys only in a keep ca copies)
+        keys, ca, cb = distributed_set_op_numpy(
+            _lift64_np(acol), _lift64_np(bcol), mesh,
+            op="union" if all_ and op == "except" else op,
             capacity_factor="auto")
+        if all_:
+            if op == "union":
+                reps = ca.astype(np.int64) + cb.astype(np.int64)
+            elif op == "intersect":
+                reps = np.minimum(ca, cb).astype(np.int64)
+            else:
+                reps = np.maximum(ca.astype(np.int64)
+                                  - cb.astype(np.int64), 0)
+            keys = np.repeat(keys, reps)
         return Frame({aname: _unlift64_np(np.sort(keys), acol.dtype)},
                      {aname: atag})
 
@@ -2415,7 +2429,13 @@ class Database:
         from tpu_qe.ops.setops import set_op as dev_set_op
         pa = U64.from_numpy(_lift64_np(ka))
         pb = U64.from_numpy(_lift64_np(kb))
-        keys, c_a, c_b, num = dev_set_op(pa, pb, op)
+        # EXCEPT ALL keeps max(ca-cb, 0) copies of EVERY key (Postgres
+        # multiset semantics) — keys present in both sides with ca > cb
+        # survive, so the multiplicities must come from the union key
+        # set, not the except-distinct one (which pre-filters them; the
+        # big tier's host multiset algebra agrees)
+        keys, c_a, c_b, num = dev_set_op(
+            pa, pb, "union" if (all_ and op == "except") else op)
         m = int(np.asarray(num))
         k64 = _head_np(keys, m)
         ca = _head_np(c_a, m).astype(np.int64)
