@@ -1136,3 +1136,19 @@ class TestExplain:
         p3 = db.explain("SELECT k, COUNT(*) AS c FROM t GROUP BY k",
                         mesh=make_mesh(2))
         assert "distributed" in p3 and "distributed_aggregate" in p3
+
+
+class TestCountFrames:
+    # COUNT(*) OVER (... ROWS frame): the clamped frame row count
+    # min(rn0+1, k) + min(rn_end, b) — ops/window.py moving_count
+    # (round 5; formerly a SqlError)
+    def test_count_rows_frames(self, engines):
+        check(*engines,
+              "SELECT id, "
+              "COUNT(*) OVER (PARTITION BY g ORDER BY id ROWS BETWEEN "
+              "4 PRECEDING AND CURRENT ROW) AS c1, "
+              "COUNT(v) OVER (PARTITION BY g ORDER BY id ROWS BETWEEN "
+              "2 PRECEDING AND 3 FOLLOWING) AS c2, "
+              "COUNT(*) OVER (PARTITION BY g ORDER BY id ROWS BETWEEN "
+              "UNBOUNDED PRECEDING AND 2 FOLLOWING) AS c3 "
+              "FROM t ORDER BY id LIMIT 300", ordered=True)

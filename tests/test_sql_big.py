@@ -661,3 +661,20 @@ def test_window_select_star(dbs):
                    "(PARTITION BY k ORDER BY u) AS rn FROM t "
                    "ORDER BY k, u, id LIMIT 30")
     _cmp_ordered(got, want)
+
+
+def test_window_count_frames(dbs):
+    # moving_count over a big table: backward clamp prefix-exact;
+    # FOLLOWING clamp composes hidden row_number with the partition
+    # count side channel (round 5)
+    big, ref = dbs
+    body = ("SELECT k, u, id, "
+            "COUNT(*) OVER (PARTITION BY k ORDER BY u ROWS BETWEEN "
+            "4 PRECEDING AND CURRENT ROW) AS c1, "
+            "COUNT(*) OVER (PARTITION BY k ORDER BY u ROWS BETWEEN "
+            "2 PRECEDING AND 3 FOLLOWING) AS c2, "
+            "COUNT(*) OVER (PARTITION BY k ORDER BY u ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND 5 FOLLOWING) AS c3 FROM t")
+    got = big.sql(body + " LIMIT 30", run_size=RUN)
+    want = ref.sql(body + " ORDER BY k, u, id LIMIT 30")
+    _cmp_ordered(got, want)

@@ -509,3 +509,18 @@ def test_distributed_set_op_dtype_mismatch_rejected():
     with pytest.raises(SqlError, match="dtypes differ"):
         db.sql("SELECT k FROM t UNION ALL SELECT f FROM t",
                mesh=make_mesh(2))
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_distributed_count_frames(n_dev):
+    # moving_count distributed: global rn0 via the forward count carry,
+    # global rn_end via the backward partition-size suffix (round 5)
+    db = _db(29)
+    sql = ("SELECT id, COUNT(*) OVER (PARTITION BY k ORDER BY id ROWS "
+           "BETWEEN 4 PRECEDING AND CURRENT ROW) AS c1, "
+           "COUNT(v) OVER (PARTITION BY k ORDER BY id ROWS BETWEEN "
+           "2 PRECEDING AND 3 FOLLOWING) AS c2, "
+           "COUNT(*) OVER (PARTITION BY k ORDER BY id ROWS BETWEEN "
+           "UNBOUNDED PRECEDING AND 2 FOLLOWING) AS c3 "
+           "FROM t ORDER BY id")
+    _cmp(db.sql(sql), db.sql(sql, mesh=make_mesh(n_dev)))

@@ -164,7 +164,7 @@ def _dwindow_shard(lo, hi, *rest, n_dev: int, samples_per_dev: int,
     part_end = aux["part_end"]      # set iff a count-needing kind ran
     _TOTALS = ("total_sum", "total_min", "total_max")
     _CNT_KINDS = ("ntile", "percent_rank", "partition_count",
-                  "total_avg")
+                  "total_avg", "moving_count")
     has_cnt = any(k in _CNT_KINDS for _, k, _, _ in spec)
     from tpu_qe.ops.segscan import cummax_u32 as _cummax
     if has_cnt and part_end is None:
@@ -806,6 +806,15 @@ def _dwindow_shard(lo, hi, *rest, n_dev: int, samples_per_dev: int,
         elif kind == "last_value":
             bv = _bitcast(mine(rec_last[name]), o.dtype)
             out[name] = jnp.where(tail, bv, o)
+        elif kind == "moving_count":
+            # pure index arithmetic over GLOBAL partition offsets:
+            # min(grn0+1, k) + min(grn_end, b)
+            kk, bb = fill
+            grn0 = (idx - part_start) + jnp.where(head, cc, u0)
+            back = (grn0 + 1 if kk is None
+                    else jnp.minimum(grn0 + 1, jnp.uint32(kk)))
+            v = back + jnp.minimum(gcnt - 1 - grn0, jnp.uint32(bb))
+            out[name] = jnp.where(validrow, v, o)
         elif kind == "ntile":
             k = jnp.uint32(fill)
             grn0 = (idx - part_start) + jnp.where(head, cc, u0)

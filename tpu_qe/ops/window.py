@@ -73,7 +73,11 @@ _MOVING = ("moving_sum", "moving_min", "moving_max", "moving_avg")
 _TOTAL = ("total_sum", "total_min", "total_max", "total_avg",
           "partition_count", "running_avg")
 _RANGE = ("range_sum", "range_min", "range_max", "range_avg")
-_VALID_FUNCS = (("row_number", "rank", "dense_rank", "lag", "lead")
+# moving_count: SQL's COUNT(*) OVER (... ROWS frame) — the clamped
+# frame row count min(rn0+1, k) + min(rn_end, b), pure index
+# arithmetic (no value column)
+_VALID_FUNCS = (("row_number", "rank", "dense_rank", "lag", "lead",
+                 "moving_count")
                 + _RUNNING + _WHOLE + _MOVING + _TOTAL + _RANGE)
 
 
@@ -153,6 +157,18 @@ def _canon_funcs(funcs: dict) -> tuple:
                 raise ValueError(f"ntile needs a bucket count >= 1, "
                                  f"got {col!r}")
             spec.append((name, kind, None, col))
+            continue
+        if kind == "moving_count":
+            # spec is ("moving_count", k[, b]) — k rides the col slot
+            # (None = UNBOUNDED PRECEDING), optional b-rows FOLLOWING
+            kk, bb = col, fill if fill else 0
+            if kk is not None and not (isinstance(kk, int) and kk >= 1):
+                raise ValueError(f"moving_count needs a frame width "
+                                 f">= 1 or None, got {kk!r}")
+            if not (isinstance(bb, int) and bb >= 0):
+                raise ValueError(f"moving_count FOLLOWING bound must "
+                                 f"be an int >= 0, got {bb!r}")
+            spec.append((name, kind, None, (kk, bb)))
             continue
         spec.append((name, kind, col, fill))
     return tuple(spec)
@@ -448,6 +464,23 @@ def _window_sorted_cols(spec, scols, idx, is_new, order_new, is_last,
             v = jnp.flip(scols[col])
             b = jnp.flip(is_last)
             out[name] = jnp.flip(_seg_fill(v, b, b))
+        elif kind == "moving_count":
+            # frame row count, clamped at both partition edges — pure
+            # index arithmetic (COUNT takes no value column)
+            kk, bb = fill
+            if part_start is None:
+                part_start = cummax_u32(jnp.where(is_new, idx,
+                                                  jnp.uint32(0)))
+            if part_end is None:
+                m1 = jnp.uint32(idx.shape[0] - 1)
+                b = jnp.flip(is_last)
+                rev_start = cummax_u32(jnp.where(b, idx, jnp.uint32(0)))
+                part_end = m1 - jnp.flip(rev_start)
+            rn0 = idx - part_start
+            back = (rn0 + 1 if kk is None
+                    else jnp.minimum(rn0 + 1, jnp.uint32(kk)))
+            out[name] = back + jnp.minimum(part_end - idx,
+                                           jnp.uint32(bb))
         elif kind in ("ntile", "percent_rank"):
             if part_start is None:
                 part_start = cummax_u32(jnp.where(is_new, idx, jnp.uint32(0)))

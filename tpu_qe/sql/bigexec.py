@@ -1677,6 +1677,12 @@ def _window_big(vt: VirtualTable, q: P.Query, run_size: int,
             raise SqlError("aggregates do not mix with window "
                            "functions (add GROUP BY for aggregation)")
     kinds = {id(c): _window_kind(c) for c in wcalls}
+    # moving_count with a FOLLOWING bound needs the partition size —
+    # it composes like percent_rank (hidden row_number + count side
+    # channel); without one it is prefix-exact in-core arithmetic
+    mcF = {id(c) for c in wcalls
+           if kinds[id(c)] == "moving_count"
+           and (c.window.frame_follow or 0) > 0}
     penv = _probe_rowenv(vt, None)
 
     def pcols_of(c) -> list:
@@ -1770,16 +1776,20 @@ def _window_big(vt: VirtualTable, q: P.Query, run_size: int,
     pf_items = [it for it in sel.items
                 if _calls(it.expr, window=True)
                 and kinds[id(it.expr)] not in WHOLE
-                and kinds[id(it.expr)] not in COMPOSED]
+                and kinds[id(it.expr)] not in COMPOSED
+                and id(it.expr) not in mcF]
     hidden = {}
     for c in wcalls:
-        if kinds[id(c)] in COMPOSED:
+        if kinds[id(c)] in COMPOSED or id(c) in mcF:
             if kinds[id(c)] == "ntile" and not (
                     len(c.args) == 1 and isinstance(c.args[0], P.Lit)):
                 raise SqlError("ntile takes an integer literal")
+            import dataclasses as _dcw
             hidden[id(c)] = P.Call(
                 "rank" if kinds[id(c)] == "percent_rank"
-                else "row_number", (), window=c.window)
+                else "row_number", (),
+                window=_dcw.replace(c.window, frame_rows=None,
+                                    frame_follow=None))
     sel2 = _dc.replace(sel, where=None, items=tuple(pf_items) + tuple(
         P.SelectItem(b, None) for b in hidden.values()))
     wcols = _D._window_columns(sel2, env, n_env) if sel2.items else {}
@@ -1789,7 +1799,8 @@ def _window_big(vt: VirtualTable, q: P.Query, run_size: int,
     side: dict[int, np.ndarray] = {}
     by_part: dict[tuple, list] = {}
     for c in whole_calls + [c for c in wcalls
-                            if kinds[id(c)] in COMPOSED]:
+                            if kinds[id(c)] in COMPOSED
+                            or id(c) in mcF]:
         by_part.setdefault(tuple(p.key for p in c.window.partition_by),
                            []).append(c)
     for pk, cs in by_part.items():
@@ -1797,7 +1808,8 @@ def _window_big(vt: VirtualTable, q: P.Query, run_size: int,
         value_exprs, aggspec, vn_of = {}, {}, {}
         for c in cs:
             kind = kinds[id(c)]
-            if kind == "partition_count" or kind in COMPOSED:
+            if (kind == "partition_count" or kind in COMPOSED
+                    or id(c) in mcF):
                 continue    # partition sizes ride the count agg below
             if len(c.args) != 1 or not isinstance(c.args[0], P.Col):
                 raise SqlError(f"{c.func}(...) OVER needs a plain "
@@ -1831,7 +1843,8 @@ def _window_big(vt: VirtualTable, q: P.Query, run_size: int,
         row_g = np.searchsorted(uk, packed)   # every row's group is
         for c in cs:                          # in uk (same WHERE)
             kind = kinds[id(c)]
-            if kind == "partition_count" or kind in COMPOSED:
+            if (kind == "partition_count" or kind in COMPOSED
+                    or id(c) in mcF):
                 side[id(c)] = cnt[row_g]
                 continue
             vn = vn_of[id(c)]
@@ -1964,6 +1977,17 @@ def _window_big(vt: VirtualTable, q: P.Query, run_size: int,
             kind = kinds[id(c)]
             if kind in RANGEK:
                 v = rng_host[id(c)]
+            elif id(c) in mcF:
+                # frame count with FOLLOWING reach: the forward clamp
+                # needs the partition's FULL size (side channel), the
+                # backward clamp is prefix-exact row_number arithmetic
+                pc_full = side[id(c)].astype(np.int64)
+                rn = _np_col(*wcols[id(hidden[id(c)])]).astype(np.int64)
+                fr_ = c.window.frame_rows
+                fo_ = c.window.frame_follow or 0
+                back = rn if fr_ is None else np.minimum(rn, fr_ + 1)
+                v = (back + np.minimum(pc_full - rn, fo_)).astype(
+                    np.uint32)
             elif kind in WHOLE:
                 v = side[id(c)]
             elif kind in COMPOSED:

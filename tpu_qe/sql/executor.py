@@ -88,16 +88,17 @@ def _window_kind(c) -> str:
     elif c.func == "count":
         kind = ("row_number" if ocol is not None else "partition_count")
         if has_frame:
-            raise SqlError("COUNT(*) OVER with a ROWS frame is not "
-                           "supported (frame counts are min(rn0+1, k) "
-                           "+ min(rn_end, b) — use arithmetic)")
+            # the clamped frame row count min(rn0+1, k) + min(rn_end,
+            # b) — ops/window.py moving_count (pure index arithmetic)
+            kind = "moving_count"
     else:
         kind = _WINDOW_FUNCS.get(c.func)
     if kind is None:
         raise SqlError(f"unknown window function {c.func}")
     if has_frame:
         remap = {"running_sum": "moving_sum", "running_min": "moving_min",
-                 "running_max": "moving_max", "moving_avg": "moving_avg"}
+                 "running_max": "moving_max", "moving_avg": "moving_avg",
+                 "moving_count": "moving_count"}
         if kind not in remap:
             raise SqlError(f"{c.func} does not take a ROWS frame")
         if ocol is None:
@@ -1574,6 +1575,9 @@ class Database:
             if kind in ("row_number", "rank", "dense_rank",
                         "percent_rank", "partition_count"):
                 funcs[name] = (kind,)
+            elif kind == "moving_count":
+                funcs[name] = (kind, None if fr is None else fr + 1,
+                               c.window.frame_follow or 0)
             elif kind == "ntile":
                 funcs[name] = (kind, int(c.args[0].value))
             else:
@@ -1939,6 +1943,11 @@ class Database:
                     funcs[wname] = (kind,)
                     tagof[wname] = ("f32" if kind == "percent_rank"
                                     else "u32")
+                elif kind == "moving_count":
+                    fo = c.window.frame_follow or 0
+                    funcs[wname] = (kind,
+                                    None if fr is None else fr + 1, fo)
+                    tagof[wname] = "u32"
                 elif kind == "ntile":
                     if len(c.args) != 1 or not isinstance(c.args[0],
                                                           P.Lit):
