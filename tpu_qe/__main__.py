@@ -790,6 +790,35 @@ def _cmd_bench_bigsql_verb(args) -> int:
                                        j + 1)
                     and bool((out["pc"].astype(np.int64)
                               == per_g).all()))
+    elif verb == "range":
+        # tie-aware RANGE over heavy order ties: d cycles 0..15 within
+        # each partition, so every (k, d) run holds per_g/16 rows and
+        # the first L output rows (partition 0, run d=0, j = 16*jj)
+        # share one closed-form run total 8*G*m*(m-1)
+        sql = (f"SELECT k, v, "
+               "SUM(v) OVER (PARTITION BY k ORDER BY d RANGE BETWEEN "
+               "UNBOUNDED PRECEDING AND CURRENT ROW) AS rs, "
+               "ROW_NUMBER() OVER (PARTITION BY k ORDER BY d) AS rn, "
+               "COUNT(*) OVER (PARTITION BY k ORDER BY d ROWS "
+               f"BETWEEN 2 PRECEDING AND CURRENT ROW) AS fc "
+               f"FROM bigdet LIMIT {L}")
+        rows = 2 * n        # prefix selection + per-run side channel
+        mg = 16 * G         # distinct (partition, order) runs
+        m_run = per_g // 16
+        assert m_run >= L and per_g % 16 == 0, (per_g, L)
+
+        def check(out):
+            jj = np.arange(L, dtype=np.int64)
+            exp_rs = 8 * G * m_run * (m_run - 1)
+            return (bool((out["k"] == 0).all())
+                    and np.array_equal(out["v"].astype(np.int64),
+                                       16 * G * jj)
+                    and bool((out["rs"].astype(np.int64)
+                              == exp_rs).all())
+                    and np.array_equal(out["rn"].astype(np.int64),
+                                       jj + 1)
+                    and np.array_equal(out["fc"].astype(np.int64),
+                                       np.minimum(jj + 1, 3)))
     elif verb == "setops":
         h = n // 2
         db.register_virtual("seta", h,
@@ -1190,7 +1219,7 @@ def main(argv=None) -> int:
     pz.add_argument("--verb", default="groupby",
                     choices=["groupby", "orderby", "head", "distinct",
                              "countdistinct", "join", "window",
-                             "setops"],
+                             "setops", "range"],
                     help="which big-SQL verb to measure (each verified "
                          "against a closed form at full scale)")
     pz.set_defaults(fn=_cmd_bench_bigsql)
