@@ -386,7 +386,9 @@ def test_join_median_by_dim_group(dbs):
 
 def test_join_unsupported_shapes(dbs):
     big, _ = dbs
-    with pytest.raises(SqlError, match="virtual x virtual"):
+    # virtual x virtual joins are supported (tests/test_sql_vvjoin.py)
+    # but a self-join without aliases has ambiguous bindings
+    with pytest.raises(SqlError, match="distinct table aliases"):
         big.sql("SELECT COUNT(*) AS c FROM t JOIN t ON k = k")
     with pytest.raises(SqlError, match="FULL OUTER"):
         big.sql("SELECT COUNT(*) AS c FROM t FULL JOIN d ON k = dk")

@@ -9,7 +9,7 @@ import sys
 from tpu_qe.__main__ import main
 
 VERBS = ["orderby", "head", "distinct", "setops", "countdistinct",
-         "join", "window"]
+         "join", "window", "range", "vvjoin"]
 
 if __name__ == "__main__":
     n = str(1 << 30)

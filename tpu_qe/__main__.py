@@ -819,6 +819,41 @@ def _cmd_bench_bigsql_verb(args) -> int:
                                        jj + 1)
                     and np.array_equal(out["fc"].astype(np.int64),
                                        np.minimum(jj + 1, 3)))
+    elif verb == "vvjoin":
+        # virtual x virtual fused join->GROUP BY: both sides
+        # device-generated (neither crosses the tunnel). fk = i mod ND
+        # matches every unique dim key exactly nf/ND times, so with
+        # grp = dk & 15 the per-group closed forms are exact:
+        # c_g = nf/16, s_g = (nf/ND) * sum_{t} (2*(g+16t)+1).
+        nf = min(n, 1 << 29)            # per-side residency bound
+        nd = min(nf >> 2, 1 << 27)
+        assert nd % 16 == 0 and nf % nd == 0, (nf, nd)
+        db.register_virtual("bigfact", nf, {
+            "fk": lambda i: i & jnp.uint32(nd - 1),
+            "v": lambda i: i,
+        })
+        db.register_virtual("bigdim", nd, {
+            "dk": lambda i: i,
+            "w": lambda i: 2 * i + jnp.uint32(1),
+            "grp": lambda i: i & jnp.uint32(15),
+        })
+        sql = ("SELECT grp, COUNT(*) AS c, SUM(w) AS s FROM bigfact "
+               "JOIN bigdim ON fk = dk GROUP BY grp ORDER BY grp")
+        rows = nf + nd
+        n = rows
+        mg = 16
+        t_dim = nd // 16
+
+        def check(out):
+            g = np.arange(16, dtype=np.int64)
+            exp_c = nf // 16
+            # sum over t in 0..t_dim-1 of (2*(g+16t)+1), times nf/nd
+            exp_s = [(nf // nd) * (t_dim * (2 * int(gg) + 1)
+                                   + 16 * t_dim * (t_dim - 1))
+                     for gg in g]
+            return (np.array_equal(out["grp"].astype(np.int64), g)
+                    and bool((out["c"].astype(np.int64) == exp_c).all())
+                    and [int(x) for x in out["s"]] == exp_s)
     elif verb == "setops":
         h = n // 2
         db.register_virtual("seta", h,
@@ -1219,7 +1254,7 @@ def main(argv=None) -> int:
     pz.add_argument("--verb", default="groupby",
                     choices=["groupby", "orderby", "head", "distinct",
                              "countdistinct", "join", "window",
-                             "setops", "range"],
+                             "setops", "range", "vvjoin"],
                     help="which big-SQL verb to measure (each verified "
                          "against a closed form at full scale)")
     pz.set_defaults(fn=_cmd_bench_bigsql)

@@ -206,9 +206,11 @@ def _prep_join(vt: VirtualTable, q: P.Query, db, run_size: int
         raise SqlError("JOIN over a virtual table needs the Database "
                        "context")
     if j.table.name.lower() in getattr(db, "_virtual", {}):
-        raise SqlError("virtual x virtual JOIN is not supported yet "
-                       "at the SQL layer (driver tier: ops/bigjoin, "
-                       "ops/bigpipe)")
+        # defensive: _join_big_sql dispatches virtual x virtual joins
+        # to _prep_vv_join before reaching here
+        raise SqlError("virtual x virtual JOIN runs through the "
+                       "fused aggregate path only (GROUP BY / "
+                       "aggregates)")
     dim = db._tables.get(j.table.name.lower())
     if dim is None:
         raise SqlError(f"unknown table {j.table.name!r}")
@@ -329,7 +331,8 @@ def _build_env(vt: VirtualTable, prep: _JoinPrep | None, where, idx,
     return env, valid
 
 
-def _probe_rowenv(vt: VirtualTable, prep: _JoinPrep | None) -> _RowEnv:
+def _probe_rowenv(vt: VirtualTable,
+                  prep: "_JoinPrep | _VVPrep | None") -> _RowEnv:
     """8-row env for STATIC tag probing (no join executed: dim value
     columns probe as zeros of their tag — tags only depend on dtypes)."""
     idx = jnp.arange(8, dtype=jnp.uint32)
@@ -344,6 +347,326 @@ def _probe_rowenv(vt: VirtualTable, prep: _JoinPrep | None) -> _RowEnv:
     if prep.matched_phys is not None:
         cols[prep.matched_phys] = jnp.zeros(8, jnp.uint32)
     return _RowEnv(Table(cols), prep.names, prep.tags)
+
+
+# ---------------------------------------------------------------------------
+# JOIN prep: virtual fact x VIRTUAL dimension (both sides out-of-core)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class _VVPrep:
+    """Resolved virtual x virtual FK join (fused join->GROUP BY).
+
+    Both sides are device-GENERATED, so neither ever crosses the
+    tunnel: phase A sorts each side's (key, index) planes in one
+    program (12 B/row resident — the ops/bigjoin residency model),
+    phase B plans key-space buckets from union-quantile splitters
+    (ops/bigjoin._plan_buckets: all copies of a key land in the same
+    bucket on BOTH sides), and each bucket program joins the two
+    sorted segments via ops/join.join_fk_scan carrying ONLY the right
+    row INDEX through the fill — every referenced dimension column is
+    REGENERATED from the joined index afterwards (virtual columns are
+    fn(idx): one carried operand no matter how many columns the query
+    touches). The joined stream is partially aggregated in the same
+    program (the ops/bigpipe shape: only the G-bounded partial table
+    leaves each bucket) and the partials merge through the exact host
+    combine. Dimension keys are checked UNIQUE once on the sorted
+    planes (one-to-many would silently last-win in join_fk_scan's FK
+    semantics — 'never silently wrong').
+
+    Reference contrast: the reference pipeline keeps one fixed buffer
+    chain on one GPU (/root/reference/src/main.rs:376-688); a
+    declarative join of two larger-than-HBM tables is SURVEY.md §5's
+    scaled mandate composed with the SQL surface.
+    """
+    fact_binding: str
+    dim_binding: str
+    how: str                    # "inner" | "left"
+    fact_key: str               # fact column name (in vt.columns)
+    fact_key_tag: str
+    dim_vt: VirtualTable        # the right (dimension) virtual table
+    dim_key: str                # dim column name (in dim_vt.columns)
+    val_phys: list              # referenced dim planes "<binding>.<col>"
+    val_src: list               # their dim generator column names
+    names: dict                 # joined env: ref -> phys
+    tags: dict                  # joined env: phys -> tag
+    matched_phys: str | None    # "<binding>__matched" (LEFT joins)
+    # _probe_rowenv compatibility: the dim key regenerates from the
+    # joined row index like any other dim column (never synthesized
+    # from the fact key), so no dedicated planes exist
+    dim_key_phys: None = None
+    dim_key_tag: None = None
+
+
+def _prep_vv_join(vt: VirtualTable, q: P.Query, db) -> _VVPrep:
+    """Resolve a JOIN whose right side is itself a virtual table."""
+    sel = q.selects[0]
+    j = sel.joins[0]
+    if j.how == "full":
+        raise SqlError("FULL OUTER JOIN over big tables is not "
+                       "supported (unmatched dimension rows need a "
+                       "cross-bucket reduction; use LEFT with sides "
+                       "swapped where possible)")
+    dim_vt = db._virtual[j.table.name.lower()]
+    fb, dbind = sel.table.binding, j.table.binding
+    if fb == dbind:
+        raise SqlError("virtual x virtual self-JOIN needs distinct "
+                       "table aliases (FROM t a JOIN t b ON ...)")
+    for nm, n_side in ((sel.table.name, vt.n), (j.table.name, dim_vt.n)):
+        if n_side > (1 << 29):
+            raise SqlError(
+                f"virtual x virtual JOIN: side {nm!r} has {n_side} "
+                "rows — both sides' (key, index) planes stay resident "
+                "(12 B/row) and each side sorts in one program, "
+                "bounded at 2^29 rows per side on one chip")
+
+    def fact_side(c: P.Col) -> bool:
+        return c.table in (None, fb) and c.name in vt.columns
+
+    def dim_side(c: P.Col) -> bool:
+        return c.table in (None, dbind) and c.name in dim_vt.columns
+
+    a, b = j.left_col, j.right_col
+    if fact_side(a) and dim_side(b):
+        fkey, dkey = a.name, b.name
+    elif fact_side(b) and dim_side(a):
+        fkey, dkey = b.name, a.name
+    else:
+        raise SqlError(f"cannot resolve ON {a.key} = {b.key} against "
+                       "the fact/dimension columns")
+
+    # referenced dimension columns (pruned: every regenerated plane is
+    # live in the bucket program — unreferenced ones are DCE'd, but
+    # the env bookkeeping stays minimal)
+    refs: list = []
+    for it in sel.items:
+        if it.expr == "*":
+            refs += [P.Col(c, dbind) for c in dim_vt.columns]
+        else:
+            _walk_cols(it.expr, refs)
+    for e in (sel.where, sel.having):
+        if e is not None:
+            _walk_cols(e, refs)
+    for c in sel.group_by:
+        refs.append(c)
+    for oi in q.order_by:
+        refs.append(oi.col)
+    want_dim = set()
+    for c in refs:
+        if c.table == dbind and c.name in dim_vt.columns:
+            want_dim.add(c.name)
+        elif (c.table is None and c.name in dim_vt.columns
+              and c.name not in vt.columns):
+            want_dim.add(c.name)
+
+    val_names = sorted(want_dim)
+    val_phys = [f"{dbind}.{c}" for c in val_names]
+    tags: dict = dict(vt.tags)
+    names: dict = {}
+    for c in vt.columns:
+        names[c] = c
+        names[f"{fb}.{c}"] = c
+    for c, p in zip(val_names, val_phys):
+        tags[p] = dim_vt.tags[c]
+        names[p] = p
+        if c in vt.columns:
+            names.pop(c, None)      # ambiguous bare name
+        else:
+            names[c] = p
+    matched_phys = None
+    if j.how == "left":
+        matched_phys = f"{dbind}__matched"
+        tags[matched_phys] = "u32"
+        names[matched_phys] = matched_phys
+    return _VVPrep(fb, dbind, j.how, fkey, vt.tags[fkey], dim_vt, dkey,
+                   val_phys, val_names, names, tags, matched_phys)
+
+
+def _vv_sort_side(svt: VirtualTable, keyname: str):
+    """One jitted phase-A program: generate the side's join-key column,
+    lift to u64 planes, and sort (key, index) — index as the third sort
+    key makes the permutation deterministic (unique tie-break)."""
+    n = svt.n
+
+    def f():
+        idx = jnp.arange(n, dtype=jnp.uint32)
+        env = _gen_env(svt, idx)
+        tv = env.col(P.Col(keyname))
+        k = _lift_key(tv.arr, tv.tag)
+        hi, lo, si = jax.lax.sort([k.hi, k.lo, idx], num_keys=3,
+                                  is_stable=False)
+        return lo, hi, si
+
+    return jax.jit(f)
+
+
+def _vv_bucket_fn(vt: VirtualTable, vvp: _VVPrep, where, gexprs: list,
+                  value_exprs: dict, aggspec: dict, cap_l: int,
+                  cap_r: int, gcap: int):
+    """One jitted per-bucket program: slice both sorted sides' segments
+    (host-clamped starts + offset masks — dynamic_slice clamps OOB
+    starts downward, CLAUDE.md), FK-join them carrying only the right
+    row index, regenerate every referenced column from the joined
+    indices, evaluate WHERE, and partially aggregate. Only the padded
+    G-bounded partial table leaves the bucket."""
+    from tpu_qe.ops.aggregate import group_aggregate, group_aggregate_multi
+    from tpu_qe.ops.join import join_fk_scan
+    ones = jnp.uint32(0xFFFFFFFF)
+
+    @jax.jit
+    def run(st_l, dl_l, sz_l, st_r, dl_r, sz_r,
+            llo, lhi, lidx, rlo, rhi, ridx):
+        ar_l = jnp.arange(cap_l, dtype=jnp.uint32)
+        ar_r = jnp.arange(cap_r, dtype=jnp.uint32)
+
+        def seg(col, start, cap, delta, size, ar, fill):
+            s = jax.lax.dynamic_slice(col, (start,), (cap,))
+            d = delta.astype(jnp.uint32)
+            return jnp.where(
+                (ar >= d) & (ar < d + size.astype(jnp.uint32)), s, fill)
+
+        s_llo = seg(llo, st_l, cap_l, dl_l, sz_l, ar_l, ones)
+        s_lhi = seg(lhi, st_l, cap_l, dl_l, sz_l, ar_l, ones)
+        s_lidx = seg(lidx, st_l, cap_l, dl_l, sz_l, ar_l, jnp.uint32(0))
+        l_valid = (ar_l >= dl_l.astype(jnp.uint32)) & (
+            ar_l < dl_l.astype(jnp.uint32) + sz_l.astype(jnp.uint32))
+        s_rlo = seg(rlo, st_r, cap_r, dl_r, sz_r, ar_r, ones)
+        s_rhi = seg(rhi, st_r, cap_r, dl_r, sz_r, ar_r, ones)
+        s_ridx = seg(ridx, st_r, cap_r, dl_r, sz_r, ar_r, jnp.uint32(0))
+        r_valid = (ar_r >= dl_r.astype(jnp.uint32)) & (
+            ar_r < dl_r.astype(jnp.uint32) + sz_r.astype(jnp.uint32))
+
+        out, matched = join_fk_scan(
+            Table({"__lidx": s_lidx}), Table({"__ridx": s_ridx}),
+            U64(s_llo, s_lhi), U64(s_rlo, s_rhi),
+            l_valid=l_valid, r_valid=r_valid)
+        mok = matched & l_valid
+        jr = jnp.where(mok, out["__ridx"], jnp.uint32(0))
+
+        cols = {nm: fn(s_lidx) for nm, fn in vt.columns.items()}
+        for p, src in zip(vvp.val_phys, vvp.val_src):
+            arr = vvp.dim_vt.columns[src](jr)
+            # NULL-zero convention for unmatched left rows (LEFT joins)
+            cols[p] = jnp.where(mok, arr, jnp.zeros((), arr.dtype))
+        if vvp.matched_phys is not None:
+            cols[vvp.matched_phys] = mok.astype(jnp.uint32)
+        env = _RowEnv(Table(cols), vvp.names, vvp.tags)
+        valid = (l_valid & matched) if vvp.how == "inner" else l_valid
+        if where is not None:
+            tv = _eval(where, env, cap_l)
+            if tv.tag != "bool":
+                raise SqlError("WHERE must be boolean")
+            valid = valid & jnp.broadcast_to(tv.arr, (cap_l,))
+
+        ghi, glo = _group_planes(env, gexprs, cap_l)
+        gkey = U64(glo, ghi)
+        vals = {}
+        for vn, expr in value_exprs.items():
+            tv = _eval(expr, env, cap_l)
+            arr = tv.arr
+            if tv.tag == "bool":
+                arr = arr.astype(jnp.uint32)
+            if not hasattr(arr, "shape") or arr.shape == ():
+                arr = jnp.broadcast_to(arr, (cap_l,))
+            vals[vn] = arr
+        res = (group_aggregate_multi(gkey, vals, aggspec, valid=valid,
+                                     max_groups=gcap)
+               if vals else group_aggregate(gkey, aggs=("count",),
+                                            valid=valid,
+                                            max_groups=gcap))
+        return {"klo": res.key.lo, "khi": res.key.hi,
+                "ng": res.num_groups, "ovf": res.overflow,
+                "aggs": dict(res.aggs or {})}
+
+    return run
+
+
+def _vv_agg_partials(vt: VirtualTable, vvp: _VVPrep, where,
+                     gexprs: list, run_values: dict, aggspec: dict,
+                     run_size: int, max_groups: int, sum_signed: dict):
+    """Phases A+B+C of the fused virtual x virtual join -> GROUP BY:
+    sort both sides' (key, index) planes (one program each), check the
+    dimension keys unique, plan key-space buckets, queue every bucket's
+    join+aggregate program before the first readback, then combine the
+    partial tables exactly on the host. Returns the _agg_partials
+    contract: (sorted packed u64 group keys, host agg arrays,
+    (compile_s, runs_s, combine_s))."""
+    import time as _time
+    from tpu_qe.ops.bigjoin import _plan_buckets
+    n_l, n_r = vt.n, vvp.dim_vt.n
+
+    np.asarray(jnp.zeros(8, jnp.uint32)[:1])    # tunnel warmup
+    tc = _time.perf_counter()
+    lexec = _vv_sort_side(vt, vvp.fact_key).lower().compile()
+    rexec = _vv_sort_side(vvp.dim_vt, vvp.dim_key).lower().compile()
+    compile_s = _time.perf_counter() - tc
+
+    ta = _time.perf_counter()
+    llo, lhi, lidx = lexec()
+    rlo, rhi, ridx = rexec()
+    if n_r > 1:
+        dup = jax.jit(lambda lo, hi: jnp.any(
+            (lo[1:] == lo[:-1]) & (hi[1:] == hi[:-1])))(rlo, rhi)
+        if bool(np.asarray(dup)):
+            raise SqlError(
+                f"dimension join keys ({vvp.dim_key!r}) are not "
+                "unique — one-to-many JOIN over big tables is not "
+                "supported (the FK join would silently keep one match)")
+
+    mid_compile = 0.0       # compile windows inside the timed region
+    n_buckets = max(1, -(-(n_l + n_r) // run_size))
+    if n_buckets > 1:
+        tcp = _time.perf_counter()
+        plan_exec = _plan_buckets.lower(
+            llo, lhi, rlo, rhi, n_buckets=n_buckets,
+            per_side=8192).compile()
+        mid_compile += _time.perf_counter() - tcp
+        bl, br = plan_exec(llo, lhi, rlo, rhi)
+        bl = np.asarray(bl).astype(np.int64)
+        br = np.asarray(br).astype(np.int64)
+    else:
+        bl = br = np.zeros(0, np.int64)
+
+    def seg_plan(bounds, n):
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [n]])
+        return starts, (ends - starts)
+
+    st_l, sz_l = seg_plan(bl, n_l)
+    st_r, sz_r = seg_plan(br, n_r)
+    quantum = 1 << 20 if max(n_l, n_r) >= (1 << 24) else 256
+    cap_l = min(-(-max(int(sz_l.max()), 1) // quantum) * quantum, n_l)
+    cap_r = min(-(-max(int(sz_r.max()), 1) // quantum) * quantum, n_r)
+    if cap_l + cap_r >= (1 << 30):
+        raise SqlError(
+            f"virtual x virtual JOIN: one bucket holds {cap_l}+{cap_r} "
+            "rows (key skew) — the combined segment must stay below "
+            "2^30; reduce run_size to cut more buckets")
+    gcap = min(max_groups, cap_l)
+
+    tcb = _time.perf_counter()
+    bucket = _vv_bucket_fn(vt, vvp, where, gexprs, run_values, aggspec,
+                           cap_l, cap_r, gcap)
+    z = jnp.int32(0)
+    bexec = bucket.lower(z, z, z, z, z, z, llo, lhi, lidx,
+                         rlo, rhi, ridx).compile()
+    mid_compile += _time.perf_counter() - tcb
+
+    ceil_l, ceil_r = max(n_l - cap_l, 0), max(n_r - cap_r, 0)
+    pend = []
+    for b in range(n_buckets):
+        cl = min(int(st_l[b]), ceil_l)
+        cr = min(int(st_r[b]), ceil_r)
+        pend.append(bexec(
+            jnp.int32(cl), jnp.int32(st_l[b] - cl), jnp.int32(sz_l[b]),
+            jnp.int32(cr), jnp.int32(st_r[b] - cr), jnp.int32(sz_r[b]),
+            llo, lhi, lidx, rlo, rhi, ridx))
+    parts, tags_of_agg = _read_partials(pend, gcap, sum_signed, "bucket")
+    runs_s = _time.perf_counter() - ta - mid_compile
+    tb = _time.perf_counter()
+    uk, agg_host = _combine_partials(parts, tags_of_agg)
+    combine_s = _time.perf_counter() - tb
+    return uk, agg_host, (compile_s + mid_compile, runs_s, combine_s)
 
 
 def _group_key_exprs(vt: VirtualTable, sel: P.Select,
@@ -467,15 +790,29 @@ def _agg_partials(vt: VirtualTable, where, gexprs: list,
 
     ta = _time.perf_counter()
     pend = [run_exec(jnp.uint32(r), dim) for r in range(n_runs)]
+    parts, tags_of_agg = _read_partials(pend, cap, sum_signed, "run")
+    runs_s = _time.perf_counter() - ta
+    tb = _time.perf_counter()
+    uk, agg_host = _combine_partials(parts, tags_of_agg)
+    combine_s = _time.perf_counter() - tb
+    return uk, agg_host, (compile_s, runs_s, combine_s)
+
+
+def _read_partials(pend: list, cap: int, sum_signed: dict, what: str):
+    """Read back queued partial-table results (the _make_run_fn /
+    _vv_bucket_fn output dict shape): exact per-program overflow
+    detection, g-bounded head slices, and the agg tag classification
+    the host combine needs. Shared by the per-run and the
+    virtual x virtual per-bucket aggregation drivers."""
     parts = []
     tags_of_agg: dict[str, str] = {}
     for r, res in enumerate(pend):
         ng = int(np.asarray(res["ng"]))
         if res["ovf"] is not None and int(np.asarray(res["ovf"])):
             raise SqlError(
-                f"run {r}: more than max_groups={cap} groups per run — "
-                "raise max_groups (exact overflow detection, outputs "
-                "never silently truncated)")
+                f"{what} {r}: more than max_groups={cap} groups per "
+                f"{what} — raise max_groups (exact overflow detection, "
+                "outputs never silently truncated)")
         klo = _head_np(res["klo"], ng).astype(np.uint64)
         khi = _head_np(res["khi"], ng).astype(np.uint64)
         aggs_np = {}
@@ -497,11 +834,7 @@ def _agg_partials(vt: VirtualTable, where, gexprs: list,
                 else:
                     tags_of_agg[name] = "max"
         parts.append(((khi << np.uint64(32)) | klo, aggs_np))
-    runs_s = _time.perf_counter() - ta
-    tb = _time.perf_counter()
-    uk, agg_host = _combine_partials(parts, tags_of_agg)
-    combine_s = _time.perf_counter() - tb
-    return uk, agg_host, (compile_s, runs_s, combine_s)
+    return parts, tags_of_agg
 
 
 # ---------------------------------------------------------------------------
@@ -604,7 +937,7 @@ def select_big(vt: VirtualTable, q: P.Query, run_size: int = 1 << 26,
 def _agg_big(vt: VirtualTable, q: P.Query, run_size: int,
              max_groups: int, verbose: bool = False,
              stats: dict | None = None,
-             prep: _JoinPrep | None = None) -> dict:
+             prep: "_JoinPrep | _VVPrep | None" = None) -> dict:
     """GROUP BY (0, 1 or 2 key columns) aggregates over a virtual
     table — the ops/bigagg shape (per-run partials + exact host
     combine; aggregation IS the compression). With prep, every run
@@ -712,9 +1045,19 @@ def _agg_big(vt: VirtualTable, q: P.Query, run_size: int,
     # run inside the readback loop)
     sum_signed = {vn: _expr_tag(vt, value_exprs[vn], prep) == "i32"
                   for vn in aggspec}
-    uk, agg_host, (compile_s, runs_s, combine_s) = _agg_partials(
-        vt, sel.where, gexprs, run_values, aggspec, run_size, cap,
-        prep, sum_signed)
+    if isinstance(prep, _VVPrep):
+        if pct_specs or cd_specs:
+            raise SqlError(
+                "MEDIAN/PERCENTILE/COUNT(DISTINCT) over a virtual x "
+                "virtual JOIN is not supported (the bisection and "
+                "dedup tiers run over single-table sorted runs)")
+        uk, agg_host, (compile_s, runs_s, combine_s) = _vv_agg_partials(
+            vt, prep, sel.where, gexprs, run_values, aggspec,
+            run_size, max_groups, sum_signed)
+    else:
+        uk, agg_host, (compile_s, runs_s, combine_s) = _agg_partials(
+            vt, sel.where, gexprs, run_values, aggspec, run_size, cap,
+            prep, sum_signed)
     g = len(uk)
 
     # percentiles: bigquantile-shaped bisection over resident runs
@@ -1573,8 +1916,26 @@ def _join_big_sql(vt, q: P.Query, run_size: int, max_groups: int, db,
     ops/bigpipe as declarative SQL: the joined stream never
     materializes — each run joins, masks, and partially aggregates in
     ONE jitted program."""
-    prep = _prep_join(vt, q, db, run_size)
     sel = q.selects[0]
+    if (db is not None and len(sel.joins) == 1
+            and sel.joins[0].table.name.lower()
+            in getattr(db, "_virtual", {})):
+        # virtual x virtual: only the fused join->GROUP BY shape exists
+        # (row-scale join output over two big sides has no bounded
+        # readback; the driver tier streams it — ops/bigjoin consume=)
+        has_aggs = (sel.having is not None
+                    or any(_calls(it.expr, window=False)
+                           for it in sel.items if it.expr != "*"))
+        if sel.distinct or not (sel.group_by or has_aggs):
+            raise SqlError(
+                "virtual x virtual JOIN supports aggregate queries "
+                "only (GROUP BY / aggregates — the fused join->GROUP "
+                "BY; row-scale join output needs the driver tier's "
+                "bucket stream, ops/bigjoin consume=)")
+        vvp = _prep_vv_join(vt, q, db)
+        return _agg_big(vt, q, run_size, max_groups, stats=stats,
+                        prep=vvp)
+    prep = _prep_join(vt, q, db, run_size)
     if sel.distinct:
         return _distinct_big(vt, q, run_size, max_groups, stats, prep)
     has_aggs = (sel.having is not None

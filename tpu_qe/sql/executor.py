@@ -802,9 +802,18 @@ class Database:
                            "candidates; whole-partition side channel "
                            "via per-run partial aggregates")
             if sel.joins:
-                lines.append("join: resident dimension threaded "
-                             "through every run program "
-                             "(bigexec._prep_join)")
+                if (len(sel.joins) == 1 and sel.joins[0].table.name
+                        .lower() in self._virtual):
+                    lines.append(
+                        "join: virtual x virtual — both sides' (key, "
+                        "index) planes sorted resident, key-space "
+                        "bucket plan, per-bucket FK join carrying the "
+                        "right row index, columns regenerated from "
+                        "joined indices (bigexec._vv_agg_partials)")
+                else:
+                    lines.append("join: resident dimension threaded "
+                                 "through every run program "
+                                 "(bigexec._prep_join)")
             if sel.distinct:
                 return fin("out-of-core (virtual table)",
                            "distinct: per-run dedup compaction "
